@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet corpus (TESTDATA.md) plus the
+  * derived chat-domain views that map the corpus onto the reference's data
+  * model (FIXTURES.md §A "Mapping events → chat domain"):
+  *
+  *   - channel  := events.event_type   (5 values ≈ channels)
+  *   - username := cast(events.user_id as string)
+  *   - instant  := events.ts           (event time)
+  *   - message  := events.props        (JSON payload)
+  *
+  * Reference record types: Message.java:10-14, Emote.java:13-16.
+  * All timestamps surfaced to the query layer are epoch-millis BIGINT for
+  * parity with the reference's `timestamp BIGINT` columns
+  * (ChannelStatsAggregation.java:36-42).
+  */
+object Tables {
+  // Tumbling aggregation window: 900,000 ms = 15 min
+  // (job.example.properties:14 via SURVEY.md §2.3 A1).
+  val WindowMillis = 900000L
+
+  // Fixed "now" for trailing-window queries: 2024-01-31T00:00:00Z, just past
+  // the end of the events data range (2024-01-01..2024-01-30). Deterministic
+  // stand-in for the dashboard's wall-clock `now` (ApiController.php:154-178).
+  val NowMillis = 1706659200000L
+
+  // Excluded bot accounts (MainController.php:12 EXCLUDED_CHATTERS),
+  // mapped onto the synthetic user id space.
+  val ExcludedChatters: Seq[String] = Seq("3", "7", "11")
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default; read it as a nanos LONG and convert with integer
+    * division (never via double — epoch-nanos exceed double's exact range).
+    * Floor ns→µs→ms matches DuckDB's `epoch_ms` flooring for the oracle. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+
+  /** The chat message stream view (Message.java:10-14). Columns:
+    * ts TIMESTAMP, channel STRING, username STRING, message STRING.
+    */
+  def messages(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("ts"),
+      col("event_type").as("channel"),
+      col("user_id").cast("string").as("username"),
+      col("props").as("message"))
+
+  /** Channels dimension with a `hidden` flag (channels table,
+    * EmoteExtractor.java:281-285; hidden semantics ApiController.php:200-203).
+    * Deterministically derived: the 'click' channel is hidden.
+    */
+  def channels(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("hidden", col("channel") === lit("click"))
+
+  /** Emote dictionary (emotes table, EmoteExtractor.java:264-278):
+    * the distinct tokens of documents with source='src0'.
+    */
+  def emoteDict(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(col("source") === lit("src0"))
+      .select(explode(split(col("text"), "\\s+")).as("emote"))
+      .filter(length(col("emote")) > 0)
+      .distinct()
+
+  /** Phrase table (phrases table, PhraseExtractor.java:146-153): fixed,
+    * deterministic regex phrases over document text. Patterns are
+    * case-insensitive like the reference (PhraseExtractor.java:111).
+    * channelFilter restricts to matching channels (lang facet here).
+    */
+  final case class Phrase(name: String, regex: String,
+                          channelFilter: Option[String], logMessage: Boolean)
+  val phrases: Seq[Phrase] = Seq(
+    Phrase("p_the",    "(?i)the",         None,        logMessage = true),
+    Phrase("p_scan",   "(?i)scan|merge",  None,        logMessage = false),
+    Phrase("p_en_row", "(?i)row",         Some("en"),  logMessage = false))
+}

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.StatsPipeline
+
+/** The named-query registry: every SURVEY.md §2 operator as a
+  * `(SparkSession, sfDir) => DataFrame` plus an equivalent DuckDB oracle SQL.
+  *
+  * Parity conventions (so the driver's sorted-column value-hash matches):
+  *  - identical column names on both sides (every computed column aliased);
+  *  - timestamps surfaced as epoch-millis BIGINT (`unix_millis` ↔ `epoch_ms`);
+  *  - counts/sums of integers cast to BIGINT on both sides;
+  *  - double aggregates rounded (2-4 dp) on both sides;
+  *  - deterministic ORDER BY with key tie-breaks on both sides.
+  */
+object Registry {
+
+  private val W = Tables.WindowMillis       // 900000 (15 min)
+  private val NOW = Tables.NowMillis        // 2024-01-31T00:00:00Z
+  private val T0 = 1704672000000L           // 2024-01-08T00:00:00Z
+  private val T1 = 1705276800000L           // 2024-01-15T00:00:00Z
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared builders (Spark side) ----
+
+  private def channelStats(s: SparkSession, dir: String): DataFrame =
+    StatsPipeline.channelStats(Tables.messages(s, dir), W)
+
+  private def userStats(s: SparkSession, dir: String): DataFrame =
+    StatsPipeline.userStats(Tables.messages(s, dir), W)
+
+  private def docEmotes(s: SparkSession, dir: String): DataFrame =
+    StatsPipeline.extractEmotes(
+      Tables.documents(s, dir).select(
+        col("lang").as("channel"), col("source").as("username"), col("text")),
+      Tables.emoteDict(s, dir))
+
+  // ---- shared SQL fragments (oracle side) ----
+
+  private val csSql =
+    s"SELECT event_type AS channel, (epoch_ms(ts) // $W) * $W + $W AS ts, " +
+      "count(*) AS messages FROM events GROUP BY 1, 2"
+
+  private val usSql =
+    s"SELECT event_type AS channel, CAST(user_id AS VARCHAR) AS username, " +
+      s"(epoch_ms(ts) // $W) * $W + $W AS ts, count(*) AS messages " +
+      "FROM events GROUP BY 1, 2, 3"
+
+  private val toksSql =
+    """SELECT * FROM (SELECT lang AS channel, source AS username,
+      |unnest(regexp_split_to_array(text, '\s+')) AS emote FROM documents)
+      |WHERE emote <> ''""".stripMargin.replace("\n", " ")
+
+  private val dictSql =
+    """SELECT DISTINCT emote FROM (SELECT
+      |unnest(regexp_split_to_array(text, '\s+')) AS emote FROM documents
+      |WHERE source = 'src0') WHERE emote <> ''""".stripMargin.replace("\n", " ")
+
+  private val emoteOccSql =
+    s"WITH toks AS ($toksSql), dict AS ($dictSql) " +
+      "SELECT channel, username, emote FROM toks WHERE emote IN (SELECT emote FROM dict)"
+
+  // =========================================================================
+  // Pipeline aggregations (SURVEY §2.3 A4-A9, §2.2 T1/T3)
+  // =========================================================================
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("a4_channel_stats",
+      (s: SparkSession, dir: String) =>
+        channelStats(s, dir).orderBy(col("channel"), col("ts")),
+      Some(s"SELECT * FROM ($csSql) ORDER BY channel, ts")),
+
+    ("a5_user_stats",
+      (s: SparkSession, dir: String) =>
+        userStats(s, dir).orderBy(col("channel"), col("username"), col("ts")),
+      Some(s"SELECT * FROM ($usSql) ORDER BY channel, username, ts")),
+
+    ("a6_emote_stats",
+      (s: SparkSession, dir: String) =>
+        StatsPipeline.emoteStats(docEmotes(s, dir))
+          .orderBy(col("channel"), col("emote")),
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT channel, emote, count(*) AS occurrences FROM occ " +
+        "GROUP BY 1, 2 ORDER BY channel, emote")),
+
+    ("a7_user_emote_stats",
+      (s: SparkSession, dir: String) =>
+        StatsPipeline.userEmoteStats(docEmotes(s, dir))
+          .orderBy(col("channel"), col("emote"), col("username")),
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT channel, emote, username, count(*) AS occurrences FROM occ " +
+        "GROUP BY 1, 2, 3 ORDER BY channel, emote, username")),
+
+    ("a8_phrase_stats",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("lang").as("channel"), col("text"))
+        val matched = StatsPipeline.matchPhrases(docs, Tables.phrases, "text")
+        StatsPipeline.phraseStats(matched)
+          .orderBy(col("channel"), col("phrase_name"))
+      },
+      Some(
+        """WITH m AS (
+          | SELECT lang AS channel, 'p_the' AS phrase_name, len(regexp_extract_all(text, '(?i)the')) AS matches FROM documents
+          | UNION ALL SELECT lang, 'p_scan', len(regexp_extract_all(text, '(?i)scan|merge')) FROM documents
+          | UNION ALL SELECT lang, 'p_en_row', len(regexp_extract_all(text, '(?i)row')) FROM documents WHERE regexp_matches(lang, '(?i)en'))
+          |SELECT channel, phrase_name, CAST(sum(matches) AS BIGINT) AS matches
+          |FROM m WHERE matches > 0 GROUP BY 1, 2 ORDER BY channel, phrase_name"""
+          .stripMargin.replace("\n", " "))),
+
+    ("a9_alltime_totals",
+      (s: SparkSession, dir: String) =>
+        StatsPipeline.allTimeTotals(channelStats(s, dir), Seq("channel"), "messages")
+          .orderBy(col("channel")),
+      Some("SELECT event_type AS channel, count(*) AS messages FROM events " +
+        "GROUP BY 1 ORDER BY channel")),
+
+    ("a10_sentinel_union",
+      (s: SparkSession, dir: String) =>
+        StatsPipeline.withSentinelTotals(channelStats(s, dir), Seq("channel"), "messages")
+          .orderBy(col("channel"), col("ts")),
+      Some(s"WITH cs AS ($csSql) " +
+        "SELECT * FROM (SELECT * FROM cs UNION ALL " +
+        "SELECT channel, CAST(0 AS BIGINT) AS ts, CAST(sum(messages) AS BIGINT) " +
+        "FROM cs GROUP BY 1) ORDER BY channel, ts")),
+
+    // =======================================================================
+    // Serving queries (SURVEY §2.4)
+    // =======================================================================
+
+    ("q1_point_lookup_totals",
+      (s: SparkSession, dir: String) =>
+        StatsPipeline.allTimeTotals(channelStats(s, dir), Seq("channel"), "messages")
+          .filter(col("channel").isin("error", "signup"))
+          .orderBy(col("channel")),
+      Some("SELECT event_type AS channel, count(*) AS messages FROM events " +
+        "WHERE event_type IN ('error', 'signup') GROUP BY 1 ORDER BY channel")),
+
+    ("q2_visible_channel_totals",
+      (s: SparkSession, dir: String) =>
+        Serving.visibleOnly(
+          StatsPipeline.allTimeTotals(channelStats(s, dir), Seq("channel"), "messages"),
+          Tables.channels(s, dir))
+          .orderBy(col("channel")),
+      Some("SELECT event_type AS channel, count(*) AS messages FROM events " +
+        "WHERE event_type <> 'click' GROUP BY 1 ORDER BY channel")),
+
+    ("q3_last_seen",
+      (s: SparkSession, dir: String) =>
+        Tables.messages(s, dir)
+          .groupBy(col("username"), col("channel"))
+          .agg(floor(max(unix_millis(col("ts"))) / 1000).cast("long").as("last_seen"))
+          .orderBy(col("username"), col("channel")),
+      Some("SELECT CAST(user_id AS VARCHAR) AS username, event_type AS channel, " +
+        "epoch_ms(max(ts)) // 1000 AS last_seen FROM events " +
+        "GROUP BY 1, 2 ORDER BY username, channel")),
+
+    ("q4_left_join_default",
+      (s: SparkSession, dir: String) => {
+        val ch = Tables.channels(s, dir).select("channel")
+        val u = Tables.messages(s, dir)
+          .filter(col("username") === "13")
+          .groupBy(col("channel")).agg(count(lit(1)).as("messages"))
+        ch.join(u, Seq("channel"), "left_outer")
+          .select(col("channel"), coalesce(col("messages"), lit(0L)).as("messages"))
+          .orderBy(col("channel"))
+      },
+      Some("WITH ch AS (SELECT DISTINCT event_type AS channel FROM events), " +
+        "u AS (SELECT event_type AS channel, count(*) AS messages FROM events " +
+        "WHERE CAST(user_id AS VARCHAR) = '13' GROUP BY 1) " +
+        "SELECT ch.channel, COALESCE(u.messages, CAST(0 AS BIGINT)) AS messages " +
+        "FROM ch LEFT JOIN u USING (channel) ORDER BY channel")),
+
+    ("q5_trailing_sums",
+      (s: SparkSession, dir: String) =>
+        Serving.trailingSums(
+          channelStats(s, dir).filter(col("channel") === "view"), NOW,
+          Seq("m5" -> 300000L, "h1" -> 3600000L, "d1" -> 86400000L,
+            "d7" -> 604800000L, "d30" -> 2592000000L),
+          "messages"),
+      Some {
+        val cases = Seq("m5" -> 300000L, "h1" -> 3600000L, "d1" -> 86400000L,
+          "d7" -> 604800000L, "d30" -> 2592000000L).map { case (n, span) =>
+          s"CAST(COALESCE(SUM(CASE WHEN ts > ${NOW - span} THEN messages END), 0) AS BIGINT) AS $n"
+        }.mkString(", ")
+        s"WITH cs AS ($csSql) SELECT $cases FROM cs WHERE channel = 'view'"
+      }),
+
+    ("q6_top_emotes",
+      (s: SparkSession, dir: String) =>
+        Serving.leaderboard(docEmotes(s, dir).withColumn("occurrences", lit(1L)),
+          Seq("emote"), "occurrences", 10),
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT emote, count(*) AS occurrences FROM occ GROUP BY 1 " +
+        "ORDER BY occurrences DESC, emote LIMIT 10")),
+
+    ("q7_leaderboard_chatters",
+      (s: SparkSession, dir: String) =>
+        Serving.leaderboard(
+          userStats(s, dir).filter(col("ts").between(T0, T1)),
+          Seq("username"), "messages", 25),
+      Some(s"WITH us AS ($usSql) " +
+        s"SELECT username, CAST(sum(messages) AS BIGINT) AS messages FROM us " +
+        s"WHERE ts BETWEEN $T0 AND $T1 GROUP BY 1 " +
+        "ORDER BY messages DESC, username LIMIT 25")),
+
+    ("q8_cumulative_base",
+      (s: SparkSession, dir: String) =>
+        Serving.cumulativeBase(
+          StatsPipeline.withSentinelTotals(channelStats(s, dir), Seq("channel"), "messages"),
+          Seq("channel"), "messages", T1)
+          .orderBy(col("channel")),
+      Some(s"WITH cs AS ($csSql) " +
+        s"SELECT channel, CAST(COALESCE(sum(messages), 0) AS BIGINT) AS messages " +
+        s"FROM cs WHERE ts > 0 AND ts < $T1 GROUP BY 1 ORDER BY channel")),
+
+    ("q9_series_scan",
+      (s: SparkSession, dir: String) =>
+        channelStats(s, dir)
+          .filter(col("channel") === "error" && col("ts").between(T0, T1))
+          .select(col("ts"), col("messages"))
+          .orderBy(col("ts")),
+      Some(s"WITH cs AS ($csSql) SELECT ts, messages FROM cs " +
+        s"WHERE channel = 'error' AND ts BETWEEN $T0 AND $T1 ORDER BY ts")),
+
+    ("q10_cumulative_sums",
+      (s: SparkSession, dir: String) =>
+        Serving.cumulativeSums(channelStats(s, dir), Seq("channel"), "messages")
+          .orderBy(col("channel"), col("ts")),
+      Some(s"WITH cs AS ($csSql) SELECT channel, ts, " +
+        "CAST(sum(messages) OVER (PARTITION BY channel ORDER BY ts) AS BIGINT) AS messages " +
+        "FROM cs ORDER BY channel, ts")),
+
+    ("q13_leaderboard_rank",
+      (s: SparkSession, dir: String) =>
+        Serving.ranked(
+          StatsPipeline.emoteStats(docEmotes(s, dir))
+            .groupBy(col("emote")).agg(sum(col("occurrences")).cast("long").as("occurrences")),
+          "occurrences", "emote")
+          .orderBy(col("rank")),
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT emote, occurrences, CAST(row_number() OVER (ORDER BY occurrences DESC, emote) AS INT) AS rank " +
+        "FROM (SELECT emote, count(*) AS occurrences FROM occ GROUP BY 1) ORDER BY rank")),
+
+    ("q14_exclusion_filter",
+      (s: SparkSession, dir: String) =>
+        Serving.leaderboard(
+          userStats(s, dir).filter(!col("username").isin(Tables.ExcludedChatters: _*)),
+          Seq("username"), "messages", 25),
+      Some {
+        val excl = Tables.ExcludedChatters.map(u => s"'$u'").mkString(", ")
+        s"WITH us AS ($usSql) SELECT username, CAST(sum(messages) AS BIGINT) AS messages " +
+          s"FROM us WHERE username NOT IN ($excl) GROUP BY 1 " +
+          "ORDER BY messages DESC, username LIMIT 25"
+      }),
+
+    ("q15_max_per_group",
+      (s: SparkSession, dir: String) =>
+        Serving.maxPerGroupWithShare(
+          Tables.messages(s, dir)
+            .groupBy(col("username"), col("channel")).agg(count(lit(1)).as("messages")),
+          "username", "messages")
+          .orderBy(col("username")),
+      Some("WITH t AS (SELECT CAST(user_id AS VARCHAR) AS username, event_type, " +
+        "count(*) AS c FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT username, CAST(max(c) AS BIGINT) AS messages FROM t GROUP BY 1) " +
+        "SELECT username, messages, round(messages * 100.0 / sum(messages) OVER (), 4) AS pct " +
+        "FROM m ORDER BY username")),
+
+    ("q16_stddev",
+      (s: SparkSession, dir: String) =>
+        channelStats(s, dir)
+          .groupBy(col("channel"))
+          .agg(round(stddev_samp(col("messages")), 4).as("sd"))
+          .orderBy(col("channel")),
+      Some(s"WITH cs AS ($csSql) SELECT channel, round(stddev_samp(messages), 4) AS sd " +
+        "FROM cs GROUP BY 1 ORDER BY channel")),
+
+    ("q17_date_scalars",
+      (s: SparkSession, dir: String) =>
+        Tables.messages(s, dir)
+          .groupBy(col("channel"))
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+            floor(max(unix_millis(col("ts"))) / 1000).cast("long").as("last_seen_s"))
+          .orderBy(col("channel")),
+      Some("SELECT event_type AS channel, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen, " +
+        "epoch_ms(max(ts)) // 1000 AS last_seen_s " +
+        "FROM events GROUP BY 1 ORDER BY channel")),
+
+    ("q20_json_extract",
+      (s: SparkSession, dir: String) =>
+        Tables.messages(s, dir)
+          .withColumn("k", get_json_object(col("message"), "$.k").cast("long"))
+          .groupBy(col("channel"))
+          .agg(sum(col("k")).as("k_sum"), round(avg(col("k")), 4).as("k_avg"))
+          .orderBy(col("channel")),
+      Some("SELECT event_type AS channel, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg " +
+        "FROM events GROUP BY 1 ORDER BY channel")),
+
+    // =======================================================================
+    // Relational core on the TPC-H-ish tables (joins, top-N at scale)
+    // =======================================================================
+
+    ("j1_pricing_summary",
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus")),
+
+    ("j2_top_orders",
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10),
+      Some("SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+
+    ("j3_region_nation_revenue",
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY 1, 2 ORDER BY r_name, n_name"))
+  )
+
+  def queries: Map[String, Q] =
+    entries.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.flatMap { case (n, _, sql) => sql.map(n -> _) }.toMap
+}
