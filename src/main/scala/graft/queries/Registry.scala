@@ -209,9 +209,12 @@ object Registry {
         "ORDER BY messages DESC, username LIMIT 25")),
 
     ("q8_cumulative_base",
+      // Fed from channelStats directly: the `ts > 0` sentinel-exclusion
+      // filter makes the sentinel rows invisible to this query anyway, so
+      // materializing withSentinelTotals here would be a second full
+      // aggregation + union that the filter immediately discards.
       (s: SparkSession, dir: String) =>
-        Serving.cumulativeBase(
-          StatsPipeline.withSentinelTotals(channelStats(s, dir), Seq("channel"), "messages"),
+        Serving.cumulativeBase(channelStats(s, dir),
           Seq("channel"), "messages", T1)
           .orderBy(col("channel")),
       Some(s"WITH cs AS ($csSql) " +

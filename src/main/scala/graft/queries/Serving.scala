@@ -61,18 +61,40 @@ object Serving {
     series.withColumn(valueCol, sum(col(valueCol)).over(w).cast("long"))
   }
 
-  /** Q13: rank assignment — row_number over (metric DESC, key ASC), the PHP
-    * client-side sort+rank (MainController.php:273-288) as a window fn. */
-  def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame =
-    leaderboard.withColumn("rank",
-      row_number().over(Window.orderBy(col(valueCol).desc, col(tieBreak).asc)))
+  /** Q13: global rank assignment — row_number over (metric DESC, key ASC),
+    * the PHP client-side sort+rank (MainController.php:273-288).
+    *
+    * Scale-safe: a bare `row_number().over(Window.orderBy(...))` funnels the
+    * whole frame through ONE task. Instead: range-partition on the sort key
+    * (so partition i holds ranks strictly before partition i+1), sort within
+    * partitions, and `zipWithIndex` — which assigns contiguous global indices
+    * from per-partition counts without ever collecting the data. Every stage
+    * is parallel; the only driver-side state is one count per partition. */
+  def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame = {
+    val spark = leaderboard.sparkSession
+    val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)
+    val sorted = leaderboard
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val withRank = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(withRank,
+      sorted.schema.add("rank", org.apache.spark.sql.types.IntegerType))
+  }
 
   /** Q15: MAX-per-group with share-of-total percentage vs SUM(MAX(..))
     * (MainController.php:335-361, 496-507). */
   def maxPerGroupWithShare(stats: DataFrame, key: String, valueCol: String): DataFrame = {
+    // The share denominator is a single scalar; an empty-partition window
+    // (`sum().over(Window.partitionBy())`) would drag every row into one
+    // task. A 1-row aggregate cross-joined back (broadcast) keeps the big
+    // side fully parallel.
     val m = stats.groupBy(col(key)).agg(max(col(valueCol)).as(valueCol))
-    m.withColumn("pct",
-      round(col(valueCol) * 100.0 / sum(col(valueCol)).over(Window.partitionBy()), 4))
+    val total = m.agg(sum(col(valueCol)).as("_total"))
+    m.crossJoin(broadcast(total))
+      .withColumn("pct", round(col(valueCol) * 100.0 / col("_total"), 4))
+      .drop("_total")
   }
 
   /** Q12: empty-series placeholder — when a series has no rows, substitute
