@@ -238,6 +238,70 @@ object Registry {
         "CAST(sum(messages) OVER (PARTITION BY channel ORDER BY ts) AS BIGINT) AS messages " +
         "FROM cs ORDER BY channel, ts")),
 
+    ("q11_resample",
+      // Resample each channel's windowed series in [T0, T1] down to 50
+      // points (MainController.php:593-680; dashboard cap 500/100 points,
+      // :21). Channels with n <= 50 samples pass through as-is (:612-613).
+      (s: SparkSession, dir: String) =>
+        Serving.resample(
+          channelStats(s, dir)
+            .filter(col("ts").between(T0, T1))
+            .select(col("channel"), col("ts"), col("messages")),
+          Seq("channel"), "messages", 50, Some(T0), Some(T1))
+          .orderBy(col("channel"), col("ts")),
+      Some {
+        val np = 50
+        s"""WITH cs AS ($csSql),
+           |ser AS (SELECT channel, ts, messages FROM cs WHERE ts BETWEEN $T0 AND $T1),
+           |p AS (SELECT channel, min(ts) AS first_ts, max(ts) AS last_ts,
+           |  arg_min(messages, ts) AS first_v, arg_max(messages, ts) AS last_v,
+           |  count(*) AS n FROM ser GROUP BY 1),
+           |p2 AS (SELECT *, (CAST($T1 AS BIGINT) - $T0 + $np - 2) // ($np - 1) AS c
+           |  FROM p WHERE n > $np),
+           |grid AS (SELECT channel, unnest(generate_series($T0, $T1 - 1, c)) AS ts FROM p2
+           |  UNION ALL SELECT channel, $T1 FROM p2),
+           |u AS (SELECT channel, ts, messages AS v, ts AS sts, 0 AS is_grid FROM ser
+           |    WHERE channel IN (SELECT channel FROM p2)
+           |  UNION ALL SELECT channel, ts, NULL, NULL, 1 FROM grid),
+           |w AS (SELECT *,
+           |  last_value(v IGNORE NULLS) OVER wb AS b_v,
+           |  last_value(sts IGNORE NULLS) OVER wb AS b_ts,
+           |  first_value(v IGNORE NULLS) OVER wa AS a_v,
+           |  first_value(sts IGNORE NULLS) OVER wa AS a_ts
+           |  FROM u
+           |  WINDOW wb AS (PARTITION BY channel ORDER BY ts, is_grid
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wa AS (PARTITION BY channel ORDER BY ts, is_grid
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |res AS (SELECT w.channel, w.ts,
+           |  CAST(CASE WHEN w.ts <= p2.first_ts THEN p2.first_v
+           |            WHEN w.ts >= p2.last_ts THEN p2.last_v
+           |       ELSE round(b_v + (w.ts - b_ts) / (a_ts - b_ts) * (a_v - b_v))
+           |       END AS BIGINT) AS messages
+           |  FROM w JOIN p2 USING (channel) WHERE is_grid = 1),
+           |asis AS (SELECT channel, ts, messages FROM ser JOIN p USING (channel)
+           |  WHERE p.n <= $np)
+           |SELECT * FROM (SELECT * FROM res UNION ALL SELECT * FROM asis)
+           |ORDER BY channel, ts""".stripMargin.replace("\n", " ")
+      }),
+
+    ("q12_empty_series",
+      // Empty-series placeholder (MainController.php:697-706): a series with
+      // no rows yields two zero samples at the range bounds.
+      (s: SparkSession, dir: String) =>
+        Serving.orEmptyPlaceholder(
+          channelStats(s, dir)
+            .filter(col("channel") === "no_such_channel")
+            .select(col("ts"), col("messages")),
+          T0, T1, "messages")
+          .orderBy(col("ts")),
+      Some(s"WITH cs AS ($csSql), " +
+        "ser AS (SELECT ts, messages FROM cs WHERE channel = 'no_such_channel') " +
+        "SELECT * FROM (SELECT * FROM ser UNION ALL " +
+        s"SELECT * FROM (VALUES (CAST($T0 AS BIGINT), CAST(0 AS BIGINT)), " +
+        s"(CAST($T1 AS BIGINT), CAST(0 AS BIGINT))) v(ts, messages) " +
+        "WHERE (SELECT count(*) FROM ser) = 0) ORDER BY ts")),
+
     ("q13_leaderboard_rank",
       (s: SparkSession, dir: String) =>
         Serving.ranked(

@@ -97,6 +97,101 @@ object Serving {
       .drop("_total")
   }
 
+  /** Q11: time-series resampling with linear interpolation
+    * (MainController.php:593-680 `resampleTimeSeries`). Semantics matched
+    * exactly, per key:
+    *  - `numPoints < 2` → 2 (:595-596);
+    *  - `n <= numPoints` → series returned as-is, never up-sampled (:611-613);
+    *  - `start`/`end` default to the key's first/last sample ts (:617-618);
+    *  - `start == end` → `end += 60000`, `numPoints = 2` (:620-624);
+    *  - grid stepping `t = ceil(t + step)` capped at `end` (:674-676): since
+    *    every emitted `t` is an integer epoch-ms, `ceil(t + step)` equals
+    *    `t + ceil(step)`, so the grid is `start + i*C` (C = integer
+    *    ceil((end-start)/(numPoints-1))) clamped to a final point at `end` —
+    *    all integer math;
+    *  - grid points at/before the first sample clamp to its value, at/after
+    *    the last sample to its value (:632-642);
+    *  - interior points linearly interpolate between the neighboring samples:
+    *    `round(v0 + k*(v1-v0))`, `k = (t-t0)/(t1-t0)` in double (:664-668).
+    *
+    * Plan shape (the 100-TB story): ONE shuffle on the key. Per-key stats
+    * (first/last/n) are window columns over the key partition; the grid is
+    * emitted by exploding a `sequence` on the first row of each key; the
+    * as-of neighbors are `last/first(..., ignoreNulls)` running windows over
+    * the union of sample and grid rows. No joins, no driver round-trips, no
+    * global (unpartitioned) windows.
+    */
+  def resample(series: DataFrame, keys: Seq[String], valueCol: String,
+               numPoints: Int, startMs: Option[Long] = None,
+               endMs: Option[Long] = None): DataFrame = {
+    val np0 = math.max(numPoints, 2)
+    val kcols = keys.map(col)
+    val vType = series.schema(valueCol).dataType
+    val wFull = Window.partitionBy(kcols: _*).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy(kcols: _*).orderBy(col("ts"))
+
+    val startC = startMs.map(lit(_)).getOrElse(col("_first_ts"))
+    val end0 = endMs.map(lit(_)).getOrElse(col("_last_ts"))
+    val degenerate = end0 === startC
+
+    val params = series
+      .withColumn("_first_ts", min(col("ts")).over(wFull))
+      .withColumn("_last_ts", max(col("ts")).over(wFull))
+      .withColumn("_first_v", first(col(valueCol)).over(wFull))
+      .withColumn("_last_v", last(col(valueCol)).over(wFull))
+      .withColumn("_n", count(lit(1)).over(wFull))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_start", startC)
+      .withColumn("_end", when(degenerate, startC + lit(60000L)).otherwise(end0))
+      .withColumn("_np", when(degenerate, lit(2)).otherwise(lit(np0)))
+      .withColumn("_c", expr("(_end - _start + _np - 2) div (_np - 1)"))
+
+    // Grid points for keys that need down-sampling, attached to the first
+    // row of the key so one explode emits sample rows AND grid rows.
+    val pts = params
+      .withColumn("_grid",
+        when(col("_rn") === 1 && col("_n") > col("_np"),
+          concat(sequence(col("_start"), col("_end") - 1, col("_c")),
+            array(col("_end"))))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("_pt", explode(concat(
+        array(struct(col("ts").as("t"), lit(0).as("g"))),
+        transform(col("_grid"), t => struct(t.as("t"), lit(1).as("g"))))))
+      .withColumn("_t", col("_pt").getField("t"))
+      .withColumn("_is_grid", col("_pt").getField("g"))
+      .withColumn("_v", when(col("_is_grid") === 0, col(valueCol)))
+      .withColumn("_sts", when(col("_is_grid") === 0, col("ts")))
+
+    // As-of neighbors: at equal ts the sample row sorts before the grid row,
+    // so a grid point sitting exactly on a sample interpolates with k=0 to
+    // that sample's value — same result as the PHP pairing.
+    val ord = Seq(col("_t").asc, col("_is_grid").asc)
+    val wb = Window.partitionBy(kcols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(kcols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ann = pts
+      .withColumn("_b_v", last(col("_v"), ignoreNulls = true).over(wb))
+      .withColumn("_b_ts", last(col("_sts"), ignoreNulls = true).over(wb))
+      .withColumn("_a_v", first(col("_v"), ignoreNulls = true).over(wa))
+      .withColumn("_a_ts", first(col("_sts"), ignoreNulls = true).over(wa))
+
+    ann
+      .filter((col("_is_grid") === 1) ||
+        (col("_is_grid") === 0 && col("_n") <= col("_np")))
+      .withColumn(valueCol,
+        when(col("_is_grid") === 0, col(valueCol))
+          .when(col("_t") <= col("_first_ts"), col("_first_v"))
+          .when(col("_t") >= col("_last_ts"), col("_last_v"))
+          .otherwise(
+            round(col("_b_v") +
+              (col("_t") - col("_b_ts")) / (col("_a_ts") - col("_b_ts")) *
+                (col("_a_v") - col("_b_v")))
+              .cast(vType)))
+      .select(kcols ++ Seq(col("_t").as("ts"), col(valueCol)): _*)
+  }
+
   /** Q12: empty-series placeholder — when a series has no rows, substitute
     * two zero samples at the range bounds (MainController.php:697-706).
     * Fully declarative: the defaults are emitted only when the series is
