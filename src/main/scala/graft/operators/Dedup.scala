@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (north-star
+  * extension; SURVEY.md §7.2 step 6).
+  *
+  * Scale design: exact dedup is a single hash aggregation on the content
+  * hash (one shuffle, map-side partial). Near-dup is MinHash + LSH banding:
+  * the only join is a self-equi-join on (band, band_key) — i.e. docs are
+  * only ever compared within an LSH bucket, never all-pairs. Candidate
+  * verification joins back to per-doc shingle-set arrays (bounded: one
+  * array of ~1e2 hashes per doc).
+  *
+  * All hashing is engine-portable arithmetic (md5 + integer polynomial
+  * ops), so the DuckDB oracle reproduces the exact same signatures.
+  */
+object Dedup {
+
+  /** Exact content dedup: group rows by md5 of the content column, keep the
+    * minimum id as canonical, count copies. */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH near-dup ----
+
+  /** MinHash parameters: K signatures split into `Bands` bands of `R` rows.
+    * Universal-hash family h_j(x) = (A_j·x + B_j) mod P over x = the first
+    * 32 bits of md5(shingle) — all values < 2^32, products < 2^49: exact in
+    * 64-bit integers on any engine. */
+  val P = 2147483647L
+  val K = 12
+  val Bands = 4
+  val R = 3
+  def aCoef(j: Int): Long = 2L * j + 1
+  def bCoef(j: Int): Long = 1000003L * j + 17
+
+  /** Word shingles of size k over whitespace-tokenized text:
+    * (id, shingle) pairs, distinct per doc. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol),
+        explode(when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  /** 32-bit integer image of a shingle: first 8 hex chars of its md5. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-doc MinHash signature columns s0..s{K-1}. */
+  def signatures(shingled: DataFrame, idCol: String): DataFrame = {
+    val x = shingleHash(col("shingle"))
+    val aggs = (0 until K).map(j =>
+      min((lit(aCoef(j)) * x + lit(bCoef(j))) % lit(P)).as(s"s$j"))
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    * jaccard rounded to 4 dp. */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int, threshold: Double): DataFrame = {
+    val shingled = shingles(df, idCol, textCol, shingleK)
+    val sigs = signatures(shingled, idCol)
+
+    // One row per (doc, band): band key = the band's R signature values.
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until R).map(r => col(s"s${b * R + r}")): _*).as("bk"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bk").as("bk"))
+
+    // Bucketed candidate generation: equi-join on the band key — docs are
+    // only compared within a bucket (never a cartesian of the corpus).
+    val left = banded.select(col("band"), col("bk"), col(idCol).as("id_a"))
+    val right = banded.select(col("band"), col("bk"), col(idCol).as("id_b"))
+    val cand = left.join(right, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    // Exact-Jaccard verification over the (bounded) shingle-set arrays.
+    val sets = shingled.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("sset"))
+    val withSets = cand
+      .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), Seq("id_b"))
+    withSets
+      .withColumn("_i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("_i").cast("double") / (size(col("set_a")) + size(col("set_b")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (north-star
+  * extension): corpus stats, language ID, quality scoring, token counting,
+  * and document fingerprinting.
+  *
+  * Everything is per-row scalar work (codegen-friendly built-ins — regexp
+  * counts, array ops) followed by at most one hash aggregation: embarrassingly
+  * parallel at any scale, no joins except broadcast marker dictionaries.
+  */
+object TextAnalysis {
+
+  def tokens(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => length(t) > 0)
+
+  /** Corpus stats per language facet: doc count, token totals, char stats,
+    * distinct sources. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_ntok", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).cast("long").as("n_tokens"),
+        round(avg(col("_ntok")), 4).as("avg_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+
+  /** Language-ID marker sets: tiny per-language keyword dictionaries (the
+    * n-gram-heuristic shape; real deployments would load trained n-gram
+    * tables the same way — a broadcast map, per-row scoring). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "row", "table"),
+    "es" -> Seq("data", "column", "value"),
+    "de" -> Seq("hash", "merge", "join"),
+    "fr" -> Seq("scan", "filter", "query"),
+    "zh" -> Seq("spark", "batch", "window"))
+
+  /** Heuristic language ID: per-doc occurrence count of each language's
+    * marker tokens; prediction = argmax score, ties broken by smallest
+    * language code. Output: (doc_id, pred_lang, score). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(col("doc_id"),
+      explode(array(langMarkers.map { case (lang, words) =>
+        struct(lit(lang).as("cand_lang"),
+          size(filter(toks, t => array_contains(lit(words.toArray), t))).as("score"))
+      }: _*)).as("cs"))
+      .select(col("doc_id"), col("cs.cand_lang").as("cand_lang"),
+        col("cs.score").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Quality scoring: length, punctuation density, stopword ratio,
+    * uppercase ratio — the standard cheap pre-training filters. All ratios
+    * double, rounded 4 dp. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => array_contains(lit(stopwords.toArray), t)))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      length(col("text")).as("len_chars"),
+      round(regexp_count(col("text"), lit("[\\.,;:!?]")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+      round(regexp_count(col("text"), lit("[A-Z]")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("upper_ratio"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
+    * regex (letter runs / digit runs / single other-symbols). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .as("bpe_tokens"))
+
+  /** Document fingerprint (winnowing-lite): minimum 32-bit hash over the
+    * document's character k-grams, plus the distinct-gram count. Equal
+    * fingerprints are dedup candidates; the min-of-hashes is the 1-row
+    * degenerate of a winnowing window. */
+  def fingerprints(docs: DataFrame, k: Int): DataFrame = {
+    val t = col("text")
+    val grams = when(length(t) >= k,
+      transform(sequence(lit(1), length(t) - (k - 1)), i => t.substr(i, lit(k))))
+      .otherwise(array(t))
+    docs.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(Dedup.shingleHash(col("g"))).as("fingerprint"),
+        countDistinct(col("g")).as("n_grams"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.StatsPipeline
 
 /** The named-query registry: every SURVEY.md §2 operator as a
@@ -62,6 +63,37 @@ object Registry {
   private val emoteOccSql =
     s"WITH toks AS ($toksSql), dict AS ($dictSql) " +
       "SELECT channel, username, emote FROM toks WHERE emote IN (SELECT emote FROM dict)"
+
+  /** DuckDB twin of [[Dedup.minHashNearDup]] — generated from the same
+    * constants so the signature arithmetic is identical by construction. */
+  private def minHashOracleSql: String = {
+    val sigExprs = (0 until Dedup.K).map(j =>
+      s"min((${Dedup.aCoef(j)}*x + ${Dedup.bCoef(j)}) % ${Dedup.P}) AS s$j").mkString(", ")
+    val bandSelects = (0 until Dedup.Bands).map { b =>
+      val ks = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(':', $ks) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+       |  list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |  ELSE [] END AS sl FROM toks),
+       |shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh0),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM shd),
+       |sig AS (SELECT doc_id, $sigExprs FROM hx GROUP BY 1),
+       |bnd AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM bnd a
+       |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c
+       |  JOIN shd a ON a.doc_id = c.ia JOIN shd b ON b.doc_id = c.ib AND a.s = b.s
+       |  GROUP BY 1, 2),
+       |j AS (SELECT ia AS id_a, ib AS id_b,
+       |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac FROM inter
+       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
 
   // =========================================================================
   // Pipeline aggregations (SURVEY §2.3 A4-A9, §2.2 T1/T3)
@@ -371,6 +403,62 @@ object Registry {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg " +
         "FROM events GROUP BY 1 ORDER BY channel")),
+
+    // =======================================================================
+    // Training-data pipeline operators (north-star: dedup, similarity,
+    // text analysis over documents/embeddings)
+    // =======================================================================
+
+    ("x1_exact_dedup",
+      // Exact content dedup over the event payloads: identical `props`
+      // payloads collapse to the minimum event_id. Single hash aggregation
+      // on the content hash.
+      (s: SparkSession, dir: String) =>
+        Dedup.exactDedup(
+          Tables.events(s, dir).select(col("event_id"), col("props")),
+          "event_id", "props")
+          .orderBy(col("content_hash")),
+      Some("SELECT md5(props) AS content_hash, min(event_id) AS event_id, " +
+        "count(*) AS n_copies FROM events GROUP BY 1 ORDER BY content_hash")),
+
+    ("x2_near_dedup",
+      // MinHash+LSH near-duplicate pairs over documents (3-gram shingles,
+      // banded signatures, bucket-join candidates, exact-Jaccard verify at
+      // 0.8). Never an all-pairs comparison.
+      (s: SparkSession, dir: String) =>
+        Dedup.minHashNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(minHashOracleSql)),
+
+    ("x3_cosine_topk",
+      // Brute-force cosine top-10 against the vec_id=0 query vector
+      // (broadcast); deterministic left-fold double arithmetic.
+      (s: SparkSession, dir: String) =>
+        Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          0L, 10, Seq("label")),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, label,
+        |  list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a,b) -> a+b) AS dt,
+        |  sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b)) AS na,
+        |  sqrt(list_reduce(list_transform(generate_series(1, len(qv)),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a,b) -> a+b)) AS nq
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, label, round(dt / (na * nq), 6) AS sim FROM s
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    ("x4_text_stats",
+      // Corpus stats per language facet over documents.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.textStats(Tables.documents(s, dir))
+          .orderBy(col("lang")),
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS n_tokens, round(avg(ntok), 4) AS avg_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, count(DISTINCT source) AS n_sources " +
+        "FROM (SELECT lang, source, n_chars, " +
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ntok " +
+        "FROM documents) GROUP BY 1 ORDER BY lang")),
 
     // =======================================================================
     // Relational core on the TPC-H-ish tables (joins, top-N at scale)
