@@ -85,17 +85,87 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    // Exact-Jaccard verification over the (bounded) shingle-set arrays.
+    verifyJaccard(cand, shingled, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs over the
+    * full (bounded, ~1e2 entries) shingle-set arrays. */
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
     val sets = shingled.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("sset"))
-    val withSets = cand
+    cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), Seq("id_b"))
-    withSets
       .withColumn("_i", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
         col("_i").cast("double") / (size(col("set_a")) + size(col("set_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash per doc over whitespace tokens (each occurrence votes):
+    * bit b of the hash is 1 iff the signed sum of token-hash bit-b votes is
+    * positive. One explode + one aggregation — no joins. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perTok = df.select(col(idCol), explode(toks).as("_t"))
+      .withColumn("_h", shingleHash(col("_t")))
+    val weights = (0 until 32).map(b =>
+      sum(when(shiftright(col("_h"), b) % 2 === 1, 1).otherwise(-1)).as(s"_w$b"))
+    val sig = (0 until 32).map(b =>
+      when(col(s"_w$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    perTok.groupBy(col(idCol))
+      .agg(weights.head, weights.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 8 bits each generate candidates
+    * (equality join per band — bucketed, not all-pairs), verified by
+    * Hamming distance of the full 32-bit hashes <= maxHamming. */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), 8 * b) % 256).as("bk")))
+    val banded = sigs.select(col(idCol), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("simhash"),
+        col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val left = banded.select(col("band"), col("bk"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val right = banded.select(col("band"), col("bk"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    left.join(right, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram-Jaccard near-dup via an inverted shingle index: pairs are
+    * generated by joining docs that SHARE a shingle (after dropping
+    * too-frequent shingles — document frequency > dfLimit — the standard
+    * guard against hot-posting-list blowup), then verified exactly. This is
+    * the non-probabilistic complement of [[minHashNearDup]]. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, threshold: Double, dfLimit: Int): DataFrame = {
+    val shingled = shingles(df, idCol, textCol, shingleK)
+    val rare = shingled.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= dfLimit)
+      .select(col("shingle"))
+    val indexed = shingled.join(rare, Seq("shingle"))
+    val cand = indexed.select(col("shingle"), col(idCol).as("id_a"))
+      .join(indexed.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // Verification uses the FULL shingle sets (the df cap only bounds
+    // candidate generation, it must not change the jaccard value).
+    verifyJaccard(cand, shingled, idCol, threshold)
   }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data pipeline: media payloads
+  * travel as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs per-row, embarrassingly parallel, with the bytes
+  * never leaving the executor.
+  *
+  * The actual codec step (image/audio/video decode) is NOT implementable in
+  * this container (no codec libraries) — [[decodeStub]] marks it; the
+  * pipeline around it (schema, batching, partition behavior, feature
+  * arithmetic on the raw bytes) is real and oracle-checked. In production
+  * the stub body is the only thing that changes.
+  */
+object Multimodal {
+
+  /** The media-table schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false))), nullable = false)))
+
+  /** Real decoder entry point — deliberately unimplemented here (no codec
+    * libs in the build environment). Replace with an actual decoder; the
+    * rest of the pipeline is agnostic to it. */
+  def decodeStub(bytes: Array[Byte]): Nothing =
+    throw new NotImplementedError(
+      "media codec not available in this environment; use fake features")
+
+  /** Deterministic stand-in featurizer: 4 doubles in [0,1) derived from the
+    * md5 of the payload (8 hex chars per feature / 2^32). Stands in for a
+    * decoded-content embedding; exercises the exact column plumbing a real
+    * featurizer needs. */
+  def fakeFeatures(media: Column): Column =
+    transform(sequence(lit(0), lit(3)), i =>
+      round(conv(md5(media).substr(i * lit(8) + 1, lit(8)), 16, 10)
+        .cast("double") / lit(4294967296.0), 6))
+
+  /** Build the media view from the documents corpus: the text payload as
+    * utf-8 bytes (the fixture's opaque blob), typed metadata attached. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("media"),
+      struct(lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Per-media feature extraction: metadata passthrough + content hash +
+    * fake features. One narrow projection — no shuffle, no driver data.
+    * Features surfaced as scalar columns (f0..f3) so the result is
+    * hash-comparable across engines. */
+  def mediaFeatures(media: DataFrame): DataFrame = {
+    val featCols = (0 until 4).map(i =>
+      element_at(fakeFeatures(col("media")), i + 1).as(s"f$i"))
+    media.select(Seq(
+      col("media_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      md5(col("media")).as("content_hash")) ++ featCols: _*)
+  }
+}

@@ -95,6 +95,99 @@ object Registry {
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB twin of [[Dedup.simHashNearDup]] (32-bit simhash, 4×8-bit
+    * bands, Hamming <= 3). */
+  private def simHashOracleSql: String = {
+    val wExprs = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS w$b").mkString(", ")
+    val sigExpr = (0 until 32).map(b =>
+      s"CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bk FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |w AS (SELECT doc_id, $wExprs FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM w),
+       |bnd AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+       |  a.simhash AS sa, b.simhash AS sb FROM bnd a
+       |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT ia AS id_a, ib AS id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[Dedup.ngramJaccardPairs]] (3-gram shingles, df cap
+    * 50, threshold 0.8). */
+  private def ngramJaccardOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+       |  list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |  ELSE [] END AS sl FROM toks),
+       |shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh0),
+       |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shd GROUP BY 1) WHERE df <= 50),
+       |idx AS (SELECT doc_id, s FROM shd WHERE s IN (SELECT s FROM rare)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM idx a
+       |  JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c
+       |  JOIN shd a ON a.doc_id = c.ia JOIN shd b ON b.doc_id = c.ib AND a.s = b.s
+       |  GROUP BY 1, 2),
+       |j AS (SELECT ia AS id_a, ib AS id_b,
+       |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac FROM inter
+       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  /** SQL fragment: sequential-left-fold double cosine of two list columns
+    * (same arithmetic order as [[Similarity.cosine]]). */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y) / " +
+      s"(sqrt(list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y)) * " +
+      s"sqrt(list_reduce(list_transform(generate_series(1, len($b)), " +
+      s"i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))))"
+
+  /** DuckDB twin of [[Similarity.ivfTopK]] (16 centroids, 4 probes, k=10,
+    * query vec_id=0). */
+  private def ivfOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |probe AS (SELECT cid FROM (SELECT c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |  FROM cents c, q) ORDER BY d DESC, cid LIMIT 4),
+       |res AS (SELECT a.vec_id, a.cid, round(${cosSql("a.embedding", "q.qv")}, 6) AS sim
+       |  FROM a1 a JOIN probe USING (cid), q WHERE a.vec_id <> 0)
+       |SELECT vec_id, cid AS centroid_id, sim FROM res
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[TextAnalysis.langId]] — generated from the same
+    * marker sets. */
+  private def langIdOracleSql: String = {
+    val branches = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$lang' AS cand_lang, " +
+        s"CAST(len(list_filter(t, x -> list_contains($lst, x))) AS INT) AS score FROM toks"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sc AS ($branches),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM sc)
+       |SELECT doc_id, cand_lang AS pred_lang, score FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   // =========================================================================
   // Pipeline aggregations (SURVEY §2.3 A4-A9, §2.2 T1/T3)
   // =========================================================================
@@ -459,6 +552,86 @@ object Registry {
         "FROM (SELECT lang, source, n_chars, " +
         "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ntok " +
         "FROM documents) GROUP BY 1 ORDER BY lang")),
+
+    ("x5_simhash_pairs",
+      // SimHash near-dup: 32-bit signatures, 8-bit band buckets, Hamming<=3.
+      (s: SparkSession, dir: String) =>
+        Dedup.simHashNearDup(Tables.documents(s, dir), "doc_id", "text", 3)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(simHashOracleSql)),
+
+    ("x6_ngram_jaccard",
+      // Exact n-gram Jaccard via inverted shingle index (df-capped posting
+      // lists), threshold 0.8 — the deterministic complement of x2.
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 50)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(ngramJaccardOracleSql)),
+
+    ("x7_ann_ivf",
+      // IVF-bucketed approximate top-k: 16 coarse centroids, probe 4.
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          0L, 10, 16, 4),
+      Some(ivfOracleSql)),
+
+    ("x8_lang_id",
+      // Marker-token language ID (argmax score, ties to smallest code).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id")),
+      Some(langIdOracleSql)),
+
+    ("x9_quality_score",
+      // Cheap pre-training quality filters: token/char counts, punctuation,
+      // uppercase and stopword ratios.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |CAST(length(text) AS INT) AS len_chars,
+        |round(CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+        |round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1), 4) AS upper_ratio,
+        |round(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t IN ('the', 'a'))) AS DOUBLE) /
+        |  greatest(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), 1), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x10_token_count",
+      // Whitespace tokens + BPE-ish pre-tokenizer regex token count.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x11_fingerprint",
+      // Winnowing-lite fingerprint: min 32-bit hash over char 8-grams.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.fingerprints(Tables.documents(s, dir), 8).orderBy(col("doc_id")),
+      Some("""WITH g AS (SELECT doc_id, unnest(CASE WHEN length(text) >= 8 THEN
+        |list_transform(generate_series(1, length(text) - 7), i -> substr(text, i, 8))
+        |ELSE [text] END) AS g FROM documents)
+        |SELECT doc_id, min(('0x' || substr(md5(g), 1, 8))::BIGINT) AS fingerprint,
+        |count(DISTINCT g) AS n_grams FROM g GROUP BY 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("m1_media_features",
+      // Multimodal plumbing: opaque binary payload + typed metadata +
+      // deterministic fake featurizer (codec stub documented in
+      // operators/Multimodal.scala).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.mediaFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+          .orderBy(col("media_id")),
+      Some {
+        val feats = (0 until 4).map(i =>
+          s"round(('0x' || substr(md5(text), ${i * 8 + 1}, 8))::BIGINT::DOUBLE / 4294967296.0, 6) AS f$i")
+          .mkString(", ")
+        "SELECT doc_id AS media_id, 'text/plain' AS mime, " +
+          "CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, " +
+          s"md5(text) AS content_hash, $feats FROM documents ORDER BY media_id"
+      }),
 
     // =======================================================================
     // Relational core on the TPC-H-ish tables (joins, top-N at scale)
