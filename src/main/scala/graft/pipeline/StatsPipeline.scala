@@ -104,6 +104,18 @@ object StatsPipeline {
     matched.filter(col("phrase_name").isin(logged: _*))
   }
 
+  /** T6: input validation/cleanup — the ingest-side contract
+    * (Bot.java:114-128: drop null user/channel/empty text, trim message;
+    * EmoteExtractor.java:75: lowercase channel). Pure narrow transform —
+    * no shuffle, stays inside whole-stage codegen. */
+  def cleanMessages(messages: DataFrame): DataFrame =
+    messages
+      .filter(col("channel").isNotNull && col("username").isNotNull &&
+        col("message").isNotNull)
+      .withColumn("channel", lower(trim(col("channel"))))
+      .withColumn("message", trim(col("message")))
+      .filter(length(col("message")) > 0)
+
   /** A9: the all-time running total per key — the reference's sentinel
     * `timestamp = 0` row (ChannelStatsAggregation.java:44-63), computed as a
     * parallel unwindowed aggregate rather than DB-side additive upserts.

@@ -498,6 +498,158 @@ object Registry {
         "FROM events GROUP BY 1 ORDER BY channel")),
 
     // =======================================================================
+    // Transforms, serde, sessions, merge semantics (SURVEY §2.1-2.2 S2/S3/
+    // S10, T4/T6, §2.4 Q18/Q19) + streaming parity (S1/S5/A3/T2)
+    // =======================================================================
+
+    ("t4_matched_log",
+      // Matched-message side output: full message rows, once per matching
+      // phrase with log_message=true (PhraseExtractor.java:82-86;
+      // MessagesMatchingPhraseExporter.java:43-50 shape).
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id").as("message_id"), col("lang").as("channel"),
+          col("source").as("username"), col("text"))
+        val matched = StatsPipeline.matchPhrases(docs, Tables.phrases, "text")
+        StatsPipeline.matchedMessageLog(matched, Tables.phrases)
+          .select(col("message_id"), col("channel").as("message_channel"),
+            col("username").as("message_user"), col("text").as("message_text"),
+            col("phrase_name").as("matched_phrase"))
+          .orderBy(col("matched_phrase"), col("message_id"))
+      },
+      Some("SELECT doc_id AS message_id, lang AS message_channel, " +
+        "source AS message_user, text AS message_text, " +
+        "'p_the' AS matched_phrase FROM documents " +
+        "WHERE len(regexp_extract_all(text, '(?i)the')) > 0 " +
+        "ORDER BY matched_phrase, message_id")),
+
+    ("t6_clean_validate",
+      // Input validation/cleanup (Bot.java:114-128): a deliberately dirtied
+      // stream (padded/uppercased channel, one user's messages nulled) run
+      // through cleanMessages — null-drop, trim, lowercase — then counted.
+      (s: SparkSession, dir: String) => {
+        val dirty = Tables.messages(s, dir)
+          .withColumn("channel",
+            concat(lit("  "), upper(col("channel")), lit(" ")))
+          .withColumn("message",
+            when(col("username") === "5", lit(null).cast("string"))
+              .otherwise(concat(lit(" "), col("message"))))
+        StatsPipeline.cleanMessages(dirty)
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("messages"))
+          .orderBy(col("channel"))
+      },
+      Some("SELECT lower(trim('  ' || upper(event_type) || ' ')) AS channel, " +
+        "count(*) AS messages FROM events " +
+        "WHERE CAST(user_id AS VARCHAR) <> '5' GROUP BY 1 ORDER BY channel")),
+
+    ("s2_json_roundtrip",
+      // S3 serialize (to_json of the Message envelope, Message.java:26-33)
+      // then S2 deserialize (from_json with the explicit envelope
+      // StructType, MessageDeserializationSchema.java:9-25); the output
+      // proves field-exact round-trip (mismatch count must be 0).
+      (s: SparkSession, dir: String) => {
+        val parsed = Tables.messages(s, dir)
+          .withColumn("json", to_json(struct(
+            unix_millis(col("ts")).as("instant"), col("channel"),
+            col("username"), col("message"))))
+          .withColumn("m", from_json(col("json"), graft.Schemas.messageEnvelope))
+          .withColumn("bad",
+            when(col("m.instant") === unix_millis(col("ts")) &&
+              col("m.channel") === col("channel") &&
+              col("m.username") === col("username") &&
+              col("m.message") === col("message"), 0L).otherwise(1L))
+        parsed.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bad")).cast("long").as("roundtrip_mismatches"))
+          .orderBy(col("channel"))
+      },
+      Some("SELECT event_type AS channel, count(*) AS n, " +
+        "CAST(0 AS BIGINT) AS roundtrip_mismatches " +
+        "FROM events GROUP BY 1 ORDER BY channel")),
+
+    ("s10_sessions",
+      // Gap-based sessionization (30 min gap) reproducing the streams
+      // uptime table `(channel, started_at, ended_at)` (Bot.java:145-232)
+      // via session_window — one shuffle, no self-join.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sessionize.sessions(
+          Tables.messages(s, dir).select(col("channel"), col("ts")),
+          Seq("channel"), "ts", 1800000L)
+          .orderBy(col("channel"), col("started_at")),
+      Some("""WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t FROM events),
+        |d AS (SELECT channel, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY channel ORDER BY t) >= 1800000 THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT channel, t, sum(ns) OVER (PARTITION BY channel ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
+        |SELECT channel, min(t) AS started_at, max(t) + 1800000 AS ended_at,
+        |count(*) AS n_events FROM g GROUP BY channel, sid
+        |ORDER BY channel, started_at""".stripMargin.replace("\n", " "))),
+
+    ("q18_string_ops",
+      // The string scalar family in one query: trim, lower, split,
+      // rlike, regexp_count (EmoteExtractor.java:92-94, Bot.java:126,
+      // PhraseExtractor.java:62-72).
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          lower(element_at(split(trim(col("text")), "\\s+"), 1)).as("first_token"),
+          col("text").rlike("(?i)row").as("has_row"),
+          regexp_count(col("text"), lit("(?i)the")).cast("int").as("n_the"))
+          .orderBy(col("doc_id")),
+      Some("SELECT doc_id, " +
+        "lower(regexp_split_to_array(trim(text), '\\s+')[1]) AS first_token, " +
+        "regexp_matches(text, '(?i)row') AS has_row, " +
+        "CAST(len(regexp_extract_all(text, '(?i)the')) AS INT) AS n_the " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("q19_upsert_merge",
+      // Additive upsert merge (`SET x = x + EXCLUDED.x`,
+      // ChannelStatsAggregation.java:45-50): totals from two disjoint
+      // halves of the stream merged via Merge.additiveUpsert must equal
+      // the single-pass totals — the batch-split equivalence invariant
+      // (SURVEY §5.3).
+      (s: SparkSession, dir: String) => {
+        val msgs = Tables.messages(s, dir)
+        def totals(half: DataFrame) =
+          StatsPipeline.allTimeTotals(
+            StatsPipeline.channelStats(half, W), Seq("channel"), "messages")
+        val state = totals(msgs.filter(unix_millis(col("ts")) < T1))
+        val delta = totals(msgs.filter(unix_millis(col("ts")) >= T1))
+        graft.operators.Merge.additiveUpsert(
+          state, delta, Seq("channel"), Seq("messages"))
+          .orderBy(col("channel"))
+      },
+      Some("SELECT event_type AS channel, count(*) AS messages FROM events " +
+        "GROUP BY 1 ORDER BY channel")),
+
+    ("s5_stream_upsert",
+      // Structured Streaming parity (S1 replay source + S4 watermark + A3
+      // update mode + S5 idempotent upsert sink): the streamed stats table
+      // must equal the batch aggregation (a4) exactly.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s5").toString
+        graft.streaming.Streaming.runChannelStats(
+          s, dir, base + "/state", W)
+          .orderBy(col("channel"), col("ts"))
+      },
+      Some(s"SELECT * FROM ($csSql) ORDER BY channel, ts")),
+
+    ("t2_stream_emotes",
+      // T2 side-input refresh: emote extraction under streaming where the
+      // dictionary is re-read every micro-batch, per-batch delta counts
+      // merged additively (Q19). Must equal the batch a6 aggregation.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-t2").toString
+        graft.streaming.Streaming.runEmoteStats(
+          s, dir, base + "/state", () => Tables.emoteDict(s, dir))
+          .orderBy(col("channel"), col("emote"))
+      },
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT channel, emote, count(*) AS occurrences FROM occ " +
+        "GROUP BY 1, 2 ORDER BY channel, emote")),
+
+    // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)
     // =======================================================================
