@@ -66,7 +66,10 @@ object Dedup {
     * jaccard rounded to 4 dp. */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, threshold: Double): DataFrame = {
+    // Consumed twice (signatures + verification) — persist so the
+    // tokenize/explode/distinct pipeline runs once.
     val shingled = shingles(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(shingled, idCol)
 
     // One row per (doc, band): band key = the band's R signature values.
@@ -147,25 +150,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram-Jaccard near-dup via an inverted shingle index: pairs are
-    * generated by joining docs that SHARE a shingle (after dropping
-    * too-frequent shingles — document frequency > dfLimit — the standard
-    * guard against hot-posting-list blowup), then verified exactly. This is
-    * the non-probabilistic complement of [[minHashNearDup]]. */
+  /** Exact n-gram-Jaccard near-dup with prefix filtering (the AllPairs/
+    * PPJoin family): order every doc's shingle set by global rarity
+    * (document frequency asc) and index only the first
+    * `n - ceil(t*n) + 1` shingles — two docs with Jaccard >= t MUST share
+    * at least one prefix shingle, so the filter is lossless while shrinking
+    * the inverted index ~5x at t=0.8 (and far more on real corpora, where
+    * most shingles are singletons and never even enter the join). A size
+    * filter (`min(n) >= t*max(n)`) prunes candidates before verification.
+    * Output is the exact ground truth: every pair with true Jaccard >=
+    * threshold, verified on the full shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, threshold: Double, dfLimit: Int): DataFrame = {
+                        shingleK: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val shingled = shingles(df, idCol, textCol, shingleK)
-    val rare = shingled.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= dfLimit)
-      .select(col("shingle"))
-    val indexed = shingled.join(rare, Seq("shingle"))
-    val cand = indexed.select(col("shingle"), col(idCol).as("id_a"))
-      .join(indexed.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val wN = Window.partitionBy(col(idCol))
+    // ceil with a small negative epsilon: t*n for integer-valued t*n must
+    // not round UP through float error (0.8*5 = 4.0000000000000002 would
+    // otherwise shorten the prefix below the lossless bound).
+    val prefLen = col("_n") - ceil(lit(threshold) * col("_n") - lit(1e-9)) + 1
+    val pref = shingled.join(dfreq, Seq("shingle"))
+      .withColumn("_n", count(lit(1)).over(wN))
+      .withColumn("_rn", row_number().over(wDoc))
+      .filter(col("_rn") <= prefLen && col("_df") > 1)
+      .select(col("shingle"), col(idCol), col("_n"))
+    val cand = pref.select(col("shingle"), col(idCol).as("id_a"), col("_n").as("_na"))
+      .join(pref.select(col("shingle"), col(idCol).as("id_b"), col("_n").as("_nb")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("_na"), col("_nb")) >=
+          lit(threshold) * greatest(col("_na"), col("_nb")) - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
-    // Verification uses the FULL shingle sets (the df cap only bounds
-    // candidate generation, it must not change the jaccard value).
     verifyJaccard(cand, shingled, idCol, threshold)
   }
 }

@@ -95,10 +95,13 @@ object TextAnalysis {
     val grams = when(length(t) >= k,
       transform(sequence(lit(1), length(t) - (k - 1)), i => t.substr(i, lit(k))))
       .otherwise(array(t))
-    docs.select(col("doc_id"), explode(grams).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(Dedup.shingleHash(col("g"))).as("fingerprint"),
-        countDistinct(col("g")).as("n_grams"))
+    // All array-local arithmetic: no explode, no shuffle — the per-doc gram
+    // loop stays inside projections instead of shuffling |text| rows per
+    // doc through a hash aggregate. The gram array is materialized in its
+    // own projection so both consumers share one construction.
+    docs.select(col("doc_id"), grams.as("_g"))
+      .select(col("doc_id"),
+        array_min(transform(col("_g"), g => Dedup.shingleHash(g))).as("fingerprint"),
+        size(array_distinct(col("_g"))).cast("long").as("n_grams"))
   }
 }

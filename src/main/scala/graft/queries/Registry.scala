@@ -120,8 +120,10 @@ object Registry {
       .stripMargin.replace("\n", " ")
   }
 
-  /** DuckDB twin of [[Dedup.ngramJaccardPairs]] (3-gram shingles, df cap
-    * 50, threshold 0.8). */
+  /** DuckDB twin of [[Dedup.ngramJaccardPairs]]: the GROUND TRUTH — all
+    * pairs with exact 3-gram Jaccard >= 0.8, computed with no candidate
+    * pruning at all (fine at oracle scale). The Spark side must reproduce
+    * it exactly, which also proves the prefix filter is lossless. */
   private def ngramJaccardOracleSql: String =
     s"""WITH toks AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
@@ -129,14 +131,10 @@ object Registry {
        |  list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |  ELSE [] END AS sl FROM toks),
        |shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh0),
-       |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shd GROUP BY 1) WHERE df <= 50),
-       |idx AS (SELECT doc_id, s FROM shd WHERE s IN (SELECT s FROM rare)),
-       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM idx a
-       |  JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-       |inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c
-       |  JOIN shd a ON a.doc_id = c.ia JOIN shd b ON b.doc_id = c.ib AND a.s = b.s
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
        |j AS (SELECT ia AS id_a, ib AS id_b,
        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac FROM inter
        |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
@@ -713,10 +711,11 @@ object Registry {
       Some(simHashOracleSql)),
 
     ("x6_ngram_jaccard",
-      // Exact n-gram Jaccard via inverted shingle index (df-capped posting
-      // lists), threshold 0.8 — the deterministic complement of x2.
+      // Exact n-gram Jaccard via prefix-filtered inverted index (lossless
+      // AllPairs-style pruning), threshold 0.8 — the deterministic
+      // complement of x2; oracle is the unpruned ground truth.
       (s: SparkSession, dir: String) =>
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 50)
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
           .orderBy(col("id_a"), col("id_b")),
       Some(ngramJaccardOracleSql)),
 
