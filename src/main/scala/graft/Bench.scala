@@ -4,14 +4,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
-  * Harness hygiene (VERDICT r1 "What's wrong" #5):
+  * Harness hygiene (VERDICT r1 #5, r2 #6):
   *  - queries run in stable (sorted) name order, so rounds are comparable
   *    query-by-query;
   *  - a warmup pass executes every query once first, so no measured query
   *    absorbs JVM/codegen/parquet-footer warmup;
   *  - the measured action is a `noop`-format write, which materializes every
   *    row of the final plan — unlike `.count()`, under which Catalyst prunes
-  *    sort stages and top-N projections.
+  *    sort stages and top-N projections;
+  *  - each query is measured TWICE and the minimum reported, damping
+  *    transient sandbox contention (r2's headline numbers were inflated ~4×
+  *    by a contended measured pass);
+  *  - failures are NOT swallowed: a failed query reports time -1 and its
+  *    error class/message in an `errors` object, so a broken query can never
+  *    masquerade as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,16 +34,29 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    queries.foreach { case (_, fn) => try exec(fn) catch { case _: Throwable => } }
-    val results = queries.map { case (name, fn) =>
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { exec(fn); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    queries.foreach { case (_, fn) => timed(fn) } // warmup
+    val results = queries.map { case (name, fn) =>
+      val runs = Seq(timed(fn), timed(fn))
+      val ok = runs.collect { case Right(t) => t }
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, -1.0, runs.collectFirst { case Left(e) => e })
+    }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

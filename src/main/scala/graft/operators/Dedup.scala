@@ -61,15 +61,58 @@ object Dedup {
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact-dup collapse (hot-bucket hardening): byte-identical texts map to
+    * one representative doc (min id per content hash). A pathological corpus
+    * with B copies of one document would otherwise put all B into every one
+    * of its LSH buckets — a B² candidate blow-up inside the bucket join;
+    * collapsed, it contributes ONE representative per bucket, and the
+    * full pair set is reconstructed afterwards with output-linear work.
+    * One shuffle (window min over the hash partition). */
+  private def collapseExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("_ch"))
+      .withColumn("_rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_ch"))))
+
+  /** Reconstruct all near-dup pairs from representative-level pairs:
+    * within-group pairs are exact duplicates (jaccard 1.0 by identity — no
+    * verification needed, but only for groups that shingle at all, matching
+    * the semantics that sub-k-token docs never pair); cross-group pairs
+    * inherit their representatives' jaccard verbatim (identical text ⇒
+    * identical shingle set). Work and output are both linear in the number
+    * of emitted pairs. */
+  private def expandPairs(repPairs: DataFrame, repsWithShingles: DataFrame,
+                          members: DataFrame, idCol: String): DataFrame = {
+    val within = members.select(col("_ch"), col(idCol).as("id_a"), col("_rep"))
+      .join(members.select(col("_ch"), col(idCol).as("id_b")), Seq("_ch"))
+      .filter(col("id_a") < col("id_b"))
+      .join(repsWithShingles.select(col(idCol).as("_rep")), Seq("_rep"), "left_semi")
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("_rep").as("id_a"), col(idCol).as("_ia")), Seq("id_a"))
+      .join(members.select(col("_rep").as("id_b"), col(idCol).as("_ib")), Seq("id_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** Representative docs (one per distinct text) of the collapse frame. */
+  private def repDocsOf(df: DataFrame, members: DataFrame, idCol: String): DataFrame =
+    df.join(members.filter(col(idCol) === col("_rep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Near-duplicate pairs via banded LSH + exact-Jaccard verification.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
-    * jaccard rounded to 4 dp. */
+    * jaccard rounded to 4 dp.
+    *
+    * Reused frames (`members`, `shingled`) are `localCheckpoint`ed rather
+    * than persisted: one materialization job each, downstream consumers read
+    * the cached blocks, and the ContextCleaner frees them on GC — no
+    * session-lifetime cache leak (r2's 'already cached' warnings). */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, threshold: Double): DataFrame = {
-    // Consumed twice (signatures + verification) — persist so the
-    // tokenize/explode/distinct pipeline runs once.
-    val shingled = shingles(df, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = collapseExact(df, idCol, textCol).localCheckpoint()
+    val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
+      .localCheckpoint()
     val sigs = signatures(shingled, idCol)
 
     // One row per (doc, band): band key = the band's R signature values.
@@ -81,14 +124,17 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.bk").as("bk"))
 
     // Bucketed candidate generation: equi-join on the band key — docs are
-    // only compared within a bucket (never a cartesian of the corpus).
+    // only compared within a bucket (never a cartesian of the corpus), and
+    // after the exact-dup collapse every doc in a bucket is textually
+    // distinct, so bucket sizes are bounded by true near-dup diversity.
     val left = banded.select(col("band"), col("bk"), col(idCol).as("id_a"))
     val right = banded.select(col("band"), col("bk"), col(idCol).as("id_b"))
     val cand = left.join(right, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    verifyJaccard(cand, shingled, idCol, threshold)
+    val repPairs = verifyJaccard(cand, shingled, idCol, threshold)
+    expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs over the
@@ -163,8 +209,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shingled = shingles(df, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same exact-dup collapse + checkpoint discipline as [[minHashNearDup]]:
+    // identical texts would otherwise share every prefix shingle (a B²
+    // inverted-index blow-up) and leak session-lifetime cache.
+    val members = collapseExact(df, idCol, textCol).localCheckpoint()
+    val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
+      .localCheckpoint()
     val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
     val wN = Window.partitionBy(col(idCol))
@@ -184,6 +234,7 @@ object Dedup {
         least(col("_na"), col("_nb")) >=
           lit(threshold) * greatest(col("_na"), col("_nb")) - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cand, shingled, idCol, threshold)
+    val repPairs = verifyJaccard(cand, shingled, idCol, threshold)
+    expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
 }

@@ -35,10 +35,12 @@ object Multimodal {
   /** Deterministic stand-in featurizer: 4 doubles in [0,1) derived from the
     * md5 of the payload (8 hex chars per feature / 2^32). Stands in for a
     * decoded-content embedding; exercises the exact column plumbing a real
-    * featurizer needs. */
-  def fakeFeatures(media: Column): Column =
+    * featurizer needs. Takes the hex digest (not the payload) so callers
+    * hash once and slice — the digest is computed in one projection and
+    * shared with the content_hash column. */
+  def fakeFeatures(digestHex: Column): Column =
     transform(sequence(lit(0), lit(3)), i =>
-      round(conv(md5(media).substr(i * lit(8) + 1, lit(8)), 16, 10)
+      round(conv(digestHex.substr(i * lit(8) + 1, lit(8)), 16, 10)
         .cast("double") / lit(4294967296.0), 6))
 
   /** Build the media view from the documents corpus: the text payload as
@@ -51,16 +53,19 @@ object Multimodal {
         length(col("text").cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
   /** Per-media feature extraction: metadata passthrough + content hash +
-    * fake features. One narrow projection — no shuffle, no driver data.
-    * Features surfaced as scalar columns (f0..f3) so the result is
-    * hash-comparable across engines. */
+    * fake features. Two narrow projections — no shuffle, no driver data;
+    * the payload is hashed exactly ONCE (the digest is materialized as a
+    * column, then content_hash and all four features slice it — not five
+    * md5 evaluations per row). Features surfaced as scalar columns (f0..f3)
+    * so the result is hash-comparable across engines. */
   def mediaFeatures(media: DataFrame): DataFrame = {
     val featCols = (0 until 4).map(i =>
-      element_at(fakeFeatures(col("media")), i + 1).as(s"f$i"))
-    media.select(Seq(
-      col("media_id"),
-      col("meta.mime").as("mime"),
-      col("meta.n_bytes").as("n_bytes"),
-      md5(col("media")).as("content_hash")) ++ featCols: _*)
+      element_at(fakeFeatures(col("_digest")), i + 1).as(s"f$i"))
+    media.withColumn("_digest", md5(col("media")))
+      .select(Seq(
+        col("media_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("_digest").as("content_hash")) ++ featCols: _*)
   }
 }

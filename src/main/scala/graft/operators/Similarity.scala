@@ -50,24 +50,37 @@ object Similarity {
     * id — deterministic stand-in for trained centroids), then scan only the
     * `nProbe` centroids nearest to the query. At scale the assignment is
     * the partition key, so a probe touches nProbe/nCentroids of the data.
+    *
+    * The centroid set is tiny by construction (coarse quantizer), so it is
+    * collected once and inlined as a literal array: nearest-centroid
+    * assignment is then ONE codegen projection per row — cosine against each
+    * centroid, argmax via `array_position(sims, array_max(sims))` (first
+    * occurrence ⇒ ties break to the smallest cid, matching ORDER BY d DESC,
+    * cid ASC). No crossJoin row blow-up, no window, no Exchange before the
+    * probe join.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-    // Assignment: nearest centroid per vector (broadcast centroids; the
-    // argmax is a per-row array computation, no shuffle).
-    val assigned = embeddings.crossJoin(broadcast(cents))
-      .withColumn("_d", cosine(col(vecCol), col("_cv")))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("_d").desc, col("_cid").asc)))
-      .filter(col("_rn") === 1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centRows = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+    val cids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    val cvecs: Seq[Seq[Float]] = centRows.map(_.getSeq[Float](1)).toSeq
+    val cidLit = typedlit(cids)
+    val cvLit = typedlit(cvecs)
+    val assigned = embeddings
+      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
+      .withColumn("_cid", element_at(cidLit,
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
       .select(col(idCol), col(vecCol), col("_cid"))
-    // Probe set: the nProbe centroids closest to the query vector.
+    // Probe set: the nProbe centroids closest to the query vector — a
+    // LocalRelation of the collected centroids (no re-scan) × the 1-row
+    // query, so the arithmetic stays the engine's own.
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qv"))
-    val probed = cents.crossJoin(broadcast(q))
+    val probed = cids.zip(cvecs).toDF("_cid", "_cv")
+      .crossJoin(broadcast(q))
       .withColumn("_d", cosine(col("_cv"), col("_qv")))
       .orderBy(col("_d").desc, col("_cid").asc).limit(nProbe)
       .select(col("_cid"))

@@ -23,22 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object StatsPipeline {
 
-  private def windowEndMs(tsCol: String, windowMs: Long) =
-    unix_millis(window(col(tsCol), s"$windowMs milliseconds").getField("end"))
+  /** The grouping key is the `window` STRUCT, not a pre-projected end label:
+    * the struct carries the event-time tag Structured Streaming needs to
+    * apply the watermark to the aggregation (late-row filtering + state
+    * eviction — bounded state at scale). Projecting `unix_millis(end)`
+    * inside groupBy would strip the tag and silently turn the watermark
+    * into a no-op; the end label is projected AFTER the agg instead.
+    * Batch plans and results are identical either way. */
+  private def byWindowEnd(df: DataFrame, windowMs: Long,
+                          dims: Seq[String], outCols: Seq[String]): DataFrame =
+    df.groupBy((dims.map(col) :+
+        window(col("ts"), s"$windowMs milliseconds").as("_w")): _*)
+      .agg(count(lit(1)).as("messages"))
+      .withColumn("ts", unix_millis(col("_w.end")))
+      .select(outCols.map(col): _*)
 
   /** A4: messages per (channel, window). Output: channel, ts, messages.
     * Reference: ChannelStatsAggregation.java:29-33. */
   def channelStats(messages: DataFrame, windowMs: Long): DataFrame =
-    messages
-      .groupBy(col("channel"), windowEndMs("ts", windowMs).as("ts"))
-      .agg(count(lit(1)).as("messages"))
+    byWindowEnd(messages, windowMs, Seq("channel"),
+      Seq("channel", "ts", "messages"))
 
   /** A5: messages per (channel, username, window).
     * Reference: UserStatsAggregation.java:20-32. */
   def userStats(messages: DataFrame, windowMs: Long): DataFrame =
-    messages
-      .groupBy(col("channel"), col("username"), windowEndMs("ts", windowMs).as("ts"))
-      .agg(count(lit(1)).as("messages"))
+    byWindowEnd(messages, windowMs, Seq("channel", "username"),
+      Seq("channel", "username", "ts", "messages"))
 
   /** T1: tokenize message text on whitespace runs and keep only tokens in
     * the emote dictionary; duplicates within one message each count

@@ -433,7 +433,7 @@ object Registry {
           "occurrences", "emote")
           .orderBy(col("rank")),
       Some(s"WITH occ AS ($emoteOccSql) " +
-        "SELECT emote, occurrences, CAST(row_number() OVER (ORDER BY occurrences DESC, emote) AS INT) AS rank " +
+        "SELECT emote, occurrences, row_number() OVER (ORDER BY occurrences DESC, emote) AS rank " +
         "FROM (SELECT emote, count(*) AS occurrences FROM occ GROUP BY 1) ORDER BY rank")),
 
     ("q14_exclusion_filter",
@@ -569,10 +569,14 @@ object Registry {
     ("s10_sessions",
       // Gap-based sessionization (30 min gap) reproducing the streams
       // uptime table `(channel, started_at, ended_at)` (Bot.java:145-232)
-      // via session_window — one shuffle, no self-join.
+      // via session_window — one shuffle, no self-join. The ts is floored to
+      // epoch-ms first (the engine's external timestamp precision, SURVEY
+      // §1.4) so a gap straddling the 30-min boundary within <1ms splits or
+      // merges identically here and in the ms-grain oracle.
       (s: SparkSession, dir: String) =>
         graft.operators.Sessionize.sessions(
-          Tables.messages(s, dir).select(col("channel"), col("ts")),
+          Tables.messages(s, dir).select(col("channel"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts")),
           Seq("channel"), "ts", 1800000L)
           .orderBy(col("channel"), col("started_at")),
       Some("""WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t FROM events),

@@ -69,18 +69,27 @@ object Serving {
     * (so partition i holds ranks strictly before partition i+1), sort within
     * partitions, and `zipWithIndex` — which assigns contiguous global indices
     * from per-partition counts without ever collecting the data. Every stage
-    * is parallel; the only driver-side state is one count per partition. */
+    * is parallel; the only driver-side state is one count per partition.
+    *
+    * The sorted frame is `localCheckpoint`ed first: the sort materializes
+    * into the block manager in ONE job, and both `zipWithIndex`'s internal
+    * per-partition count and the downstream action read the cached blocks —
+    * no duplicated sort stage, and the blocks are released by the
+    * ContextCleaner when the plan is dropped (no persist lifecycle to leak).
+    * Rank is emitted as LONG — a 32-bit rank would silently wrap past 2^31
+    * rows, at odds with the 100-TB framing. */
   def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame = {
     val spark = leaderboard.sparkSession
     val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)
     val sorted = leaderboard
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
     val withRank = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
     }
     spark.createDataFrame(withRank,
-      sorted.schema.add("rank", org.apache.spark.sql.types.IntegerType))
+      sorted.schema.add("rank", org.apache.spark.sql.types.LongType))
   }
 
   /** Q15: MAX-per-group with share-of-total percentage vs SUM(MAX(..))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Hot-bucket hardening for the near-dup operators (VERDICT r2 #8): a
+  * corpus flooded with byte-identical documents must not blow up the LSH
+  * bucket join (B copies in one bucket → B² candidates). The collapse
+  * design puts ONE representative per distinct text into the LSH pipeline
+  * and reconstructs the pair set afterwards with output-linear work.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("identical-doc flood: pair set exact, candidate space collapsed") {
+    import spark.implicits._
+    val floodA = (1L to 1000L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val floodB = (5001L to 5500L).map(i => (i, "zeta eta theta iota kappa"))
+    val df = (floodA ++ floodB).toDF("doc_id", "text")
+
+    val out = Dedup.minHashNearDup(df, "doc_id", "text", 3, 0.8)
+    // All within-group pairs at jaccard 1.0; no cross-group pairs.
+    val n = 1000L * 999 / 2 + 500L * 499 / 2
+    assert(out.count() === n)
+    assert(out.filter(org.apache.spark.sql.functions.col("jaccard") =!= 1.0).count() === 0L)
+
+    val ng = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+    assert(ng.count() === n)
+  }
+
+  test("exact-dup collapse preserves cross-group near-dup pairs") {
+    import spark.implicits._
+    val t1 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val t2 = ((1 to 49).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val out = Dedup.minHashNearDup(df, "doc_id", "text", 3, 0.8)
+      .orderBy("id_a", "id_b").collect()
+    // (1,2) exact → 1.0; (1,3)/(2,3) inherit the representative-level
+    // jaccard (47 of 49 3-gram shingles shared ≈ 0.9592).
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out(0).getDouble(2) === 1.0)
+    assert(out(1).getDouble(2) === out(2).getDouble(2))
+    assert(out(1).getDouble(2) >= 0.8)
+  }
+
+  test("sub-shingle-length duplicates never pair (no shingles, no jaccard)") {
+    import spark.implicits._
+    // Two tokens < shingleK=3: the shingle set is empty, so even identical
+    // copies are NOT near-dup pairs — matching the oracle, where such docs
+    // never enter the signature table.
+    val df = Seq((1L, "too short"), (2L, "too short"),
+      (3L, "long enough to shingle properly here")).toDF("doc_id", "text")
+    assert(Dedup.minHashNearDup(df, "doc_id", "text", 3, 0.8).count() === 0L)
+  }
+}

@@ -70,8 +70,66 @@ class StreamingParitySpec extends SparkSpec {
     val b1 = Seq(("x", 10L)).toDF("k", "v")
     sink.upsert(b1, 1L)
     sink.upsert(b1, 1L)
-    assert(rows(spark.read.parquet(base + "/state")) ===
+    assert(rows(sink.state(spark).get) ===
       Set(Seq("x", 11L), Seq("y", 2L)))
+  }
+
+  test("upsert sink touches only delta partitions (partition-pruned swap)") {
+    import spark.implicits._
+    val base = tmp("graft-ppu")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = false)
+    sink.upsert(Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 5L))
+      .toDF("channel", "ts", "messages"), 0L)
+
+    def listing(ch: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(base + s"/state/channel=$ch")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val bBefore = listing("b")
+    val cBefore = listing("c")
+    Thread.sleep(1100) // cross mtime granularity so an illegal rewrite shows
+    sink.upsert(Seq(("a", 2L, 30L)).toDF("channel", "ts", "messages"), 1L)
+
+    // The 1-channel delta must leave the other partitions' files untouched:
+    // same names, same mtimes, same sizes.
+    assert(listing("b") === bBefore)
+    assert(listing("c") === cBefore)
+    assert(rows(sink.state(spark).get) === Set(
+      Seq("a", 1L, 10L), Seq("a", 2L, 30L), Seq("b", 1L, 20L), Seq("c", 1L, 5L)))
+  }
+
+  test("events later than the watermark are dropped (documented divergence)") {
+    // The reference never evicts state (noWatermarks(),
+    // EmoteAnalyser.java:73-74): arbitrarily late events still merge via
+    // additive upsert. Spark's watermark bounds state instead: an event
+    // whose window is entirely below the watermark is dropped in update
+    // mode. This pins that divergence (mitigated in production by the
+    // generous 24 h default in Streaming.runChannelStats).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, String)]
+    val stream = ms.toDF()
+      .toDF("ts_ms", "channel", "username", "message")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+
+    val base = tmp("graft-wm")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = false)
+    val q = StatsPipeline.channelStats(stream.withWatermark("ts", "0 seconds"), W)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+      .start()
+    // Batch 1 advances the watermark to 10*W; batch 2's event belongs to
+    // window [0, W), far below it → dropped, never reaches the sink.
+    ms.addData((10 * W, "a", "u1", "m")); q.processAllAvailable()
+    ms.addData((1000L, "a", "u2", "late-beyond-watermark")); q.processAllAvailable()
+    q.stop()
+
+    assert(rows(sink.state(spark).get) === Set(Seq("a", 11 * W, 1L)))
   }
 
   test("T2: emote dictionary refreshed per micro-batch") {
@@ -101,7 +159,7 @@ class StreamingParitySpec extends SparkSpec {
     q.stop()
 
     // Pog was only in the dict for the second batch → counted once.
-    assert(rows(spark.read.parquet(base + "/state")) ===
+    assert(rows(sink.state(spark).get) ===
       Set(Seq("c", "Kappa", 2L), Seq("c", "Pog", 1L)))
   }
 
