@@ -237,4 +237,47 @@ object Dedup {
     val repPairs = verifyJaccard(cand, shingled, idCol, threshold)
     expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
+
+  // ---- Embedding-cosine near-dup ----
+
+  /** Near-duplicate pairs over an embedding column via sign-LSH banding +
+    * exact-cosine verification: two vectors are a pair iff they share at
+    * least one band's full sign pattern AND their exact cosine >= threshold
+    * (rounded to 6 dp on both engines, so the cut is identical).
+    *
+    * The hash family is random-hyperplane LSH with axis-aligned hyperplanes:
+    * bit i of band j is `sign(v[j*r + i])` — i.e. sign(dot(v, e_i)), the
+    * standard SimHash-for-cosine family with the basis vectors as the
+    * (deterministic, engine-portable) hyperplanes. Recall/precision tune via
+    * (bands, rowsPerBand) exactly as in textual LSH.
+    *
+    * Scale shape (same as [[minHashNearDup]]): banding is one narrow
+    * projection + posexplode (bands× row growth of (id, 8-char key) pairs,
+    * not vectors); candidates come from an equi-join on (band, key) — never
+    * all-pairs; the verify join fetches the two vectors per surviving
+    * candidate only. No windows, no driver state. */
+  def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+                       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val bandKeys = array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat((0 until rowsPerBand).map(r =>
+          when(element_at(col(vecCol), j * rowsPerBand + r + 1) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*).as("bk"))
+    }: _*)
+    val banded = embeddings
+      .select(col(idCol), explode(bandKeys).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val cand = banded.select(col("band"), col("bk"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bk"), col(idCol).as("id_b")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), Seq("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
 }

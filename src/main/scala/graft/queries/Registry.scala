@@ -771,6 +771,33 @@ object Registry {
         |count(DISTINCT g) AS n_grams FROM g GROUP BY 1 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    ("x12_embed_neardup",
+      // Embedding-cosine near-dup: sign-LSH banding (8 bands × 8 bits over
+      // the 64-dim vectors) + exact-cosine verify at 0.35, both engines
+      // rounding to 6 dp before the cut.
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          8, 8, 0.35)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        |bnd AS (SELECT vec_id, band,
+        |  list_reduce(list_transform(generate_series(band*8+1, band*8+8),
+        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), (a,b) -> a || b) AS bk
+        |  FROM e, bands),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bnd a
+        |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b)) AS nrm FROM e),
+        |s AS (SELECT id_a, id_b,
+        |  round(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |    / (a.nrm * b.nrm), 6) AS sim
+        |  FROM cand JOIN v a ON id_a = a.vec_id JOIN v b ON id_b = b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.35 ORDER BY id_a, id_b"""
+        .stripMargin.replace("\n", " "))),
+
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +
       // deterministic fake featurizer (codec stub documented in

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getDouble(2) >= 0.8)
   }
 
+  test("embedding near-dup: perturbed twin pairs, negated vector does not") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val b = a.map(x => x + 0.001f)           // cosine ~ 1, same sign pattern
+    val c = a.map(x => -x)                   // cosine = -1, opposite signs
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", 8, 8, 0.35)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(out(0).getDouble(2) > 0.99)
+  }
+
   test("sub-shingle-length duplicates never pair (no shingles, no jaccard)") {
     import spark.implicits._
     // Two tokens < shingleK=3: the shingle set is empty, so even identical
