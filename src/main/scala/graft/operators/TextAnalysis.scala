@@ -44,8 +44,11 @@ object TextAnalysis {
     * marker tokens; prediction = argmax score, ties broken by smallest
     * language code. Output: (doc_id, pred_lang, score). */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(col("doc_id"),
+    // Tokenize once per doc in its own projection — inlined, the regex
+    // split would re-run once per candidate language.
+    val toks = col("_toks")
+    val scored = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
       explode(array(langMarkers.map { case (lang, words) =>
         struct(lit(lang).as("cand_lang"),
           size(filter(toks, t => array_contains(lit(words.toArray), t))).as("score"))
@@ -63,10 +66,12 @@ object TextAnalysis {
     * uppercase ratio — the standard cheap pre-training filters. All ratios
     * double, rounded 4 dp. */
   def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val toks = tokens(col("text"))
+    // Tokenize once per doc (see [[langId]]).
+    val toks = col("_toks")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => array_contains(lit(stopwords.toArray), t)))
-    docs.select(
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
+      .select(
       col("doc_id"),
       nTok.as("n_tokens"),
       length(col("text")).as("len_chars"),
