@@ -31,8 +31,24 @@ object Tables {
   // mapped onto the synthetic user id space.
   val ExcludedChatters: Seq[String] = Seq("3", "7", "11")
 
-  def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  /** Local-corpus scan adapter. The driver's test files are single-file,
+    * single-row-group parquet — unsplittable, so a scan yields ONE partition
+    * no matter `maxPartitionBytes`, serializing every downstream narrow
+    * transform (the CPU-dense text/hash operators most of all). When the
+    * scan delivers less parallelism than the session has cores AND the file
+    * is big enough to matter, rebalance once right after the scan: a few-MB
+    * round-robin exchange locally, a no-op branch on a real multi-file /
+    * multi-row-group table at scale (where the scan already yields >=
+    * parallelism splits). Filters and column pruning still push through the
+    * Repartition to the scan (PushPredicateThroughNonJoin). */
+  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val df = spark.read.parquet(path)
+    val target = spark.sparkContext.defaultParallelism
+    if (new java.io.File(path).length > (256 << 10) &&
+        df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects by default; read it as a nanos LONG and convert with integer
