@@ -28,7 +28,15 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via built-in higher-order functions — the semantic reference
+    * for [[graft.functions.CosineSim]] (kept for the exact-equality spec;
+    * HOFs evaluate interpreted, so the hot paths use the native
+    * expression). */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native codegen'd expression, bitwise-equal to
+    * [[cosineFold]] (same element-order double folds). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k of `embeddings` (idCol, vecCol) against the
     * single query row `queryId`. Output: (idCol, label passthroughs...,
