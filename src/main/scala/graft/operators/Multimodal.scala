@@ -68,4 +68,36 @@ object Multimodal {
         col("meta.n_bytes").as("n_bytes"),
         col("_digest").as("content_hash")) ++ featCols: _*)
   }
+
+  /** M2: frame sampling — the video half of the multimodal plumbing.
+    * Samples up to `nFrames` fixed-size byte windows at even stride from
+    * each payload: frame i of a payload with n sampled frames starts at
+    * byte `i * (len div n)`. The decode of each window (a real pipeline
+    * would parse container/codec structure around keyframes) stays behind
+    * [[decodeStub]]; the distributed plumbing — offset arithmetic, bounded
+    * posexplode row growth (≤ nFrames per media), binary slicing, per-frame
+    * hashing — is real.
+    *
+    * Plan shape: two narrow projections + one generator. No shuffle, no
+    * driver state; at 100 TB this is a pure map over the media table with
+    * output ≤ nFrames× rows of `frameBytes` payloads. Output:
+    * (media_id, frame_idx, frame_off, frame_len, frame_hash). */
+  def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
+    media
+      .select(col("media_id"), col("media"),
+        length(col("media")).cast("long").as("_len"))
+      .withColumn("_n",
+        least(lit(nFrames.toLong), greatest(expr(s"_len div $frameBytes"), lit(1L))))
+      .withColumn("_stride", expr("_len div _n"))
+      .select(col("media_id"), col("media"),
+        posexplode(transform(sequence(lit(0L), col("_n") - 1),
+          i => i * col("_stride"))).as(Seq("frame_idx", "frame_off")))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        col("frame_off"),
+        length(col("media").substr(col("frame_off").cast("int") + 1, lit(frameBytes)))
+          .cast("long").as("frame_len"),
+        md5(col("media").substr(col("frame_off").cast("int") + 1, lit(frameBytes)))
+          .as("frame_hash"))
 }

@@ -815,6 +815,27 @@ object Registry {
           s"md5(text) AS content_hash, $feats FROM documents ORDER BY media_id"
       }),
 
+    ("m2_frame_sample",
+      // Multimodal frame sampling: up to 4 frames of 64 bytes at even
+      // stride per payload (decode stubbed; plumbing real — see
+      // operators/Multimodal.scala). Oracle slices VARCHAR: byte==char
+      // because the fixture corpus is pure ASCII (verified octet_length ==
+      // length for every row).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          4, 64)
+          .orderBy(col("media_id"), col("frame_idx")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT media_id, text, len, least(4, greatest(len // 64, 1)) AS n FROM m),
+        |f AS (SELECT media_id, text, len, n, len // n AS stride,
+        |  unnest(generate_series(0, n - 1)) AS fi FROM n)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * stride AS BIGINT) AS frame_off,
+        |  CAST(length(substring(text, fi * stride + 1, 64)) AS BIGINT) AS frame_len,
+        |  md5(substring(text, fi * stride + 1, 64)) AS frame_hash
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Relational core on the TPC-H-ish tables (joins, top-N at scale)
     // =======================================================================
