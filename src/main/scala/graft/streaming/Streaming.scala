@@ -113,14 +113,17 @@ object Streaming {
     * the checkpoint-aligned-commit property of the reference's 2PC sink
     * (XAPostgresSink.java:122-175) without a transactional store.
     *
-    * Atomicity boundary (documented, not hidden): the per-partition swap
-    * loop + marker write is not a single atomic commit. A crash mid-swap
-    * followed by a replay converges for REPLACE merges (idempotent by
-    * construction) but can double-add a partition for ADDITIVE merges —
-    * closing that window needs a transactional table format (MERGE INTO)
-    * or per-partition commit epochs; acceptable for this engine's
-    * file-based store, and the reference's 2PC sink exists to solve exactly
-    * the same non-idempotent-additive problem (SURVEY §7.4).
+    * Atomicity: the per-partition swap loop + marker write is not a single
+    * atomic commit, so each swapped partition carries a per-partition
+    * commit EPOCH (`_epoch`, the last applied batch id, written into the
+    * staged partition dir BEFORE the rename — data and epoch travel in one
+    * atomic move). A replay after a crash mid-swap skips partitions whose
+    * epoch already reached the batch id and re-merges only the rest:
+    * additive merges converge instead of double-adding — the
+    * checkpoint-aligned per-partition commit the reference's 2PC sink
+    * achieves transactionally (XAPostgresSink.java:122-175, SURVEY §7.4).
+    * The residual (benign) window is a crash between a partition rename and
+    * nothing else: that partition is already correct, the replay skips it.
     */
   final class ParquetUpsertSink(path: String, keys: Seq[String],
                                 valueCols: Seq[String], additive: Boolean) {
@@ -132,16 +135,8 @@ object Streaming {
       FileSystem.get(new java.net.URI(path),
         spark.sparkContext.hadoopConfiguration)
 
-    private def committedBatch(spark: SparkSession): Long = {
-      val p = new Path(path, "_committed")
-      val f = fs(spark)
-      if (!f.exists(p)) -1L
-      else {
-        val in = f.open(p)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      }
-    }
+    private def committedBatch(spark: SparkSession): Long =
+      readLong(fs(spark), new Path(path, "_committed"), -1L)
 
     /** Current state, columns normalized to keys ++ valueCols (the
       * partition column reads back last in hive layout). */
@@ -151,6 +146,27 @@ object Streaming {
         Some(spark.read.parquet(path).select(cols.map(col): _*))
       else None
     }
+
+    private def readLong(f: FileSystem, p: Path, dflt: Long): Long =
+      if (!f.exists(p)) dflt
+      else {
+        val in = f.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+
+    private def writeLong(f: FileSystem, p: Path, v: Long): Unit = {
+      val out = f.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Stamp every staged partition dir with the batch epoch, so the epoch
+      * rides the partition rename atomically. */
+    private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] =
+      f.listStatus(tmp).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith(pcol + "="))
+        .map { part => writeLong(f, new Path(part.getPath, "_epoch"), batchId)
+          part.getPath }.toSeq
 
     def upsert(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
@@ -162,6 +178,7 @@ object Streaming {
       state(spark) match {
         case None =>
           delta.write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
+          stampEpochs(f, tmp, batchId)
           f.rename(tmp, dst)
         case Some(cur) =>
           // Partition pruning: only delta-touched partitions are read/merged.
@@ -170,25 +187,32 @@ object Streaming {
           // which the scan turns into PartitionFilters: no untouched
           // partition is even opened. (A broadcast semi-join would need DPP
           // to kick in; the literal filter prunes unconditionally.)
+          // Partitions whose on-disk epoch already reached this batch were
+          // swapped by a crashed earlier attempt — skip them, so additive
+          // merges never double-apply.
           val touchedVals = delta.select(pcol).distinct().collect().map(_.get(0))
-          val curTouched = cur.filter(col(pcol).isin(touchedVals: _*))
-          val merged =
-            if (additive) Merge.additiveUpsert(curTouched, delta, keys, valueCols)
-            else Merge.replaceUpsert(curTouched, delta, keys)
-          merged.select(cols.map(col): _*)
-            .write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
-          // Swap ONLY the partition directories the delta touched.
-          f.listStatus(tmp).filter(_.isDirectory)
-            .filter(_.getPath.getName.startsWith(pcol + "="))
-            .foreach { part =>
-              val dstPart = new Path(dst, part.getPath.getName)
-              f.delete(dstPart, true)
-              f.rename(part.getPath, dstPart)
+            .filter { v =>
+              readLong(f, new Path(dst, s"$pcol=$v/_epoch"), -1L) < batchId
             }
-          f.delete(tmp, true)
+          if (touchedVals.nonEmpty) {
+            val pending = delta.filter(col(pcol).isin(touchedVals: _*))
+            val curTouched = cur.filter(col(pcol).isin(touchedVals: _*))
+            val merged =
+              if (additive) Merge.additiveUpsert(curTouched, pending, keys, valueCols)
+              else Merge.replaceUpsert(curTouched, pending, keys)
+            merged.select(cols.map(col): _*)
+              .write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
+            // Swap ONLY the partition directories the delta touched, each
+            // carrying its epoch stamp through the rename.
+            stampEpochs(f, tmp, batchId).foreach { partPath =>
+              val dstPart = new Path(dst, partPath.getName)
+              f.delete(dstPart, true)
+              f.rename(partPath, dstPart)
+            }
+            f.delete(tmp, true)
+          }
       }
-      val out = f.create(new Path(dst, "_committed"), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      writeLong(f, new Path(dst, "_committed"), batchId)
     }
   }
 

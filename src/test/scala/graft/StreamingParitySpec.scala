@@ -100,6 +100,37 @@ class StreamingParitySpec extends SparkSpec {
       Seq("a", 1L, 10L), Seq("a", 2L, 30L), Seq("b", 1L, 20L), Seq("c", 1L, 5L)))
   }
 
+  test("crash mid-swap replay: additive partitions never double-apply (epochs)") {
+    import spark.implicits._
+    val base = tmp("graft-epoch")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = true)
+    sink.upsert(Seq(("a", 1L, 10L), ("b", 1L, 5L))
+      .toDF("channel", "ts", "messages"), 0L)
+    sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
+      .toDF("channel", "ts", "messages"), 1L)
+    val afterB1 = rows(sink.state(spark).get)
+    assert(afterB1 === Set(Seq("a", 1L, 11L), Seq("b", 1L, 7L)))
+
+    // Simulate a crash AFTER batch 1's partition swaps but BEFORE the
+    // global _committed write: roll the marker back to batch 0. The
+    // partition dirs still carry _epoch=1, so the replay must skip them —
+    // without epochs this replay would double-add (a -> 12, b -> 9).
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base + "/state"), spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(base + "/state/_committed"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
+      .toDF("channel", "ts", "messages"), 1L)
+    assert(rows(sink.state(spark).get) === afterB1)
+
+    // And a genuinely new batch still applies normally afterwards.
+    sink.upsert(Seq(("a", 1L, 100L)).toDF("channel", "ts", "messages"), 2L)
+    assert(rows(sink.state(spark).get) ===
+      Set(Seq("a", 1L, 111L), Seq("b", 1L, 7L)))
+  }
+
   test("events later than the watermark are dropped (documented divergence)") {
     // The reference never evicts state (noWatermarks(),
     // EmoteAnalyser.java:73-74): arbitrarily late events still merge via
