@@ -61,12 +61,15 @@ object Dedup {
   def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Per-doc MinHash signature columns s0..s{K-1}. */
+  /** Per-doc MinHash signature columns s0..s{K-1}. The shingle hash is
+    * materialized ONCE per row before the aggregation — inlined into the K
+    * min-aggregates it would be md5'd K times per shingle. */
   def signatures(shingled: DataFrame, idCol: String): DataFrame = {
-    val x = shingleHash(col("shingle"))
+    val x = col("_x")
     val aggs = (0 until K).map(j =>
       min((lit(aCoef(j)) * x + lit(bCoef(j))) % lit(P)).as(s"s$j"))
-    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    shingled.withColumn("_x", shingleHash(col("shingle")))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact-dup collapse (hot-bucket hardening): byte-identical texts map to
