@@ -64,6 +64,18 @@ object Registry {
     s"WITH toks AS ($toksSql), dict AS ($dictSql) " +
       "SELECT channel, username, emote FROM toks WHERE emote IN (SELECT emote FROM dict)"
 
+  /** Shared by s10 (batch session_window) and s10b (streaming
+    * flatMapGroupsWithState) — identical session semantics, one oracle. */
+  private val sessionsOracleSql =
+    """WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t FROM events),
+      |d AS (SELECT channel, t, CASE WHEN t - lag(t) OVER
+      |  (PARTITION BY channel ORDER BY t) >= 1800000 THEN 1 ELSE 0 END AS ns FROM e),
+      |g AS (SELECT channel, t, sum(ns) OVER (PARTITION BY channel ORDER BY t
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
+      |SELECT channel, min(t) AS started_at, max(t) + 1800000 AS ended_at,
+      |count(*) AS n_events FROM g GROUP BY channel, sid
+      |ORDER BY channel, started_at""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Dedup.minHashNearDup]] — generated from the same
     * constants so the signature arithmetic is identical by construction. */
   private def minHashOracleSql: String = {
@@ -579,14 +591,79 @@ object Registry {
             timestamp_millis(unix_millis(col("ts"))).as("ts")),
           Seq("channel"), "ts", 1800000L)
           .orderBy(col("channel"), col("started_at")),
-      Some("""WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t FROM events),
-        |d AS (SELECT channel, t, CASE WHEN t - lag(t) OVER
+      Some(sessionsOracleSql)),
+
+    ("s10b_stream_sessions",
+      // The SAME session semantics under Structured Streaming with CUSTOM
+      // state: flatMapGroupsWithState carrying one open session per channel,
+      // closed sessions emitted append-only exactly once (streaming/
+      // StreamingSessionize.scala; per-channel flush sentinels close the
+      // final sessions of the finite replay). Must reproduce the batch s10
+      // oracle row-for-row.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s10b").toString
+        graft.streaming.StreamingSessionize.runSessions(
+          s, dir, base + "/sessions", 1800000L, NOW + 1800000L)
+          .orderBy(col("channel"), col("started_at"))
+      },
+      Some(sessionsOracleSql)),
+
+    ("q21_asof_enrich",
+      // As-of (backward) join: every message enriched with the latest
+      // closed stats window at-or-before its timestamp (operators/
+      // AsofJoin.scala — union + running window, no join, one shuffle).
+      // DuckDB's native ASOF LEFT JOIN is the oracle.
+      (s: SparkSession, dir: String) => {
+        val msgs = Tables.messages(s, dir).select(
+          col("channel"), unix_millis(col("ts")).as("ts"), col("username"))
+        graft.operators.AsofJoin.asofBackward(
+          msgs, channelStats(s, dir), Seq("channel"), "ts", Seq("messages"))
+          .select(col("channel"), col("ts"), col("username"),
+            coalesce(col("asof_ts"), lit(0L)).as("asof_ts"),
+            coalesce(col("messages"), lit(0L)).as("messages"))
+          .orderBy(col("channel"), col("ts"), col("username"))
+      },
+      Some(s"WITH cs AS ($csSql), " +
+        "m AS (SELECT event_type AS channel, epoch_ms(ts) AS ts, " +
+        "CAST(user_id AS VARCHAR) AS username FROM events) " +
+        "SELECT m.channel, m.ts, m.username, " +
+        "COALESCE(cs.ts, 0) AS asof_ts, COALESCE(cs.messages, 0) AS messages " +
+        "FROM m ASOF LEFT JOIN cs ON m.channel = cs.channel AND m.ts >= cs.ts " +
+        "ORDER BY m.channel, m.ts, m.username")),
+
+    ("q22_session_attribution",
+      // Interval (range) join: messages attributed to the stream session
+      // they happened in (streams ⋈ messages — the join the reference's PHP
+      // does per-request), via the bucketed equi-join in operators/
+      // RangeJoin.scala; oracle is DuckDB's plain inequality join.
+      (s: SparkSession, dir: String) => {
+        val msgs = Tables.messages(s, dir).select(
+          col("channel"), unix_millis(col("ts")).as("ts"), col("username"))
+        val sess = graft.operators.Sessionize.sessions(
+          Tables.messages(s, dir).select(col("channel"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts")),
+          Seq("channel"), "ts", 1800000L).drop("n_events")
+        graft.operators.RangeJoin.pointInInterval(
+          msgs, sess, Seq("channel"), "ts", "started_at", "ended_at", 1800000L)
+          .groupBy(col("channel"), col("started_at"), col("ended_at"))
+          .agg(count(lit(1)).as("n_msgs"),
+            countDistinct(col("username")).as("n_chatters"))
+          .orderBy(col("channel"), col("started_at"))
+      },
+      Some("""WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t,
+        |  CAST(user_id AS VARCHAR) AS username FROM events),
+        |d AS (SELECT channel, t, username, CASE WHEN t - lag(t) OVER
         |  (PARTITION BY channel ORDER BY t) >= 1800000 THEN 1 ELSE 0 END AS ns FROM e),
-        |g AS (SELECT channel, t, sum(ns) OVER (PARTITION BY channel ORDER BY t
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
-        |SELECT channel, min(t) AS started_at, max(t) + 1800000 AS ended_at,
-        |count(*) AS n_events FROM g GROUP BY channel, sid
-        |ORDER BY channel, started_at""".stripMargin.replace("\n", " "))),
+        |g AS (SELECT channel, t, username, sum(ns) OVER (PARTITION BY channel ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d),
+        |sess AS (SELECT channel, min(t) AS started_at, max(t) + 1800000 AS ended_at
+        |  FROM g GROUP BY channel, sid)
+        |SELECT s.channel, s.started_at, s.ended_at, count(*) AS n_msgs,
+        |  count(DISTINCT e.username) AS n_chatters
+        |FROM sess s JOIN e ON e.channel = s.channel
+        |  AND e.t >= s.started_at AND e.t < s.ended_at
+        |GROUP BY 1, 2, 3 ORDER BY s.channel, s.started_at"""
+        .stripMargin.replace("\n", " "))),
 
     ("q18_string_ops",
       // The string scalar family in one query: trim, lower, split,

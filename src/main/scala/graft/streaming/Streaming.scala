@@ -34,7 +34,7 @@ object Streaming {
     * (FileStreamSource pins `basePath` to the load path internally), so a
     * single-file table is staged into a fresh landing directory — the same
     * shape a Kafka-connect/ingest job would land files into. */
-  private def stagedTableDir(dir: String, table: String): String = {
+  private[streaming] def stagedTableDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$table")
     java.nio.file.Files.copy(src, d.resolve(s"$table.parquet"))

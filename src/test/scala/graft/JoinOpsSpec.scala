@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+
+/** As-of and interval joins (operators/AsofJoin.scala, RangeJoin.scala):
+  * semantics pinned against hand-computed fixtures, plus the bucketed range
+  * join checked equal to a naive inequality join on a random-ish fixture. */
+class JoinOpsSpec extends SparkSpec {
+
+  test("asofBackward: latest at-or-before match per key, null before first") {
+    import spark.implicits._
+    val right = Seq( // (channel, ts, messages)
+      ("a", 100L, 10L), ("a", 200L, 20L), ("b", 150L, 5L))
+      .toDF("channel", "ts", "messages")
+    val left = Seq(
+      ("a", 50L, "u1"),   // before first version -> null
+      ("a", 100L, "u2"),  // tie: matches ts=100 (inclusive)
+      ("a", 150L, "u3"),  // between -> ts=100
+      ("a", 999L, "u4"),  // after last -> ts=200
+      ("b", 151L, "u5"),  // -> b's ts=150
+      ("c", 500L, "u6"))  // key with no right rows -> null
+      .toDF("channel", "ts", "username")
+    val out = AsofJoin.asofBackward(left, right, Seq("channel"), "ts", Seq("messages"))
+    assert(rows(out) === Set(
+      Seq("a", 50L, "u1", null, null),
+      Seq("a", 100L, "u2", 100L, 10L),
+      Seq("a", 150L, "u3", 100L, 10L),
+      Seq("a", 999L, "u4", 200L, 20L),
+      Seq("b", 151L, "u5", 150L, 5L),
+      Seq("c", 500L, "u6", null, null)))
+  }
+
+  test("pointInInterval: containment semantics, half-open end, exactly-once") {
+    import spark.implicits._
+    val intervals = Seq(
+      ("a", 0L, 1000L), ("a", 5000L, 9000L), ("b", 100L, 200L))
+      .toDF("channel", "started_at", "ended_at")
+    val points = Seq(
+      ("a", 0L), ("a", 999L), ("a", 1000L),   // start in; end excluded
+      ("a", 4999L), ("a", 5000L), ("a", 8999L),
+      ("b", 150L), ("b", 250L), ("c", 50L))
+      .toDF("channel", "ts")
+    // Tiny bucket (300 ms) forces intervals to span MANY buckets — the
+    // exactly-once property must hold regardless.
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("channel"),
+      "ts", "started_at", "ended_at", 300L)
+    assert(rows(out.select(col("channel"), col("ts"), col("started_at"))) === Set(
+      Seq("a", 0L, 0L), Seq("a", 999L, 0L),
+      Seq("a", 5000L, 5000L), Seq("a", 8999L, 5000L),
+      Seq("b", 150L, 100L)))
+  }
+
+  test("pointInInterval equals naive inequality join on generated fixture") {
+    import spark.implicits._
+    // Deterministic pseudo-random points/intervals (LCG), overlapping
+    // intervals included — every (point, interval) containment pair must
+    // appear exactly once, as in the naive plan.
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val ks = Seq("k1", "k2", "k3")
+    val pts = lcg(42).take(300).zipWithIndex.map { case (r, i) =>
+      (ks((r % 3).toInt.abs), math.abs(r % 100000L), i.toLong)
+    }.toDF("channel", "ts", "pid")
+    val ivs = lcg(7).take(40).zipWithIndex.map { case (r, i) =>
+      val s = math.abs(r % 90000L)
+      (ks((r % 3).toInt.abs), s, s + 1 + math.abs((r >> 8) % 20000L), i.toLong)
+    }.toDF("channel", "started_at", "ended_at", "iid")
+    val bucketed = RangeJoin.pointInInterval(pts, ivs, Seq("channel"),
+      "ts", "started_at", "ended_at", 7000L)
+      .select("pid", "iid")
+    val naive = pts.join(ivs, Seq("channel"))
+      .filter(col("ts") >= col("started_at") && col("ts") < col("ended_at"))
+      .select("pid", "iid")
+    assert(bucketed.count() === naive.count()) // multiset equality: counts +
+    assertSameRows(bucketed, naive)            // set equality of pairs
+  }
+
+  test("q22 range-join attribution: n_msgs per session equals n_events") {
+    import spark.implicits._
+    // Messages attributed to their own sessions must reproduce each
+    // session's event count — the two plans (session_window agg vs bucketed
+    // interval join + count) must agree.
+    val msgs = Seq(
+      ("a", 1000L, "u1"), ("a", 2000L, "u2"), ("a", 4000000L, "u1"),
+      ("b", 500L, "u3"), ("b", 3600000L, "u3"), ("b", 3700000L, "u4"))
+      .toDF("channel", "ts", "username")
+    val sess = Sessionize.sessions(
+      msgs.select(col("channel"), timestamp_millis(col("ts")).as("ts")),
+      Seq("channel"), "ts", 1800000L)
+    val attributed = RangeJoin.pointInInterval(
+      msgs, sess.withColumnRenamed("n_events", "expected"),
+      Seq("channel"), "ts", "started_at", "ended_at", 1800000L)
+      .groupBy(col("channel"), col("started_at"), col("expected"))
+      .agg(count(lit(1)).as("n_msgs"))
+    assert(attributed.filter(col("n_msgs") =!= col("expected")).count() === 0L)
+    assert(attributed.count() === 4L) // a: 2 sessions, b: 2 sessions
+  }
+}
