@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for the training-data pipeline
+  * (north-star extension).
+  *
+  * Both operators are pure per-row projections on a content-independent
+  * hash of the row's id — no shuffle, no RNG state, no driver coordination:
+  *
+  *  - the SAME row gets the SAME assignment on every run, every engine,
+  *    every partitioning (unlike `df.sample`/`rand()`, which are seed- and
+  *    partitioning-dependent and not reproducible across engines);
+  *  - adding rows never reassigns existing ones (hash-stability) — the
+  *    property that keeps train/test membership frozen as a 100-TB corpus
+  *    grows;
+  *  - salts namespace the hash, so a sampling decision is independent of
+  *    the split decision on the same key.
+  *
+  * Hash: first 8 hex chars of md5(salt:id) as an integer, uniform on
+  * [0, 2^32) — the engine-portable idiom shared with [[Dedup.shingleHash]].
+  */
+object Sampling {
+
+  /** Uniform [0, buckets) bucket of `salt:id` — md5-based, engine-portable. */
+  def hashBucket(idCol: Column, salt: String, buckets: Int): Column =
+    Dedup.shingleHash(concat(lit(salt + ":"), idCol.cast("string"))) % buckets
+
+  /** Deterministic train/val/test assignment by hash percentile:
+    * bucket < trainPct → train; < trainPct+valPct → val; else test. */
+  def split(df: DataFrame, idCol: String, salt: String,
+            trainPct: Int, valPct: Int): DataFrame = {
+    val b = hashBucket(col(idCol), salt, 100)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Deterministic pct% sample: keep rows whose hash bucket falls below
+    * `pct` of 100. */
+  def sample(df: DataFrame, idCol: String, salt: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), salt, 100) < pct)
+}

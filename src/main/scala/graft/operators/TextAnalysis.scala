@@ -91,6 +91,37 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
         .as("bpe_tokens"))
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N / df) over the corpus, score = tf·idf; the top `topK` terms per
+    * doc by (score desc, term asc).
+    *
+    * Plan shape: one explode + hash agg for tf (shuffle on (doc, term)),
+    * one hash agg for df (shuffle on term), N as a broadcast 1-row
+    * aggregate; the per-doc top-k is a window over the doc partition —
+    * partition-parallel, no global window, no driver state. The df side
+    * joins on the term AFTER aggregation (bounded by vocabulary size, not
+    * corpus size) — at 100 TB the vocabulary join is the small side and
+    * broadcasts under AQE.
+    *
+    * Score arithmetic is double with ln — both engines fold
+    * `tf * ln(N / df)` identically; rounded 6 dp on both sides. */
+  def tfIdf(docs: DataFrame, topK: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("_n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score"))
+  }
+
   /** Document fingerprint (winnowing-lite): minimum 32-bit hash over the
     * document's character k-grams, plus the distinct-gram count. Equal
     * fingerprints are dedup candidates; the min-of-hashes is the 1-row

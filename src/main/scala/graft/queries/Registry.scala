@@ -875,6 +875,52 @@ object Registry {
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.35 ORDER BY id_a, id_b"""
         .stripMargin.replace("\n", " "))),
 
+    ("x13_split",
+      // Deterministic train/val/test assignment: pure per-row hash
+      // projection, reproducible across engines/runs/partitionings
+      // (operators/Sampling.scala).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.split(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", "split", 80, 10)
+          .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id,
+        |('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |FROM documents)
+        |SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train'
+        |WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x14_sample",
+      // Deterministic 10% sample — same hash family, different salt, so
+      // sampling is independent of the split assignment.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.sample(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "sample", 10)
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x15_tfidf",
+      // TF-IDF top-3 terms per doc: two hash aggs (tf, df) + broadcast N +
+      // per-doc window top-k (operators/TextAnalysis.scala tfIdf).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tfIdf(Tables.documents(s, dir), 3)
+          .orderBy(col("doc_id"), col("term")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM sc)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
+
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +
       // deterministic fake featurizer (codec stub documented in

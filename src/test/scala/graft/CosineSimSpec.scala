@@ -58,6 +58,25 @@ class CosineSimSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("GraftExtensions: graft_cosine callable from spark.sql after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(CAST(array(3.0, 4.0) AS array<float>), " +
+        "CAST(array(3.0, 4.0) AS array<float>)) AS s, " +
+        "graft_cosine(array(1.0, 0.0), array(0.0, 1.0)) AS o") // implicit cast
+      .collect()(0)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(1.0))
+    assert(r.getDouble(1) === 0.0)
+    // Config-time wiring instantiates and applies cleanly (the path
+    // spark.sql.extensions=graft.functions.GraftExtensions exercises).
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // Arity misuse is a clear error, not a Catalyst internal failure.
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0))").collect())
+    assert(e.getMessage.contains("2 arguments"))
+  }
+
   test("participates in whole-stage codegen (doGenCode path, not fallback)") {
     // spark.range keeps a real physical source (a local Seq would be
     // constant-folded into a LocalTableScan by ConvertToLocalRelation), and

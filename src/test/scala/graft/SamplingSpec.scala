@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Deterministic sampling/split (operators/Sampling.scala) and TF-IDF
+  * (TextAnalysis.tfIdf): assignment stability properties and a
+  * hand-computed scoring fixture. */
+class SamplingSpec extends SparkSpec {
+
+  test("split: deterministic, partitioning-independent, covers all rows") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    val a = Sampling.split(ids, "doc_id", "split", 80, 10)
+    val b = Sampling.split(ids.repartition(7), "doc_id", "split", 80, 10)
+    assertSameRows(a, b) // partitioning never changes an assignment
+    val counts = a.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 500L)
+    // Hash-uniform: train ≈ 80%, val ≈ 10%, test ≈ 10% (loose bounds).
+    assert(counts("train") > 350 && counts("train") < 450)
+    assert(counts("val") > 20 && counts("val") < 80)
+    assert(counts("test") > 20 && counts("test") < 80)
+  }
+
+  test("split: growing the corpus never reassigns existing rows") {
+    import spark.implicits._
+    val small = Sampling.split((1L to 100L).toDF("doc_id"), "doc_id", "s", 80, 10)
+    val grown = Sampling.split((1L to 1000L).toDF("doc_id"), "doc_id", "s", 80, 10)
+      .filter(col("doc_id") <= 100)
+    assertSameRows(small, grown)
+  }
+
+  test("sample: subset of input, disjoint salts are independent") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("doc_id")
+    val s10 = Sampling.sample(ids, "doc_id", "a", 10)
+    val n10 = s10.count()
+    assert(n10 > 50 && n10 < 200) // ~10%
+    // Nested property: a pct<=pct' sample is a subset of the larger one
+    // (same salt) — the bucket predicate is monotone.
+    val s50 = Sampling.sample(ids, "doc_id", "a", 50)
+    assert(s10.join(s50, Seq("doc_id"), "left_anti").count() === 0L)
+  }
+
+  test("tfIdf: hand-computed fixture, top-k cut and tie-break") {
+    import spark.implicits._
+    // 4 docs; "common" appears in all (idf=0 → score 0), "rare" in one.
+    val docs = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common alpha"),
+      (3L, "common beta"),
+      (4L, "common beta alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, 2)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    // doc 1: rare tf=2 df=1 → 2*ln(4)=2.772589; alpha tf=1 df=3 → ln(4/3)
+    val d1 = byDoc(1L).map(r => (r.getString(1), r.getDouble(4))).toMap
+    assert(d1.keySet === Set("rare", "alpha"))
+    assert(math.abs(d1("rare") - 2.772589) < 1e-6)
+    assert(math.abs(d1("alpha") - 0.287682) < 1e-6)
+    // common scores 0 everywhere (ln(4/4)) and must lose to any positive
+    // term; doc 2 has only alpha (positive) and common (0) — both kept at
+    // k=2, ordered alpha first.
+    val d2 = byDoc(2L).map(r => (r.getString(1), r.getDouble(4))).toMap
+    assert(d2 === Map("alpha" -> 0.287682, "common" -> 0.0))
+  }
+}
