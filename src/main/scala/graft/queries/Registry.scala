@@ -728,6 +728,51 @@ object Registry {
         "SELECT channel, emote, count(*) AS occurrences FROM occ " +
         "GROUP BY 1, 2 ORDER BY channel, emote")),
 
+    ("s5b_stream_user_stats",
+      // A5 under Structured Streaming: the UserStatsAggregation branch of
+      // the reference's five-way streaming job (EmoteAnalyser.java:80-151)
+      // — update mode, replace-upsert into a (channel, day-bucket)
+      // partitioned state table. Must equal the batch a5 aggregation.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s5b").toString
+        graft.streaming.Streaming.runUserStats(s, dir, base + "/state", W)
+          .orderBy(col("channel"), col("username"), col("ts"))
+      },
+      Some(s"SELECT * FROM ($usSql) ORDER BY channel, username, ts")),
+
+    ("s5c_stream_user_emotes",
+      // A7 under Structured Streaming with T2 side-input refresh: per-batch
+      // (channel, emote, username) delta counts merged additively. Must
+      // equal the batch a7 aggregation.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s5c").toString
+        graft.streaming.Streaming.runUserEmoteStats(
+          s, dir, base + "/state", () => Tables.emoteDict(s, dir))
+          .orderBy(col("channel"), col("emote"), col("username"))
+      },
+      Some(s"WITH occ AS ($emoteOccSql) " +
+        "SELECT channel, emote, username, count(*) AS occurrences FROM occ " +
+        "GROUP BY 1, 2, 3 ORDER BY channel, emote, username")),
+
+    ("s5d_stream_phrases",
+      // A8 under Structured Streaming: per-batch phrase-match SUM deltas
+      // merged additively, phrase table re-read per micro-batch. Must equal
+      // the batch a8 aggregation.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s5d").toString
+        graft.streaming.Streaming.runPhraseStats(
+          s, dir, base + "/state", () => Tables.phrases)
+          .orderBy(col("channel"), col("phrase_name"))
+      },
+      Some(
+        """WITH m AS (
+          | SELECT lang AS channel, 'p_the' AS phrase_name, len(regexp_extract_all(text, '(?i)the')) AS matches FROM documents
+          | UNION ALL SELECT lang, 'p_scan', len(regexp_extract_all(text, '(?i)scan|merge')) FROM documents
+          | UNION ALL SELECT lang, 'p_en_row', len(regexp_extract_all(text, '(?i)row')) FROM documents WHERE regexp_matches(lang, '(?i)en'))
+          |SELECT channel, phrase_name, CAST(sum(matches) AS BIGINT) AS matches
+          |FROM m WHERE matches > 0 GROUP BY 1, 2 ORDER BY channel, phrase_name"""
+          .stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)

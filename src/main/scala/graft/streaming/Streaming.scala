@@ -30,6 +30,20 @@ import graft.pipeline.StatsPipeline
   */
 object Streaming {
 
+  /** Above this many touched partitions per micro-batch the sink switches
+    * from a literal partition predicate to a broadcast left-semi join —
+    * the plan never embeds an unbounded IN literal. */
+  val MaxLiteralPartitions = 256
+
+  /** Time-bucket span for windowed state tables: one day of 15-min windows
+    * per (channel, bucket) leaf dir — the rewrite unit of a micro-batch. */
+  val DayMillis = 86400000L
+
+  /** Diagnostic: number of epoch-probe FS listings issued (exactly one per
+    * state-merging upsert — pinned by StreamingParitySpec). */
+  private[graft] val epochProbeListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The file stream source requires a *directory* to watch
     * (FileStreamSource pins `basePath` to the load path internally), so a
     * single-file table is staged into a fresh landing directory — the same
@@ -90,46 +104,64 @@ object Streaming {
     spark.readStream.schema(Schemas.documents)
       .parquet(stagedTableDir(dir, "documents"))
 
-  /** S5: upsert sink over a PARTITIONED parquet-backed state table
-    * (hive layout `path/<key0>=<value>/part-*.parquet`, partitioned by the
-    * first key — the channel in the reference's tables). Each micro-batch:
+  /** S5: upsert sink over a PARTITIONED parquet-backed state table.
+    * Layout: hive dirs `path/<key0>=<v>/part-*.parquet`, or — with
+    * `tsBucket = Some((tsCol, spanMs))` — composite
+    * `path/<key0>=<v>/ts_bucket=<tsCol div spanMs>/part-*.parquet`. Time
+    * bucketing bounds the rewrite unit: a live stats table receives deltas
+    * only for CURRENT windows, so a micro-batch rewrites one (channel, day)
+    * bucket instead of the channel's whole history — per-batch I/O is
+    * O(delta buckets), not O(channel history). That is the row-local upsert
+    * the reference's sink does (ChannelStatsAggregation.java:45-50) at
+    * bounded-partition grain. Each micro-batch:
     *
-    *   1. reads ONLY the state partitions present in the delta (broadcast
-    *      left-semi on the partition key — partition pruning at the scan);
+    *   1. reads ONLY the state partitions present in the delta (partition
+    *      pruning at the scan — literal predicate for small touched sets,
+    *      broadcast left-semi above [[Streaming.MaxLiteralPartitions]]);
     *   2. merges them with the batch (replace-by-key for absolute
     *      update-mode rows, additive for delta rows);
     *   3. writes the merged partitions to a staging dir and swaps ONLY
-    *      those partition directories into the state table.
+    *      those leaf partition directories into the state table.
     *
     * Untouched partitions' files are never read, rewritten, or renamed —
-    * the row-local upsert the reference's sink does
-    * (ChannelStatsAggregation.java:45-50), at partition grain. Per-batch
-    * I/O is O(delta partitions), not O(state) — the property that lets a
-    * 5-second trigger survive a 100-TB state table.
+    * the property that lets a 5-second trigger survive a 100-TB state
+    * table.
     *
     * Idempotence: a committed-batch marker (`_committed`, underscore ⇒
     * invisible to the parquet reader) lives INSIDE the state dir, so marker
     * and data travel together; replays of a committed batch are no-ops —
     * the checkpoint-aligned-commit property of the reference's 2PC sink
-    * (XAPostgresSink.java:122-175) without a transactional store.
+    * (XAPostgresSink.java:99-175) without a transactional store.
     *
     * Atomicity: the per-partition swap loop + marker write is not a single
-    * atomic commit, so each swapped partition carries a per-partition
-    * commit EPOCH (`_epoch`, the last applied batch id, written into the
-    * staged partition dir BEFORE the rename — data and epoch travel in one
-    * atomic move). A replay after a crash mid-swap skips partitions whose
-    * epoch already reached the batch id and re-merges only the rest:
-    * additive merges converge instead of double-adding — the
-    * checkpoint-aligned per-partition commit the reference's 2PC sink
-    * achieves transactionally (XAPostgresSink.java:122-175, SURVEY §7.4).
-    * The residual (benign) window is a crash between a partition rename and
-    * nothing else: that partition is already correct, the replay skips it.
+    * atomic commit, so each swapped leaf dir carries a per-partition
+    * commit EPOCH — an empty `_epoch_<batchId>` marker FILE created in the
+    * staged dir BEFORE the rename, so data and epoch travel in one atomic
+    * move, and the epoch value lives in the file NAME: the replay probe
+    * needs only a directory listing, never a file read. A replay after a
+    * crash mid-swap skips partitions whose epoch already reached the batch
+    * id and re-merges only the rest: additive merges converge instead of
+    * double-adding — the checkpoint-aligned per-partition commit the
+    * reference's 2PC sink achieves transactionally
+    * (XAPostgresSink.java:122-175, SURVEY §7.4). The probe is ONE
+    * `listFiles(path, recursive)` per batch — a single flat prefix LIST on
+    * an object store — not a per-partition round-trip.
     */
   final class ParquetUpsertSink(path: String, keys: Seq[String],
-                                valueCols: Seq[String], additive: Boolean) {
+                                valueCols: Seq[String], additive: Boolean,
+                                tsBucket: Option[(String, Long)] = None) {
 
     private val pcol = keys.head
     private val cols = keys ++ valueCols
+    private val bucketCol = "ts_bucket"
+    // Physical partition columns of the state table.
+    private val pcols = pcol +: tsBucket.map(_ => bucketCol).toSeq
+
+    private def withBucket(df: DataFrame): DataFrame = tsBucket match {
+      case Some((tsCol, span)) =>
+        df.withColumn(bucketCol, expr(s"`$tsCol` div $span"))
+      case None => df
+    }
 
     private def fs(spark: SparkSession): FileSystem =
       FileSystem.get(new java.net.URI(path),
@@ -138,13 +170,15 @@ object Streaming {
     private def committedBatch(spark: SparkSession): Long =
       readLong(fs(spark), new Path(path, "_committed"), -1L)
 
-    /** Current state, columns normalized to keys ++ valueCols (the
-      * partition column reads back last in hive layout). */
-    def state(spark: SparkSession): Option[DataFrame] = {
+    /** Current state, columns normalized to keys ++ valueCols (partition
+      * columns read back last / derived, so they are projected away). */
+    def state(spark: SparkSession): Option[DataFrame] =
+      rawState(spark).map(_.select(cols.map(col): _*))
+
+    /** State including the physical partition columns (for pruned merges). */
+    private def rawState(spark: SparkSession): Option[DataFrame] = {
       val p = new Path(path)
-      if (fs(spark).exists(p))
-        Some(spark.read.parquet(path).select(cols.map(col): _*))
-      else None
+      if (fs(spark).exists(p)) Some(spark.read.parquet(path)) else None
     }
 
     private def readLong(f: FileSystem, p: Path, dflt: Long): Long =
@@ -160,54 +194,109 @@ object Streaming {
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     }
 
-    /** Stamp every staged partition dir with the batch epoch, so the epoch
-      * rides the partition rename atomically. */
+    /** Leaf partition dirs of a staged write (one or two hive levels). */
+    private def leafDirs(f: FileSystem, base: Path): Seq[Path] = {
+      val lvl1 = f.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(pcol + "=")).toSeq
+      if (tsBucket.isEmpty) lvl1
+      else lvl1.flatMap(p => f.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith(bucketCol + "=")))
+    }
+
+    /** Stamp every staged leaf dir with the batch epoch — an empty marker
+      * file whose NAME carries the value — so the epoch rides the partition
+      * rename atomically and is probed by listing alone. */
     private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] =
-      f.listStatus(tmp).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith(pcol + "="))
-        .map { part => writeLong(f, new Path(part.getPath, "_epoch"), batchId)
-          part.getPath }.toSeq
+      leafDirs(f, tmp).map { leaf =>
+        f.create(new Path(leaf, s"_epoch_$batchId"), true).close()
+        leaf
+      }
+
+    /** All on-disk partition epochs in ONE recursive listing (a single flat
+      * prefix LIST on an object store — never a per-partition round-trip).
+      * Keys are hive-relative leaf paths ("ch=a" / "ch=a/ts_bucket=3"). */
+    private def probeEpochs(f: FileSystem, dst: Path): Map[String, Long] = {
+      Streaming.epochProbeListings.incrementAndGet()
+      val base = f.makeQualified(dst).toString
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = f.listFiles(dst, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.startsWith("_epoch_")) {
+          val epoch = name.stripPrefix("_epoch_").toLong
+          val rel = st.getPath.getParent.toString
+            .stripPrefix(base).stripPrefix("/")
+          if (epoch > out.getOrElse(rel, -1L)) out(rel) = epoch
+        }
+      }
+      out.toMap
+    }
+
+    /** The hive-relative leaf dir a touched-partition tuple lands in (must
+      * render values exactly as `partitionBy` names the dirs). */
+    private def relDir(tuple: Seq[Any]): String =
+      pcols.zip(tuple).map { case (c, v) => s"$c=$v" }.mkString("/")
+
+    /** Restrict `df` to the touched partition tuples. Small sets become a
+      * literal predicate over the partition columns — unconditional
+      * PartitionFilters at the scan; large sets fall back to a broadcast
+      * left-semi join so the plan never embeds a huge IN literal. */
+    private def touchedOnly(df: DataFrame, tuples: Seq[Seq[Any]]): DataFrame =
+      if (tuples.lengthCompare(Streaming.MaxLiteralPartitions) <= 0) {
+        val cond = tuples.map(t =>
+          pcols.zip(t).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+          .reduce(_ || _)
+        df.filter(cond)
+      } else {
+        val spark = df.sparkSession
+        val schema = df.select(pcols.map(col): _*).schema
+        val tdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            tuples.map(org.apache.spark.sql.Row.fromSeq), 1), schema)
+        df.join(broadcast(tdf), pcols, "left_semi")
+      }
 
     def upsert(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
       if (batchId <= committedBatch(spark)) return // replayed batch: no-op
-      val delta = batch.select(cols.map(col): _*)
+      val delta = withBucket(batch.select(cols.map(col): _*))
       val f = fs(spark)
       val dst = new Path(path)
       val tmp = new Path(path + s".b$batchId")
-      state(spark) match {
+      rawState(spark) match {
         case None =>
-          delta.write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
+          delta.write.partitionBy(pcols: _*).mode("overwrite")
+            .parquet(tmp.toString)
           stampEpochs(f, tmp, batchId)
           f.rename(tmp, dst)
         case Some(cur) =>
-          // Partition pruning: only delta-touched partitions are read/merged.
-          // The touched partition VALUES (bounded metadata — the partition
-          // keys of one micro-batch, not data) become a literal IN filter,
-          // which the scan turns into PartitionFilters: no untouched
-          // partition is even opened. (A broadcast semi-join would need DPP
-          // to kick in; the literal filter prunes unconditionally.)
-          // Partitions whose on-disk epoch already reached this batch were
-          // swapped by a crashed earlier attempt — skip them, so additive
-          // merges never double-apply.
-          val touchedVals = delta.select(pcol).distinct().collect().map(_.get(0))
-            .filter { v =>
-              readLong(f, new Path(dst, s"$pcol=$v/_epoch"), -1L) < batchId
-            }
-          if (touchedVals.nonEmpty) {
-            val pending = delta.filter(col(pcol).isin(touchedVals: _*))
-            val curTouched = cur.filter(col(pcol).isin(touchedVals: _*))
+          // Touched partition TUPLES (bounded metadata — the partition keys
+          // of one micro-batch, not data). Partitions whose on-disk epoch
+          // already reached this batch were swapped by a crashed earlier
+          // attempt — skip them, so additive merges never double-apply.
+          val epochs = probeEpochs(f, dst)
+          val touched = delta.select(pcols.map(col): _*).distinct().collect()
+            .map(_.toSeq).toSeq
+            .filter(t => epochs.getOrElse(relDir(t), -1L) < batchId)
+          if (touched.nonEmpty) {
+            val pending = touchedOnly(delta, touched).select(cols.map(col): _*)
+            val curTouched = touchedOnly(cur, touched).select(cols.map(col): _*)
             val merged =
               if (additive) Merge.additiveUpsert(curTouched, pending, keys, valueCols)
               else Merge.replaceUpsert(curTouched, pending, keys)
-            merged.select(cols.map(col): _*)
-              .write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
-            // Swap ONLY the partition directories the delta touched, each
+            withBucket(merged.select(cols.map(col): _*))
+              .write.partitionBy(pcols: _*).mode("overwrite")
+              .parquet(tmp.toString)
+            // Swap ONLY the leaf partition dirs the delta touched, each
             // carrying its epoch stamp through the rename.
-            stampEpochs(f, tmp, batchId).foreach { partPath =>
-              val dstPart = new Path(dst, partPath.getName)
-              f.delete(dstPart, true)
-              f.rename(partPath, dstPart)
+            val tmpQ = f.makeQualified(tmp).toString
+            stampEpochs(f, tmp, batchId).foreach { leaf =>
+              val rel = leaf.toString.stripPrefix(tmpQ).stripPrefix("/")
+              val dstLeaf = new Path(dst, rel)
+              f.mkdirs(dstLeaf.getParent)
+              f.delete(dstLeaf, true)
+              f.rename(leaf, dstLeaf)
             }
             f.delete(tmp, true)
           }
@@ -231,12 +320,34 @@ object Streaming {
     * pinned by StreamingParitySpec ("events later than the watermark"). */
   def runChannelStats(spark: SparkSession, dir: String, sinkPath: String,
                       windowMs: Long, watermark: String = "24 hours",
-                      trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
-    val sink = new ParquetUpsertSink(sinkPath, Seq("channel", "ts"),
-      Seq("messages"), additive = false)
-    val agg = StatsPipeline.channelStats(
-      messagesStream(spark, dir).withWatermark("ts", watermark), windowMs)
-    val q = agg.writeStream
+                      trigger: Trigger = Trigger.AvailableNow()): DataFrame =
+    runWindowedStats(spark, dir, sinkPath,
+      StatsPipeline.channelStats(_, windowMs), Seq("channel", "ts"),
+      watermark, trigger)
+
+  /** A5 under streaming: per-(channel, username) windowed counts — the
+    * UserStatsAggregation branch of the reference's five-way job
+    * (EmoteAnalyser.java:80-151). Same update-mode replace-upsert shape as
+    * channel stats; only the grain changes. */
+  def runUserStats(spark: SparkSession, dir: String, sinkPath: String,
+                   windowMs: Long, watermark: String = "24 hours",
+                   trigger: Trigger = Trigger.AvailableNow()): DataFrame =
+    runWindowedStats(spark, dir, sinkPath,
+      StatsPipeline.userStats(_, windowMs), Seq("channel", "username", "ts"),
+      watermark, trigger)
+
+  /** Shared update-mode windowed-stats runner: absolute per-window rows
+    * replace-upserted into a state table partitioned by
+    * (channel, day bucket) — a micro-batch rewrites only the current time
+    * bucket of touched channels, never a channel's whole history. */
+  private def runWindowedStats(spark: SparkSession, dir: String,
+                               sinkPath: String,
+                               agg: DataFrame => DataFrame, keys: Seq[String],
+                               watermark: String, trigger: Trigger): DataFrame = {
+    val sink = new ParquetUpsertSink(sinkPath, keys, Seq("messages"),
+      additive = false, tsBucket = Some(("ts", DayMillis)))
+    val out = agg(messagesStream(spark, dir).withWatermark("ts", watermark))
+    val q = out.writeStream
       .outputMode("update")
       .option("checkpointLocation", sinkPath + ".ckpt")
       .trigger(trigger)
@@ -264,6 +375,52 @@ object Streaming {
       .foreachBatch { (b: DataFrame, id: Long) =>
         sink.upsert(StatsPipeline.emoteStats(
           StatsPipeline.extractEmotes(b, dict())), id)
+      }
+      .start()
+    q.awaitTermination()
+    sink.state(spark).get
+  }
+
+  /** A7 under streaming with T2 side-input refresh: per-(channel, emote,
+    * username) delta counts merged additively — the
+    * UserEmoteStatsAggregation branch (EmoteAnalyser.java:80-151). */
+  def runUserEmoteStats(spark: SparkSession, dir: String, sinkPath: String,
+                        dict: () => DataFrame): DataFrame = {
+    val sink = new ParquetUpsertSink(sinkPath,
+      Seq("channel", "emote", "username"), Seq("occurrences"), additive = true)
+    val docs = documentsStream(spark, dir).select(
+      col("lang").as("channel"), col("source").as("username"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(StatsPipeline.userEmoteStats(
+          StatsPipeline.extractEmotes(b, dict())), id)
+      }
+      .start()
+    q.awaitTermination()
+    sink.state(spark).get
+  }
+
+  /** A8 under streaming: per-(channel, phrase) match SUMs as per-batch
+    * deltas merged additively — the PhraseStatsAggregation branch
+    * (EmoteAnalyser.java:80-151; PhraseExtractor.java:54-91). The phrase
+    * table is re-evaluated per micro-batch (T2 semantics for phrases,
+    * PhraseExtractor.java:146-153). */
+  def runPhraseStats(spark: SparkSession, dir: String, sinkPath: String,
+                     phrases: () => Seq[graft.Tables.Phrase]): DataFrame = {
+    val sink = new ParquetUpsertSink(sinkPath, Seq("channel", "phrase_name"),
+      Seq("matches"), additive = true)
+    val docs = documentsStream(spark, dir).select(
+      col("lang").as("channel"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(StatsPipeline.phraseStats(
+          StatsPipeline.matchPhrases(b, phrases(), "text")), id)
       }
       .start()
     q.awaitTermination()

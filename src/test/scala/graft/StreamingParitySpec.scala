@@ -100,6 +100,129 @@ class StreamingParitySpec extends SparkSpec {
       Seq("a", 1L, 10L), Seq("a", 2L, 30L), Seq("b", 1L, 20L), Seq("c", 1L, 5L)))
   }
 
+  test("time-bucketed sink: a new-window delta leaves the SAME channel's old bucket untouched") {
+    import spark.implicits._
+    val base = tmp("graft-tsb")
+    // 100 ms buckets: ts 5 and 95 land in bucket 0, ts 205 in bucket 2.
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = false,
+      tsBucket = Some(("ts", 100L)))
+    sink.upsert(Seq(("a", 5L, 10L), ("a", 95L, 11L), ("b", 5L, 20L))
+      .toDF("channel", "ts", "messages"), 0L)
+
+    def listing(rel: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(base + s"/state/$rel")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val aOldBucket = listing("channel=a/ts_bucket=0")
+    val bBucket = listing("channel=b/ts_bucket=0")
+    assert(aOldBucket.nonEmpty && bBucket.nonEmpty)
+    Thread.sleep(1100) // cross mtime granularity so an illegal rewrite shows
+    sink.upsert(Seq(("a", 205L, 30L)).toDF("channel", "ts", "messages"), 1L)
+
+    // Channel a WAS touched, but only its current time bucket may be
+    // rewritten: the old bucket of the same channel (and all of b) must
+    // keep identical files. This is the O(delta) rewrite property — a hot
+    // channel's history is never rewritten per micro-batch.
+    assert(listing("channel=a/ts_bucket=0") === aOldBucket)
+    assert(listing("channel=b/ts_bucket=0") === bBucket)
+    assert(new java.io.File(base + "/state/channel=a/ts_bucket=2").exists())
+    assert(rows(sink.state(spark).get) === Set(
+      Seq("a", 5L, 10L), Seq("a", 95L, 11L), Seq("a", 205L, 30L),
+      Seq("b", 5L, 20L)))
+
+    // Replace semantics still work WITHIN a bucket across batches.
+    sink.upsert(Seq(("a", 95L, 99L)).toDF("channel", "ts", "messages"), 2L)
+    assert(rows(sink.state(spark).get) === Set(
+      Seq("a", 5L, 10L), Seq("a", 95L, 99L), Seq("a", 205L, 30L),
+      Seq("b", 5L, 20L)))
+  }
+
+  test("epoch probe is ONE FS listing per upsert, even with ~100 partitions") {
+    import spark.implicits._
+    val base = tmp("graft-probe")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("k"), Seq("v"), additive = true)
+    val many = (0 until 100).map(i => (s"k$i", 1L))
+    sink.upsert(many.toDF("k", "v"), 0L) // initial write: no probe needed
+    val before = Streaming.epochProbeListings.get()
+    sink.upsert(many.toDF("k", "v"), 1L) // touches all 100 partitions
+    assert(Streaming.epochProbeListings.get() - before === 1L,
+      "a 100-partition upsert must issue exactly one epoch-probe listing")
+    assert(rows(sink.state(spark).get.filter(col("k") === "k42")) ===
+      Set(Seq("k42", 2L)))
+  }
+
+  test("above MaxLiteralPartitions the touched filter still merges correctly (semi-join path)") {
+    import spark.implicits._
+    val n = Streaming.MaxLiteralPartitions + 44 // 300 partitions
+    val base = tmp("graft-semij")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("k"), Seq("v"), additive = true)
+    val many = (0 until n).map(i => (s"k$i", 1L))
+    sink.upsert(many.toDF("k", "v"), 0L)
+    sink.upsert(many.toDF("k", "v"), 1L) // > threshold → broadcast semi-join
+    val st = sink.state(spark).get
+    assert(st.count() === n.toLong)
+    assert(rows(st.filter(col("k").isin("k0", s"k${n - 1}"))) ===
+      Set(Seq("k0", 2L), Seq(s"k${n - 1}", 2L)))
+  }
+
+  test("partial mid-swap crash: only a subset of partitions carry the new epoch; replay completes the rest exactly once") {
+    import spark.implicits._
+    val base = tmp("graft-partial")
+    val stateDir = java.nio.file.Paths.get(base, "state")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = true)
+    sink.upsert(Seq(("a", 1L, 10L), ("b", 1L, 5L))
+      .toDF("channel", "ts", "messages"), 0L)
+
+    // Snapshot partition b BEFORE batch 1 (still carrying _epoch_0).
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val bSnap = java.nio.file.Paths.get(base, "b-snap")
+    copyDir(stateDir.resolve("channel=b"), bSnap)
+
+    sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
+      .toDF("channel", "ts", "messages"), 1L)
+    val afterB1 = rows(sink.state(spark).get)
+    assert(afterB1 === Set(Seq("a", 1L, 11L), Seq("b", 1L, 7L)))
+
+    // Simulate a crash MID-swap-loop of batch 1: partition a was swapped
+    // (carries _epoch_1) but partition b was not (restore its batch-0
+    // content + _epoch_0), and _committed never advanced past batch 0.
+    def deleteDir(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+    deleteDir(stateDir.resolve("channel=b"))
+    copyDir(bSnap, stateDir.resolve("channel=b"))
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base + "/state"), spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(base + "/state/_committed"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    assert(rows(sink.state(spark).get) ===
+      Set(Seq("a", 1L, 11L), Seq("b", 1L, 5L))) // the torn on-disk state
+
+    // Replay of batch 1 must apply ONLY to b (a's epoch says done):
+    // exactly-once completion, no double-add on a.
+    sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
+      .toDF("channel", "ts", "messages"), 1L)
+    assert(rows(sink.state(spark).get) === afterB1)
+
+    // And the next batch still applies normally.
+    sink.upsert(Seq(("b", 1L, 100L)).toDF("channel", "ts", "messages"), 2L)
+    assert(rows(sink.state(spark).get) ===
+      Set(Seq("a", 1L, 11L), Seq("b", 1L, 107L)))
+  }
+
   test("crash mid-swap replay: additive partitions never double-apply (epochs)") {
     import spark.implicits._
     val base = tmp("graft-epoch")
