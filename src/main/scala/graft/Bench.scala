@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *  - the measured action is a `noop`-format write, which materializes every
   *    row of the final plan — unlike `.count()`, under which Catalyst prunes
   *    sort stages and top-N projections;
-  *  - each query is measured TWICE and the minimum reported, damping
-  *    transient sandbox contention (r2's headline numbers were inflated ~4×
-  *    by a contended measured pass);
+  *  - each query is measured THREE times; the headline `queries`/`total`
+  *    report the MEDIAN (one contended pass can no longer paint a false
+  *    regression — r3's q7/q8/q9) and `queries_min` keeps the per-query
+  *    minimum for best-case comparison;
   *  - failures are NOT swallowed: a failed query reports time -1 and its
   *    error class/message in an `errors` object, so a broken query can never
   *    masquerade as a fast one.
@@ -44,22 +45,27 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
     queries.foreach { case (_, fn) => timed(fn) } // warmup
+    def median(sorted: Seq[Double]): Double =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     val results = queries.map { case (name, fn) =>
-      val runs = Seq(timed(fn), timed(fn))
-      val ok = runs.collect { case Right(t) => t }
-      if (ok.nonEmpty) (name, ok.min, None)
-      else (name, -1.0, runs.collectFirst { case Left(e) => e })
+      val runs = Seq(timed(fn), timed(fn), timed(fn))
+      val ok = runs.collect { case Right(t) => t }.sorted
+      if (ok.nonEmpty) (name, median(ok), ok.head, None)
+      else (name, -1.0, -1.0, runs.collectFirst { case Left(e) => e })
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+    val qsMin = results.map { case (k, _, mn, _) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"n_failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

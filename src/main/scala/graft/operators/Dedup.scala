@@ -291,4 +291,31 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Benchmark decontamination — the train/test-leakage check every
+    * training-data pipeline runs before a model sees the corpus: for each
+    * corpus doc, how many of its distinct word n-grams also occur in the
+    * benchmark set, and what share of the doc that is.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites, not training data) — it is deduped and BROADCAST, so
+    * the corpus side is one explode + broadcast left-semi + one hash agg:
+    * the 100-TB corpus never shuffles on the gram key. Docs shorter than
+    * n tokens have no grams and are (by definition) uncontaminated — they
+    * do not appear in the output, mirroring the oracle.
+    *
+    * Output: (idCol, n_grams, n_overlap, contamination ∈ [0,1], 4 dp). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val cg = shingles(corpus, idCol, textCol, n)
+    val bg = shingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
+    val tot = cg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val ovl = cg.join(broadcast(bg), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    tot.join(ovl, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_grams"), 4).as("contamination"))
+  }
 }

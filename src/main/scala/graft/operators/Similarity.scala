@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (north-star extension).
@@ -71,10 +71,7 @@ object Similarity {
               queryId: Long, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centRows = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol), col(vecCol)).collect()
-    val cids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
-    val cvecs: Seq[Seq[Float]] = centRows.map(_.getSeq[Float](1)).toSeq
+    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
     val cidLit = typedlit(cids)
     val cvLit = typedlit(cvecs)
     val assigned = embeddings
@@ -98,6 +95,77 @@ object Similarity {
       .crossJoin(broadcast(q))
       .withColumn("sim", round(cosine(col(vecCol), col("_qv")), 6))
       .select(col(idCol), col("_cid").as("centroid_id"), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Coarse centroid set: first `nCentroids` vectors by id (deterministic
+    * stand-in for trained centroids), collected once — bounded metadata,
+    * the coarse quantizer is tiny by construction. */
+  private def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int): (Seq[Long], Seq[Seq[Float]]) = {
+    val rows = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  /** Materialize the IVF index: the centroid assignment persisted
+    * PARTITIONED BY `centroid_id` — the executable form of "at scale the
+    * assignment becomes the partition key". Build is one codegen
+    * projection (broadcast centroid literals, argmax — same assignment as
+    * [[ivfTopK]]) plus one partitioned write; no shuffle, no crossJoin. */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, indexPath: String): Unit = {
+    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
+    val cidLit = typedlit(cids)
+    val cvLit = typedlit(cvecs)
+    embeddings
+      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
+      .withColumn("centroid_id", element_at(cidLit,
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(indexPath)
+  }
+
+  /** Probe plan over a materialized index (no top-k): scan restricted to
+    * the probed centroids by a LITERAL partition predicate — the scan shows
+    * `PartitionFilters` on `centroid_id` and opens nProbe/nCentroids of the
+    * files (spec-pinned in SimilaritySpec). Exposed separately from
+    * [[ivfIndexTopK]] so the plan shape itself is testable. */
+  def ivfIndexProbe(spark: SparkSession, indexPath: String, idCol: String,
+                    vecCol: String, probedCids: Seq[Long]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probedCids: _*))
+
+  /** IVF top-k over the materialized index: identical semantics and output
+    * to [[ivfTopK]], but the probe reads ONLY the probed centroids'
+    * partitions via partition pruning — at 100 TB the unprobed
+    * (nCentroids - nProbe)/nCentroids of the index is never opened. The
+    * probe set is nProbe ids (bounded metadata), collected so it becomes a
+    * literal partition filter — pruning needs no DPP to kick in. */
+  def ivfIndexTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int, nCentroids: Int, nProbe: Int,
+                   indexPath: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
+    if (!new java.io.File(indexPath).exists())
+      buildIvfIndex(embeddings, idCol, vecCol, nCentroids, indexPath)
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"))
+    // nProbe nearest centroids to the query — engine arithmetic over the
+    // collected centroid LocalRelation, then collected (nProbe values).
+    val probedCids = cids.zip(cvecs).toDF("_cid", "_cv")
+      .crossJoin(broadcast(q))
+      .withColumn("_d", cosine(col("_cv"), col("_qv")))
+      .orderBy(col("_d").desc, col("_cid").asc).limit(nProbe)
+      .select(col("_cid")).collect().map(_.getLong(0)).toSeq
+    ivfIndexProbe(spark, indexPath, idCol, vecCol, probedCids)
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col(vecCol), col("_qv")), 6))
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"),
+        col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

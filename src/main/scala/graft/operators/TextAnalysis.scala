@@ -122,6 +122,46 @@ object TextAnalysis {
         col("df").cast("long").as("df"), col("score"))
   }
 
+  /** Word n-gram array over the materialized token array `toks` —
+    * array-local (no explode), shared by [[repetitionRatio]] /
+    * [[topNgrams]]. Empty array when the doc has fewer than n tokens. */
+  private def gramArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition ratio — the Gopher/C4-style quality filter
+    * that drops boilerplate/spam: 1 - distinct/total word n-grams (0 for
+    * docs too short to have any). Pure array-local projection: the gram
+    * loop never leaves the row, no explode, no shuffle — embarrassingly
+    * parallel at 100 TB. Output: (doc_id, n_grams, n_distinct, rep_ratio).
+    */
+  def repetitionRatio(docs: DataFrame, n: Int): DataFrame = {
+    val g = col("_g")
+    docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), gramArray(col("_toks"), n).as("_g"))
+      .select(col("doc_id"),
+        size(g).as("n_grams"),
+        size(array_distinct(g)).as("n_distinct"),
+        when(size(g) === 0, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+          .as("rep_ratio"))
+  }
+
+  /** Corpus-level top-k most frequent word n-grams (every occurrence
+    * counts). One explode + ONE hash aggregate with map-side partial
+    * combine, then TakeOrderedAndProject — no global sort, no second
+    * shuffle. Ties break to the lexicographically smallest gram. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(tokens(col("text")).as("_toks"))
+      .select(explode(gramArray(col("_toks"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("ngram").asc)
+      .limit(k)
+
   /** Document fingerprint (winnowing-lite): minimum 32-bit hash over the
     * document's character k-grams, plus the distinct-gram count. Equal
     * fingerprints are dedup candidates; the min-of-hashes is the 1-row

@@ -852,6 +852,17 @@ object Registry {
           0L, 10, 16, 4),
       Some(ivfOracleSql)),
 
+    ("x7b_ann_ivf_index",
+      // The materialized-index form of x7: centroid assignment persisted
+      // partitioned by centroid_id, probe via literal partition pruning
+      // (PartitionFilters on the scan — spec-pinned). Same oracle as x7.
+      (s: SparkSession, dir: String) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-x7b").toString
+        Similarity.ivfIndexTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", 0L, 10, 16, 4, idx + "/index")
+      },
+      Some(ivfOracleSql)),
+
     ("x8_lang_id",
       // Marker-token language ID (argmax score, ties to smallest code).
       (s: SparkSession, dir: String) =>
@@ -965,6 +976,70 @@ object Registry {
         |  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM sc)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
+
+    ("x16_repetition",
+      // Within-doc repetition ratio (Gopher/C4-style boilerplate filter):
+      // 1 - distinct/total word 2-grams, array-local (no explode/shuffle).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.repetitionRatio(Tables.documents(s, dir), 2)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+        |ELSE [] END AS g FROM toks)
+        |SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+        |CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+        |CASE WHEN len(g) = 0 THEN 0.0 ELSE
+        |round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x17_top_ngrams",
+      // Corpus-level top-20 word 2-grams: one explode + one map-side-
+      // combined hash agg + TakeOrderedAndProject.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.topNgrams(Tables.documents(s, dir), 2, 20),
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+        |ELSE [] END) AS ngram FROM toks)
+        |SELECT ngram, count(*) AS occurrences FROM g GROUP BY 1
+        |ORDER BY occurrences DESC, ngram LIMIT 20"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x18_decontaminate",
+      // Benchmark decontamination: distinct 3-gram overlap of each corpus
+      // doc against a (deterministic 10%) benchmark set — broadcast
+      // left-semi on the gram, corpus never shuffles on the gram key.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val bench = graft.operators.Sampling.sample(docs, "doc_id", "bench", 10)
+        val corpus = docs.filter(
+          graft.operators.Sampling.hashBucket(col("doc_id"), "bench", 100) >= 10)
+        Dedup.decontaminate(corpus, bench, "doc_id", "text", 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+        |('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |FROM documents),
+        |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM h WHERE b >= 10),
+        |bt AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM h WHERE b < 10),
+        |cg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS s FROM ct),
+        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS s FROM bt),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+        |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM cg
+        |WHERE s IN (SELECT s FROM bg) GROUP BY 1)
+        |SELECT tot.doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap,
+        |round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams, 4) AS contamination
+        |FROM tot LEFT JOIN ovl USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
 
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +

@@ -76,15 +76,22 @@ object Serving {
     * per-partition count and the downstream action read the cached blocks —
     * no duplicated sort stage, and the blocks are released by the
     * ContextCleaner when the plan is dropped (no persist lifecycle to leak).
+    * `localCheckpoint` blocks are NOT fault-tolerant (an executor loss
+    * fails the job): for cluster runs set
+    * `spark.graft.reliableCheckpoint=true` (plus a `setCheckpointDir`) to
+    * use a reliable `checkpoint` instead — same plan, recomputable blocks.
     * Rank is emitted as LONG — a 32-bit rank would silently wrap past 2^31
     * rows, at odds with the 100-TB framing. */
   def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame = {
     val spark = leaderboard.sparkSession
     val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)
-    val sorted = leaderboard
+    val sorted0 = leaderboard
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint()
+    val sorted =
+      if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+        sorted0.checkpoint()
+      else sorted0.localCheckpoint()
     val withRank = sorted.rdd.zipWithIndex.map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
     }

@@ -143,9 +143,12 @@ object Streaming {
     * id and re-merges only the rest: additive merges converge instead of
     * double-adding — the checkpoint-aligned per-partition commit the
     * reference's 2PC sink achieves transactionally
-    * (XAPostgresSink.java:122-175, SURVEY §7.4). The probe is ONE
-    * `listFiles(path, recursive)` per batch — a single flat prefix LIST on
-    * an object store — not a per-partition round-trip.
+    * (XAPostgresSink.java:122-175, SURVEY §7.4). A sibling ATTEMPT marker
+    * brackets the swap phase, so the probe runs only when a prior attempt
+    * of the same batch crashed mid-swap; when it does run it is ONE
+    * `listFiles(path, recursive)` — a single flat prefix LIST on an object
+    * store. The common (no-crash) path costs zero listings and zero
+    * per-partition reads.
     */
   final class ParquetUpsertSink(path: String, keys: Seq[String],
                                 valueCols: Seq[String], additive: Boolean,
@@ -205,12 +208,25 @@ object Streaming {
 
     /** Stamp every staged leaf dir with the batch epoch — an empty marker
       * file whose NAME carries the value — so the epoch rides the partition
-      * rename atomically and is probed by listing alone. */
-    private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] =
-      leafDirs(f, tmp).map { leaf =>
-        f.create(new Path(leaf, s"_epoch_$batchId"), true).close()
-        leaf
-      }
+      * rename atomically and is probed by listing alone. Creates run on a
+      * bounded pool: they are independent metadata round-trips (object
+      * store PUTs), and a sequential loop over 10^2-10^4 leaf dirs would
+      * serialize the commit path. */
+    private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] = {
+      val leafs = leafDirs(f, tmp)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, math.max(1, leafs.size)))
+      try {
+        leafs.map { leaf =>
+          pool.submit(new java.util.concurrent.Callable[Path] {
+            def call(): Path = {
+              f.create(new Path(leaf, s"_epoch_$batchId"), true).close()
+              leaf
+            }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+    }
 
     /** All on-disk partition epochs in ONE recursive listing (a single flat
       * prefix LIST on an object store — never a per-partition round-trip).
@@ -257,6 +273,15 @@ object Streaming {
         df.join(broadcast(tdf), pcols, "left_semi")
       }
 
+    /** Partitioned write with one file per leaf dir: without the
+      * pre-shuffle on the partition columns, EVERY write task emits a file
+      * into EVERY leaf dir it sees rows for — at 32 tasks × n leaf dirs
+      * that is a 32× small-file explosion the next scan pays for again
+      * (measured: 2.6 s → 90 s on the sf0.01 channel-stats replay). */
+    private def writePartitioned(df: DataFrame, dest: Path): Unit =
+      df.repartition(pcols.map(col): _*)
+        .write.partitionBy(pcols: _*).mode("overwrite").parquet(dest.toString)
+
     def upsert(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
       if (batchId <= committedBatch(spark)) return // replayed batch: no-op
@@ -264,18 +289,28 @@ object Streaming {
       val f = fs(spark)
       val dst = new Path(path)
       val tmp = new Path(path + s".b$batchId")
+      // The attempt marker (a sibling file, NOT inside the state dir)
+      // exists exactly while batch `batchId` has renames in flight: created
+      // before the first rename, deleted after `_committed` advances. Its
+      // presence on entry means a PRIOR attempt of this same batch crashed
+      // mid-swap — only then is the epoch probe needed. The common path
+      // (no crash) costs two metadata ops and ZERO listings.
+      val attempt = new Path(path + s".attempt$batchId")
+      val priorAttempt = f.exists(attempt)
       rawState(spark) match {
         case None =>
-          delta.write.partitionBy(pcols: _*).mode("overwrite")
-            .parquet(tmp.toString)
+          writePartitioned(delta, tmp)
           stampEpochs(f, tmp, batchId)
+          f.create(attempt, true).close()
           f.rename(tmp, dst)
         case Some(cur) =>
           // Touched partition TUPLES (bounded metadata — the partition keys
-          // of one micro-batch, not data). Partitions whose on-disk epoch
-          // already reached this batch were swapped by a crashed earlier
-          // attempt — skip them, so additive merges never double-apply.
-          val epochs = probeEpochs(f, dst)
+          // of one micro-batch, not data). On crash replay, partitions whose
+          // on-disk epoch already reached this batch were swapped by the
+          // crashed attempt — skip them, so additive merges never
+          // double-apply.
+          val epochs =
+            if (priorAttempt) probeEpochs(f, dst) else Map.empty[String, Long]
           val touched = delta.select(pcols.map(col): _*).distinct().collect()
             .map(_.toSeq).toSeq
             .filter(t => epochs.getOrElse(relDir(t), -1L) < batchId)
@@ -285,13 +320,13 @@ object Streaming {
             val merged =
               if (additive) Merge.additiveUpsert(curTouched, pending, keys, valueCols)
               else Merge.replaceUpsert(curTouched, pending, keys)
-            withBucket(merged.select(cols.map(col): _*))
-              .write.partitionBy(pcols: _*).mode("overwrite")
-              .parquet(tmp.toString)
+            writePartitioned(withBucket(merged.select(cols.map(col): _*)), tmp)
             // Swap ONLY the leaf partition dirs the delta touched, each
             // carrying its epoch stamp through the rename.
             val tmpQ = f.makeQualified(tmp).toString
-            stampEpochs(f, tmp, batchId).foreach { leaf =>
+            val stamped = stampEpochs(f, tmp, batchId)
+            f.create(attempt, true).close()
+            stamped.foreach { leaf =>
               val rel = leaf.toString.stripPrefix(tmpQ).stripPrefix("/")
               val dstLeaf = new Path(dst, rel)
               f.mkdirs(dstLeaf.getParent)
@@ -302,6 +337,7 @@ object Streaming {
           }
       }
       writeLong(f, new Path(dst, "_committed"), batchId)
+      f.delete(attempt, false)
     }
   }
 

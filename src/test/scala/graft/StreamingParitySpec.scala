@@ -139,7 +139,7 @@ class StreamingParitySpec extends SparkSpec {
       Seq("b", 5L, 20L)))
   }
 
-  test("epoch probe is ONE FS listing per upsert, even with ~100 partitions") {
+  test("epoch probe: ZERO listings on the normal path, even with ~100 partitions") {
     import spark.implicits._
     val base = tmp("graft-probe")
     val sink = new Streaming.ParquetUpsertSink(base + "/state",
@@ -148,8 +148,10 @@ class StreamingParitySpec extends SparkSpec {
     sink.upsert(many.toDF("k", "v"), 0L) // initial write: no probe needed
     val before = Streaming.epochProbeListings.get()
     sink.upsert(many.toDF("k", "v"), 1L) // touches all 100 partitions
-    assert(Streaming.epochProbeListings.get() - before === 1L,
-      "a 100-partition upsert must issue exactly one epoch-probe listing")
+    assert(Streaming.epochProbeListings.get() - before === 0L,
+      "an uncrashed upsert must never probe epochs (no listings, no reads)")
+    // And the attempt marker does not linger after a committed batch.
+    assert(!new java.io.File(base + "/state.attempt1").exists())
     assert(rows(sink.state(spark).get.filter(col("k") === "k42")) ===
       Set(Seq("k42", 2L)))
   }
@@ -208,13 +210,20 @@ class StreamingParitySpec extends SparkSpec {
     val out = hfs.create(
       new org.apache.hadoop.fs.Path(base + "/state/_committed"), true)
     out.write("0".getBytes("UTF-8")); out.close()
+    // A crash mid-swap leaves the batch's attempt marker behind — that is
+    // what tells the replay to probe epochs at all.
+    hfs.create(new org.apache.hadoop.fs.Path(base + "/state.attempt1"), true)
+      .close()
     assert(rows(sink.state(spark).get) ===
       Set(Seq("a", 1L, 11L), Seq("b", 1L, 5L))) // the torn on-disk state
 
     // Replay of batch 1 must apply ONLY to b (a's epoch says done):
-    // exactly-once completion, no double-add on a.
+    // exactly-once completion, no double-add on a — and the epoch probe
+    // runs exactly ONCE (one recursive listing), not per partition.
+    val probesBefore = Streaming.epochProbeListings.get()
     sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
       .toDF("channel", "ts", "messages"), 1L)
+    assert(Streaming.epochProbeListings.get() - probesBefore === 1L)
     assert(rows(sink.state(spark).get) === afterB1)
 
     // And the next batch still applies normally.
@@ -244,6 +253,8 @@ class StreamingParitySpec extends SparkSpec {
     val out = hfs.create(
       new org.apache.hadoop.fs.Path(base + "/state/_committed"), true)
     out.write("0".getBytes("UTF-8")); out.close()
+    hfs.create(new org.apache.hadoop.fs.Path(base + "/state.attempt1"), true)
+      .close() // a crashed attempt leaves its marker
     sink.upsert(Seq(("a", 1L, 1L), ("b", 1L, 2L))
       .toDF("channel", "ts", "messages"), 1L)
     assert(rows(sink.state(spark).get) === afterB1)
