@@ -24,6 +24,19 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Canonical text-normalization key: lowercase, trim, collapse whitespace
+    * runs — the cheap pre-pass that catches trivially-reformatted copies
+    * exact dedup misses. Pure projection (codegen regexp_replace). */
+  def normalizeText(textCol: Column): Column =
+    regexp_replace(lower(trim(textCol)), "\\s+", " ")
+
+  /** Exact dedup on the NORMALIZED content: collapses casing/whitespace
+    * variants into one group. Same one-shuffle hash-agg shape as
+    * [[exactDedup]]. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   // ---- MinHash + LSH near-dup ----
 
   /** MinHash parameters: K signatures split into `Bands` bands of `R` rows.
@@ -297,25 +310,33 @@ object Dedup {
     * corpus doc, how many of its distinct word n-grams also occur in the
     * benchmark set, and what share of the doc that is.
     *
-    * Scale shape: the benchmark gram set is tiny relative to the corpus
-    * (eval suites, not training data) — it is deduped and BROADCAST, so
-    * the corpus side is one explode + broadcast left-semi + one hash agg:
-    * the 100-TB corpus never shuffles on the gram key. Docs shorter than
-    * n tokens have no grams and are (by definition) uncontaminated — they
-    * do not appear in the output, mirroring the oracle.
+    * Scale shape — ONE shuffle total: per-doc distinct grams are computed
+    * ARRAY-LOCALLY (`array_distinct`, no distinct shuffle), exploded, and
+    * marked against the BROADCAST benchmark gram set (eval suites are tiny
+    * relative to training corpora) with a left-outer hash join; a single
+    * map-side-combined hash aggregate on the doc id then counts total and
+    * hit grams together. The 100-TB corpus never shuffles on the gram key.
+    * Docs shorter than n tokens have no grams and are (by definition)
+    * uncontaminated — they do not appear in the output, mirroring the
+    * oracle.
     *
     * Output: (idCol, n_grams, n_overlap, contamination ∈ [0,1], 4 dp). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    val cg = shingles(corpus, idCol, textCol, n)
-    val bg = shingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
-    val tot = cg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val ovl = cg.join(broadcast(bg), Seq("shingle"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    tot.join(ovl, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
-          col("n_grams"), 4).as("contamination"))
+    def distinctGrams(df: DataFrame) = df
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.gramArray(col("_toks"), n)))
+          .as("shingle"))
+    val bg = distinctGrams(bench).select(col("shingle")).distinct()
+      .withColumn("_hit", lit(1))
+    distinctGrams(corpus)
+      .join(broadcast(bg), Seq("shingle"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
   }
 }

@@ -43,4 +43,27 @@ object Sampling {
     * `pct` of 100. */
   def sample(df: DataFrame, idCol: String, salt: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 100) < pct)
+
+  /** Stratified cap: keep at most `k` rows per group, selected by
+    * deterministic hash order (then id as tie-break) — the corpus
+    * rebalancing step that stops one source/language from dominating a
+    * training mix, reproducible across runs and partitionings like
+    * [[sample]].
+    *
+    * Scale shape: ONE shuffle on the group key + a windowed row_number
+    * within each group partition — no global window, no driver state. A
+    * pathologically hot group concentrates in one task; cap semantics
+    * require seeing the group together, and the per-row state is one
+    * counter, so the task is scan-bound, not memory-bound. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  salt: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(Dedup.shingleHash(
+        concat(lit(salt + ":"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

@@ -124,8 +124,9 @@ object TextAnalysis {
 
   /** Word n-gram array over the materialized token array `toks` —
     * array-local (no explode), shared by [[repetitionRatio]] /
-    * [[topNgrams]]. Empty array when the doc has fewer than n tokens. */
-  private def gramArray(toks: Column, n: Int): Column =
+    * [[topNgrams]] / [[Dedup.decontaminate]]. Empty array when the doc has
+    * fewer than n tokens. */
+  private[operators] def gramArray(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))

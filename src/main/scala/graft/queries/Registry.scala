@@ -1041,6 +1041,34 @@ object Registry {
         |FROM tot LEFT JOIN ovl USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    ("x19_cap_per_group",
+      // Stratified cap: at most 50 docs per language stratum, picked by
+      // deterministic hash order — corpus rebalancing (one shuffle +
+      // windowed row_number, no global window).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.capPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("lang"), "doc_id", "cap", 50)
+          .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, lang,
+        |('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 50 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x20_norm_dedup",
+      // Exact dedup on NORMALIZED text (lowercase, trim, collapsed
+      // whitespace): catches trivially-reformatted copies; same
+      // one-shuffle hash-agg shape as x1.
+      (s: SparkSession, dir: String) =>
+        Dedup.normalizedDedup(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("content_hash")),
+      Some("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) " +
+        "AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY content_hash")),
+
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +
       // deterministic fake featurizer (codec stub documented in

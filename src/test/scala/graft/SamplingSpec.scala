@@ -43,6 +43,22 @@ class SamplingSpec extends SparkSpec {
     assert(s10.join(s50, Seq("doc_id"), "left_anti").count() === 0L)
   }
 
+  test("capPerGroup: at most k per group, partitioning-independent, deterministic") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}"))
+    val df = rows.toDF("doc_id", "grp")
+    val capped = Sampling.capPerGroup(df, Seq("grp"), "doc_id", "cap", 10)
+    val byGroup = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup === Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+    // Same selection no matter how the input is partitioned.
+    val repart = Sampling.capPerGroup(df.repartition(7), Seq("grp"), "doc_id",
+      "cap", 10)
+    assertSameRows(capped, repart)
+    // And the kept rows are a subset of the input (a filter, not a rewrite).
+    assert(capped.join(df, Seq("doc_id", "grp"), "left_anti").count() === 0L)
+  }
+
   test("tfIdf: hand-computed fixture, top-k cut and tie-break") {
     import spark.implicits._
     // 4 docs; "common" appears in all (idf=0 → score 0), "rare" in one.
