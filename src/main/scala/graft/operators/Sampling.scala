@@ -66,4 +66,31 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Deterministic sequence packing — assign documents to fixed
+    * token-budget training sequences: within each shard (the partition
+    * key, e.g. language or a hash shard), documents are ordered by
+    * (salted hash, id) and packed greedily by EXCLUSIVE prefix token sum,
+    * `seq_id = prefix_tokens div budget`. A document whose tokens straddle
+    * the boundary belongs to the sequence its first token lands in
+    * (truncation/continuation is the trainer's concern).
+    *
+    * Scale shape: ONE shuffle on the shard key + a running-sum window per
+    * shard — no global sort or window, no driver state; the deterministic
+    * hash order makes packing reproducible across runs and partitionings
+    * (same property as [[split]]). Output adds (n_tokens, seq_id,
+    * seq_offset). */
+  def packSequences(df: DataFrame, shardCols: Seq[String], idCol: String,
+                    tokensCol: String, salt: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCols.map(col): _*)
+      .orderBy(Dedup.shingleHash(
+        concat(lit(salt + ":"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_prefix", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"_prefix div $budget"))
+      .withColumn("seq_offset", expr(s"_prefix % $budget"))
+      .drop("_prefix")
+  }
 }

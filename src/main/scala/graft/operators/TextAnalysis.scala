@@ -163,6 +163,44 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** PII patterns for [[piiScrub]] — deliberately conservative,
+    * dialect-portable regexes (same semantics under Java regex and RE2,
+    * the two engines the oracle parity spans). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII scrubbing — the redaction pass every pre-training pipeline runs:
+    * count and replace emails/phones/IPs with typed placeholder tokens.
+    * Pure projection (codegen `regexp_count`/`regexp_replace` chains), no
+    * shuffle; the scrubbed text is surfaced as an md5 so the full replaced
+    * content is oracle-checked without shipping it. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("int").as(s"n_$name")
+    }
+    docs.select(col("doc_id") +: counts :+ md5(scrubbed).as("scrubbed_hash"): _*)
+  }
+
+  /** α-smoothed mixture weights per corpus facet — the data-mixing recipe
+    * (sample source s proportionally to (n_s/N)^α) used to rebalance web
+    * vs curated sources in LLM training mixes. One hash agg + a broadcast
+    * 1-row total; output is one row per facet. */
+  def mixtureWeights(docs: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("_n"))
+    val raw = counts.crossJoin(broadcast(total))
+      .withColumn("_w", pow(col("n_docs").cast("double") / col("_n"), alpha))
+    val z = raw.agg(sum(col("_w")).as("_z"))
+    raw.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n_docs"),
+        round(col("_w") / col("_z"), 6).as("weight"))
+  }
+
   /** Document fingerprint (winnowing-lite): minimum 32-bit hash over the
     * document's character k-grams, plus the distinct-gram count. Equal
     * fingerprints are dedup candidates; the min-of-hashes is the 1-row

@@ -1069,6 +1069,57 @@ object Registry {
         "AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY content_hash")),
 
+    ("x21_pii_scrub",
+      // PII redaction pass: count + replace emails/phones/IPs with typed
+      // placeholders; pure projection, scrubbed text verified via md5.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.piiScrub(Tables.documents(s, dir)).orderBy(col("doc_id")),
+      Some {
+        val Seq(em, ph, ip) = TextAnalysis.piiPatterns.map(_._2)
+        val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"
+        s"SELECT doc_id, " +
+          s"CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email, " +
+          s"CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phone, " +
+          s"CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip, " +
+          s"md5($scrub) AS scrubbed_hash FROM documents ORDER BY doc_id"
+      }),
+
+    ("x22_pack_sequences",
+      // Deterministic sequence packing: per-language shards, docs in
+      // salted-hash order, exclusive prefix token sum div 512-token budget.
+      (s: SparkSession, dir: String) => {
+        val withTok = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+        graft.operators.Sampling.packSequences(
+          withTok, Seq("lang"), "doc_id", "n_tokens", "pack", 512L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+        |('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST(prefix // 512 AS BIGINT) AS seq_id,
+        |CAST(prefix % 512 AS BIGINT) AS seq_offset FROM p ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x23_mixture_weights",
+      // α-smoothed (α=0.3) per-source sampling weights for the training
+      // mix: one hash agg + two broadcast scalars.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.mixtureWeights(Tables.documents(s, dir), "source", 0.3)
+          .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS n FROM c),
+        |r AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE) / n, 0.3) AS w FROM c, t),
+        |z AS (SELECT sum(w) AS z FROM r)
+        |SELECT source, n_docs, round(w / z, 6) AS weight FROM r, z
+        |ORDER BY source""".stripMargin.replace("\n", " "))),
+
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +
       // deterministic fake featurizer (codec stub documented in
