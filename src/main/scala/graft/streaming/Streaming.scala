@@ -463,6 +463,66 @@ object Streaming {
     sink.state(spark).get
   }
 
+  /** The reference's actual topology: ONE job running all five stat
+    * branches live (EmoteAnalyser.java:80-151 — channel, user, emote,
+    * user-emote, phrase). Here: five concurrent streaming queries in one
+    * SparkSession — two update-mode windowed grains off the message
+    * stream, three additive delta grains off the document stream — each
+    * with its own checkpoint and its own upsert sink under `base`.
+    * Concurrency is the point: the branches share the session's scheduler
+    * exactly as the reference's branches share one Flink job graph.
+    * Returns the five final state tables keyed by grain name. */
+  def runAllStats(spark: SparkSession, dir: String, base: String,
+                  windowMs: Long, dict: () => DataFrame,
+                  phrases: () => Seq[graft.Tables.Phrase]): Map[String, DataFrame] = {
+    val msgs = messagesStream(spark, dir).withWatermark("ts", "24 hours")
+    val docs = documentsStream(spark, dir).select(
+      col("lang").as("channel"), col("source").as("username"), col("text"))
+
+    val channelSink = new ParquetUpsertSink(s"$base/channel", Seq("channel", "ts"),
+      Seq("messages"), additive = false, tsBucket = Some(("ts", DayMillis)))
+    val userSink = new ParquetUpsertSink(s"$base/user",
+      Seq("channel", "username", "ts"), Seq("messages"),
+      additive = false, tsBucket = Some(("ts", DayMillis)))
+    val emoteSink = new ParquetUpsertSink(s"$base/emote", Seq("channel", "emote"),
+      Seq("occurrences"), additive = true)
+    val userEmoteSink = new ParquetUpsertSink(s"$base/user_emote",
+      Seq("channel", "emote", "username"), Seq("occurrences"), additive = true)
+    val phraseSink = new ParquetUpsertSink(s"$base/phrase",
+      Seq("channel", "phrase_name"), Seq("matches"), additive = true)
+
+    def updateQuery(out: DataFrame, sink: ParquetUpsertSink, ckpt: String) =
+      out.writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/$ckpt.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    def appendQuery(f: DataFrame => DataFrame, sink: ParquetUpsertSink,
+                    ckpt: String) =
+      docs.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/$ckpt.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(f(b), id) }
+        .start()
+
+    val queries = Seq(
+      updateQuery(StatsPipeline.channelStats(msgs, windowMs), channelSink, "channel"),
+      updateQuery(StatsPipeline.userStats(msgs, windowMs), userSink, "user"),
+      appendQuery(b => StatsPipeline.emoteStats(
+        StatsPipeline.extractEmotes(b, dict())), emoteSink, "emote"),
+      appendQuery(b => StatsPipeline.userEmoteStats(
+        StatsPipeline.extractEmotes(b, dict())), userEmoteSink, "user_emote"),
+      appendQuery(b => StatsPipeline.phraseStats(
+        StatsPipeline.matchPhrases(b, phrases(), "text")), phraseSink, "phrase"))
+    queries.foreach(_.awaitTermination())
+    Map(
+      "channel" -> channelSink.state(spark).get,
+      "user" -> userSink.state(spark).get,
+      "emote" -> emoteSink.state(spark).get,
+      "user_emote" -> userEmoteSink.state(spark).get,
+      "phrase" -> phraseSink.state(spark).get)
+  }
+
   /** S6: matched-message log sink — append-only side output of full message
     * rows for logged phrases (MessagesMatchingPhraseExporter.java:43-50). */
   def runMatchedMessageLog(spark: SparkSession, stream: DataFrame,

@@ -59,6 +59,31 @@ class SamplingSpec extends SparkSpec {
     assert(capped.join(df, Seq("doc_id", "grp"), "left_anti").count() === 0L)
   }
 
+  test("packSequences: exclusive prefix sum, boundary straddle, shard isolation") {
+    import spark.implicits._
+    // One shard; hash order is deterministic but opaque, so feed equal
+    // token counts and check the packing arithmetic, not the order.
+    val docs = (0L until 6L).map(i => (i, "s", 30)).toDF("doc_id", "shard", "n_tokens")
+    val packed = Sampling.packSequences(docs, Seq("shard"), "doc_id",
+      "n_tokens", "pack", 100L).collect()
+    // 30-token docs into a 100 budget: prefixes 0,30,60,90,120,150 →
+    // seq ids 0,0,0,0,1,1; the 4th doc STRADDLES (offset 90) and belongs
+    // to sequence 0 where its first token lands.
+    val seqIds = packed.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(seqIds === Seq((0L, 0L), (0L, 30L), (0L, 60L), (0L, 90L),
+      (1L, 20L), (1L, 50L)))
+    // Shards pack independently: duplicating the docs into a second shard
+    // yields the same ids/offsets per shard.
+    val two = docs.unionByName(docs.withColumn("shard", lit("t")))
+    val byShard = Sampling.packSequences(two, Seq("shard"), "doc_id",
+      "n_tokens", "pack", 100L).collect()
+      .groupBy(_.getAs[String]("shard"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+        .sortBy(t => (t._1, t._2)).toSeq).toMap
+    assert(byShard("s") === byShard("t"))
+  }
+
   test("tfIdf: hand-computed fixture, top-k cut and tie-break") {
     import spark.implicits._
     // 4 docs; "common" appears in all (idf=0 → score 0), "rare" in one.

@@ -336,6 +336,24 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("five-branch job: all stat grains run concurrently and match their batch twins") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-allstats")
+    val out = Streaming.runAllStats(spark, dir, base, W,
+      () => Tables.emoteDict(spark, dir), () => Tables.phrases)
+
+    val msgs = Tables.messages(spark, dir)
+    val docs = Tables.documents(spark, dir).select(
+      col("lang").as("channel"), col("source").as("username"), col("text"))
+    val emotes = StatsPipeline.extractEmotes(docs, Tables.emoteDict(spark, dir))
+    assertSameRows(out("channel"), StatsPipeline.channelStats(msgs, W))
+    assertSameRows(out("user"), StatsPipeline.userStats(msgs, W))
+    assertSameRows(out("emote"), StatsPipeline.emoteStats(emotes))
+    assertSameRows(out("user_emote"), StatsPipeline.userEmoteStats(emotes))
+    assertSameRows(out("phrase"), StatsPipeline.phraseStats(
+      StatsPipeline.matchPhrases(docs.drop("username"), Tables.phrases, "text")))
+  }
+
   test("S6: matched-message log sink appends logged phrases only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Behavior pins for the text-pipeline operators whose interesting cases
+  * the synthetic corpus does not exercise (it contains no PII and no
+  * near-identical reformatted copies). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("piiScrub: counts and redacts emails/phones/IPs (synthetic rows)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice@test.org today"),
+      (2L, "call 555-123-4567 from 10.0.0.1 please"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_email") === 2)
+    assert(out(0).getAs[Int]("n_phone") === 0)
+    assert(out(1).getAs[Int]("n_phone") === 1)
+    assert(out(1).getAs[Int]("n_ip") === 1)
+    assert(out(2).getAs[Int]("n_email") + out(2).getAs[Int]("n_phone") +
+      out(2).getAs[Int]("n_ip") === 0)
+    // The hash equals md5 of the text with placeholders substituted — the
+    // scrub really rewrites, not just counts.
+    val expected = spark.sql(
+      "SELECT md5('call <PHONE> from <IP> please') AS h").head.getString(0)
+    assert(out(1).getAs[String]("scrubbed_hash") === expected)
+    // An un-redacted doc hashes to its original text.
+    val plain = spark.sql(
+      "SELECT md5('nothing sensitive here') AS h").head.getString(0)
+    assert(out(2).getAs[String]("scrubbed_hash") === plain)
+  }
+
+  test("normalizedDedup collapses casing/whitespace variants exact dedup misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO\tWORLD "),
+      (4L, "something else")).toDF("doc_id", "text")
+    val exact = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(exact.count() === 4) // byte-identical only — no collapse
+    val norm = Dedup.normalizedDedup(docs, "doc_id", "text").collect()
+    assert(norm.length === 2)
+    val grp = norm.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(grp === Map(1L -> 3L, 4L -> 1L)) // min id canonical, 3 variants
+  }
+
+  test("mixtureWeights: alpha flattens the source distribution, weights sum to 1") {
+    import spark.implicits._
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "src")
+    val w = TextAnalysis.mixtureWeights(docs, "src", 0.3).collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-5)
+    // alpha=0.3 compresses the 9:1 count ratio to 9^0.3 ≈ 1.93:1.
+    val ratio = w("big") / w("small")
+    assert(math.abs(ratio - math.pow(9.0, 0.3)) < 1e-3)
+  }
+
+  test("repetitionRatio: repeated bigrams raise the ratio; short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all distinct words here"),
+      (3L, "one")).toDF("doc_id", "text") // too short for a bigram
+    val out = TextAnalysis.repetitionRatio(docs, 2).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_grams") === 5)
+    assert(out(0).getAs[Int]("n_distinct") === 2)
+    assert(out(0).getAs[Double]("rep_ratio") === 0.6)
+    assert(out(1).getAs[Double]("rep_ratio") === 0.0)
+    assert(out(2).getAs[Int]("n_grams") === 0)
+    assert(out(2).getAs[Double]("rep_ratio") === 0.0)
+  }
+
+  test("decontaminate: overlap counts against a benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),   // grams incl "the quick brown"
+      (2L, "completely unrelated text content here"),
+      (3L, "to be")).toDF("doc_id", "text")     // too short for a 3-gram
+    val bench = Seq(
+      (100L, "the quick brown fox ran")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    // doc 1: 4 grams, 2 shared ("the quick brown", "quick brown fox").
+    assert(out.length === 2) // doc 3 has no grams → absent
+    assert(out(0).getAs[Long]("n_grams") === 4L)
+    assert(out(0).getAs[Long]("n_overlap") === 2L)
+    assert(out(0).getAs[Double]("contamination") === 0.5)
+    assert(out(1).getAs[Long]("n_overlap") === 0L)
+  }
+}
