@@ -773,6 +773,18 @@ object Registry {
           |FROM m WHERE matches > 0 GROUP BY 1, 2 ORDER BY channel, phrase_name"""
           .stripMargin.replace("\n", " "))),
 
+    ("s7_stream_dedup",
+      // Streaming exact dedup: dropDuplicates state emits each distinct
+      // payload hash exactly once across all micro-batches; the streamed
+      // distinct set must equal the batch DISTINCT.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-s7").toString
+        graft.streaming.Streaming.runStreamDedup(s, dir, base + "/dedup")
+          .orderBy(col("content_hash"))
+      },
+      Some("SELECT DISTINCT md5(props) AS content_hash FROM events " +
+        "ORDER BY content_hash")),
+
     // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)

@@ -523,6 +523,29 @@ object Streaming {
       "phrase" -> phraseSink.state(spark).get)
   }
 
+  /** Streaming exact dedup — `dropDuplicates` on the content hash with
+    * Spark's built-in dedup state: each distinct payload is emitted exactly
+    * once across ALL micro-batches (the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]]'s grouping key). State holds one
+    * entry per distinct key — inherent to exact streaming dedup; bound it
+    * with `dropDuplicatesWithinWatermark` when keys have bounded lifetime.
+    * The sink is append-only: cross-batch duplicates never reach it. */
+  def runStreamDedup(spark: SparkSession, dir: String, sinkPath: String): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .withColumn("content_hash", md5(col("props")))
+      .dropDuplicates("content_hash")
+      .select(col("content_hash"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(sinkPath)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkPath)
+  }
+
   /** S6: matched-message log sink — append-only side output of full message
     * rows for logged phrases (MessagesMatchingPhraseExporter.java:43-50). */
   def runMatchedMessageLog(spark: SparkSession, stream: DataFrame,

@@ -336,6 +336,48 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("restart-resume: a second run over the same checkpoint processes only new files") {
+    import spark.implicits._
+    // Simulates a stopped-and-restarted production job: run 1 drains file A
+    // (AvailableNow), the job exits; file B lands; run 2 resumes from the
+    // SAME checkpoint and sink. The aggregation state rides the checkpoint
+    // across the restart, so a window updated by B's late row re-emits its
+    // ABSOLUTE count (including A's contribution) and the replace-upsert
+    // converges to exactly the batch result over A ∪ B.
+    val base = tmp("graft-restart")
+    val landing = new java.io.File(base + "/landing"); landing.mkdirs()
+    val a = Seq((1000L, "a", "u1", "m"), (2000L, "b", "u2", "m"))
+    val b = Seq((900001L, "a", "u1", "m"), (3000L, "a", "u3", "late"))
+    def land(rows: Seq[(Long, String, String, String)], name: String): Unit =
+      msgsDF(rows).coalesce(1).write.mode("overwrite")
+        .parquet(base + s"/stage-$name")
+        .ensuring { _ =>
+          val f = new java.io.File(base + s"/stage-$name").listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(landing, s"$name.parquet").toPath)
+          true
+        }
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = false,
+      tsBucket = Some(("ts", Streaming.DayMillis)))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(msgsDF(a).schema)
+        .parquet(landing.toString)
+      val q = StatsPipeline.channelStats(stream, W).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (d: DataFrame, id: Long) => sink.upsert(d, id) }
+        .start()
+      q.awaitTermination()
+    }
+    land(a, "a"); runOnce()
+    land(b, "b"); runOnce()
+    assertSameRows(sink.state(spark).get,
+      StatsPipeline.channelStats(msgsDF(a ++ b), W))
+  }
+
   test("five-branch job: all stat grains run concurrently and match their batch twins") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-allstats")
