@@ -201,6 +201,21 @@ object TextAnalysis {
         round(col("_w") / col("_z"), 6).as("weight"))
   }
 
+  /** Exact length quantiles per corpus facet — the distribution check run
+    * before picking truncation/packing budgets. Uses Spark's exact
+    * `percentile` (linear interpolation at rank p·(n-1), the same
+    * definition as DuckDB's `quantile_cont`, so the oracle matches
+    * bitwise after rounding). One hash agg; for 100-TB corpora swap in
+    * `percentile_approx` per partition — the operator shape is identical. */
+  def lengthQuantiles(docs: DataFrame, ps: Seq[Double]): DataFrame = {
+    val qcols = ps.map(p =>
+      round(expr(s"percentile(_ntok, $p)"), 4).as(s"p${(p * 100).toInt}"))
+    val aggs = count(lit(1)).as("n_docs") +: qcols
+    docs.select(col("lang"), size(tokens(col("text"))).as("_ntok"))
+      .groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Document fingerprint (winnowing-lite): minimum 32-bit hash over the
     * document's character k-grams, plus the distinct-gram count. Equal
     * fingerprints are dedup candidates; the min-of-hashes is the 1-row

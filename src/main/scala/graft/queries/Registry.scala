@@ -1132,6 +1132,23 @@ object Registry {
         |SELECT source, n_docs, round(w / z, 6) AS weight FROM r, z
         |ORDER BY source""".stripMargin.replace("\n", " "))),
 
+    ("x24_length_quantiles",
+      // Exact token-length quantiles (p50/p90/p99) per language facet —
+      // Spark exact percentile vs DuckDB quantile_cont (same linear
+      // interpolation), rounded 4 dp on both sides.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.lengthQuantiles(Tables.documents(s, dir),
+          Seq(0.5, 0.9, 0.99))
+          .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ntok
+        |FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |round(quantile_cont(ntok, 0.5), 4) AS p50,
+        |round(quantile_cont(ntok, 0.9), 4) AS p90,
+        |round(quantile_cont(ntok, 0.99), 4) AS p99
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", " "))),
+
     ("m1_media_features",
       // Multimodal plumbing: opaque binary payload + typed metadata +
       // deterministic fake featurizer (codec stub documented in
@@ -1203,6 +1220,36 @@ object Registry {
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10),
+      Some("SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+
+    ("j4_bucketed_top_orders",
+      // j2 through BUCKETED tables: both fact sides persisted bucketed +
+      // bucket-sorted on the order key, so the join itself is co-located —
+      // no Exchange at query time (operators/Bucketing.scala; the
+      // Exchange-free plan is spec-pinned in JoinOpsSpec). Same oracle as
+      // j2 — bucketing must never change results.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-j4").toString
+        val li = graft.operators.Bucketing.bucketTable(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          "graft_j4_lineitem", "l_orderkey", 16, base + "/li")
+        val ord = graft.operators.Bucketing.bucketTable(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          "graft_j4_orders", "o_orderkey", 16, base + "/ord")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
       Some("SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

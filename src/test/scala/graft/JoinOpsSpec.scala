@@ -76,6 +76,32 @@ class JoinOpsSpec extends SparkSpec {
     assertSameRows(bucketed, naive)            // set equality of pairs
   }
 
+  test("bucketed join: Exchange-free on both sides, same result as plain join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val left = (0L until 500L).map(i => (i % 97, i)).toDF("k", "lv")
+    val right = (0L until 300L).map(i => (i % 97, i * 10)).toDF("k", "rv")
+    val bl = graft.operators.Bucketing.bucketTable(left, "graft_bkt_l", "k", 8,
+      dir + "/l")
+    val br = graft.operators.Bucketing.bucketTable(right, "graft_bkt_r", "k", 8,
+      dir + "/r")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bl.join(br, Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // Co-located: the shuffle join runs with NO Exchange anywhere — both
+      // scans report their bucketing and bucket i joins bucket i in place.
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assertSameRows(joined, left.join(right, Seq("k")))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
+
   test("q22 range-join attribution: n_msgs per session equals n_events") {
     import spark.implicits._
     // Messages attributed to their own sessions must reproduce each
