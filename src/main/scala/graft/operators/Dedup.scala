@@ -324,8 +324,7 @@ object Dedup {
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     def distinctGrams(df: DataFrame) = df
-      .select(col(idCol),
-        filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode(array_distinct(TextAnalysis.gramArray(col("_toks"), n)))
           .as("shingle"))

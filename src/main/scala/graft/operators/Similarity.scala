@@ -115,8 +115,14 @@ object Similarity {
     * projection (broadcast centroid literals, argmax — same assignment as
     * [[ivfTopK]]) plus one partitioned write; no shuffle, no crossJoin. */
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                    nCentroids: Int, indexPath: String): Unit = {
-    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
+                    nCentroids: Int, indexPath: String): Unit =
+    buildIvfIndex(embeddings, idCol, vecCol,
+      centroids(embeddings, idCol, vecCol, nCentroids), indexPath)
+
+  private def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                            cents: (Seq[Long], Seq[Seq[Float]]),
+                            indexPath: String): Unit = {
+    val (cids, cvecs) = cents
     val cidLit = typedlit(cids)
     val cvLit = typedlit(cvecs)
     embeddings
@@ -149,8 +155,13 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
-    if (!new java.io.File(indexPath).exists())
-      buildIvfIndex(embeddings, idCol, vecCol, nCentroids, indexPath)
+    // Hadoop FS existence probe: the index may live on any filesystem
+    // (hdfs://, s3a://) — a java.io.File check would always report absent
+    // there and silently rebuild per query.
+    val indexFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    if (!indexFs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+      buildIvfIndex(embeddings, idCol, vecCol, (cids, cvecs), indexPath)
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qv"))
     // nProbe nearest centroids to the query — engine arithmetic over the

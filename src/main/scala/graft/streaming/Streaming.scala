@@ -44,6 +44,18 @@ object Streaming {
   private[graft] val epochProbeListings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Shared bounded pool for per-partition FS metadata ops (epoch stamps):
+    * daemon threads, created once — not per micro-batch. */
+  private lazy val fsPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(32,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-sink-fs")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** The file stream source requires a *directory* to watch
     * (FileStreamSource pins `basePath` to the load path internally), so a
     * single-file table is staged into a fresh landing directory — the same
@@ -149,6 +161,11 @@ object Streaming {
     * `listFiles(path, recursive)` — a single flat prefix LIST on an object
     * store. The common (no-crash) path costs zero listings and zero
     * per-partition reads.
+    *
+    * Format note: epochs are name-encoded (`_epoch_<id>` marker files);
+    * state dirs written by pre-r4 builds carried content-encoded `_epoch`
+    * files the probe does not read — rebuild such state by replay (state
+    * tables are derived data) rather than resuming across the upgrade.
     */
   final class ParquetUpsertSink(path: String, keys: Seq[String],
                                 valueCols: Seq[String], additive: Boolean,
@@ -208,25 +225,19 @@ object Streaming {
 
     /** Stamp every staged leaf dir with the batch epoch — an empty marker
       * file whose NAME carries the value — so the epoch rides the partition
-      * rename atomically and is probed by listing alone. Creates run on a
-      * bounded pool: they are independent metadata round-trips (object
-      * store PUTs), and a sequential loop over 10^2-10^4 leaf dirs would
-      * serialize the commit path. */
-    private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] = {
-      val leafs = leafDirs(f, tmp)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, math.max(1, leafs.size)))
-      try {
-        leafs.map { leaf =>
-          pool.submit(new java.util.concurrent.Callable[Path] {
-            def call(): Path = {
-              f.create(new Path(leaf, s"_epoch_$batchId"), true).close()
-              leaf
-            }
-          })
-        }.map(_.get())
-      } finally pool.shutdown()
-    }
+      * rename atomically and is probed by listing alone. Creates run on the
+      * shared bounded pool: they are independent metadata round-trips
+      * (object store PUTs), and a sequential loop over 10^2-10^4 leaf dirs
+      * would serialize the commit path. */
+    private def stampEpochs(f: FileSystem, tmp: Path, batchId: Long): Seq[Path] =
+      leafDirs(f, tmp).map { leaf =>
+        Streaming.fsPool.submit(new java.util.concurrent.Callable[Path] {
+          def call(): Path = {
+            f.create(new Path(leaf, s"_epoch_$batchId"), true).close()
+            leaf
+          }
+        })
+      }.map(_.get())
 
     /** All on-disk partition epochs in ONE recursive listing (a single flat
       * prefix LIST on an object store — never a per-partition round-trip).
@@ -249,28 +260,45 @@ object Streaming {
       out.toMap
     }
 
-    /** The hive-relative leaf dir a touched-partition tuple lands in (must
-      * render values exactly as `partitionBy` names the dirs). */
+    /** The hive-relative leaf dir a touched-partition tuple lands in —
+      * values rendered EXACTLY as `partitionBy` names the dirs (hive path
+      * escaping for ':'/'%'/'='/etc., the hive default-partition name for
+      * null), or the crash-replay epoch lookup would miss and additive
+      * partitions could double-add. */
     private def relDir(tuple: Seq[Any]): String =
-      pcols.zip(tuple).map { case (c, v) => s"$c=$v" }.mkString("/")
+      pcols.zip(tuple).map { case (c, v) =>
+        val rendered =
+          if (v == null)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v.toString)
+        s"$c=$rendered"
+      }.mkString("/")
 
     /** Restrict `df` to the touched partition tuples. Small sets become a
       * literal predicate over the partition columns — unconditional
       * PartitionFilters at the scan; large sets fall back to a broadcast
-      * left-semi join so the plan never embeds a huge IN literal. */
-    private def touchedOnly(df: DataFrame, tuples: Seq[Seq[Any]]): DataFrame =
+      * left-semi join so the plan never embeds a huge IN literal.
+      * `tupleSchema` is the DELTA's schema for the partition columns — the
+      * tuples' Scala types match it, while the state side may read the
+      * bucket column back narrower (partition inference), so the semi-join
+      * must not type its build side off `df`. Null-safe equality keeps
+      * null-keyed rows (hive default partition) matchable. */
+    private def touchedOnly(df: DataFrame, tuples: Seq[Seq[Any]],
+                            tupleSchema: org.apache.spark.sql.types.StructType): DataFrame =
       if (tuples.lengthCompare(Streaming.MaxLiteralPartitions) <= 0) {
         val cond = tuples.map(t =>
-          pcols.zip(t).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+          pcols.zip(t).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
           .reduce(_ || _)
         df.filter(cond)
       } else {
         val spark = df.sparkSession
-        val schema = df.select(pcols.map(col): _*).schema
         val tdf = spark.createDataFrame(
           spark.sparkContext.parallelize(
-            tuples.map(org.apache.spark.sql.Row.fromSeq), 1), schema)
-        df.join(broadcast(tdf), pcols, "left_semi")
+            tuples.map(org.apache.spark.sql.Row.fromSeq), 1), tupleSchema)
+        val joinCond = pcols.map(c => df(c) <=> tdf(c)).reduce(_ && _)
+        df.join(broadcast(tdf), joinCond, "left_semi")
       }
 
     /** Partitioned write with one file per leaf dir: without the
@@ -284,11 +312,7 @@ object Streaming {
 
     def upsert(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
-      if (batchId <= committedBatch(spark)) return // replayed batch: no-op
-      val delta = withBucket(batch.select(cols.map(col): _*))
       val f = fs(spark)
-      val dst = new Path(path)
-      val tmp = new Path(path + s".b$batchId")
       // The attempt marker (a sibling file, NOT inside the state dir)
       // exists exactly while batch `batchId` has renames in flight: created
       // before the first rename, deleted after `_committed` advances. Its
@@ -296,6 +320,16 @@ object Streaming {
       // mid-swap — only then is the epoch probe needed. The common path
       // (no crash) costs two metadata ops and ZERO listings.
       val attempt = new Path(path + s".attempt$batchId")
+      if (batchId <= committedBatch(spark)) {
+        // Replayed committed batch: no-op — but a crash in the tiny window
+        // between the _committed write and the marker delete leaves the
+        // marker behind; clean it here so it cannot accumulate.
+        f.delete(attempt, false)
+        return
+      }
+      val delta = withBucket(batch.select(cols.map(col): _*))
+      val dst = new Path(path)
+      val tmp = new Path(path + s".b$batchId")
       val priorAttempt = f.exists(attempt)
       rawState(spark) match {
         case None =>
@@ -311,12 +345,15 @@ object Streaming {
           // double-apply.
           val epochs =
             if (priorAttempt) probeEpochs(f, dst) else Map.empty[String, Long]
-          val touched = delta.select(pcols.map(col): _*).distinct().collect()
+          val deltaKeys = delta.select(pcols.map(col): _*)
+          val touched = deltaKeys.distinct().collect()
             .map(_.toSeq).toSeq
             .filter(t => epochs.getOrElse(relDir(t), -1L) < batchId)
           if (touched.nonEmpty) {
-            val pending = touchedOnly(delta, touched).select(cols.map(col): _*)
-            val curTouched = touchedOnly(cur, touched).select(cols.map(col): _*)
+            val pending =
+              touchedOnly(delta, touched, deltaKeys.schema).select(cols.map(col): _*)
+            val curTouched =
+              touchedOnly(cur, touched, deltaKeys.schema).select(cols.map(col): _*)
             val merged =
               if (additive) Merge.additiveUpsert(curTouched, pending, keys, valueCols)
               else Merge.replaceUpsert(curTouched, pending, keys)
@@ -523,14 +560,43 @@ object Streaming {
       "phrase" -> phraseSink.state(spark).get)
   }
 
+  /** Idempotent append sink: appends each batch AT MOST once, tracked by a
+    * committed-batch marker — foreachBatch is at-least-once, so a bare
+    * `mode("append")` write would duplicate a batch replayed after a crash
+    * between the write and the checkpoint commit. The residual window (a
+    * crash between the append and the marker write) re-appends one batch;
+    * close it with a staging-dir + rename when byte-exact replay matters.
+    */
+  final class AppendOnceSink(path: String) {
+    private def fs(spark: SparkSession): FileSystem =
+      FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    private val marker = new Path(path + ".committed")
+    def append(batch: DataFrame, batchId: Long): Unit = {
+      val f = fs(batch.sparkSession)
+      val committed =
+        if (!f.exists(marker)) -1L
+        else {
+          val in = f.open(marker)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        }
+      if (batchId <= committed) return // replayed batch: no-op
+      batch.write.mode("append").parquet(path)
+      val out = f.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Streaming exact dedup — `dropDuplicates` on the content hash with
     * Spark's built-in dedup state: each distinct payload is emitted exactly
     * once across ALL micro-batches (the streaming twin of
     * [[graft.operators.Dedup.exactDedup]]'s grouping key). State holds one
     * entry per distinct key — inherent to exact streaming dedup; bound it
     * with `dropDuplicatesWithinWatermark` when keys have bounded lifetime.
-    * The sink is append-only: cross-batch duplicates never reach it. */
+    * The sink is the [[AppendOnceSink]]: cross-batch duplicates never reach
+    * it, and a crash-replayed batch is not appended twice. */
   def runStreamDedup(spark: SparkSession, dir: String, sinkPath: String): DataFrame = {
+    val sink = new AppendOnceSink(sinkPath)
     val q = eventsStream(spark, dir)
       .withColumn("content_hash", md5(col("props")))
       .dropDuplicates("content_hash")
@@ -538,9 +604,7 @@ object Streaming {
       .writeStream.outputMode("append")
       .option("checkpointLocation", sinkPath + ".ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(sinkPath)
-      }
+      .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
       .start()
     q.awaitTermination()
     spark.read.parquet(sinkPath)

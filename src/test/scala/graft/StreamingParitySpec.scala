@@ -171,6 +171,63 @@ class StreamingParitySpec extends SparkSpec {
       Set(Seq("k0", 2L), Seq(s"k${n - 1}", 2L)))
   }
 
+  test("semi-join fallback works on a TIME-BUCKETED sink (delta long vs inferred int bucket type)") {
+    import spark.implicits._
+    // 30 channels × 10 buckets = 300 touched tuples > MaxLiteralPartitions:
+    // the broadcast semi-join path must survive the state side reading the
+    // bucket partition column back as INT while the delta's is LONG.
+    val base = tmp("graft-semibkt")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = true,
+      tsBucket = Some(("ts", 100L)))
+    val rows300 = for { c <- 0 until 30; b <- 0 until 10 }
+      yield (s"c$c", b * 100L + 5L, 1L)
+    sink.upsert(rows300.toDF("channel", "ts", "messages"), 0L)
+    sink.upsert(rows300.toDF("channel", "ts", "messages"), 1L)
+    val st = sink.state(spark).get
+    assert(st.count() === 300L)
+    assert(rows(st.filter(col("channel") === "c7" && col("ts") === 305L)) ===
+      Set(Seq("c7", 305L, 2L)))
+  }
+
+  test("crash replay with hive-escaped partition values never double-adds") {
+    import spark.implicits._
+    // ':' is hive-escaped in dir names (channel=a%3Ab); the epoch lookup
+    // must render the same escaping or the replay re-merges a partition
+    // that was already swapped.
+    val base = tmp("graft-esc")
+    val sink = new Streaming.ParquetUpsertSink(base + "/state",
+      Seq("channel", "ts"), Seq("messages"), additive = true)
+    sink.upsert(Seq(("a:b", 1L, 10L)).toDF("channel", "ts", "messages"), 0L)
+    sink.upsert(Seq(("a:b", 1L, 1L)).toDF("channel", "ts", "messages"), 1L)
+    assert(rows(sink.state(spark).get) === Set(Seq("a:b", 1L, 11L)))
+    assert(new java.io.File(base + "/state/channel=a%3Ab").isDirectory)
+
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base + "/state"), spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(base + "/state/_committed"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    hfs.create(new org.apache.hadoop.fs.Path(base + "/state.attempt1"), true)
+      .close()
+    sink.upsert(Seq(("a:b", 1L, 1L)).toDF("channel", "ts", "messages"), 1L)
+    assert(rows(sink.state(spark).get) === Set(Seq("a:b", 1L, 11L)),
+      "escaped-dir epoch must be recognized: replay may not double-add")
+  }
+
+  test("AppendOnceSink: a replayed batch is appended at most once") {
+    import spark.implicits._
+    val base = tmp("graft-apponce")
+    val sink = new Streaming.AppendOnceSink(base + "/log")
+    val b0 = Seq("h1", "h2").toDF("content_hash")
+    sink.append(b0, 0L)
+    sink.append(b0, 0L) // crash-replay of a committed batch
+    sink.append(Seq("h3").toDF("content_hash"), 1L)
+    val log = spark.read.parquet(base + "/log")
+    assert(log.count() === 3L)
+    assert(rows(log) === Set(Seq("h1"), Seq("h2"), Seq("h3")))
+  }
+
   test("partial mid-swap crash: only a subset of partitions carry the new epoch; replay completes the rest exactly once") {
     import spark.implicits._
     val base = tmp("graft-partial")
