@@ -215,6 +215,24 @@ class StreamingParitySpec extends SparkSpec {
       "escaped-dir epoch must be recognized: replay may not double-add")
   }
 
+  test("null-safe partition predicates still prune at the scan (PartitionFilters)") {
+    import spark.implicits._
+    // The sink's literal touched-filter uses <=> (null-safe equality);
+    // partition pruning must still turn it into PartitionFilters, or the
+    // state scan would open every partition.
+    val base = tmp("graft-prune")
+    Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 5L))
+      .toDF("channel", "ts", "messages")
+      .write.partitionBy("channel").parquet(base + "/t")
+    val pruned = spark.read.parquet(base + "/t")
+      .filter(col("channel") <=> lit("a") || col("channel") <=> lit("b"))
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("channel"),
+      s"null-safe equality must land in PartitionFilters:\n$scan")
+    assert(pruned.count() === 2L)
+  }
+
   test("AppendOnceSink: a replayed batch is appended at most once") {
     import spark.implicits._
     val base = tmp("graft-apponce")
