@@ -24,27 +24,51 @@ object Merge {
   /** `SET x = x + EXCLUDED.x`: merge a delta into the state additively.
     * Keys absent from one side pass through (sum over the single present
     * value). Equivalent to re-aggregating state ∪ delta — which is exactly
-    * how a distributed engine should run it (no per-row conflict probing). */
+    * how a distributed engine should run it (no per-row conflict probing).
+    * Each merged column is cast back to the STATE's declared type (a blind
+    * long cast would silently truncate fractional value columns on every
+    * merge). */
   def additiveUpsert(state: DataFrame, delta: DataFrame, keys: Seq[String],
                      valueCols: Seq[String]): DataFrame = {
-    val aggs = valueCols.map(c => sum(col(c)).cast("long").as(c))
+    val aggs = valueCols.map(c => sum(col(c)).cast(state.schema(c).dataType).as(c))
     state.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic one-row-per-key view: survivor = lexicographically
+    * smallest by the non-key columns, so a duplicate-key batch resolves
+    * identically on every run and partitioning (a bare `dropDuplicates`
+    * keeps an arbitrary row). Per-key window — partition-parallel. */
+  private def oneRowPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    if (others.isEmpty) df.dropDuplicates(keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(others.map(col(_).asc_nulls_first): _*)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** `SET col = EXCLUDED.col`: delta rows win on key conflict; state rows
     * without a conflicting delta pass through. Idempotent — replaying the
     * same delta yields the same table (the property the streaming upsert
-    * sink relies on, SURVEY.md §7.3). */
-  def replaceUpsert(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
-    state.join(delta.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(delta.select(state.columns.map(col): _*))
+    * sink relies on, SURVEY.md §7.3). A delta carrying several rows for one
+    * key keeps exactly one (deterministic survivor) — without that, the
+    * one-row-per-key upsert invariant would silently break where Postgres'
+    * ON CONFLICT would have errored. */
+  def replaceUpsert(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val d = oneRowPerKey(delta.select(state.columns.map(col): _*), keys)
+    state.join(d.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(d)
+  }
 
-  /** `ON CONFLICT DO NOTHING`: keep existing rows, insert only new keys. */
+  /** `ON CONFLICT DO NOTHING`: keep existing rows, insert only new keys
+    * (deterministic survivor among duplicate-key delta rows). */
   def insertIgnore(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
     state.unionByName(
-      delta.select(state.columns.map(col): _*)
-        .dropDuplicates(keys)
+      oneRowPerKey(delta.select(state.columns.map(col): _*), keys)
         .join(state.select(keys.map(col): _*), keys, "left_anti"))
 }

@@ -31,9 +31,14 @@ object RangeJoin {
                       keys: Seq[String], ptCol: String,
                       startCol: String, endCol: String,
                       bucketMs: Long): DataFrame = {
-    val bucketed = intervals.withColumn("_bkt",
-      explode(sequence(expr(s"$startCol div $bucketMs"),
-        expr(s"($endCol - 1) div $bucketMs"))))
+    // Guard malformed intervals FIRST: [s, e) with e <= s contains nothing,
+    // and an open/sentinel end (e.g. ended_at=0 for a still-open stream)
+    // would otherwise make `sequence` run DESCENDING and explode ~s/bucketMs
+    // rows per bad interval before the containment filter drops them.
+    val bucketed = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_bkt",
+        explode(sequence(expr(s"$startCol div $bucketMs"),
+          expr(s"($endCol - 1) div $bucketMs"))))
     val pts = points.withColumn("_bkt", expr(s"$ptCol div $bucketMs"))
     pts.join(bucketed, keys :+ "_bkt")
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))

@@ -25,6 +25,23 @@ object Registry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch dirs for queries that materialize state (streaming sinks,
+    * the IVF/bucketed indexes): all live under ONE per-process root that a
+    * shutdown hook removes — repeated Verify/Bench runs must not accrete
+    * state tables in /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.walk(r)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Exception => () }
+    }))
+    r
+  }
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   // ---- shared builders (Spark side) ----
 
   private def channelStats(s: SparkSession, dir: String): DataFrame =
@@ -601,7 +618,7 @@ object Registry {
       // final sessions of the finite replay). Must reproduce the batch s10
       // oracle row-for-row.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s10b").toString
+        val base = scratch("s10b")
         graft.streaming.StreamingSessionize.runSessions(
           s, dir, base + "/sessions", 1800000L, NOW + 1800000L)
           .orderBy(col("channel"), col("started_at"))
@@ -702,12 +719,49 @@ object Registry {
       Some("SELECT event_type AS channel, count(*) AS messages FROM events " +
         "GROUP BY 1 ORDER BY channel")),
 
+    ("q19b_insert_ignore",
+      // `ON CONFLICT DO NOTHING` (EmoteExtractor.java:200-202): existing
+      // keys keep their state row; new keys insert with a DETERMINISTIC
+      // survivor among duplicate-key delta rows (lexicographically
+      // smallest values — mirrored by the oracle's row_number pick).
+      (s: SparkSession, dir: String) => {
+        val msgs = Tables.messages(s, dir)
+        def totals(half: DataFrame) =
+          StatsPipeline.allTimeTotals(
+            StatsPipeline.channelStats(half, W), Seq("channel"), "messages")
+        val t2 = T1 + 604800000L
+        val state = totals(msgs.filter(unix_millis(col("ts")) < T1))
+          .filter(col("channel") =!= "click")
+        val delta = totals(msgs.filter(
+            unix_millis(col("ts")) >= T1 && unix_millis(col("ts")) < t2))
+          .unionByName(totals(msgs.filter(unix_millis(col("ts")) >= t2)))
+        graft.operators.Merge.insertIgnore(state, delta, Seq("channel"))
+          .orderBy(col("channel"))
+      },
+      Some {
+        val t2 = T1 + 604800000L
+        s"""WITH state AS (SELECT event_type AS channel, count(*) AS messages
+          |  FROM events WHERE epoch_ms(ts) < $T1 AND event_type <> 'click' GROUP BY 1),
+          |delta AS (
+          |  SELECT event_type AS channel, count(*) AS messages FROM events
+          |    WHERE epoch_ms(ts) >= $T1 AND epoch_ms(ts) < $t2 GROUP BY 1
+          |  UNION ALL
+          |  SELECT event_type AS channel, count(*) AS messages FROM events
+          |    WHERE epoch_ms(ts) >= $t2 GROUP BY 1),
+          |surv AS (SELECT channel, messages FROM (SELECT channel, messages,
+          |  row_number() OVER (PARTITION BY channel ORDER BY messages) AS rn
+          |  FROM delta) WHERE rn = 1)
+          |SELECT * FROM (SELECT * FROM state UNION ALL
+          |  SELECT * FROM surv WHERE channel NOT IN (SELECT channel FROM state))
+          |ORDER BY channel""".stripMargin.replace("\n", " ")
+      }),
+
     ("s5_stream_upsert",
       // Structured Streaming parity (S1 replay source + S4 watermark + A3
       // update mode + S5 idempotent upsert sink): the streamed stats table
       // must equal the batch aggregation (a4) exactly.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s5").toString
+        val base = scratch("s5")
         graft.streaming.Streaming.runChannelStats(
           s, dir, base + "/state", W)
           .orderBy(col("channel"), col("ts"))
@@ -719,7 +773,7 @@ object Registry {
       // dictionary is re-read every micro-batch, per-batch delta counts
       // merged additively (Q19). Must equal the batch a6 aggregation.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-t2").toString
+        val base = scratch("t2")
         graft.streaming.Streaming.runEmoteStats(
           s, dir, base + "/state", () => Tables.emoteDict(s, dir))
           .orderBy(col("channel"), col("emote"))
@@ -734,7 +788,7 @@ object Registry {
       // — update mode, replace-upsert into a (channel, day-bucket)
       // partitioned state table. Must equal the batch a5 aggregation.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s5b").toString
+        val base = scratch("s5b")
         graft.streaming.Streaming.runUserStats(s, dir, base + "/state", W)
           .orderBy(col("channel"), col("username"), col("ts"))
       },
@@ -745,7 +799,7 @@ object Registry {
       // (channel, emote, username) delta counts merged additively. Must
       // equal the batch a7 aggregation.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s5c").toString
+        val base = scratch("s5c")
         graft.streaming.Streaming.runUserEmoteStats(
           s, dir, base + "/state", () => Tables.emoteDict(s, dir))
           .orderBy(col("channel"), col("emote"), col("username"))
@@ -759,7 +813,7 @@ object Registry {
       // merged additively, phrase table re-read per micro-batch. Must equal
       // the batch a8 aggregation.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s5d").toString
+        val base = scratch("s5d")
         graft.streaming.Streaming.runPhraseStats(
           s, dir, base + "/state", () => Tables.phrases)
           .orderBy(col("channel"), col("phrase_name"))
@@ -778,7 +832,7 @@ object Registry {
       // payload hash exactly once across all micro-batches; the streamed
       // distinct set must equal the batch DISTINCT.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-s7").toString
+        val base = scratch("s7")
         graft.streaming.Streaming.runStreamDedup(s, dir, base + "/dedup")
           .orderBy(col("content_hash"))
       },
@@ -869,7 +923,7 @@ object Registry {
       // partitioned by centroid_id, probe via literal partition pruning
       // (PartitionFilters on the scan — spec-pinned). Same oracle as x7.
       (s: SparkSession, dir: String) => {
-        val idx = java.nio.file.Files.createTempDirectory("graft-x7b").toString
+        val idx = scratch("x7b")
         Similarity.ivfIndexTopK(Tables.embeddings(s, dir), "vec_id",
           "embedding", 0L, 10, 16, 4, idx + "/index")
       },
@@ -1232,7 +1286,7 @@ object Registry {
       // Exchange-free plan is spec-pinned in JoinOpsSpec). Same oracle as
       // j2 — bucketing must never change results.
       (s: SparkSession, dir: String) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-j4").toString
+        val base = scratch("j4")
         val li = graft.operators.Bucketing.bucketTable(
           Tables.lineitem(s, dir).select(col("l_orderkey"),
             col("l_extendedprice"), col("l_discount")),

@@ -31,6 +31,45 @@ class JoinOpsSpec extends SparkSpec {
       Seq("c", 500L, "u6", null, null)))
   }
 
+  test("asofBackward carries the matched right ROW atomically (NULL values do not resurrect older rows)") {
+    import spark.implicits._
+    // right: (k, ts=1, v=5) then (k, ts=2, v=NULL). A left point at ts=3
+    // must match the ts=2 row — asof_ts=2 AND v=NULL — not a chimera of
+    // ts=2's timestamp with ts=1's value.
+    val right = Seq((1L, Some(5L)), (2L, None))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+      .select(col("k"), col("ts"), col("v"))
+    val left = Seq(3L).toDF("ts").withColumn("k", lit("a"))
+      .select(col("k"), col("ts"))
+    val out = graft.operators.AsofJoin.asofBackward(
+      left, right, Seq("k"), "ts", Seq("v")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("asof_ts") === 2L)
+    assert(out(0).isNullAt(out(0).fieldIndex("v")),
+      "NULL in the matched right row must stay NULL")
+  }
+
+  test("asofBackward rejects colliding output column names") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L)).toDF("k", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofBackward(df, df, Seq("k"), "ts", Seq("v"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  test("pointInInterval: open/inverted intervals (end <= start) match nothing, cheaply") {
+    import spark.implicits._
+    // An ended_at=0 sentinel (still-open stream) must not explode ~s/bucket
+    // rows; it simply matches no points.
+    val pts = Seq(("a", 1000L)).toDF("channel", "ts")
+    val iv = Seq(("a", 500L, 0L), ("a", 500L, 2000L))
+      .toDF("channel", "started_at", "ended_at")
+    val out = RangeJoin.pointInInterval(pts, iv, Seq("channel"), "ts",
+      "started_at", "ended_at", 1800000L)
+    assert(out.collect().map(_.getAs[Long]("ended_at")).toSeq === Seq(2000L))
+  }
+
   test("pointInInterval: containment semantics, half-open end, exactly-once") {
     import spark.implicits._
     val intervals = Seq(

@@ -54,6 +54,30 @@ class MergePropsSpec extends SparkSpec {
     check("batch-split equivalence", prop)
   }
 
+  test("duplicate-key deltas: one deterministic survivor, invariant preserved") {
+    import spark.implicits._
+    val state = Seq(("k1", 100L), ("k2", 200L)).toDF("k", "v")
+    val delta = Seq(("k1", 2L), ("k1", 1L), ("k3", 9L), ("k3", 8L)).toDF("k", "v")
+    // replace: k1 takes the smallest delta value, exactly one row per key.
+    val replaced = Merge.replaceUpsert(state, delta, Seq("k"))
+    assert(rows(replaced) === Set(Seq("k1", 1L), Seq("k2", 200L), Seq("k3", 8L)))
+    assert(replaced.groupBy("k").count().filter(col("count") > 1).count() === 0L)
+    // insertIgnore: k1 keeps STATE's row; k3 inserts the smallest survivor.
+    assert(rows(Merge.insertIgnore(state, delta, Seq("k"))) ===
+      Set(Seq("k1", 100L), Seq("k2", 200L), Seq("k3", 8L)))
+    // Partitioning-independence of the survivor pick.
+    assert(rows(Merge.replaceUpsert(state, delta.repartition(7), Seq("k"))) ===
+      rows(replaced))
+  }
+
+  test("additiveUpsert preserves fractional value types (no long truncation)") {
+    import spark.implicits._
+    val state = Seq(("k1", 10.5)).toDF("k", "v")
+    val delta = Seq(("k1", 0.25), ("k2", 1.75)).toDF("k", "v")
+    assert(rows(Merge.additiveUpsert(state, delta, Seq("k"), Seq("v"))) ===
+      Set(Seq("k1", 10.75), Seq("k2", 1.75)))
+  }
+
   test("property: replace upsert is idempotent; insertIgnore keeps state") {
     import spark.implicits._
     val genState = Gen.listOfN(8, for {
