@@ -93,12 +93,17 @@ object Tables {
     * (Q2, Q4) don't re-scan `events` for the dimension side every run. */
   private val channelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def channels(spark: SparkSession, dir: String): DataFrame =
+  def channels(spark: SparkSession, dir: String): DataFrame = {
+    // Evict entries of stopped sessions on access: their cached blocks died
+    // with the context, and keeping the map entry would pin dead
+    // SparkSession references for the JVM lifetime.
+    channelsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     channelsCache.getOrElseUpdate((spark, dir),
       events(spark, dir)
         .select(col("event_type").as("channel")).distinct()
         .withColumn("hidden", col("channel") === lit("click"))
         .persist())
+  }
 
   /** Emote dictionary (emotes table, EmoteExtractor.java:264-278):
     * the distinct tokens of documents with source='src0'.

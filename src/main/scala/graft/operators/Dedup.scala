@@ -129,14 +129,16 @@ object Dedup {
     * jaccard rounded to 4 dp.
     *
     * Reused frames (`members`, `shingled`) are `localCheckpoint`ed rather
-    * than persisted: one materialization job each, downstream consumers read
+    * than persisted: one materialization each, downstream consumers read
     * the cached blocks, and the ContextCleaner frees them on GC — no
-    * session-lifetime cache leak (r2's 'already cached' warnings). */
+    * session-lifetime cache leak (r2's 'already cached' warnings). LAZY
+    * checkpoints: materialization happens with the caller's first action,
+    * so merely constructing the plan (graft.Explain) runs no jobs. */
   def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, threshold: Double): DataFrame = {
-    val members = collapseExact(df, idCol, textCol).localCheckpoint()
+    val members = collapseExact(df, idCol, textCol).localCheckpoint(eager = false)
     val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sigs = signatures(shingled, idCol)
 
     // One row per (doc, band): band key = the band's R signature values.
@@ -236,9 +238,9 @@ object Dedup {
     // Same exact-dup collapse + checkpoint discipline as [[minHashNearDup]]:
     // identical texts would otherwise share every prefix shingle (a B²
     // inverted-index blow-up) and leak session-lifetime cache.
-    val members = collapseExact(df, idCol, textCol).localCheckpoint()
+    val members = collapseExact(df, idCol, textCol).localCheckpoint(eager = false)
     val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
     val wN = Window.partitionBy(col(idCol))
@@ -282,11 +284,17 @@ object Dedup {
     * candidate only. No windows, no driver state. */
   def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
                        bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    // Dimensions past the vector length read as '0' bits (ANSI-safe size
+    // guard — a bare element_at would throw INVALID_ARRAY_INDEX under
+    // Spark 4's default ANSI mode for bands*rowsPerBand > dim, where the
+    // oracle's out-of-range NULL maps to '0').
     val bandKeys = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
-        concat((0 until rowsPerBand).map(r =>
-          when(element_at(col(vecCol), j * rowsPerBand + r + 1) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*).as("bk"))
+        concat((0 until rowsPerBand).map { r =>
+          val idx = j * rowsPerBand + r + 1
+          when(size(col(vecCol)) >= idx &&
+            element_at(col(vecCol), idx) >= 0, lit("1")).otherwise(lit("0"))
+        }: _*).as("bk"))
     }: _*)
     val banded = embeddings
       .select(col(idCol), explode(bandKeys).as("b"))

@@ -130,8 +130,16 @@ object Similarity {
       .withColumn("centroid_id", element_at(cidLit,
         array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
       .select(col(idCol), col(vecCol), col("centroid_id"))
+      // One file per centroid partition (see CLAUDE.md / the upsert sink's
+      // writePartitioned): without this pre-shuffle every task fans a file
+      // into every centroid dir.
+      .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(indexPath)
   }
+
+  /** The index's identity: which centroids it was built against. Stored
+    * beside the data so a probe can detect a stale index. */
+  private def indexSignature(cids: Seq[Long]): String = cids.mkString(",")
 
   /** Probe plan over a materialized index (no top-k): scan restricted to
     * the probed centroids by a LITERAL partition predicate — the scan shows
@@ -157,11 +165,25 @@ object Similarity {
     val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
     // Hadoop FS existence probe: the index may live on any filesystem
     // (hdfs://, s3a://) — a java.io.File check would always report absent
-    // there and silently rebuild per query.
+    // there and silently rebuild per query. An EXISTING index is reused
+    // only if its recorded centroid signature matches the current request:
+    // probing a stale index (different nCentroids or changed data) with
+    // fresh probe ids would silently return wrong neighbors.
     val indexFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    if (!indexFs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+    val sigPath = new org.apache.hadoop.fs.Path(indexPath, "_centroids")
+    val onDiskSig =
+      if (!indexFs.exists(sigPath)) None
+      else {
+        val in = indexFs.open(sigPath)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    if (!onDiskSig.contains(indexSignature(cids))) {
       buildIvfIndex(embeddings, idCol, vecCol, (cids, cvecs), indexPath)
+      val out = indexFs.create(sigPath, true)
+      try out.write(indexSignature(cids).getBytes("UTF-8")) finally out.close()
+    }
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qv"))
     // nProbe nearest centroids to the query — engine arithmetic over the

@@ -88,6 +88,12 @@ object StatsPipeline {
     */
   def matchPhrases(messages: DataFrame, phrases: Seq[graft.Tables.Phrase],
                    textCol: String): DataFrame = {
+    // An empty phrase table (T2 refresh may legitimately return none) means
+    // zero matches — never an empty-reduce crash inside a streaming batch.
+    val shaped = messages
+      .withColumn("phrase_name", lit(null).cast("string"))
+      .withColumn("matches", lit(0))
+    if (phrases.isEmpty) return shaped.filter(lit(false))
     val branches = phrases.map { p =>
       val base = messages
         .withColumn("phrase_name", lit(p.name))

@@ -113,21 +113,31 @@ object StreamingSessionize {
     *
     * A finite replay ends with every channel's LAST session still open (no
     * later event ever closes it), so a per-channel FLUSH SENTINEL — one
-    * synthetic event at `flushTs`, later than all data by construction — is
-    * staged after the real files. The sentinel closes the last real session
-    * intra-batch; the sentinel's own 1-event session is the one left open in
-    * state, and is never emitted. This is purely a replay artifact: a
-    * production stream closes sessions by the event-time timeout as the
-    * watermark advances, no sentinels involved. */
+    * synthetic event staged at `flushTs + gapMs` — is appended after the
+    * real files. Placing it a full gap past `flushTs` means any `flushTs`
+    * at-or-after the latest real event GUARANTEES closure (a sentinel at
+    * `flushTs` alone could land within the gap of the last session and
+    * silently merge into it instead). The sentinel closes the last real
+    * session intra-batch; the sentinel's own 1-event session is the one
+    * left open in state, and is never emitted. This is purely a replay
+    * artifact: a production stream closes sessions by the event-time
+    * timeout as the watermark advances, no sentinels involved.
+    *
+    * @param flushTs epoch-ms at or after the latest real event time */
   def runSessions(spark: SparkSession, dir: String, sinkPath: String,
                   gapMs: Long, flushTs: Long): DataFrame = {
     import spark.implicits._
+    // events.parquet is TIMESTAMP(NANOS): the long-read legacy conf must be
+    // on for OUR readStream below — do not rely on a side effect of some
+    // earlier Tables call having set it.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = Streaming.stagedTableDir(dir, "events")
     val chans = graft.Tables.messages(spark, dir)
       .select(col("channel")).distinct().as[String].collect().toSeq
     // Sentinel file in the SAME staged landing dir, same events schema.
     chans.zipWithIndex.map { case (c, i) =>
-      (-1L - i, flushTs * 1000000L, 0L, c, 0.0, "")
+      (-1L - i, (flushTs + gapMs) * 1000000L, 0L, c, 0.0, "")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("append").parquet(staged)
 
@@ -144,6 +154,16 @@ object StreamingSessionize {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkPath)
+    // A degenerate replay (every channel a single never-gapped session that
+    // only the sentinel closes — or no data at all) may close zero
+    // sessions; an empty sink dir must mean an empty table, not a
+    // schema-inference error.
+    val sinkFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(sinkPath), spark.sparkContext.hadoopConfiguration)
+    val hasData = sinkFs.exists(new org.apache.hadoop.fs.Path(sinkPath)) &&
+      sinkFs.listStatus(new org.apache.hadoop.fs.Path(sinkPath))
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(sinkPath)
+    else spark.emptyDataset[Session].toDF()
   }
 }
