@@ -45,8 +45,13 @@ object Tables {
     val path = s"$dir/$table.parquet"
     val df = spark.read.parquet(path)
     val target = spark.sparkContext.defaultParallelism
-    if (new java.io.File(path).length > (256 << 10) &&
-        df.rdd.getNumPartitions < target) df.repartition(target)
+    // Size probe through the Hadoop FS API so the check is honest on any
+    // scheme (file://, hdfs://, s3a://), not just the local driver corpus.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+    if (len > (256 << 10) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
     else df
   }
 

@@ -56,6 +56,16 @@ object Streaming {
         }
       })
 
+  /** Consume a crash-replayed (already committed) micro-batch WITHOUT an
+    * external write. Skipping a replayed batch must still EXECUTE its plan:
+    * upstream stateful operators commit their state-store version as part of
+    * the batch run, and Spark validates that foreachBatch processed the
+    * DataFrame (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise) — a bare
+    * `return` aborts the restarted query. The noop datasource materializes
+    * every row distributed, writes nothing. */
+  private[streaming] def drainReplayedBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+    batch.write.format("noop").mode("overwrite").save()
+
   /** The file stream source requires a *directory* to watch
     * (FileStreamSource pins `basePath` to the load path internally), so a
     * single-file table is staged into a fresh landing directory — the same
@@ -321,10 +331,11 @@ object Streaming {
       // (no crash) costs two metadata ops and ZERO listings.
       val attempt = new Path(path + s".attempt$batchId")
       if (batchId <= committedBatch(spark)) {
-        // Replayed committed batch: no-op — but a crash in the tiny window
-        // between the _committed write and the marker delete leaves the
-        // marker behind; clean it here so it cannot accumulate.
+        // Replayed committed batch: skip the write — but a crash in the tiny
+        // window between the _committed write and the marker delete leaves
+        // the marker behind; clean it here so it cannot accumulate.
         f.delete(attempt, false)
+        Streaming.drainReplayedBatch(batch)
         return
       }
       val delta = withBucket(batch.select(cols.map(col): _*))
@@ -580,7 +591,10 @@ object Streaming {
           try new String(in.readAllBytes(), "UTF-8").trim.toLong
           finally in.close()
         }
-      if (batchId <= committed) return // replayed batch: no-op
+      if (batchId <= committed) { // replayed batch: skip the append
+        Streaming.drainReplayedBatch(batch)
+        return
+      }
       batch.write.mode("append").parquet(path)
       val out = f.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
@@ -611,18 +625,21 @@ object Streaming {
   }
 
   /** S6: matched-message log sink — append-only side output of full message
-    * rows for logged phrases (MessagesMatchingPhraseExporter.java:43-50). */
+    * rows for logged phrases (MessagesMatchingPhraseExporter.java:43-50).
+    * Routed through [[AppendOnceSink]] so a crash-replayed micro-batch does
+    * not duplicate log rows — the idempotence the reference's 2PC sink gives
+    * its side output. */
   def runMatchedMessageLog(spark: SparkSession, stream: DataFrame,
                            phrases: Seq[graft.Tables.Phrase], textCol: String,
                            sinkPath: String): DataFrame = {
+    val sink = new AppendOnceSink(sinkPath)
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", sinkPath + ".ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        StatsPipeline.matchedMessageLog(
-          StatsPipeline.matchPhrases(b, phrases, textCol), phrases)
-          .write.mode("append").parquet(sinkPath)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.append(StatsPipeline.matchedMessageLog(
+          StatsPipeline.matchPhrases(b, phrases, textCol), phrases), id)
       }
       .start()
     q.awaitTermination()

@@ -108,6 +108,23 @@ object StreamingSessionize {
       }
   }
 
+  /** Drains a closed-session stream into `sinkPath` through the
+    * [[Streaming.AppendOnceSink]]: foreachBatch is at-least-once, and a bare
+    * `mode("append")` would double-emit every session of a batch replayed
+    * after a crash between the write and the checkpoint commit. */
+  def writeSessions(out: Dataset[Session], sinkPath: String): Unit = {
+    val sink = new Streaming.AppendOnceSink(sinkPath)
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Session], id: Long) =>
+        sink.append(b.toDF(), id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Finite-replay runner for the registered query: replays the events table
     * through [[sessions]] and returns the closed-session table.
     *
@@ -144,16 +161,7 @@ object StreamingSessionize {
     val stream = spark.readStream.schema(graft.Schemas.events).parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_type").as("channel"), col("ts"))
-    val out = sessions(stream, gapMs)
-    val q = out.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", sinkPath + ".ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Session], _: Long) =>
-        b.write.mode("append").parquet(sinkPath)
-      }
-      .start()
-    q.awaitTermination()
+    writeSessions(sessions(stream, gapMs), sinkPath)
     // A degenerate replay (every channel a single never-gapped session that
     // only the sentinel closes — or no data at all) may close zero
     // sessions; an empty sink dir must mean an empty table, not a

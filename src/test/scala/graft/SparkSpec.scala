@@ -23,6 +23,30 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols = a.columns.sorted.map(org.apache.spark.sql.functions.col).toSeq
     assert(sortedRows(a.select(cols: _*)) === sortedRows(b.select(cols: _*)))
   }
+
+  /** Simulate a crash between a sink's write and the streaming checkpoint
+    * commit: delete the newest batch-commit file so a restart replays that
+    * micro-batch (foreachBatch's at-least-once contract made concrete). */
+  def rollbackLastCommit(ckptDir: String): Unit = {
+    val commits = java.nio.file.Paths.get(ckptDir, "commits")
+    val listing = java.nio.file.Files.list(commits)
+    try {
+      var last: java.nio.file.Path = null
+      var lastId = -1L
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.forall(_.isDigit) && n.toLong > lastId) { lastId = n.toLong; last = p }
+      }
+      assert(last != null, s"no batch commits under $commits")
+      java.nio.file.Files.delete(last)
+      // The local ChecksumFs keeps a `.<name>.crc` sibling; leaving it
+      // behind fails the re-commit rename on restart.
+      java.nio.file.Files.deleteIfExists(
+        last.resolveSibling("." + last.getFileName.toString + ".crc"))
+    } finally listing.close()
+  }
 }
 
 object SparkSpec {

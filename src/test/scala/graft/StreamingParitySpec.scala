@@ -486,4 +486,24 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(log.select(col("phrase_name"), col("text"))) ===
       Set(Seq("A", "foo bar")))
   }
+
+  test("matched-message log: crash-replayed batch never duplicates log rows") {
+    import spark.implicits._
+    val base = tmp("graft-s6-replay")
+    Seq(("c", "u", "foo bar"), ("c", "u", "no match"), ("d", "v", "foo again"))
+      .toDF("channel", "username", "text").write.parquet(base + "/in")
+    val phrases = Seq(Tables.Phrase("A", "foo", None, logMessage = true))
+    def stream = spark.readStream
+      .schema("channel STRING, username STRING, text STRING")
+      .parquet(base + "/in")
+    val first = sortedRows(Streaming.runMatchedMessageLog(
+      spark, stream, phrases, "text", base + "/log"))
+    assert(first.size === 2)
+    // Crash after the sink committed its marker but before the checkpoint
+    // commit: the restart replays the batch; the AppendOnceSink must no-op.
+    rollbackLastCommit(base + "/log.ckpt")
+    val second = sortedRows(Streaming.runMatchedMessageLog(
+      spark, stream, phrases, "text", base + "/log"))
+    assert(second === first, "replayed batch duplicated matched-log rows")
+  }
 }

@@ -52,4 +52,28 @@ class StreamingSessionizeSpec extends SparkSpec {
       Seq("channel"), "ts", 1800000L)
     assertSameRows(streamed, batch)
   }
+
+  test("session sink: crash-replayed batch never duplicates closed sessions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-s10b-replay").toString
+    // gap 5 s: the intra-batch jump 101 s -> 110 s closes [100000, 106000)
+    // immediately; the session opened at 110 s stays in state and is never
+    // emitted here. (ts=0 would be dropped by the initial watermark.)
+    Seq(("c", 100000L), ("c", 101000L), ("c", 110000L))
+      .toDF("channel", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .write.parquet(base + "/in")
+    def closed = StreamingSessionize.sessions(
+      spark.readStream.schema("channel STRING, ts TIMESTAMP")
+        .parquet(base + "/in"), gapMs = 5000L)
+    StreamingSessionize.writeSessions(closed, base + "/sessions")
+    val first = sortedRows(spark.read.parquet(base + "/sessions"))
+    assert(first === Seq(Seq("c", "100000", "106000", "2")))
+    // Crash between the sink's marker commit and the checkpoint commit: the
+    // restart replays the batch; the AppendOnceSink must not re-append.
+    rollbackLastCommit(base + "/sessions.ckpt")
+    StreamingSessionize.writeSessions(closed, base + "/sessions")
+    val second = sortedRows(spark.read.parquet(base + "/sessions"))
+    assert(second === first, "replayed batch duplicated closed sessions")
+  }
 }
