@@ -12,15 +12,42 @@ import org.apache.spark.sql.SparkSession
   *  - the measured action is a `noop`-format write, which materializes every
   *    row of the final plan — unlike `.count()`, under which Catalyst prunes
   *    sort stages and top-N projections;
-  *  - each query is measured THREE times; the headline `queries`/`total`
+  *  - each query is measured FIVE times; the headline `queries`/`total`
   *    report the MEDIAN (one contended pass can no longer paint a false
-  *    regression — r3's q7/q8/q9) and `queries_min` keeps the per-query
-  *    minimum for best-case comparison;
+  *    regression — r3's q7/q8/q9, r5's phantom 18%) and `queries_min` keeps
+  *    the per-query minimum for best-case comparison;
+  *  - a machine-load guard: any OTHER java/sbt process alive during the run
+  *    (the documented no-concurrent-bench rule) flips `load_ok` to false and
+  *    lists the offenders, so a contended run can never be read as a
+  *    regression;
   *  - failures are NOT swallowed: a failed query reports time -1 and its
   *    error class/message in an `errors` object, so a broken query can never
   *    masquerade as a fast one.
   */
 object Bench {
+
+  /** PIDs of java processes that are neither this JVM nor an ancestor
+    * (sbt launcher shells etc.) — concurrent JVMs contend for the same
+    * cores and inflate sub-second query timings several-fold. */
+  private def foreignJavaPids(): Seq[Long] = {
+    val family = scala.collection.mutable.Set.empty[Long]
+    var cur = Option(ProcessHandle.current())
+    while (cur.isDefined) {
+      family += cur.get.pid
+      cur = if (cur.get.parent().isPresent) Some(cur.get.parent().get) else None
+    }
+    val it = ProcessHandle.allProcesses().iterator()
+    val out = Seq.newBuilder[Long]
+    while (it.hasNext) {
+      val p = it.next()
+      val cmd = if (p.info().command().isPresent) p.info().command().get else ""
+      if (!family.contains(p.pid) &&
+          (cmd.endsWith("/java") || cmd.endsWith("/sbt") || cmd == "java" || cmd == "sbt"))
+        out += p.pid
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Match the stated target environment (local[32], 32 shuffle
@@ -44,16 +71,19 @@ object Bench {
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
+    val loadBefore = foreignJavaPids()
     queries.foreach { case (_, fn) => timed(fn) } // warmup
     def median(sorted: Seq[Double]): Double =
       if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     val results = queries.map { case (name, fn) =>
-      val runs = Seq(timed(fn), timed(fn), timed(fn))
+      val runs = Seq.fill(5)(timed(fn))
       val ok = runs.collect { case Right(t) => t }.sorted
       if (ok.nonEmpty) (name, median(ok), ok.head, None)
       else (name, -1.0, -1.0, runs.collectFirst { case Left(e) => e })
     }
+    val foreign = (loadBefore ++ foreignJavaPids()).distinct.sorted
+    val loadOk = foreign.isEmpty
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
@@ -65,7 +95,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"n_failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    val foreignJson = foreign.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"load_ok":$loadOk,"foreign_java_pids":$foreignJson,"n_failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
