@@ -839,6 +839,21 @@ object Registry {
       Some("SELECT DISTINCT md5(props) AS content_hash FROM events " +
         "ORDER BY content_hash")),
 
+    ("s7b_stream_dedup_bounded",
+      // Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+      // evicts a key's state once the watermark passes its event time +
+      // horizon. Input restricted to one horizon (events before
+      // 2024-01-08, 8-day bound) so every duplicate is in-bound and the
+      // oracle is the exact DISTINCT over the slice.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s7b")
+        graft.streaming.Streaming.runStreamDedupBounded(
+          s, dir, base + "/dedup", 1704672000000L, "8 days")
+          .orderBy(col("content_hash"))
+      },
+      Some("SELECT DISTINCT md5(props) AS content_hash FROM events " +
+        "WHERE epoch_ms(ts) < 1704672000000 ORDER BY content_hash")),
+
     // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)

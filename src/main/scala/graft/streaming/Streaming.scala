@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.Schemas
 import graft.operators.Merge
 import graft.pipeline.StatsPipeline
@@ -125,6 +125,35 @@ object Streaming {
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Schemas.documents)
       .parquet(stagedTableDir(dir, "documents"))
+
+  /** S5 production half: the JDBC upsert sink proper — update-mode stats
+    * grains land in a real dashboard store (Postgres in the reference) via
+    * [[JdbcUpsertSink]]'s claim-transaction upserts, the
+    * XAPostgresSink.java:14-274 analog. Config-switched exactly like
+    * [[kafkaMessagesStream]]: the sandbox has no database server or driver
+    * jar, so this wiring is compile-checked here and exercised only on a
+    * real cluster; the parquet [[ParquetUpsertSink]] is the test-time twin
+    * with identical upsert semantics. Returns None unless
+    * `spark.graft.sink=jdbc` is set. */
+  def jdbcUpsertSinkFor(spark: SparkSession, table: String, keys: Seq[String],
+                        valueCols: Seq[String],
+                        additive: Boolean): Option[JdbcUpsertSink] =
+    if (!spark.conf.getOption("spark.graft.sink").contains("jdbc")) None
+    else Some(new JdbcUpsertSink(
+      spark.conf.get("spark.graft.jdbc.url"),
+      table, keys, valueCols, additive,
+      spark.conf.get("spark.graft.jdbc.user", ""),
+      spark.conf.get("spark.graft.jdbc.password", "")))
+
+  /** Drives an update-mode stats stream into a [[JdbcUpsertSink]] — the
+    * production twin of the `updateQuery` wiring in [[runFiveGrainJob]]. */
+  def jdbcUpsertQuery(stats: DataFrame, sink: JdbcUpsertSink,
+                      ckpt: String): StreamingQuery =
+    stats.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+      .start()
 
   /** S5: upsert sink over a PARTITIONED parquet-backed state table.
     * Layout: hive dirs `path/<key0>=<v>/part-*.parquet`, or — with
@@ -614,6 +643,36 @@ object Streaming {
     val q = eventsStream(spark, dir)
       .withColumn("content_hash", md5(col("props")))
       .dropDuplicates("content_hash")
+      .select(col("content_hash"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkPath)
+  }
+
+  /** Watermark-BOUNDED streaming dedup — `dropDuplicatesWithinWatermark`:
+    * where [[runStreamDedup]]'s state grows with ALL distinct keys ever
+    * seen, here a key's state is EVICTED once the watermark passes its
+    * event time plus `horizon`, so state size tracks the horizon's key
+    * cardinality — the right shape when keys have bounded lifetime (a
+    * message id cannot be duplicated a week later). Within the horizon the
+    * semantics are exact distinct: any duplicate arriving inside the bound
+    * is dropped. The replay restricts input to events before
+    * `horizonEndMs` with `horizon` covering the whole slice, so every
+    * duplicate is provably in-bound and the oracle is the plain DISTINCT
+    * over that slice. State eviction is pinned by spec
+    * (StreamingParitySpec), not by this finite replay. */
+  def runStreamDedupBounded(spark: SparkSession, dir: String, sinkPath: String,
+                            horizonEndMs: Long, horizon: String): DataFrame = {
+    val sink = new AppendOnceSink(sinkPath)
+    val q = eventsStream(spark, dir)
+      .filter(col("ts") < timestamp_millis(lit(horizonEndMs)))
+      .withColumn("content_hash", md5(col("props")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
       .select(col("content_hash"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", sinkPath + ".ckpt")

@@ -487,6 +487,40 @@ class StreamingParitySpec extends SparkSpec {
       Set(Seq("A", "foo bar")))
   }
 
+  test("bounded streaming dedup: in-horizon duplicates drop, state evicts past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val deduped = ms.toDF().toDF("k", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm").start()
+
+    // Batch 1: three keys, one IN-HORIZON duplicate of 'a' — dropped.
+    ms.addData(("a", 100000L), ("b", 101000L), ("a", 102000L), ("c", 103000L))
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm").count() === 3)
+
+    // Two far-future events: the first advances the watermark past every
+    // batch-1 expiry (ts + 10 s), the second's batch applies the eviction.
+    ms.addData(("z", 200000L)); q.processAllAvailable()
+    ms.addData(("y", 201000L)); q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows < 5,
+      s"state must evict beyond-horizon keys (a,b,c), found $stateRows rows")
+
+    // 'a' re-sent BEYOND the horizon is a fresh key: state was evicted, so
+    // it re-emits — the documented bounded-lifetime semantics.
+    ms.addData(("a", 202000L)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm").select(col("k")).as[String].collect()
+    assert(out.count(_ == "a") === 2)
+    assert(out.length === 6)
+    spark.sql("DROP TABLE IF EXISTS dedup_wm")
+  }
+
   test("matched-message log: crash-replayed batch never duplicates log rows") {
     import spark.implicits._
     val base = tmp("graft-s6-replay")
