@@ -346,4 +346,67 @@ object Dedup {
         round(col("n_overlap").cast("double") / col("n_grams"), 4)
           .as("contamination"))
   }
+
+  /** Connected components over an undirected pair graph — min-label
+    * propagation to a fixpoint. Near-dup PAIRS are only half the dedup
+    * story: keeping one doc per near-dup CLUSTER needs the transitive
+    * closure (a~b, b~c ⇒ one cluster {a,b,c}), or chained duplicates
+    * survive pairwise filtering.
+    *
+    * Scale shape: each round is ONE equi-join shuffle (edges × labels on
+    * the node key) plus one map-side-combined min aggregate; the labels
+    * frame is node-count sized and the edge list is output-linear from LSH
+    * banding. Rounds needed = component DIAMETER — near-dup clusters are
+    * dense (quasi-cliques), so 2-3 rounds in practice; `maxIter` guards
+    * adversarial chains (a path graph needs O(n) rounds — at web scale with
+    * long chains, switch to large-star/small-star to bound rounds by
+    * O(log n)). Per-round `localCheckpoint` cuts the exponentially-growing
+    * lineage; the driver sees only a converged flag per round (a scalar),
+    * never data.
+    *
+    * Returns (node, label): every endpoint with the minimum id reachable
+    * from it — the component's canonical id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round: scan a materialized edge list
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Push every node's label to its neighbors; keep the per-node min of
+      // (own label, neighbor labels).
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "_prev"), "node")
+        .filter(col("label") =!= col("_prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup CLUSTER assignment over documents: MinHash+LSH pairs
+    * ([[minHashNearDup]]) → connected components → every doc labeled with
+    * its cluster id (the component's min doc id; itself when it has no
+    * near-dup), plus keep=1 on the canonical representative — the row set a
+    * dedup pass would retain. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int, threshold: Double): DataFrame = {
+    val pairs = minHashNearDup(docs, idCol, textCol, shingleK, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col(idCol))
+      .join(comps, docs(idCol) === comps("node"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", (col(idCol) === col("cluster_id")).cast("int"))
+  }
 }

@@ -93,16 +93,18 @@ object Registry {
       |count(*) AS n_events FROM g GROUP BY channel, sid
       |ORDER BY channel, started_at""".stripMargin.replace("\n", " ")
 
-  /** DuckDB twin of [[Dedup.minHashNearDup]] — generated from the same
-    * constants so the signature arithmetic is identical by construction. */
-  private def minHashOracleSql: String = {
+  /** The MinHash pair CTE chain (toks → shingles → signatures → banded
+    * candidates → exact-Jaccard `j`) — generated from the same constants as
+    * [[Dedup.minHashNearDup]] so the signature arithmetic is identical by
+    * construction. Shared by the pair and cluster oracles. */
+  private def minHashPairsCtes: String = {
     val sigExprs = (0 until Dedup.K).map(j =>
       s"min((${Dedup.aCoef(j)}*x + ${Dedup.bCoef(j)}) % ${Dedup.P}) AS s$j").mkString(", ")
     val bandSelects = (0 until Dedup.Bands).map { b =>
       val ks = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(':', $ks) AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
        |  list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
@@ -119,10 +121,32 @@ object Registry {
        |  GROUP BY 1, 2),
        |j AS (SELECT ia AS id_a, ib AS id_b,
        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac FROM inter
-       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
-       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
-       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)"""
+      .stripMargin.replace("\n", " ")
   }
+
+  /** DuckDB twin of [[Dedup.minHashNearDup]]. */
+  private def minHashOracleSql: String =
+    s"WITH $minHashPairsCtes SELECT id_a, id_b, round(jac, 4) AS jaccard " +
+      "FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b"
+
+  /** DuckDB twin of [[Dedup.nearDupClusters]]: same pair CTEs, then the
+    * component min-id via a recursive transitive closure over the
+    * undirected pair graph — DuckDB's exact answer to what the Spark side
+    * computes with min-label propagation. */
+  private def nearDupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(n, r) AS (
+       |  SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+       |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1)
+       |SELECT d.doc_id, coalesce(c.root, d.doc_id) AS cluster_id,
+       |  CAST(d.doc_id = coalesce(c.root, d.doc_id) AS INT) AS keep
+       |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
   /** DuckDB twin of [[Dedup.simHashNearDup]] (32-bit simhash, 4×8-bit
     * bands, Hamming <= 3). */
@@ -879,6 +903,17 @@ object Registry {
         Dedup.minHashNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
           .orderBy(col("id_a"), col("id_b")),
       Some(minHashOracleSql)),
+
+    ("x25_neardup_clusters",
+      // Pairs are half the dedup story: transitive near-dup CLUSTERS via
+      // min-label-propagation connected components over the LSH pair graph
+      // (a~b, b~c ⇒ {a,b,c} one cluster). Every doc labeled with its
+      // cluster's min doc_id; keep=1 marks the canonical survivor. Oracle:
+      // recursive-CTE transitive closure over the same pairs.
+      (s: SparkSession, dir: String) =>
+        Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+          .orderBy(col("doc_id")),
+      Some(nearDupClustersOracleSql)),
 
     ("x3_cosine_topk",
       // Brute-force cosine top-10 against the vec_id=0 query vector

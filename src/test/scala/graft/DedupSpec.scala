@@ -65,4 +65,29 @@ class DedupSpec extends SparkSpec {
       (3L, "long enough to shingle properly here")).toDF("doc_id", "text")
     assert(Dedup.minHashNearDup(df, "doc_id", "text", 3, 0.8).count() === 0L)
   }
+
+  test("connected components: chains close transitively, components stay apart") {
+    import spark.implicits._
+    // Component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): only the transitive
+    // closure puts 4 with 1. {10,11} is separate. 7 never appears.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(rows(comps) === Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L)))
+  }
+
+  test("near-dup clusters: every doc labeled, canonical keeps, chain collapses") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, t), (2L, t + " x"), // near-dups of each other
+      (5L, "completely different text that stands alone in this corpus"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5)
+      .orderBy($"doc_id")
+    assert(rows(out) === Set(
+      Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(5L, 5L, 1)))
+  }
 }
