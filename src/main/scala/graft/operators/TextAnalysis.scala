@@ -234,4 +234,45 @@ object TextAnalysis {
         array_min(transform(col("_g"), g => Dedup.shingleHash(g))).as("fingerprint"),
         size(array_distinct(col("_g"))).cast("long").as("n_grams"))
   }
+
+  /** Token-window chunking — split every document into `chunkSize`-token
+    * windows advancing by `chunkSize - overlap` (the standard
+    * training/RAG pre-pass; overlap keeps boundary context). ALL
+    * array-local: tokenize once, compute the chunk count arithmetically,
+    * slice per chunk inside a `transform`, and `posexplode` — output rows
+    * are chunk-count bounded; nothing shuffles (narrow transform end to
+    * end). A doc shorter than one stride still yields its single
+    * (possibly short) chunk, so no document silently disappears.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk_text). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_n", greatest(lit(1L),
+        ceil((size(col("_t")) - overlap) / lit(stride.toDouble)).cast("long")))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0L), col("_n") - 1),
+          i => slice(col("_t"), (i * stride + 1).cast("int"), lit(chunkSize)))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Boilerplate detection — the C4-style cross-document repeated-segment
+    * pass: chunk the corpus ([[chunk]], overlap 0 so occurrences count
+    * cleanly) and keep every chunk text that occurs more than once, with
+    * how many documents carry it. One map-side-combined hash aggregate on
+    * the chunk hash after the narrow chunking projection; at 100 TB this
+    * is the exact-dedup shuffle shape on chunk grain.
+    *
+    * Output: (chunk_hash, n_docs, n_occurrences). */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int): DataFrame =
+    chunk(docs, idCol, textCol, chunkSize)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
 }

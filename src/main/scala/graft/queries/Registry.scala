@@ -915,6 +915,43 @@ object Registry {
           .orderBy(col("doc_id")),
       Some(nearDupClustersOracleSql)),
 
+    ("x26_chunks",
+      // Token-window chunking (16-token windows, 4-token overlap): the
+      // training/RAG segmentation pre-pass. Narrow transform end to end —
+      // tokenize, arithmetic chunk count, array slices, posexplode.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text", 16, 4)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  greatest(1, CAST(ceil((len(t) - 4) / 12.0) AS BIGINT)) AS nc FROM toks),
+        |c AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(t, ci*12 + 1, ci*12 + 16)) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(t, ci*12 + 1, ci*12 + 16), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
+
+    ("x27_boilerplate",
+      // Cross-document repeated-segment detection (C4-style boilerplate
+      // pass): 6-token chunks occurring more than once, with the distinct
+      // document count. One hash aggregate on the chunk hash.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.boilerplate(Tables.documents(s, dir), "doc_id", "text", 6)
+          .orderBy(col("chunk_hash")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  greatest(1, CAST(ceil(len(t) / 6.0) AS BIGINT)) AS nc FROM toks),
+        |c AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+        |ch AS (SELECT doc_id,
+        |  array_to_string(list_slice(t, ci*6 + 1, ci*6 + 6), ' ') AS chunk_text FROM c)
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM ch GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin.replace("\n", " "))),
+
     ("x3_cosine_topk",
       // Brute-force cosine top-10 against the vec_id=0 query vector
       // (broadcast); deterministic left-fold double arithmetic.

@@ -91,4 +91,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Double]("contamination") === 0.5)
     assert(out(1).getAs[Long]("n_overlap") === 0L)
   }
+
+  test("chunking: overlap windows, short tail, sub-stride doc keeps one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 4 / overlap 1 → stride 3
+      (2L, "x y"))           // shorter than one stride → single short chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", 4, 1)
+      .orderBy($"doc_id", $"chunk_idx")
+    assert(rows(out) === Set(
+      Seq(1L, 0, 4, "a b c d"),
+      Seq(1L, 1, 4, "d e f g"), // overlap: 'd' shared with chunk 0
+      Seq(2L, 0, 2, "x y")))
+  }
+
+  test("boilerplate: repeated chunk surfaces with doc and occurrence counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same boilerplate here and unique tail one"),
+      (2L, "the same boilerplate here and unique tail two"),
+      (3L, "entirely different body of text with no repeats"))
+      .toDF("doc_id", "text")
+    // 8-token docs, chunkSize 4: chunks (0: first 4 toks, 1: last 4).
+    val out = TextAnalysis.boilerplate(docs, "doc_id", "text", 4).collect()
+    assert(out.length === 1) // only "the same boilerplate here" repeats
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+    assert(out(0).getAs[Long]("n_occurrences") === 2L)
+  }
 }
