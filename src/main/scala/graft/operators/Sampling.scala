@@ -44,6 +44,24 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, salt: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 100) < pct)
 
+  /** Stratified deterministic sample — per-group keep percentages, the
+    * mixture-shaping sampler (downsample the dominant web crawl, keep all
+    * of the rare high-quality source). Same reproducibility contract as
+    * [[sample]]; the group's percentage comes from a LITERAL map baked
+    * into the projection (groups absent from `fractions` fall back to
+    * `defaultPct`), so the whole operator is one codegen'd filter — no
+    * join, no shuffle, nothing broadcast. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       salt: String, fractions: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    require(fractions.nonEmpty, "need at least one group fraction")
+    val pctMap = map(fractions.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(hashBucket(col(idCol), salt, 100) <
+      coalesce(element_at(pctMap, col(groupCol).cast("string")),
+        lit(defaultPct)))
+  }
+
   /** Stratified cap: keep at most `k` rows per group, selected by
     * deterministic hash order (then id as tie-break) — the corpus
     * rebalancing step that stops one source/language from dominating a

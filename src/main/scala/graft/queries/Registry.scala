@@ -1111,6 +1111,21 @@ object Registry {
         |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    ("x28_stratified_sample",
+      // Mixture-shaping stratified sample: per-language keep percentages
+      // (downsample dominant en, keep more of the rest) as ONE codegen'd
+      // filter — literal pct map, no join, no shuffle.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", "strat",
+          Map("en" -> 25, "de" -> 80, "zh" -> 60), 50)
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |  CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 80 WHEN 'zh' THEN 60 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     ("x15_tfidf",
       // TF-IDF top-3 terms per doc: two hash aggs (tf, df) + broadcast N +
       // per-doc window top-k (operators/TextAnalysis.scala tfIdf).

@@ -105,4 +105,20 @@ class SamplingSpec extends SparkSpec {
     val d2 = byDoc(2L).map(r => (r.getString(1), r.getDouble(4))).toMap
     assert(d2 === Map("alpha" -> 0.287682, "common" -> 0.0))
   }
+
+  test("stratified sample: per-group pct, default fallback, agrees with plain sample") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    // a → 100%, b → default 0%: exactly the 'a' rows survive.
+    val allA = Sampling.stratifiedSample(df, "g", "id", "s",
+      Map("a" -> 100), 0)
+    assert(rows(allA) === rows(df.filter($"g" === "a")))
+    // Per-group 30% must equal the PLAIN 30% sample restricted to that
+    // group — same hash, same salt, so stratification only swaps the pct.
+    val strat = Sampling.stratifiedSample(df, "g", "id", "s",
+      Map("a" -> 30), 0)
+    assert(rows(strat) ===
+      rows(Sampling.sample(df.filter($"g" === "a"), "id", "s", 30)))
+  }
 }
