@@ -379,15 +379,19 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       // Push every node's label to its neighbors; keep the per-node min of
-      // (own label, neighbor labels).
+      // (own label, neighbor labels). The own label rides the same
+      // aggregate (tagged rows), so convergence is a filter probe on the
+      // checkpointed round result — no extra join per round.
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val merged = labels.withColumn("_own", lit(1))
+        .union(prop.withColumn("_own", lit(0)))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("_own") === 1, col("label"))).as("_prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "_prev"), "node")
-        .filter(col("label") =!= col("_prev")).isEmpty
-      labels = next
+      converged = merged.filter(col("label") < col("_prev")).isEmpty
+      labels = merged.select(col("node"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
