@@ -407,10 +407,37 @@ object Dedup {
                       shingleK: Int, threshold: Double): DataFrame = {
     val pairs = minHashNearDup(docs, idCol, textCol, shingleK, threshold)
     val comps = connectedComponents(pairs, "id_a", "id_b")
-    docs.select(col(idCol))
-      .join(comps, docs(idCol) === comps("node"), "left_outer")
+    labelClusters(docs, comps, idCol)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup over embeddings: where
+    * [[nearDupClusters]] collapses lexical near-copies, this collapses
+    * vectors that are semantically interchangeable — pairs from
+    * [[embeddingNearDup]] (sign-LSH banding + exact-cosine verify, never
+    * all-pairs) fed through the same [[connectedComponents]] closure, then
+    * every vector labeled with its semantic cluster id (component min id;
+    * itself when it has no semantic twin) and keep=1 on the canonical
+    * representative — the row set a semantic-dedup pass retains.
+    *
+    * Scale shape inherits from its two parts: output-linear LSH pair
+    * expansion + diameter-bounded min-label propagation; the final labeling
+    * is one left-outer equi-join against the node-count-sized components
+    * frame. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, idCol, vecCol, bands, rowsPerBand,
+      threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    labelClusters(embeddings, comps, idCol)
+  }
+
+  /** Shared tail of the cluster operators: label every row with its
+    * component's min id (itself when unpaired), keep=1 on the canonical. */
+  private def labelClusters(rows: DataFrame, comps: DataFrame,
+                            idCol: String): DataFrame =
+    rows.select(col(idCol))
+      .join(comps, rows(idCol) === comps("node"), "left_outer")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep", (col(idCol) === col("cluster_id")).cast("int"))
-  }
 }

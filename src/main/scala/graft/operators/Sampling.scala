@@ -85,6 +85,34 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Deterministic global shuffle + shard layout — the training-export
+    * primitive that turns a corpus into N reproducibly-randomized shards:
+    * `shard = hash(salt:id) mod n`, `pos` = the row's 0-based position
+    * within its shard in (hash, id) order. Reading shards 0..n-1 in pos
+    * order replays the SAME pseudo-random document order on every run and
+    * engine — what `orderBy(rand())` cannot promise — and appending new
+    * rows never moves existing ones between shards (hash stability, the
+    * [[split]] contract).
+    *
+    * Scale shape: ONE shuffle on the shard key + a per-shard row_number —
+    * no global sort, no total ordering across shards (the trainer
+    * interleaves shards, so cross-shard order is free). Parallelism equals
+    * `nShards`; at corpus scale shards number in the thousands, so every
+    * executor stays busy and a shard's rows stream through one task's
+    * sort — scan-bound, not memory-bound (Spark windows spill). */
+  def shardLayout(df: DataFrame, idCol: String, salt: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", Dedup.shingleHash(
+        concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .withColumn("shard", (col("_h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("bigint") - 1)
+      .drop("_h")
+  }
+
   /** Deterministic sequence packing — assign documents to fixed
     * token-budget training sequences: within each shard (the partition
     * key, e.g. language or a hash shard), documents are ordered by

@@ -148,6 +148,70 @@ object Registry {
        |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
        |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** The embedding-LSH pair CTE chain (sign-LSH banding, 8 bands × 8 bits,
+    * candidates from the (band, key) equi-join, exact-cosine verify table
+    * `s`) — the SQL twin of [[Dedup.embeddingNearDup]]'s arithmetic. Shared
+    * by the x12 pair oracle and the x29 semantic-cluster oracle. */
+  private def embedPairsCtes: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+      |bnd AS (SELECT vec_id, band,
+      |  list_reduce(list_transform(generate_series(band*8+1, band*8+8),
+      |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), (a,b) -> a || b) AS bk
+      |  FROM e, bands),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bnd a
+      |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      |v AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b)) AS nrm FROM e),
+      |s AS (SELECT id_a, id_b,
+      |  round(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |    / (a.nrm * b.nrm), 6) AS sim
+      |  FROM cand JOIN v a ON id_a = a.vec_id JOIN v b ON id_b = b.vec_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[Dedup.embeddingNearDup]] (8×8 sign-LSH, cosine 0.35). */
+  private def embedNearDupOracleSql: String =
+    s"WITH $embedPairsCtes SELECT id_a, id_b, sim FROM s WHERE sim >= 0.35 " +
+      "ORDER BY id_a, id_b"
+
+  /** DuckDB twin of [[Dedup.semanticDedup]]: same pair CTEs as x12, then
+    * the recursive transitive closure — the same closure shape as
+    * [[nearDupClustersOracleSql]], over the embedding pair graph. */
+  private def semanticDedupOracleSql: String =
+    s"""WITH RECURSIVE $embedPairsCtes,
+       |p AS (SELECT id_a, id_b FROM s WHERE sim >= 0.35),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(n, r) AS (
+       |  SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM ed)
+       |  UNION
+       |  SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.n),
+       |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1)
+       |SELECT em.vec_id, coalesce(c.root, em.vec_id) AS cluster_id,
+       |  CAST(em.vec_id = coalesce(c.root, em.vec_id) AS INT) AS keep
+       |FROM embeddings em LEFT JOIN comp c ON c.n = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[Similarity.quantizeInt8]] — same scale/round
+    * arithmetic, same sequential double fold for the reconstruction error,
+    * and the two exact integer checksums. */
+  private def quantizeOracleSql: String =
+    s"""WITH m AS (SELECT vec_id, embedding,
+       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, embedding, scale,
+       |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT) END) AS qv
+       |  FROM m)
+       |SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+       |  CAST(list_reduce(qv, (a,b) -> a + b) AS BIGINT) AS q_sum,
+       |  CAST(list_reduce(list_transform(qv, x -> abs(x)), (a,b) -> a + b) AS BIGINT) AS q_l1,
+       |  round(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |    i -> (CAST(embedding[i] AS DOUBLE) - qv[i] * scale) * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)),
+       |    (a,b) -> a + b) / len(embedding) * 1000000.0, 4) AS mse_e6
+       |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Dedup.simHashNearDup]] (32-bit simhash, 4×8-bit
     * bands, Hamming <= 3). */
   private def simHashOracleSql: String = {
@@ -878,6 +942,24 @@ object Registry {
       Some("SELECT DISTINCT md5(props) AS content_hash FROM events " +
         "WHERE epoch_ms(ts) < 1704672000000 ORDER BY content_hash")),
 
+    ("s11_stream_join_attribution",
+      // Stream-STREAM interval join: clicks joined to same-user purchases
+      // within 24 h after the click, both sides watermarked so join state
+      // is horizon-bounded. Inner join in append mode through the
+      // idempotent append sink; oracle is the batch interval join.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s11")
+        graft.streaming.Streaming.runClickAttribution(
+          s, dir, base + "/attr", "24 hours")
+          .orderBy(col("click_id"), col("purchase_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)
@@ -1065,24 +1147,29 @@ object Registry {
         Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
           8, 8, 0.35)
           .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
-        |bnd AS (SELECT vec_id, band,
-        |  list_reduce(list_transform(generate_series(band*8+1, band*8+8),
-        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), (a,b) -> a || b) AS bk
-        |  FROM e, bands),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bnd a
-        |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
-        |v AS (SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b)) AS nrm FROM e),
-        |s AS (SELECT id_a, id_b,
-        |  round(list_reduce(list_transform(generate_series(1, len(a.embedding)),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-        |    / (a.nrm * b.nrm), 6) AS sim
-        |  FROM cand JOIN v a ON id_a = a.vec_id JOIN v b ON id_b = b.vec_id)
-        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.35 ORDER BY id_a, id_b"""
-        .stripMargin.replace("\n", " "))),
+      Some(embedNearDupOracleSql)),
+
+    ("x29_semantic_dedup",
+      // SemDeDup-style semantic cluster assignment: the x12 embedding pair
+      // graph closed transitively (connected components), every vector
+      // labeled with its semantic cluster's min vec_id, keep=1 on the
+      // canonical representative — the row set a semantic-dedup pass
+      // retains. Oracle: recursive-CTE closure over the same pairs.
+      (s: SparkSession, dir: String) =>
+        Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          8, 8, 0.35)
+          .orderBy(col("vec_id")),
+      Some(semanticDedupOracleSql)),
+
+    ("x31_quantize_int8",
+      // Symmetric per-vector int8 quantization of the embedding store:
+      // exact integer checksums of the quantized vector plus the
+      // reconstruction MSE (scaled 1e6, 4 dp). One narrow projection.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity.quantizeInt8(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+          .orderBy(col("vec_id")),
+      Some(quantizeOracleSql)),
 
     ("x13_split",
       // Deterministic train/val/test assignment: pure per-row hash
@@ -1125,6 +1212,22 @@ object Registry {
         |WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
         |  CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 80 WHEN 'zh' THEN 60 ELSE 50 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x30_shard_layout",
+      // Deterministic global shuffle + training-shard layout: shard =
+      // hash(salt:id) mod 8, pos = the row's 0-based rank within its shard
+      // in (hash, id) order — a reproducible pseudo-random corpus order
+      // with ONE shuffle and per-shard windows, no global sort.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.shardLayout(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", "shard", 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+        |('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     ("x15_tfidf",
       // TF-IDF top-3 terms per doc: two hash aggs (tf, df) + broadcast N +

@@ -683,6 +683,51 @@ object Streaming {
     spark.read.parquet(sinkPath)
   }
 
+  /** Stream-STREAM interval join — click→conversion attribution: each
+    * `click` event joined to every `purchase` by the same user within
+    * `horizon` after the click. The capability the reference's
+    * single-stream topology never needed, and the one genuinely new
+    * streaming shape Structured Streaming adds over it: BOTH sides are
+    * unbounded, so Spark buffers each side in join state and the event-time
+    * range condition plus the two watermarks bound that state — a click's
+    * buffered row is evicted once the watermark passes `click_ts + horizon`
+    * (no purchase can match it anymore), a purchase's once the watermark
+    * passes its own `purchase_ts`. Without the range condition the join
+    * state would grow forever; with it, state size tracks one horizon of
+    * events per side regardless of stream length — the 100 TB/day shape.
+    *
+    * Inner join in append mode: a match emits as soon as both rows have
+    * arrived; the [[AppendOnceSink]] keeps crash-replayed batches from
+    * duplicating attributions. Output: (user_id, click_id, purchase_id,
+    * click_ms, purchase_ms) as epoch millis. */
+  def runClickAttribution(spark: SparkSession, dir: String, sinkPath: String,
+                          horizon: String): DataFrame = {
+    val sink = new AppendOnceSink(sinkPath)
+    val ev = eventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("_p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    val q = clicks.join(purchases,
+        col("user_id") === col("_p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkPath)
+  }
+
   /** S6: matched-message log sink — append-only side output of full message
     * rows for logged phrases (MessagesMatchingPhraseExporter.java:43-50).
     * Routed through [[AppendOnceSink]] so a crash-replayed micro-batch does

@@ -90,4 +90,18 @@ class DedupSpec extends SparkSpec {
     assert(rows(out) === Set(
       Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(5L, 5L, 1)))
   }
+
+  test("semantic dedup: perturbation chain collapses to one cluster, negation stays apart") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val b = a.map(x => x + 0.001f)  // twin of a
+    val c = b.map(x => x + 0.001f)  // twin of b — chains to a transitively
+    val n = a.map(x => -x)          // cosine -1: its own cluster
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq), (9L, n.toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", 8, 8, 0.35)
+    assert(rows(out) === Set(
+      Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(3L, 1L, 0), Seq(9L, 9L, 1)))
+  }
 }

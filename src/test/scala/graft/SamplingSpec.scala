@@ -121,4 +121,24 @@ class SamplingSpec extends SparkSpec {
     assert(rows(strat) ===
       rows(Sampling.sample(df.filter($"g" === "a"), "id", "s", 30)))
   }
+
+  test("shardLayout: dense per-shard positions, partitioning-independent, append-stable shards") {
+    import spark.implicits._
+    val ids = (1L to 300L).toDF("doc_id")
+    val a = Sampling.shardLayout(ids, "doc_id", "sh", 8)
+    // Partitioning never changes the layout.
+    assertSameRows(a, Sampling.shardLayout(ids.repartition(7), "doc_id", "sh", 8))
+    // Every row lands in a shard; positions within a shard are dense 0..n-1.
+    val got = a.collect().map(r => (r.getInt(1), r.getLong(2))).groupBy(_._1)
+    assert(got.values.map(_.length).sum === 300)
+    got.foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    assert(got.keySet.subsetOf((0 until 8).toSet))
+    // Appending rows never moves an existing row to a different shard (pos
+    // may shift — the shard assignment is the stable contract).
+    val grownShards = Sampling.shardLayout((1L to 600L).toDF("doc_id"),
+      "doc_id", "sh", 8).filter($"doc_id" <= 300).select($"doc_id", $"shard")
+    assertSameRows(a.select($"doc_id", $"shard"), grownShards)
+  }
 }

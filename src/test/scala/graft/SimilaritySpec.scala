@@ -45,4 +45,25 @@ class SimilaritySpec extends SparkSpec {
       0L, 5, 4, 2, idx)
     assertSameRows(direct, indexed)
   }
+
+  test("quantizeInt8: hand-computed fixture, zero vector, checksum exactness") {
+    import spark.implicits._
+    // v = [1, -0.5, 0.25, 0]: scale = 1/127, q = [127, -64, 32, 0]
+    // (round(−63.5) = −64 away from zero, round(31.75) = 32).
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: q = 0, mse = 0
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy($"vec_id").collect()
+    assert(out(0).getInt(1) === 4)
+    assert(out(0).getLong(2) === 127L - 64L + 32L)      // q_sum
+    assert(out(0).getLong(3) === 127L + 64L + 32L)      // q_l1
+    // Reconstruction error is tiny but nonzero (−0.5 and 0.25 don't land
+    // exactly on a grid point); the exact endpoints do not contribute.
+    assert(out(0).getDouble(4) > 0 && out(0).getDouble(4) < 20)
+    assert(out(1).getInt(1) === 4 && out(1).getLong(2) === 0L &&
+      out(1).getLong(3) === 0L && out(1).getDouble(4) === 0.0)
+  }
 }
