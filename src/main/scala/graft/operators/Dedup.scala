@@ -398,6 +398,73 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (the Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * scheme): each round re-hangs every node under the minimum of its
+    * neighborhood, contracting components regardless of their DIAMETER —
+    * convergence in O(log n) rounds even on a path graph, where
+    * [[connectedComponents]]' min-label propagation needs diameter rounds
+    * (O(n) on that same path). The per-round cost is the same shape: one
+    * groupBy-min on the node key plus one equi-join, every frame
+    * edge-count sized, `localCheckpoint` per round to cut lineage.
+    *
+    *  - large-star(u): connect every neighbor v > u to
+    *    m(u) = min(N(u) ∪ {u}) — every undirected edge is seen from its
+    *    smaller endpoint, so the emitted set covers the whole graph;
+    *  - small-star(u): over edges hung at their larger endpoint, connect
+    *    every smaller neighbor (and u itself) to m(u).
+    *
+    * Fixpoint = a star forest in canonical (root, member) form; same
+    * output contract as [[connectedComponents]]: (node, label = component
+    * min id). Prefer this variant when components can be long chains
+    * (link graphs, co-occurrence chains); near-dup clusters are dense
+    * quasi-cliques where propagation's 2-3 rounds win on constants. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Large-star over the both-direction view (center, nbr).
+      val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u").as("center"), col("v").as("nbr"))
+      val mins = both.groupBy(col("center")).agg(min(col("nbr")).as("_mn"))
+        .select(col("center"), least(col("_mn"), col("center")).as("m"))
+      val afterLarge = canon(both.join(mins, "center")
+        .filter(col("nbr") > col("center"))
+        .select(col("nbr").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      // Small-star over edges hung at their larger endpoint: canonical
+      // (u=lo, v=hi) read as (center = v, nbr = u).
+      val directed = afterLarge.select(col("v").as("center"), col("u").as("nbr"))
+      val mins2 = directed.groupBy(col("center")).agg(min(col("nbr")).as("m"))
+      val joined = directed.join(mins2, "center")
+      val afterSmall = canon(
+        joined.filter(col("nbr") =!= col("m"))
+          .select(col("nbr").as("u"), col("m").as("v"))
+          .union(mins2.select(col("center").as("u"), col("m").as("v"))))
+        .localCheckpoint()
+      // Converged when the canonical edge set is unchanged: counts match
+      // and nothing in the new set is absent from the old (driver sees two
+      // scalars, never data).
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.exceptAll(edges).isEmpty
+      edges = afterSmall
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // Star fixpoint in canonical form: u is the component root, v a member.
+    edges.select(col("v").as("node"), col("u").as("label"))
+      .union(edges.select(col("u").as("node"), col("u").as("label")))
+      .distinct()
+  }
+
   /** Near-dup CLUSTER assignment over documents: MinHash+LSH pairs
     * ([[minHashNearDup]]) → connected components → every doc labeled with
     * its cluster id (the component's min doc id; itself when it has no
@@ -407,6 +474,15 @@ object Dedup {
                       shingleK: Int, threshold: Double): DataFrame = {
     val pairs = minHashNearDup(docs, idCol, textCol, shingleK, threshold)
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    labelClusters(docs, comps, idCol)
+  }
+
+  /** [[nearDupClusters]] through [[connectedComponentsStar]] — identical
+    * output, diameter-independent round count. */
+  def nearDupClustersStar(docs: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int, threshold: Double): DataFrame = {
+    val pairs = minHashNearDup(docs, idCol, textCol, shingleK, threshold)
+    val comps = connectedComponentsStar(pairs, "id_a", "id_b")
     labelClusters(docs, comps, idCol)
   }
 

@@ -960,6 +960,30 @@ object Registry {
         |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " "))),
 
+    ("s11b_stream_join_outer",
+      // LEFT OUTER stream-stream join: same attribution, but unconverted
+      // clicks surface as purchase_id = -1 — emitted only once the global
+      // watermark proves no purchase can still arrive. Clicks cut off at
+      // 2024-01-27 (≥ 2 horizons before the replay's end) so every click's
+      // outcome is watermark-decidable in the bounded replay; the oracle
+      // applies the identical cutoff.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s11b")
+        graft.streaming.Streaming.runClickAttribution(
+          s, dir, base + "/attr", "24 hours", "left_outer",
+          Some(1706313600000L))
+          .orderBy(col("click_id"), col("purchase_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+        |coalesce(p.event_id, -1) AS purchase_id,
+        |epoch_ms(c.ts) AS click_ms,
+        |coalesce(epoch_ms(p.ts), -1) AS purchase_ms
+        |FROM events c LEFT JOIN events p ON p.user_id = c.user_id
+        |AND p.event_type = 'purchase'
+        |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+        |WHERE c.event_type = 'click' AND epoch_ms(c.ts) < 1706313600000
+        |ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Training-data pipeline operators (north-star: dedup, similarity,
     // text analysis over documents/embeddings)
@@ -994,6 +1018,16 @@ object Registry {
       // recursive-CTE transitive closure over the same pairs.
       (s: SparkSession, dir: String) =>
         Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+          .orderBy(col("doc_id")),
+      Some(nearDupClustersOracleSql)),
+
+    ("x25b_neardup_clusters_star",
+      // Same clusters through alternating large-star/small-star rounds —
+      // round count bounded by O(log n), not component diameter: the CC
+      // variant for long-chain graphs. Same oracle as x25 by construction.
+      (s: SparkSession, dir: String) =>
+        Dedup.nearDupClustersStar(Tables.documents(s, dir), "doc_id", "text",
+          3, 0.8)
           .orderBy(col("doc_id")),
       Some(nearDupClustersOracleSql)),
 

@@ -701,7 +701,25 @@ object Streaming {
     * duplicating attributions. Output: (user_id, click_id, purchase_id,
     * click_ms, purchase_ms) as epoch millis. */
   def runClickAttribution(spark: SparkSession, dir: String, sinkPath: String,
-                          horizon: String): DataFrame = {
+                          horizon: String): DataFrame =
+    runClickAttribution(spark, dir, sinkPath, horizon, "inner", None)
+
+  /** Generalized [[runClickAttribution]]: `joinType` "inner" or
+    * "left_outer". The LEFT OUTER variant also reports unconverted clicks
+    * as (click, purchase_id = -1) — but an outer null only emits once the
+    * global watermark proves no purchase can still arrive
+    * (`click_ts + horizon < watermark`), and a finite replay's watermark
+    * stops at `max(event_ts) − horizon`: the last ~2 horizons of clicks are
+    * inherently UNDECIDED when the replay ends. `clickCutoffMs`
+    * (≤ maxTs − 2·horizon) makes the reported answer well-defined: it is
+    * applied as a batch filter on the sink read-back — NOT on the input
+    * stream, where it would cap the clicks-side watermark itself and
+    * re-create the same undecided tail just before the cutoff. On an
+    * unbounded production stream the watermark keeps advancing and no
+    * cutoff is needed. The oracle applies the identical cutoff. */
+  def runClickAttribution(spark: SparkSession, dir: String, sinkPath: String,
+                          horizon: String, joinType: String,
+                          clickCutoffMs: Option[Long]): DataFrame = {
     val sink = new AppendOnceSink(sinkPath)
     val ev = eventsStream(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -715,17 +733,21 @@ object Streaming {
     val q = clicks.join(purchases,
         col("user_id") === col("_p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
+      .select(col("user_id"), col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
         unix_millis(col("click_ts")).as("click_ms"),
-        unix_millis(col("purchase_ts")).as("purchase_ms"))
+        coalesce(unix_millis(col("purchase_ts")), lit(-1L)).as("purchase_ms"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", sinkPath + ".ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkPath)
+    clickCutoffMs.foldLeft(spark.read.parquet(sinkPath)) { (df, cut) =>
+      df.filter(col("click_ms") < cut)
+    }
   }
 
   /** S6: matched-message log sink — append-only side output of full message

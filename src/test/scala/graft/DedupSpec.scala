@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(5L, 5L, 1)))
   }
 
+  test("star CC: path graph closes in log rounds where propagation needs diameter rounds") {
+    import spark.implicits._
+    // A 64-node PATH (0-1, 1-2, …, 62-63): diameter 63. Min-label
+    // propagation moves the label one hop per round, so maxIter=20 cannot
+    // converge it — while star rounds contract diameter-independently and
+    // close it well within 12.
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(path, "id_a", "id_b").collect()
+    }
+    val star = Dedup.connectedComponentsStar(path, "id_a", "id_b", maxIter = 12)
+    assert(rows(star) === (0L to 63L).map(n => Seq(n, 0L)).toSet)
+  }
+
+  test("star CC equals propagation CC on a mixed multi-component graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    assertSameRows(
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b"),
+      Dedup.connectedComponents(pairs, "id_a", "id_b"))
+  }
+
   test("semantic dedup: perturbation chain collapses to one cluster, negation stays apart") {
     import spark.implicits._
     val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
