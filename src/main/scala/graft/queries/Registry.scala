@@ -1247,6 +1247,27 @@ object Registry {
         |  CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 80 WHEN 'zh' THEN 60 ELSE 50 END
         |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    ("x32_kmv_distinct",
+      // Approximate distinct users per event type via the mergeable
+      // bottom-k (KMV) sketch aggregate: the shuffle carries k-long
+      // sketches, never the distinct value set — and the md5 hash family
+      // makes the estimate engine-exact, so the oracle hash-matches.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.kmvDistinct(
+          Tables.events(s, dir).select(col("event_type"), col("user_id")),
+          Seq("event_type"), "user_id", 64)
+          .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT DISTINCT event_type,
+        |('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |FROM events),
+        |r AS (SELECT event_type, h,
+        |row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |max(h) AS kth_min FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, n_kept, kth_min,
+        |CASE WHEN n_kept < 64 THEN n_kept ELSE 270582939648 // kth_min END AS n_est
+        |FROM t ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     ("x30_shard_layout",
       // Deterministic global shuffle + training-shard layout: shard =
       // hash(salt:id) mod 8, pos = the row's 0-based rank within its shard

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Dedup, Sketch}
+
+/** KMV bottom-k sketch (functions/BottomKSketch.scala, operators/Sketch):
+  * the mergeable aggregate must equal the shuffle-everything windowed
+  * formulation on any partitioning — merge-order independence is the
+  * property that makes a sketch a sketch. */
+class SketchSpec extends SparkSpec {
+
+  /** Reference formulation: distinct (group, hash) pairs → per-group
+    * window top-k — same math, no sketch. */
+  private def windowed(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val h = Dedup.shingleHash(concat(lit("kmv:"), col("v").cast("string")))
+    val w = Window.partitionBy(col("g")).orderBy(col("_h").asc)
+    df.select(col("g"), h.as("_h")).distinct()
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_min"))
+      .withColumn("n_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${(k - 1).toLong * 4294967296L}L div kth_min")))
+  }
+
+  test("kmvDistinct equals the windowed formulation, independent of partitioning") {
+    import spark.implicits._
+    // 3 groups with 300/150/10 distinct values, plus heavy duplication.
+    val rows = (1 to 300).map(i => ("a", i.toLong)) ++
+      (1 to 150).flatMap(i => Seq(("b", i.toLong), ("b", i.toLong))) ++
+      (1 to 10).map(i => ("c", i.toLong))
+    val df = rows.toDF("g", "v")
+    val sk = Sketch.kmvDistinct(df, Seq("g"), "v", 64)
+    assertSameRows(sk, windowed(df, 64))
+    assertSameRows(Sketch.kmvDistinct(df.repartition(13), Seq("g"), "v", 64), sk)
+    val byG = sk.collect().map(r => r.getString(0) -> r).toMap
+    // Below k: exact. Above k: estimate within a loose 2x of truth.
+    assert(byG("c").getLong(1) === 10L && byG("c").getLong(3) === 10L)
+    assert(byG("a").getLong(1) === 64L)
+    val estA = byG("a").getLong(3)
+    assert(estA > 150 && estA < 600, s"KMV estimate for 300 distinct: $estA")
+    val estB = byG("b").getLong(3)
+    assert(estB > 75 && estB < 300, s"KMV estimate for 150 distinct: $estB")
+  }
+
+  test("BottomKSketch reduce/merge: sorted, distinct, capped") {
+    val s = new graft.functions.BottomKSketch(4)
+    val buf = Seq(5L, 3L, 9L, 3L, 1L, 7L).foldLeft(s.zero)(s.reduce)
+    assert(buf.toSeq === Seq(1L, 3L, 5L, 7L)) // 9 evicted, dup 3 collapsed
+    val other = Seq(2L, 5L, 100L).foldLeft(s.zero)(s.reduce)
+    assert(s.merge(buf, other).toSeq === Seq(1L, 2L, 3L, 5L))
+    assert(s.merge(s.zero, other).toSeq === other.toSeq)
+    assert(s.merge(other, s.zero).toSeq === other.toSeq)
+  }
+}
