@@ -37,6 +37,30 @@ object Dedup {
     df.groupBy(md5(normalizeText(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL corpus dedup — the daily-ingest shape: dedupe a new
+    * `batch` against the EXISTING corpus without re-touching
+    * corpus-internal duplicates. The corpus contributes only its distinct
+    * normalized-content-hash index (orders smaller than the corpus, and in
+    * production precomputed once and appended to per ingest); the batch
+    * anti-joins that index on the hash, then collapses its own internal
+    * duplicates with the standard hash agg.
+    *
+    * Scale shape: one hash-partitioned LeftAnti join on the md5 key (AQE
+    * broadcasts the index side when it fits) + the [[normalizedDedup]]
+    * one-shuffle agg over the surviving batch — the 100 TB corpus is never
+    * scanned beyond building (once, amortized) its hash index. Output:
+    * same contract as [[normalizedDedup]], restricted to content the
+    * corpus has never seen. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val key = md5(normalizeText(col(textCol)))
+    val idx = corpus.select(key.as("content_hash")).distinct()
+    batch.withColumn("content_hash", key)
+      .join(idx, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
+
   // ---- MinHash + LSH near-dup ----
 
   /** MinHash parameters: K signatures split into `Bands` bands of `R` rows.

@@ -1395,6 +1395,28 @@ object Registry {
         "AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY content_hash")),
 
+    ("x33_incremental_dedup",
+      // Incremental ingest dedup: a deterministic 10% hash slice of the
+      // documents table plays the "new batch", the rest the existing
+      // corpus; the batch anti-joins the corpus's distinct normalized-hash
+      // index, then collapses its own internal dups. Corpus-internal
+      // duplicates are untouched by construction.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"), "inc", 100)
+        Dedup.incrementalDedup(
+          docs.filter(b < 10), docs.filter(b >= 10), "doc_id", "text")
+          .orderBy(col("content_hash"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |FROM documents)
+        |SELECT content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM k WHERE b < 10 AND content_hash NOT IN
+        |(SELECT content_hash FROM k WHERE b >= 10)
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "))),
+
     ("x21_pii_scrub",
       // PII redaction pass: count + replace emails/phones/IPs with typed
       // placeholders; pure projection, scrubbed text verified via md5.

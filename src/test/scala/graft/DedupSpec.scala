@@ -91,6 +91,21 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(5L, 5L, 1)))
   }
 
+  test("incremental dedup: corpus-seen content dropped, batch-internal dups collapse") {
+    import spark.implicits._
+    val corpus = Seq((100L, "seen before"), (101L, "Seen   BEFORE"), // corpus dup: irrelevant
+      (102L, "corpus only")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),    // exact corpus dup → dropped
+      (2L, "SEEN  before "),  // normalized corpus dup → dropped
+      (3L, "fresh content"), (4L, "Fresh   CONTENT"), // batch-internal pair → one row
+      (5L, "also new")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+    assert(out.count() === 2)
+    assert(rows(out.select($"doc_id", $"n_copies")) ===
+      Set(Seq(3L, 2L), Seq(5L, 1L)))
+  }
+
   test("star CC: path graph closes in log rounds where propagation needs diameter rounds") {
     import spark.implicits._
     // A 64-node PATH (0-1, 1-2, …, 62-63): diameter 63. Min-label
