@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Bucketed (co-located) joins — the storage-level answer to repeated
   * fact-fact joins at 100 TB: both sides persisted bucketed (and
@@ -28,5 +29,31 @@ object Bucketing {
       .option("path", path).mode("overwrite")
       .format("parquet").saveAsTable(name)
     spark.table(name)
+  }
+
+  /** SALTED equi-join — the manual answer to a pathologically hot join key
+    * when AQE's skew-join split isn't available or isn't enough (a single
+    * key holding >> one task's worth of rows): the big side adds a salt in
+    * [0, nSalts) derived from the WHOLE row (rows sharing the hot key
+    * spread across nSalts sub-keys), the small side replicates nSalts×,
+    * and the join runs on (key, salt) — so the hot key's rows land on
+    * nSalts tasks instead of one. Result is EXACTLY the plain equi-join
+    * (spec-pinned): the salt only refines the partitioning, never the
+    * match set.
+    *
+    * Cost model: small side shuffles/broadcasts nSalts× its size — use
+    * single-digit salts for mild skew, and prefer AQE
+    * (`spark.sql.adaptive.skewJoin`) when the runtime split suffices. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0, "need at least one salt")
+    val salted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(nSalts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          salted("_salt") === replicated("_salt"))
+      .drop("_salt")
   }
 }

@@ -1591,6 +1591,78 @@ object Registry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10")),
 
+    ("j5_rollup_pricing",
+      // OLAP ROLLUP over the pricing summary: per-(flag, status) rows plus
+      // per-flag subtotals plus the grand total in ONE pass — Spark
+      // `rollup` compiles to a single Expand + hash agg, not three scans.
+      // gid disambiguates the grouping level (Spark grouping_id ≡ DuckDB
+      // GROUPING, both MSB-first).
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("int").as("gid"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("gid"), col("sum_qty"), col("n_rows"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j6_pivot_daily_events",
+      // PIVOT: daily event counts spread into one column per event type —
+      // explicit value list so the output schema is static (no
+      // driver-side distinct scan), nulls filled to 0. One hash agg under
+      // a pivot projection.
+      (s: SparkSession, dir: String) =>
+        Tables.events(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .groupBy(col("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY day"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j7_salted_revenue",
+      // j2's join through the SALTED skew shape (operators/Bucketing
+      // .saltedEquiJoin): big side salted from the whole row, small side
+      // replicated 4x, join on (key, salt). Same oracle as the plain
+      // join — salting must never change the match set.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bucketing.saltedEquiJoin(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          Tables.orders(s, dir).select(col("o_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", "o_orderkey", 4)
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority")),
+      Some("SELECT o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY o_orderpriority")),
+
     ("j3_region_nation_revenue",
       (s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)

@@ -141,6 +141,22 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join: identical match set to the plain join, hot key spread across salts") {
+    import spark.implicits._
+    // 500 of 600 rows share one hot key — the skew shape salting exists for.
+    val big = ((0 until 500).map(i => (7L, i.toLong)) ++
+      (0 until 100).map(i => (i.toLong % 13, 1000L + i))).toDF("k", "bv")
+    val small = (0L until 13L).map(i => (i, s"dim$i")).toDF("sk", "sv")
+    val salted = graft.operators.Bucketing.saltedEquiJoin(big, small, "k", "sk", 4)
+    assertSameRows(salted,
+      big.join(small, big("k") === small("sk")))
+    // The hot key's rows really do carry more than one distinct salt.
+    val nSalts = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(4)))
+      .filter($"k" === 7L).select($"_salt").distinct().count()
+    assert(nSalts > 1, s"hot key used $nSalts salt(s)")
+  }
+
   test("q22 range-join attribution: n_msgs per session equals n_events") {
     import spark.implicits._
     // Messages attributed to their own sessions must reproduce each
