@@ -44,6 +44,28 @@ class SketchSpec extends SparkSpec {
     assert(estB > 75 && estB < 300, s"KMV estimate for 150 distinct: $estB")
   }
 
+  test("property: fold+merge over ANY partitioning equals bottom-k of the whole set") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = new graft.functions.BottomKSketch(8)
+    // Small value domain → duplicates are common; random split into
+    // sub-lists models arbitrary Spark partitionings and merge orders.
+    val genParts: Gen[List[List[Long]]] =
+      Gen.listOf(Gen.listOf(Gen.choose(0L, 60L)))
+    val prop = Prop.forAll(genParts) { parts =>
+      val merged = parts.map(p => p.foldLeft(s.zero)(s.reduce))
+        .foldLeft(s.zero)(s.merge)
+      merged.toSeq == parts.flatten.distinct.sorted.take(8)
+    } && Prop.forAll(genParts) { parts =>
+      val sks = parts.map(p => p.foldLeft(s.zero)(s.reduce))
+      val fwd = sks.foldLeft(s.zero)(s.merge)
+      val rev = sks.reverse.foldLeft(s.zero)(s.merge)
+      fwd.toSeq == rev.toSeq // merge-order independence, explicitly
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("BottomKSketch reduce/merge: sorted, distinct, capped") {
     val s = new graft.functions.BottomKSketch(4)
     val buf = Seq(5L, 3L, 9L, 3L, 1L, 7L).foldLeft(s.zero)(s.reduce)
