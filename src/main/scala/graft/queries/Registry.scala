@@ -212,6 +212,18 @@ object Registry {
        |    (a,b) -> a + b) / len(embedding) * 1000000.0, 4) AS mse_e6
        |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[graft.operators.ZOrder.zValue]] over (user_id mod
+    * 256, day mod 256) — generated from the same (bits, ndim) constants so
+    * the interleave arithmetic is identical by construction. */
+  private def zOrderOracleSql: String = {
+    val terms = (for { b <- 0 until 8; (c, i) <- Seq("d1" -> 0, "d2" -> 1) }
+      yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    s"""WITH d AS (SELECT event_id, user_id % 256 AS d1,
+       |(epoch_ms(ts) // 86400000) % 256 AS d2 FROM events)
+       |SELECT event_id, d1, d2, ($terms) AS zval FROM d
+       |ORDER BY event_id""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[Dedup.simHashNearDup]] (32-bit simhash, 4×8-bit
     * bands, Hamming <= 3). */
   private def simHashOracleSql: String = {
@@ -1416,6 +1428,46 @@ object Registry {
         |FROM k WHERE b < 10 AND content_hash NOT IN
         |(SELECT content_hash FROM k WHERE b >= 10)
         |GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "))),
+
+    ("x34_compaction",
+      // Small-file compaction: a deliberately fragmented partitioned copy
+      // of events (16 files per leaf) rewritten to ONE file per leaf by
+      // Maintenance.compactPartitioned; the query pins both invariants —
+      // data identical (row counts per partition) and layout fixed
+      // (n_files = 1, counted via input_file_name).
+      (s: SparkSession, dir: String) => {
+        val base = scratch("x34")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .repartition(16)
+          .write.partitionBy("event_type").mode("overwrite")
+          .parquet(base + "/t")
+        graft.operators.Maintenance.compactPartitioned(
+          s, base + "/t", Seq("event_type"))
+        s.read.parquet(base + "/t")
+          .select(col("event_type"), input_file_name().as("_f"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("_f")).cast("int").as("n_files"))
+          .orderBy(col("event_type"))
+      },
+      Some("SELECT event_type, count(*) AS n_rows, 1 AS n_files " +
+        "FROM events GROUP BY 1 ORDER BY event_type")),
+
+    ("x35_zorder",
+      // Z-order (Morton) clustering key over (user_id mod 256, day mod
+      // 256): one codegen'd bit-interleave projection; the layout benefit
+      // (narrow per-file min/max in BOTH dims) is spec-pinned in
+      // ZOrderSpec, the arithmetic itself oracle-checked here.
+      (s: SparkSession, dir: String) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            expr("user_id % 256").as("d1"),
+            expr("(unix_millis(ts) div 86400000) % 256").as("d2"))
+          .withColumn("zval", graft.operators.ZOrder.zValue(
+            Seq(col("d1"), col("d2")), 8))
+          .orderBy(col("event_id")),
+      Some(zOrderOracleSql)),
 
     ("x21_pii_scrub",
       // PII redaction pass: count + replace emails/phones/IPs with typed
