@@ -68,9 +68,30 @@ object Streaming {
 
   /** The file stream source requires a *directory* to watch
     * (FileStreamSource pins `basePath` to the load path internally), so a
-    * single-file table is staged into a fresh landing directory — the same
-    * shape a Kafka-connect/ingest job would land files into. */
-  private[streaming] def stagedTableDir(dir: String, table: String): String = {
+    * single-file table is staged into a landing directory — the same shape
+    * a Kafka-connect/ingest job would land files into.
+    *
+    * The landing dir is STABLE per (dir, table) within the JVM: a
+    * checkpointed query that restarts must see the SAME source path, or
+    * the file source treats the re-staged copy as brand-new input and
+    * re-ingests it — rows still inside the watermark horizon then re-join
+    * against retained state and duplicate (caught by StreamingParitySpec's
+    * stream-stream replay test). Production sources (a Kafka topic, a real
+    * ingest dir) are stable by nature; the cache is what makes the
+    * test-time stand-in equally honest. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[streaming] def stagedTableDir(dir: String, table: String): String =
+    stagedDirs.computeIfAbsent(s"$dir/$table",
+      _ => privateStagedTableDir(dir, table))
+
+  /** Uncached staging: a PRIVATE landing dir for the one runner that
+    * APPENDS extra files to its input (sessionize's flush sentinels,
+    * StreamingSessionize.runSessions) — appended files in the shared
+    * cached dir would leak into every other consumer of the table
+    * (caught by the full-registry oracle gate: five sentinel rows
+    * surfaced in the channel-stats state table). */
+  private[streaming] def privateStagedTableDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet")
     val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$table")
     java.nio.file.Files.copy(src, d.resolve(s"$table.parquet"))

@@ -149,7 +149,10 @@ object StreamingSessionize {
     // earlier Tables call having set it.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Streaming.stagedTableDir(dir, "events")
+    // PRIVATE staging (not the shared cached landing dir): this runner
+    // appends sentinel files below, which must never leak into other
+    // consumers of the events table.
+    val staged = Streaming.privateStagedTableDir(dir, "events")
     val chans = graft.Tables.messages(spark, dir)
       .select(col("channel")).distinct().as[String].collect().toSeq
     // Sentinel file in the SAME staged landing dir, same events schema.

@@ -540,4 +540,18 @@ class StreamingParitySpec extends SparkSpec {
       spark, stream, phrases, "text", base + "/log"))
     assert(second === first, "replayed batch duplicated matched-log rows")
   }
+
+  test("stream-stream join: crash-replayed batch never duplicates attributions") {
+    val base = tmp("graft-s11-replay")
+    val first = sortedRows(Streaming.runClickAttribution(
+      spark, "/root/testdata/sf0.001", base + "/attr", "24 hours"))
+    assert(first.nonEmpty)
+    // Crash between the sink's marker commit and the checkpoint commit:
+    // the restart replays the final batch through BOTH join state stores;
+    // the AppendOnceSink must swallow the replay.
+    rollbackLastCommit(base + "/attr.ckpt")
+    val second = sortedRows(Streaming.runClickAttribution(
+      spark, "/root/testdata/sf0.001", base + "/attr", "24 hours"))
+    assert(second === first, "replayed batch duplicated attributions")
+  }
 }
