@@ -275,4 +275,59 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > 1)
+
+  /** Unigram-LM document scoring — the "perplexity filter" shape (CCNet /
+    * Gopher pipelines score docs with a cheap LM and drop the tails) with
+    * the LM trained on the corpus itself in the same job: per-doc mean
+    * token log-probability under the corpus unigram distribution.
+    *
+    * Scale shape: tokenize + explode once into (doc, token, cnt) — one
+    * shuffle agg; the vocabulary table is a re-agg of THAT frame (vocab ≪
+    * corpus), so text is scanned and tokenized exactly once and Catalyst's
+    * ReuseExchange serves both consumers of the (doc, token) shuffle. The
+    * score join runs keyed on token — stopword-grade hot keys are exactly
+    * what AQE skew-join splitting is for; the corpus-total is a broadcast
+    * 1-row scalar. Higher (less negative) = more typical text.
+    *
+    * Output: (doc_id, n_tokens, lm_score). */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = dt.groupBy(col("token")).agg(sum(col("cnt")).as("freq"))
+    val total = vocab.agg(sum(col("freq")).cast("double").as("_n"))
+    dt.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        round(sum(col("cnt") * log(col("freq").cast("double") / col("_n")))
+          / sum(col("cnt")), 4).as("lm_score"))
+  }
+
+  /** Per-source quality gate — the domain-filter pass (keep documents only
+    * from sources whose aggregate quality clears a bar; here the bar is the
+    * corpus-wide mean document length, the cheap always-available signal).
+    *
+    * Scale shape: ONE hash agg to source grain (source cardinality ≪ docs,
+    * so the per-source frame broadcasts), the global bar derived from that
+    * tiny frame (sum-of-sums, not avg-of-avgs — weighting stays exact), and
+    * the gate applied as a broadcast hash join back onto the corpus — the
+    * 100-TB side never shuffles. All numerators/denominators stay exact
+    * longs until one final double division, so the >= comparison is
+    * engine-portable.
+    *
+    * Output: (doc_id, source, src_avg_chars) for docs of passing sources. */
+  def sourceQualityGate(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("_s"), count(lit(1)).as("_n"))
+    val global = bySrc.agg(
+      (sum(col("_s")).cast("double") / sum(col("_n"))).as("_gavg"))
+    docs.join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(global))
+      .where(col("_s").cast("double") / col("_n") >= col("_gavg"))
+      .select(col("doc_id"), col("source"),
+        round(col("_s").cast("double") / col("_n"), 4).as("src_avg_chars"))
+  }
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import graft.pipeline.StatsPipeline
 
 /** The named-query registry: every SURVEY.md §2 operator as a
@@ -1734,7 +1735,104 @@ object Registry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
-        "GROUP BY 1, 2 ORDER BY r_name, n_name"))
+        "GROUP BY 1, 2 ORDER BY r_name, n_name")),
+
+    ("q23_window_suite",
+      // Navigation + ranking + distribution window functions in one pass:
+      // lag/lead/row_number/ntile over the per-user event-time order,
+      // percent_rank/cume_dist over the per-type value order. Both window
+      // orders carry an event_id tie-break, so every rank/percentile is
+      // deterministic and peer-group-free on both engines.
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_millis(col("ts")).as("ms"), col("value"))
+        val wU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val wT = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        e.select(col("event_id"), col("user_id"),
+            round(lag(col("value"), 1).over(wU), 4).as("prev_value"),
+            round(lead(col("value"), 1).over(wU), 4).as("next_value"),
+            row_number().over(wU).as("seq_in_user"),
+            ntile(4).over(wU).as("quartile_in_user"),
+            round(percent_rank().over(wT), 6).as("pct_rank_in_type"),
+            round(cume_dist().over(wT), 6).as("cume_dist_in_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+        |round(lag(value, 1) OVER wu, 4) AS prev_value,
+        |round(lead(value, 1) OVER wu, 4) AS next_value,
+        |CAST(row_number() OVER wu AS INT) AS seq_in_user,
+        |CAST(ntile(4) OVER wu AS INT) AS quartile_in_user,
+        |round(percent_rank() OVER wt, 6) AS pct_rank_in_type,
+        |round(cume_dist() OVER wt, 6) AS cume_dist_in_type
+        |FROM events
+        |WINDOW wu AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+        |wt AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    ("q24_funnel",
+      // Conversion funnel view -> click -> purchase per user: earliest view,
+      // earliest click strictly after it, earliest purchase strictly after
+      // that (operators/Funnel.scala — one shuffle, chained conditional-min
+      // windows, no per-user array state). Oracle is the equivalent
+      // min-chain as three grouped CTE joins.
+      (s: SparkSession, dir: String) =>
+        Funnel.funnel(
+          Tables.events(s, dir).select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")),
+          "user_id", "event_type", "ms", Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("step0_ms").as("view_ms"),
+            col("step1_ms").as("click_ms"), col("step2_ms").as("purchase_ms"),
+            col("converted"))
+          .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS view_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > v.view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > c.click_ms GROUP BY 1)
+        |SELECT v.user_id, view_ms, click_ms, purchase_ms,
+        |CAST(purchase_ms IS NOT NULL AS INT) AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    ("x36_lm_score",
+      // Unigram-LM "perplexity filter" scoring: per-doc mean token
+      // log-probability under the corpus's own unigram distribution
+      // (TextAnalysis.unigramLmScore — tokenize once, vocab re-agged from
+      // the same shuffle, broadcast scalar total).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.unigramLmScore(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT token, sum(cnt) AS freq FROM dt GROUP BY 1),
+        |n AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM vocab)
+        |SELECT dt.doc_id, CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+        |round(sum(dt.cnt * ln(CAST(vocab.freq AS DOUBLE) / n.total)) / sum(dt.cnt), 4)
+        |  AS lm_score
+        |FROM dt JOIN vocab USING (token), n
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x37_source_gate",
+      // Per-source (domain) quality gate: keep documents only from sources
+      // whose mean doc length clears the corpus-wide mean
+      // (TextAnalysis.sourceQualityGate — agg to source grain, broadcast
+      // join back; the corpus side never shuffles).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.sourceQualityGate(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT source, sum(n_chars) AS sc, count(*) AS n
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(sc) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS gavg FROM s)
+        |SELECT doc_id, d.source, round(CAST(sc AS DOUBLE) / n, 4) AS src_avg_chars
+        |FROM documents d JOIN s USING (source), g
+        |WHERE CAST(sc AS DOUBLE) / n >= g.gavg
+        |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -119,4 +119,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_docs") === 2L)
     assert(out(0).getAs[Long]("n_occurrences") === 2L)
   }
+
+  test("unigramLmScore: mean token log-prob under the corpus unigram LM") {
+    import spark.implicits._
+    // Corpus counts: a=2, b=2, c=1, N=5.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmScore(docs).orderBy($"doc_id").collect()
+    // doc1: all tokens have p=2/5 → score = ln(0.4) = -0.9163
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assert(out(0).getAs[Double]("lm_score") ===
+      math.rint(math.log(0.4) * 1e4) / 1e4)
+    // doc2: (ln(2/5) + ln(1/5)) / 2 = -1.2629
+    assert(out(1).getAs[Long]("n_tokens") === 2L)
+    assert(out(1).getAs[Double]("lm_score") ===
+      BigDecimal((math.log(0.4) + math.log(0.2)) / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Rare-token docs score strictly lower — the filter's discriminating
+    // direction.
+    assert(out(1).getAs[Double]("lm_score") < out(0).getAs[Double]("lm_score"))
+  }
+
+  test("sourceQualityGate: keeps only docs of sources above the global mean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", 10L), (2L, "srcA", 20L), // avg 15
+      (3L, "srcB", 2L))                     // avg 2; global = 32/3 ≈ 10.67
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.sourceQualityGate(docs).orderBy($"doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.getAs[Double]("src_avg_chars") === 15.0))
+  }
 }
