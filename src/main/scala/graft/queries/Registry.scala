@@ -1737,6 +1737,53 @@ object Registry {
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY 1, 2 ORDER BY r_name, n_name")),
 
+    ("q25_set_ops",
+      // Set operators over user cohorts: high-value viewers INTERSECT
+      // high-value buyers EXCEPT severe-error users (every user has every
+      // event type in the synthetic corpus, so cohorts discriminate on
+      // value). Spark intersect/except are the DISTINCT set semantics (same
+      // as SQL), planned as aggregating semi/anti joins — no
+      // distinct-then-join double shuffle.
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir)
+        def cohort(t: String, minValue: Double) =
+          e.where(col("event_type") === t && col("value") > minValue)
+            .select(col("user_id"))
+        cohort("view", 90).intersect(cohort("purchase", 90))
+          .except(cohort("error", 98))
+          .orderBy(col("user_id"))
+      },
+      Some("SELECT user_id FROM events WHERE event_type = 'view' AND value > 90 " +
+        "INTERSECT SELECT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value > 90 " +
+        "EXCEPT SELECT user_id FROM events " +
+        "WHERE event_type = 'error' AND value > 98 " +
+        "ORDER BY user_id")),
+
+    ("j8_cube_events",
+      // CUBE completes the multi-grain trio (j5 ROLLUP, j6 PIVOT): all four
+      // grouping combinations of (event_type, day) in ONE Expand + hash agg
+      // pass; gid disambiguates the level (Spark grouping_id ≡ DuckDB
+      // GROUPING, both MSB-first).
+      (s: SparkSession, dir: String) =>
+        Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .cube(col("event_type"), col("day"))
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("day"), lit("ALL")).as("day"),
+            col("gid"), col("n_events"), col("sum_value"))
+          .orderBy(col("gid"), col("event_type"), col("day")),
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+        |coalesce(day, 'ALL') AS day,
+        |CAST(GROUPING(event_type, day) AS INT) AS gid,
+        |count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+        |GROUP BY CUBE (event_type, day)
+        |ORDER BY gid, event_type, day""".stripMargin.replace("\n", " "))),
+
     ("q23_window_suite",
       // Navigation + ranking + distribution window functions in one pass:
       // lag/lead/row_number/ntile over the per-user event-time order,
