@@ -61,6 +61,92 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
   }
 
+  /** Near-duplicate detection for INCREMENTAL ingest — [[incrementalDedup]]
+    * lifted from exact to near duplicates. A persisted LSH signature index
+    * (band keys + md5-image shingle sets, both size-bounded per doc — never
+    * the text) lets each new batch find its near-dups against the whole
+    * corpus-so-far without rescanning it.
+    *
+    * Per batch: shingle + hash ONCE (the md5 is materialized once and
+    * reused for both the 32-bit signature image and the verification set);
+    * candidates come from the (band, key) equi-join against the index plus
+    * the batch-internal band self-join; exact-Jaccard verification runs
+    * over md5-image shingle sets (md5 is collision-free at corpus scale, so
+    * set cardinalities — and the jaccard — equal the plain-text values);
+    * then the batch's bands/sets are APPENDED to the index. Emitted pairs
+    * are eagerly localCheckpoint'ed BEFORE the append so the returned frame
+    * can never re-plan over its own writes.
+    *
+    * Feeding a corpus through in any sequence of disjoint batches yields
+    * exactly [[minHashNearDup]]'s pair set — each unordered pair surfaces
+    * once, in the later doc's batch (identical texts have identical
+    * signatures, docs under `shingleK` tokens have no bands on either
+    * side) — which is how the registry entry oracles it. At 100 TB the
+    * index carries signatures, not text, and a batch's work is
+    * proportional to the batch plus its true candidate set, never the
+    * corpus. */
+  def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int, threshold: Double,
+                         indexDir: String): DataFrame = {
+    val shingled = shingles(batch, idCol, textCol, shingleK)
+      .withColumn("_md5", md5(col("shingle")))
+      .localCheckpoint(eager = false)
+    val aggs = (0 until K).map(j =>
+      min((lit(aCoef(j)) * col("_x") + lit(bCoef(j))) % lit(P)).as(s"s$j"))
+    val sigs = shingled
+      .withColumn("_x", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until R).map(r => col(s"s${b * R + r}")): _*).as("bk"))
+    }
+    val banded = sigs
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val sets = shingled.groupBy(col(idCol))
+      .agg(collect_set(col("_md5")).as("sset"))
+      .withColumnRenamed(idCol, "id")
+
+    val idxBands = readIndexOr(banded.limit(0), s"$indexDir/bands")
+    val idxSets = readIndexOr(sets.limit(0), s"$indexDir/sets")
+
+    val candIn = banded.select(col("band"), col("bk"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bk"), col("id").as("id_b")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val candCross = banded
+      .join(idxBands.withColumnRenamed("id", "_iid"), Seq("band", "bk"))
+      .select(least(col("id"), col("_iid")).as("id_a"),
+        greatest(col("id"), col("_iid")).as("id_b"))
+    val cand = candIn.unionByName(candCross).distinct()
+
+    val allSets = sets.unionByName(idxSets)
+    val pairs = cand
+      .join(allSets.select(col("id").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
+      .join(allSets.select(col("id").as("id_b"), col("sset").as("set_b")), Seq("id_b"))
+      .withColumn("_i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("_i").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(eager = true)
+
+    banded.write.mode("append").parquet(s"$indexDir/bands")
+    sets.write.mode("append").parquet(s"$indexDir/sets")
+    pairs
+  }
+
+  /** Read an index table if it exists, else the (type-correct) empty frame;
+    * probes through the Hadoop FileSystem so hdfs:///s3a:// paths behave
+    * like local ones. */
+  private def readIndexOr(empty: DataFrame, path: String): DataFrame = {
+    val spark = empty.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(empty.schema).parquet(path) else empty
+  }
+
   // ---- MinHash + LSH near-dup ----
 
   /** MinHash parameters: K signatures split into `Bands` bands of `R` rows.

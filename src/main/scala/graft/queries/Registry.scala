@@ -1408,6 +1408,24 @@ object Registry {
         "AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY content_hash")),
 
+    ("x38_incremental_neardup",
+      // Incremental NEAR-dup ingest: the corpus flows through in three
+      // disjoint doc_id batches, each batch LSH-joining only the persisted
+      // signature index of the batches before it (Dedup.incrementalNearDup)
+      // and then appending its own signatures. The union of per-batch pair
+      // emissions must equal the one-shot batch answer — the oracle is
+      // x2's, verbatim.
+      (s: SparkSession, dir: String) => {
+        val idx = scratch("x38")
+        val docs = Tables.documents(s, dir)
+        (0 until 3).map(b =>
+            Dedup.incrementalNearDup(docs.where(col("doc_id") % 3 === b),
+              "doc_id", "text", 3, 0.8, idx + "/index"))
+          .reduce(_ unionByName _)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(minHashOracleSql)),
+
     ("x33_incremental_dedup",
       // Incremental ingest dedup: a deterministic 10% hash slice of the
       // documents table plays the "new batch", the rest the existing

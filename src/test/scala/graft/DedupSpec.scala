@@ -143,4 +143,32 @@ class DedupSpec extends SparkSpec {
     assert(rows(out) === Set(
       Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(3L, 1L, 0), Seq(9L, 9L, 1)))
   }
+
+  test("incremental near-dup over batches equals the one-shot batch answer") {
+    import spark.implicits._
+    // ~40 tokens: one changed token alters 3 of 38 shingles → jaccard
+    // ≈ 35/41 ≈ 0.854, above the 0.8 threshold.
+    val base = (1 to 37).map(i => s"tok$i").mkString("spark ", " ", " end")
+    val docs = Seq(
+      (1L, base),                                  // batch 1 (id % 2 == 1)
+      (2L, base),                                  // batch 0: exact dup of 1, cross-batch
+      (3L, base.replace("tok20", "swapped")),      // near-dup of 1/2, batch 1
+      (4L, base.toUpperCase),                      // different shingles entirely
+      (5L, "too short"),                           // sub-k: must never pair
+      (6L, base),                                  // exact dup in batch 0 with 2
+      (7L, "completely unrelated text about nothing in particular here"))
+      .toDF("doc_id", "text")
+    val full = Dedup.minHashNearDup(docs, "doc_id", "text", 3, 0.8)
+
+    val idx = java.nio.file.Files.createTempDirectory("incnd").toString
+    val inc = (0 until 2).map(b =>
+        Dedup.incrementalNearDup(docs.where($"doc_id" % 2 === b),
+          "doc_id", "text", 3, 0.8, s"$idx/index"))
+      .reduce(_ unionByName _)
+    assertSameRows(inc, full)
+    // Sanity on the fixture itself: the cross-batch exact pair and the
+    // near pair are both present.
+    val pairs = rows(inc.select($"id_a", $"id_b"))
+    assert(pairs.contains(Seq(1L, 2L)) && pairs.contains(Seq(1L, 3L)))
+  }
 }
