@@ -110,18 +110,26 @@ object Dedup {
     val idxBands = readIndexOr(banded.limit(0), s"$indexDir/bands")
     val idxSets = readIndexOr(sets.limit(0), s"$indexDir/sets")
 
+    // Replay hardening (the streaming runner's crash window): a crashed
+    // attempt may have appended THIS batch's rows to the index already, so
+    // (a) a doc meeting its own indexed signature must not self-pair, and
+    // (b) duplicated index rows must not duplicate candidates or pairs —
+    // `distinct`/`dropDuplicates("id")` make a double-appended index read
+    // exactly like a single-appended one (a doc's shingle SET is
+    // order-insensitive, so any copy verifies identically).
     val candIn = banded.select(col("band"), col("bk"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bk"), col("id").as("id_b")),
         Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val candCross = banded
-      .join(idxBands.withColumnRenamed("id", "_iid"), Seq("band", "bk"))
+      .join(idxBands.distinct().withColumnRenamed("id", "_iid"), Seq("band", "bk"))
+      .filter(col("id") =!= col("_iid"))
       .select(least(col("id"), col("_iid")).as("id_a"),
         greatest(col("id"), col("_iid")).as("id_b"))
     val cand = candIn.unionByName(candCross).distinct()
 
-    val allSets = sets.unionByName(idxSets)
+    val allSets = sets.unionByName(idxSets).dropDuplicates("id")
     val pairs = cand
       .join(allSets.select(col("id").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
       .join(allSets.select(col("id").as("id_b"), col("sset").as("set_b")), Seq("id_b"))

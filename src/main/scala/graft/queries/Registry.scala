@@ -955,6 +955,19 @@ object Registry {
       Some("SELECT DISTINCT md5(props) AS content_hash FROM events " +
         "WHERE epoch_ms(ts) < 1704672000000 ORDER BY content_hash")),
 
+    ("s12_stream_neardup",
+      // Streaming NEAR-dup: documents replayed as three real micro-batches
+      // (maxFilesPerTrigger=1), each LSH-joining only the persisted
+      // signature index of earlier batches, pairs through the idempotent
+      // AppendOnceSink. Union over batches ≡ the one-shot batch answer —
+      // x2's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s12")
+        graft.streaming.Streaming.runStreamNearDup(s, dir, base + "/nd")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(minHashOracleSql)),
+
     ("s11_stream_join_attribution",
       // Stream-STREAM interval join: clicks joined to same-user purchases
       // within 24 h after the click, both sides watermarked so join state

@@ -632,20 +632,26 @@ object Streaming {
     private def fs(spark: SparkSession): FileSystem =
       FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     private val marker = new Path(path + ".committed")
+    /** Highest batch id already appended (-1 if none) — exposed so a
+      * foreachBatch body with side work beyond the append (e.g. the
+      * near-dup index upsert) can skip the whole body on a replayed
+      * batch, not just the final append. */
+    def committedBatch(spark: SparkSession): Long = {
+      val f = fs(spark)
+      if (!f.exists(marker)) -1L
+      else {
+        val in = f.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
     def append(batch: DataFrame, batchId: Long): Unit = {
-      val f = fs(batch.sparkSession)
-      val committed =
-        if (!f.exists(marker)) -1L
-        else {
-          val in = f.open(marker)
-          try new String(in.readAllBytes(), "UTF-8").trim.toLong
-          finally in.close()
-        }
-      if (batchId <= committed) { // replayed batch: skip the append
-        Streaming.drainReplayedBatch(batch)
+      if (batchId <= committedBatch(batch.sparkSession)) {
+        Streaming.drainReplayedBatch(batch) // replayed batch: skip the append
         return
       }
       batch.write.mode("append").parquet(path)
+      val f = fs(batch.sparkSession)
       val out = f.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -702,6 +708,59 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.read.parquet(sinkPath)
+  }
+
+  /** Streaming NEAR-dup — [[runStreamDedup]] lifted from exact to near
+    * duplicates: each micro-batch runs
+    * [[graft.operators.Dedup.incrementalNearDup]] against the persisted
+    * LSH signature index (batches only ever join the index, never the
+    * corpus), emits its near-dup pairs through the [[AppendOnceSink]], and
+    * appends its own signatures. The union over micro-batches equals the
+    * one-shot batch answer for any batch split, so the registry oracle is
+    * x2's SQL verbatim.
+    *
+    * Idempotence: a replayed batch is skipped WHOLESALE via
+    * `committedBatch` (pairs and index alike); the residual crash window —
+    * index appended, pairs marker not yet written — re-runs the batch
+    * against an index already containing its own signatures, which
+    * `incrementalNearDup`'s self-pair filter and index dedup make emit the
+    * identical pair set (spec-pinned).
+    *
+    * The documents table is staged as one file per doc_id residue class
+    * and streamed with `maxFilesPerTrigger=1`, so the replay exercises
+    * REAL multi-batch increments; batch order is irrelevant by the
+    * disjoint-split equivalence. */
+  def runStreamNearDup(spark: SparkSession, dir: String, base: String): DataFrame = {
+    val landing = s"$base/landing"
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      val stage = s"$base/stage$i"
+      docs.where(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+      f.mkdirs(new Path(landing))
+      f.rename(part, new Path(s"$landing/b$i.parquet"))
+    }
+    val pairsSink = new AppendOnceSink(s"$base/pairs")
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id <= pairsSink.committedBatch(b.sparkSession))
+          Streaming.drainReplayedBatch(b)
+        else pairsSink.append(
+          graft.operators.Dedup.incrementalNearDup(
+            b, "doc_id", "text", 3, 0.8, s"$base/index"), id)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/pairs")
   }
 
   /** Stream-STREAM interval join — click→conversion attribution: each

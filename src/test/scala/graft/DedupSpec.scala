@@ -171,4 +171,20 @@ class DedupSpec extends SparkSpec {
     val pairs = rows(inc.select($"id_a", $"id_b"))
     assert(pairs.contains(Seq(1L, 2L)) && pairs.contains(Seq(1L, 3L)))
   }
+
+  test("incremental near-dup replay: a batch re-run against its own crashed index append emits the identical pair set") {
+    import spark.implicits._
+    val base = (1 to 37).map(i => s"tok$i").mkString("spark ", " ", " end")
+    val b0 = Seq((1L, base), (2L, base.replace("tok20", "swapped")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("incnd-replay").toString
+    val first = Dedup.incrementalNearDup(b0, "doc_id", "text", 3, 0.8, s"$idx/index")
+    // Crash window: index append happened, pairs marker did not — the
+    // replay reruns the SAME batch against an index that already holds its
+    // signatures. Self-pairs and duplicate candidates must not appear.
+    val replay = Dedup.incrementalNearDup(b0, "doc_id", "text", 3, 0.8, s"$idx/index")
+    assertSameRows(first, replay)
+    assert(replay.filter($"id_a" === $"id_b").count() === 0L)
+    assert(replay.count() === replay.distinct().count())
+  }
 }
