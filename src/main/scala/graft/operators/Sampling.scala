@@ -139,4 +139,28 @@ object Sampling {
       .withColumn("seq_offset", expr(s"_prefix % $budget"))
       .drop("_prefix")
   }
+
+  /** Deterministic WEIGHTED sample without replacement, k per group — the
+    * Efraimidis–Spirakis exponential-key scheme (quality- or length-
+    * weighted corpus sampling): key_i = u_i^(1/w_i) with u_i the doc's
+    * salted md5 uniform in (0,1); the top-k keys per group are a weighted
+    * sample without replacement, exactly and in one pass. Same
+    * reproducibility contract as [[sample]] (pure hash arithmetic — no
+    * RNG state, stable under growth/partitioning), one shuffle for the
+    * per-group top-k window. Weights are clamped to >= 1 so zero-weight
+    * rows neither divide by zero nor dominate.
+    *
+    * Output: (groupCol, idCol, weightCol, smp_rank) for ranks 1..k. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, salt: String, k: Int): DataFrame = {
+    val h = Dedup.shingleHash(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_k").desc, col(idCol))
+    df.withColumn("_k", key)
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol), col("smp_rank"))
+  }
 }

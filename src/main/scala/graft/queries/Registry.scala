@@ -1421,6 +1421,26 @@ object Registry {
         "AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY content_hash")),
 
+    ("x39_weighted_sample",
+      // Deterministic weighted sample without replacement: 10 docs per
+      // language, length-weighted (Efraimidis–Spirakis exponential keys
+      // over the salted md5 uniform — Sampling.weightedSamplePerGroup).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.weightedSamplePerGroup(
+          Tables.documents(s, dir).select(col("lang"), col("doc_id"), col("n_chars")),
+          "lang", "doc_id", "n_chars", "wsamp", 10)
+          .orderBy(col("lang"), col("smp_rank")),
+      Some("""WITH t AS (SELECT lang, doc_id, n_chars,
+        |pow((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |    / 4294967296.0,
+        |    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k
+        |FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS INT) AS smp_rank
+        |FROM t)
+        |SELECT lang, doc_id, n_chars, smp_rank FROM r WHERE smp_rank <= 10
+        |ORDER BY lang, smp_rank""".stripMargin.replace("\n", " "))),
+
     ("x38_incremental_neardup",
       // Incremental NEAR-dup ingest: the corpus flows through in three
       // disjoint doc_id batches, each batch LSH-joining only the persisted

@@ -141,4 +141,20 @@ class SamplingSpec extends SparkSpec {
       "doc_id", "sh", 8).filter($"doc_id" <= 300).select($"doc_id", $"shard")
     assertSameRows(a.select($"doc_id", $"shard"), grownShards)
   }
+
+  test("weightedSamplePerGroup: dominant weight always sampled first, k capped, reproducible") {
+    import spark.implicits._
+    // key = u^(1/w): a huge weight pushes the key to ~1 regardless of u,
+    // so the heavy doc deterministically outranks the unit-weight crowd.
+    val df = ((1L to 50L).map(i => ("g", i, 1L)) :+ (("g", 99L, 1000000000L)))
+      .toDF("lang", "doc_id", "n_chars")
+    val out = Sampling.weightedSamplePerGroup(df, "lang", "doc_id", "n_chars", "s", 10)
+    val got = out.orderBy($"smp_rank").collect()
+    assert(got.length === 10)
+    assert(got.head.getAs[Long]("doc_id") === 99L)
+    // Pure hash arithmetic: same result under a different partitioning.
+    assertSameRows(out,
+      Sampling.weightedSamplePerGroup(df.repartition(7), "lang", "doc_id",
+        "n_chars", "s", 10))
+  }
 }
