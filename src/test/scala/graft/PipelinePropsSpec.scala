@@ -84,4 +84,63 @@ class PipelinePropsSpec extends SparkSpec {
     }
     check("repetitionRatio", prop)
   }
+
+  test("property: funnel equals the naive min-chain joins on random event sets") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 5)
+        t <- Gen.oneOf("view", "click", "purchase", "noise")
+        ms <- Gen.choose(0L, 60L) // small range: ts collisions are common
+      } yield (u.toLong, t, ms))
+    } yield evs
+    val prop = Prop.forAll(gen) { evs =>
+      val df = evs.toDF("user_id", "event_type", "ms")
+      val got = graft.operators.Funnel.funnel(df, "user_id", "event_type",
+        "ms", Seq("view", "click", "purchase"))
+      val v = df.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("step0_ms"))
+      val c = df.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ms" > $"step0_ms")
+        .groupBy($"user_id").agg(min($"ms").as("step1_ms"))
+      val p = df.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ms" > $"step1_ms")
+        .groupBy($"user_id").agg(min($"ms").as("step2_ms"))
+      val ref = v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("converted", $"step2_ms".isNotNull.cast("int"))
+      sortedRows(got) == sortedRows(ref.select(got.columns.map(col): _*))
+    }
+    check("funnel-chain", prop)
+  }
+
+  test("property: incremental near-dup union equals one-shot for any disjoint split") {
+    import spark.implicits._
+    // Tiny vocabulary + short docs: near-dups and exact dups are common,
+    // so the property exercises real pair emission, not empty sets.
+    val word = Gen.oneOf("u", "v", "w", "x")
+    val gen = for {
+      n <- Gen.choose(2, 7)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(2, 9)
+        ws <- Gen.listOfN(len, word)
+      } yield ws.mkString(" "))
+      split <- Gen.listOfN(n, Gen.oneOf(0, 1))
+    } yield docs.zip(split).zipWithIndex
+      .map { case ((t, b), i) => (i.toLong, t, b) }
+    val prop = Prop.forAll(gen) { rows3 =>
+      val df = rows3.toDF("doc_id", "text", "batch")
+      val oneShot = graft.operators.Dedup.minHashNearDup(
+        df.select($"doc_id", $"text"), "doc_id", "text", 3, 0.8)
+      val idx = java.nio.file.Files.createTempDirectory("incnd-prop").toString
+      val inc = (0 until 2).map(b =>
+          graft.operators.Dedup.incrementalNearDup(
+            df.filter($"batch" === b).select($"doc_id", $"text"),
+            "doc_id", "text", 3, 0.8, s"$idx/index"))
+        .reduce(_ unionByName _)
+      sortedRows(inc) == sortedRows(oneShot)
+    }
+    check("incremental-near-dup", prop, cases = 4)
+  }
 }
