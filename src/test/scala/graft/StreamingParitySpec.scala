@@ -554,4 +554,18 @@ class StreamingParitySpec extends SparkSpec {
       spark, "/root/testdata/sf0.001", base + "/attr", "24 hours"))
     assert(second === first, "replayed batch duplicated attributions")
   }
+
+  test("streaming near-dup: crash-replayed batch duplicates neither pairs nor index effects") {
+    val base = tmp("graft-s12-replay")
+    val first = sortedRows(Streaming.runStreamNearDup(
+      spark, "/root/testdata/sf0.001", base + "/nd"))
+    assert(first.nonEmpty)
+    // Crash between the pairs marker and the checkpoint commit: the
+    // restart replays the last micro-batch; committedBatch must skip the
+    // whole body (no pair re-append, no fourth index append).
+    rollbackLastCommit(base + "/nd/ckpt")
+    val second = sortedRows(Streaming.runStreamNearDup(
+      spark, "/root/testdata/sf0.001", base + "/nd"))
+    assert(second === first, "replayed batch duplicated near-dup pairs")
+  }
 }
