@@ -239,4 +239,55 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v)
           / size(col(vecCol)).cast("double") * lit(1e6), 4).as("mse_e6"))
   }
+
+  /** Batch kNN JOIN — top-k cosine neighbors for EVERY query vector at
+    * once (the workload behind retrieval eval, semantic-dup candidate
+    * mining, hard-negative sampling), probing the same IVF structure as
+    * [[ivfTopK]] instead of brute-forcing |Q|×|C|:
+    *
+    *  - corpus assignment: one codegen projection (broadcast centroid
+    *    literals, argmax) — identical to [[ivfTopK]];
+    *  - per-QUERY probe set: all array-local (`zip_with` the centroid ids
+    *    with the sims, sort structs of (-sim, cid), slice nProbe) — no
+    *    crossJoin, no window, ties to the smallest cid exactly like the
+    *    single-query probe;
+    *  - candidates: queries exploded to (query, probed cid) and BROADCAST
+    *    against the assigned corpus (the query set is the small side by
+    *    contract; the corpus never shuffles);
+    *  - ranking: per-query `row_number` over sim desc, id asc — ranked on
+    *    the 6-dp ROUNDED sim so the tie-break is engine-portable.
+    *
+    * Output: (qid, idCol, centroid_id, sim, knn_rank) for ranks 1..k,
+    * self-matches excluded. */
+  def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
+    val cidLit = typedlit(cids)
+    val cvLit = typedlit(cvecs)
+    val assigned = embeddings
+      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
+      .withColumn("_cid", element_at(cidLit,
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
+      .select(col(idCol), col(vecCol), col("_cid"))
+    val probes = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+      .withColumn("_probe", transform(
+        slice(array_sort(zip_with(cidLit,
+          transform(cvLit, c => cosine(col("_qv"), c)),
+          (cid, s) => struct((-s).as("d"), cid.as("cid")))), 1, nProbe),
+        p => p.getField("cid")))
+      .select(col("qid"), col("_qv"), explode(col("_probe")).as("_cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol).asc)
+    assigned
+      .join(broadcast(probes), Seq("_cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("sim", round(cosine(col(vecCol), col("_qv")), 6))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("qid"), col(idCol), col("_cid").as("centroid_id"),
+        col("sim"), col("knn_rank"))
+  }
 }

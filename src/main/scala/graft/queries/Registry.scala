@@ -299,6 +299,33 @@ object Registry {
        |SELECT vec_id, cid AS centroid_id, sim FROM res
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.knnJoin]] (queries = vec_id % 50 = 0,
+    * 16 centroids, 4 probes, k=10). Same assignment/probe tie-breaks as
+    * the x7 oracle; ranking is over the 6-dp ROUNDED sim on both engines. */
+  private def knnJoinOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS (SELECT p.qid, a.vec_id, a.cid,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN (SELECT qid, qv, cid FROM pr WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+       |    AS INT) AS knn_rank FROM cand)
+       |SELECT qid, vec_id, cid AS centroid_id, sim, knn_rank FROM r
+       |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[TextAnalysis.langId]] — generated from the same
     * marker sets. */
   private def langIdOracleSql: String = {
@@ -1157,6 +1184,17 @@ object Registry {
           "embedding", 0L, 10, 16, 4, idx + "/index")
       },
       Some(ivfOracleSql)),
+
+    ("x40_knn_join",
+      // Batch kNN JOIN: top-10 cosine neighbors for EVERY query vector
+      // (vec_id % 50 = 0) at once through the shared IVF probe —
+      // Similarity.knnJoin; corpus assignment is one codegen projection,
+      // the query side broadcasts, the corpus never shuffles.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 10, 16, 4)
+          .orderBy(col("qid"), col("knn_rank")),
+      Some(knnJoinOracleSql)),
 
     ("x8_lang_id",
       // Marker-token language ID (argmax score, ties to smallest code).

@@ -66,4 +66,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getInt(1) === 4 && out(1).getLong(2) === 0L &&
       out(1).getLong(3) === 0L && out(1).getDouble(4) === 0.0)
   }
+
+  test("knnJoin probing ALL centroids equals per-query brute-force top-k") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    // nProbe = nCentroids: no candidate is ever pruned, so the approximate
+    // join must coincide with exact brute force for every query.
+    val joined = Similarity.knnJoin(vecs, "vec_id", "embedding",
+      $"vec_id" % 10 === 0, 5, 4, 4)
+    (0L until 40L by 10L).foreach { q =>
+      val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = joined.filter($"qid" === q).orderBy($"knn_rank")
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      assert(got.toSeq === brute.toSeq, s"query $q")
+    }
+  }
 }
