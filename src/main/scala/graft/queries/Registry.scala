@@ -1826,6 +1826,25 @@ object Registry {
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY 1, 2 ORDER BY r_name, n_name")),
 
+    ("q26_sql_surface",
+      // The pure-SQL user path end to end: GraftExtensions-registered
+      // native codegen cosine + a scalar subquery + ORDER BY/LIMIT
+      // (TakeOrderedAndProject), all through spark.sql — no Column API.
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("g_emb")
+        s.sql("""SELECT vec_id, label,
+          round(graft_cosine(embedding,
+            (SELECT embedding FROM g_emb WHERE vec_id = 0)), 6) AS sim
+          FROM g_emb WHERE vec_id <> 0
+          ORDER BY sim DESC, vec_id LIMIT 20""")
+      },
+      Some("SELECT vec_id, label, " +
+        s"round(${cosSql("e.embedding", "q.qv")}, 6) AS sim " +
+        "FROM embeddings e, " +
+        "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20")),
+
     ("q25_set_ops",
       // Set operators over user cohorts: high-value viewers INTERSECT
       // high-value buyers EXCEPT severe-error users (every user has every
