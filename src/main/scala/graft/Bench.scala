@@ -22,9 +22,73 @@ import org.apache.spark.sql.SparkSession
   *    regression;
   *  - failures are NOT swallowed: a failed query reports time -1 and its
   *    error class/message in an `errors` object, so a broken query can never
-  *    masquerade as a fast one.
+  *    masquerade as a fast one;
+  *  - a frozen per-query baseline (`BASELINE_local.json`, the r6 min-of-5
+  *    numbers) turns the bench into a regression GATE: any query whose
+  *    current MIN exceeds 1.5x its frozen min (plus a small absolute slack
+  *    so sub-second queries don't trip on scheduler jitter) lands in a
+  *    `regressions` list in the output line. Min-vs-min cancels contention
+  *    noise — medians regressed in r5 purely from a concurrent sbt process.
   */
 object Bench {
+
+  /** Regression factor: current min must exceed frozen min by this ratio. */
+  val RegressionFactor = 1.5
+  /** Absolute slack (seconds): a query must ALSO be at least this much
+    * slower than its frozen min. 1.5x of a 0.2 s query is within thread-
+    * scheduling jitter even for min-of-5; 1.5x AND +0.25 s is a real
+    * algorithmic change (lost pushdown, lost broadcast), not noise. */
+  val RegressionSlackSec = 0.25
+
+  /** Pure regression detector (unit-tested with a seeded slowdown).
+    * Queries absent from the baseline (new this round) and failed queries
+    * (time < 0: already surfaced via `errors`/`n_failed`) are not flagged. */
+  def regressions(
+      baselineMin: Map[String, Double],
+      currentMin: Map[String, Double],
+      factor: Double = RegressionFactor,
+      slackSec: Double = RegressionSlackSec): Seq[String] =
+    currentMin.toSeq.sortBy(_._1).collect {
+      case (name, cur) if cur >= 0 && baselineMin.get(name).exists(base =>
+        cur > base * factor && cur - base > slackSec) => name
+    }
+
+  /** Repo root resolved from the compiled classes' location (works no matter
+    * what CWD sbt launched the JVM with), falling back to user.dir. */
+  private[graft] def repoRoot: java.nio.file.Path = {
+    val fallback = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null) fallback
+      else {
+        // .../target/scala-2.13/classes -> repo root is 3 levels up
+        var p = java.nio.file.Paths.get(src.getLocation.toURI)
+        var found: java.nio.file.Path = null
+        while (p != null && found == null) {
+          if (java.nio.file.Files.exists(p.resolve("build.sbt"))) found = p
+          p = p.getParent
+        }
+        if (found == null) fallback else found
+      }
+    } catch { case _: Exception => fallback }
+  }
+
+  /** Load the frozen per-query min baseline; empty map if absent/unreadable
+    * (first run on a fresh checkout must not fail the bench). */
+  private[graft] def loadBaseline(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val json = JsonMethods.parse(java.nio.file.Files.readString(path))
+      (json \ "queries_min") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v))    => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
 
   /** PIDs of java processes that are neither this JVM nor an ancestor
     * (sbt launcher shells etc.) — concurrent JVMs contend for the same
@@ -102,13 +166,21 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val foreignJson = foreign.mkString("[", ",", "]")
-    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"n_failed":$nFailed,"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    val root = repoRoot
+    val baseline = loadBaseline(root.resolve("BASELINE_local.json"))
+    val regs = regressions(
+      baseline, results.map { case (k, _, mn, _) => k -> mn }.toMap)
+    val regsJson = regs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"n_failed":$nFailed,"regressions":$regsJson,"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     println(line)
     // Full line also lands in a scratch file so a truncated console tail is
-    // never the only record of a bench run.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_local.json"), line + "\n")
-    catch { case _: Exception => () }
+    // never the only record of a bench run. Absolute repo-root path, not CWD
+    // (sbt may launch the JVM elsewhere); a failed write warns instead of
+    // silently breaking the "full line always on disk" guarantee.
+    val out = root.resolve("bench_local.json")
+    try java.nio.file.Files.writeString(out, line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"WARN: could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

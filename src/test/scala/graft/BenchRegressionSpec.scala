@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-as-regression-gate contract (VERDICT r6 ask #1): the frozen
+  * per-query min baseline plus `Bench.regressions` must flag a seeded
+  * slowdown and stay silent on noise-shaped deltas.
+  */
+class BenchRegressionSpec extends AnyFunSuite {
+
+  test("seeded slowdown fires the detector") {
+    val base = Map("q1" -> 1.0, "q2" -> 0.5)
+    val cur  = Map("q1" -> 2.0, "q2" -> 0.51) // q1: 2x and +1.0s
+    assert(Bench.regressions(base, cur) == Seq("q1"))
+  }
+
+  test("below-factor slowdown does not fire") {
+    val base = Map("q1" -> 1.0)
+    assert(Bench.regressions(base, Map("q1" -> 1.4)).isEmpty)
+  }
+
+  test("above-factor but sub-slack absolute delta does not fire (jitter guard)") {
+    // 2x of a 0.1s query is +0.1s — within scheduler jitter, not algorithmic.
+    val base = Map("q1" -> 0.1)
+    assert(Bench.regressions(base, Map("q1" -> 0.2)).isEmpty)
+    // but with slack disabled it does fire, proving the factor check works
+    assert(Bench.regressions(base, Map("q1" -> 0.2), slackSec = 0.0) == Seq("q1"))
+  }
+
+  test("new queries (absent from baseline) and failed queries are not flagged") {
+    val base = Map("q1" -> 1.0)
+    val cur  = Map("q1" -> -1.0, "q_new" -> 99.0)
+    assert(Bench.regressions(base, cur).isEmpty)
+  }
+
+  test("multiple regressions come back name-sorted") {
+    val base = Map("b" -> 1.0, "a" -> 1.0, "c" -> 1.0)
+    val cur  = Map("b" -> 3.0, "a" -> 3.0, "c" -> 1.0)
+    assert(Bench.regressions(base, cur) == Seq("a", "b"))
+  }
+
+  test("loadBaseline parses queries_min from disk and tolerates absence") {
+    val tmp = java.nio.file.Files.createTempFile("baseline", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"sf":"/x","queries_min":{"q1":0.25,"q2":1.0,"q3":2}}""")
+    val m = Bench.loadBaseline(tmp)
+    assert(m == Map("q1" -> 0.25, "q2" -> 1.0, "q3" -> 2.0))
+    assert(Bench.loadBaseline(tmp.resolveSibling("nope.json")).isEmpty)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("the committed BASELINE_local.json loads and covers the registry") {
+    val m = Bench.loadBaseline(Bench.repoRoot.resolve("BASELINE_local.json"))
+    assert(m.size >= 100, s"expected >=100 frozen mins, got ${m.size}")
+    // every frozen name is a real registry entry (no orphaned baselines)
+    val names = SparkEntry.queries.keySet
+    val orphans = m.keySet.diff(names)
+    assert(orphans.isEmpty, s"baseline names not in registry: $orphans")
+  }
+}
