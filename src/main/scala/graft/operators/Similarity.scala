@@ -251,16 +251,25 @@ object Similarity {
     *    with the sims, sort structs of (-sim, cid), slice nProbe) — no
     *    crossJoin, no window, ties to the smallest cid exactly like the
     *    single-query probe;
-    *  - candidates: queries exploded to (query, probed cid) and BROADCAST
-    *    against the assigned corpus (the query set is the small side by
-    *    contract; the corpus never shuffles);
+    *  - candidates: queries exploded to (query, probed cid) joined against
+    *    the assigned corpus. Small query sets (retrieval eval) BROADCAST —
+    *    the corpus never shuffles. When the probe side exceeds the broadcast
+    *    threshold (all-corpus self-kNN, the SemDeDup mining workload, where
+    *    the "query side" IS the corpus), fall back to a plain equi-join on
+    *    `_cid`: both sides shuffle into the IVF layout — each centroid's
+    *    corpus rows meet exactly that centroid's probing queries, and a hot
+    *    centroid is AQE's skew-join case, not a planning hazard. The switch
+    *    is sized from row counts × vector bytes against the session's
+    *    `spark.sql.autoBroadcastJoinThreshold` (override via
+    *    `broadcastQueries` for a pinned plan);
     *  - ranking: per-query `row_number` over sim desc, id asc — ranked on
     *    the 6-dp ROUNDED sim so the tie-break is engine-portable.
     *
     * Output: (qid, idCol, centroid_id, sim, knn_rank) for ranks 1..k,
     * self-matches excluded. */
   def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+              queryPred: Column, k: Int, nCentroids: Int, nProbe: Int,
+              broadcastQueries: Option[Boolean] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
@@ -279,10 +288,21 @@ object Similarity {
           (cid, s) => struct((-s).as("d"), cid.as("cid")))), 1, nProbe),
         p => p.getField("cid")))
       .select(col("qid"), col("_qv"), explode(col("_probe")).as("_cid"))
+    val useBroadcast = broadcastQueries.getOrElse {
+      // Estimate the exploded probe side: queries × nProbe rows, each a
+      // (qid, vector, cid). The count is one pushed-filter scan — cheap
+      // next to the join it sizes; dims come from the already-collected
+      // centroids, so no extra row fetch.
+      val dims = cvecs.headOption.map(_.length).getOrElse(0)
+      val rowBytes = 8L + 8L + (4L * dims + 16L)
+      val estBytes = embeddings.filter(queryPred).count() * nProbe * rowBytes
+      estBytes <= org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    }
+    val probeSide = if (useBroadcast) broadcast(probes) else probes.hint("shuffle_hash")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol).asc)
     assigned
-      .join(broadcast(probes), Seq("_cid"))
+      .join(probeSide, Seq("_cid"))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("sim", round(cosine(col(vecCol), col("_qv")), 6))
       .withColumn("knn_rank", row_number().over(w))

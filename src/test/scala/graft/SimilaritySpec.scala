@@ -86,4 +86,52 @@ class SimilaritySpec extends SparkSpec {
       assert(got.toSeq === brute.toSeq, s"query $q")
     }
   }
+
+  test("knnJoin non-broadcast fallback equals the broadcast path (r6 ask #2)") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 13 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    // All-corpus self-kNN: the query side IS the corpus.
+    val pred = lit(true)
+    val bc = Similarity.knnJoin(vecs, "vec_id", "embedding", pred, 3, 4, 2,
+      broadcastQueries = Some(true))
+    val fb = Similarity.knnJoin(vecs, "vec_id", "embedding", pred, 3, 4, 2,
+      broadcastQueries = Some(false))
+    assertSameRows(bc.orderBy($"qid", $"knn_rank"), fb.orderBy($"qid", $"knn_rank"))
+    // The fallback plan must not broadcast the probe side.
+    val plan = fb.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"fallback must not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"fallback must shuffle-join on _cid:\n$plan")
+  }
+
+  test("knnJoin auto mode size-switches on autoBroadcastJoinThreshold") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 11 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // Threshold floored to 1 byte: the auto estimate must pick the
+      // shuffle fallback even for this tiny query set...
+      spark.conf.set(key, "1")
+      val forcedFb = Similarity.knnJoin(vecs, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 3, 4, 2)
+      assert(!forcedFb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // ...and with the default threshold the same call broadcasts.
+      spark.conf.set(key, saved)
+      val auto = Similarity.knnJoin(vecs, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 3, 4, 2)
+      assert(auto.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assertSameRows(auto.orderBy($"qid", $"knn_rank"),
+        forcedFb.orderBy($"qid", $"knn_rank"))
+    } finally spark.conf.set(key, saved)
+  }
 }
