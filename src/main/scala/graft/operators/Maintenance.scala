@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   * directory down to its target file count. */
 object Maintenance {
 
+  /** Test seam: invoked between the stage-out and swap-in rename of every
+    * leaf dir, so a spec can deterministically read the table mid-swap. */
+  private[graft] var midSwapProbe: Path => Unit = _ => ()
+
+  /** Leaf partition dirs of a hive-layout table: one directory level per
+    * partition column, each named `col=value`. */
+  private def leafDirs(f: FileSystem, base: Path, pcols: Seq[String]): Seq[Path] =
+    pcols.foldLeft(Seq(base)) { (dirs, c) =>
+      dirs.flatMap(d => f.listStatus(d).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(c + "=")))
+    }
+
+  /** Highest `_epoch_N` marker anywhere under `dst` (one recursive listing,
+    * the upsert sink's probe discipline), -1 if none. */
+  private def maxEpoch(f: FileSystem, dst: Path): Long = {
+    var max = -1L
+    val it = f.listFiles(dst, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.startsWith("_epoch_")) {
+        val e = name.stripPrefix("_epoch_").toLong
+        if (e > max) max = e
+      }
+    }
+    max
+  }
+
   /** Rewrite a partitioned parquet table so each leaf partition holds
     * `filesPerPartition` files (default 1). The rewrite goes through the
     * same `repartition(partitionCols)` discipline as every partitioned
@@ -19,16 +46,27 @@ object Maintenance {
     * leaf dir), with an extra file-count salt when >1 file per leaf is
     * wanted.
     *
-    * Swap is write-to-temp + rename: the brief window between delete and
-    * rename is acceptable for a MAINTENANCE pass that never changes data
-    * (a reader retries; contrast the upsert sink, whose per-partition
-    * epoch markers exist because its swaps change state). Scale shape:
-    * one shuffle on the partition key; each leaf is written by the tasks
-    * that own its key — no global sort, no driver data. */
+    * Swap discipline (the upsert sink's, Streaming.scala `upsert`): the
+    * table ROOT is never renamed or deleted, so a concurrent reader can
+    * always resolve the path — no missing-root window. Each leaf dir is
+    * swapped individually: the old leaf is staged out under a dot-prefixed
+    * sibling (invisible to partition discovery, and recoverable if the
+    * swap crashes) and the compacted leaf renamed in, stamped with a
+    * monotonically increasing `_epoch_N` marker that rides the rename. A
+    * reader racing one leaf's swap transiently misses that leaf's rows —
+    * acceptable for a maintenance pass that never changes data — but never
+    * loses the table. Leftover staging dirs from a crashed run are swept
+    * on the next invocation.
+    *
+    * Scale shape: one shuffle on the partition key; each leaf is written
+    * by the tasks that own its key — no global sort, no driver data; the
+    * swap itself is pure metadata (2 renames + 1 marker per leaf). */
   def compactPartitioned(spark: SparkSession, path: String,
                          partitionCols: Seq[String],
                          filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition > 0, "need at least one file per partition")
+    require(partitionCols.nonEmpty,
+      "compactPartitioned swaps per leaf dir — need at least one partition column")
     val df = spark.read.parquet(path)
     val shuffleCols =
       if (filesPerPartition == 1) partitionCols.map(col)
@@ -39,13 +77,34 @@ object Maintenance {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true)
+    // Sweep staging leftovers of a crashed prior run (dot-prefixed, so
+    // readers never saw them) at every partition level.
+    partitionCols.indices.foldLeft(Seq(dst)) { (dirs, _) =>
+      val kids = dirs.flatMap(d =>
+        fs.listStatus(d).filter(_.isDirectory).map(_.getPath))
+      kids.filter(_.getName.startsWith(".compact_retired_"))
+        .foreach(fs.delete(_, true))
+      kids.filterNot(_.getName.startsWith("."))
+    }
+    val epoch = maxEpoch(fs, dst) + 1
     df.repartition(shuffleCols: _*)
       .write.partitionBy(partitionCols: _*)
       .mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + ".old")
-    fs.delete(old, true)
-    require(fs.rename(dst, old), s"compact: could not stage out $dst")
-    require(fs.rename(tmp, dst), s"compact: could not swap in $tmp")
-    fs.delete(old, true)
+    val tmpQ = fs.makeQualified(tmp).toString
+    leafDirs(fs, tmp, partitionCols).foreach { leaf =>
+      fs.create(new Path(leaf, s"_epoch_$epoch"), true).close()
+      val rel = leaf.toString.stripPrefix(tmpQ).stripPrefix("/")
+      val dstLeaf = new Path(dst, rel)
+      val retired = new Path(dstLeaf.getParent,
+        s".compact_retired_${epoch}_${dstLeaf.getName}")
+      fs.mkdirs(dstLeaf.getParent)
+      if (fs.exists(dstLeaf))
+        require(fs.rename(dstLeaf, retired),
+          s"compact: could not stage out $dstLeaf")
+      midSwapProbe(dstLeaf)
+      require(fs.rename(leaf, dstLeaf), s"compact: could not swap in $leaf")
+      fs.delete(retired, true)
+    }
+    fs.delete(tmp, true)
   }
 }
