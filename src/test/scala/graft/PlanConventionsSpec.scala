@@ -41,22 +41,27 @@ class PlanConventionsSpec extends SparkSpec {
     case _ => false
   }
 
+  /** A node that proves its subtree's row count is bounded independent of
+    * input scale. */
+  private def boundedNode(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case f: FilterExec if f.condition.exists {
+      case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+      case _ => false
+    } => true
+    case l: LocalTableScanExec if l.rows.size <= 1000 => true
+    case g: GlobalLimitExec if g.limit <= 1000 => true
+    case t: TakeOrderedAndProjectExec if t.limit <= 1000 => true
+    // A reused broadcast: its defining exchange appears elsewhere in the
+    // same plan and is checked at its own join site.
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+    case _ => false
+  }
+
   /** A broadcast side is acceptable iff some node in it proves the row
     * count is bounded independent of input scale. */
   private def boundedBroadcast(side: SparkPlan): Boolean =
-    side.collectFirst {
-      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
-      case f: FilterExec if f.condition.exists {
-        case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
-        case _ => false
-      } => true
-      case l: LocalTableScanExec if l.rows.size <= 1000 => true
-      case g: GlobalLimitExec if g.limit <= 1000 => true
-      case t: TakeOrderedAndProjectExec if t.limit <= 1000 => true
-      // A reused broadcast: its defining exchange appears elsewhere in the
-      // same plan and is checked at its own join site.
-      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
-    }.getOrElse(false)
+    side.collectFirst { case p if boundedNode(p) => true }.getOrElse(false)
 
   test("every registered query plan honors the no-cartesian / bounded-broadcast / no-single-partition conventions") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -84,5 +89,53 @@ class PlanConventionsSpec extends SparkSpec {
       assert(found.isEmpty,
         s"plan-convention violations:\n${found.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** The join-heaviest registry entries, re-audited with AQE ON and the
+    * query EXECUTED: AQE can demote a planned broadcast join at runtime
+    * (e.g. when its size estimate crosses the threshold mid-flight), so the
+    * planned-tree audit above is necessary but not sufficient. The final
+    * adaptive plan must still contain no CartesianProduct and no
+    * unbounded BroadcastNestedLoopJoin. (r6 ask #4) */
+  private val joinHeavy = Seq(
+    "j3_region_nation_revenue", "j4_bucketed_top_orders", "j7_salted_revenue",
+    "q13_leaderboard_rank", "q21_asof_enrich", "q22_session_attribution",
+    "q2_visible_channel_totals", "x12_embed_neardup",
+    "x38_incremental_neardup", "x40_knn_join")
+
+  /** All physical nodes reachable through AQE packaging: the final plan of
+    * an AdaptiveSparkPlanExec, the materialized plan inside each query
+    * stage, and the subtree behind a reused stage/exchange. */
+  private def adaptiveNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => adaptiveNodes(a.executedPlan)
+      case s: QueryStageExec => s +: adaptiveNodes(s.plan)
+      case other => other +: other.children.flatMap(adaptiveNodes)
+    }
+    self
+  }
+
+  test("AQE-final plans of the join-heaviest entries stay cartesian-free") {
+    val registered = SparkEntry.queries
+    val violations = Seq.newBuilder[String]
+    joinHeavy.foreach { name =>
+      val df = registered(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save() // materialize all stages
+      adaptiveNodes(df.queryExecution.executedPlan).foreach {
+        case _: CartesianProductExec =>
+          violations += s"$name: CartesianProduct in AQE-final plan"
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          if (!adaptiveNodes(build).exists(boundedNode))
+            violations += s"$name: unbounded BroadcastNestedLoopJoin in AQE-final plan"
+        case _ =>
+      }
+    }
+    val found = violations.result()
+    assert(found.isEmpty, s"AQE-final violations:\n${found.mkString("\n")}")
   }
 }
