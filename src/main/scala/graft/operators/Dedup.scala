@@ -88,7 +88,20 @@ object Dedup {
   def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
                          shingleK: Int, threshold: Double,
                          indexDir: String): DataFrame = {
-    val shingled = shingles(batch, idCol, textCol, shingleK)
+    // Exact-dup collapse per batch (the same hot-bucket hardening as
+    // minHashNearDup): B byte-identical docs in a batch would put B rows
+    // into every one of their LSH buckets — against the accumulated index
+    // the band equi-join then materializes ~Bands·B² candidate rows before
+    // distinct. Collapsed, only ONE representative per distinct text is
+    // banded/indexed; the member→rep mapping is persisted beside the index
+    // and pairs are reconstructed after verification with output-linear
+    // work. Batch↔index identical-text pairs need no special casing:
+    // identical texts have identical signatures, so the reps meet in every
+    // band and verify at jaccard 1.0, and expansion fans the pair out to
+    // both text groups' members.
+    val members = collapseExact(batch, idCol, textCol).localCheckpoint(eager = false)
+    val reps = repDocsOf(batch, members, idCol)
+    val shingled = shingles(reps, idCol, textCol, shingleK)
       .withColumn("_md5", md5(col("shingle")))
       .localCheckpoint(eager = false)
     val aggs = (0 until K).map(j =>
@@ -109,6 +122,7 @@ object Dedup {
 
     val idxBands = readIndexOr(banded.limit(0), s"$indexDir/bands")
     val idxSets = readIndexOr(sets.limit(0), s"$indexDir/sets")
+    val idxMembers = readIndexOr(members.limit(0), s"$indexDir/members")
 
     // Replay hardening (the streaming runner's crash window): a crashed
     // attempt may have appended THIS batch's rows to the index already, so
@@ -130,7 +144,7 @@ object Dedup {
     val cand = candIn.unionByName(candCross).distinct()
 
     val allSets = sets.unionByName(idxSets).dropDuplicates("id")
-    val pairs = cand
+    val repPairs = cand
       .join(allSets.select(col("id").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
       .join(allSets.select(col("id").as("id_b"), col("sset").as("set_b")), Seq("id_b"))
       .withColumn("_i", size(array_intersect(col("set_a"), col("set_b"))))
@@ -138,10 +152,18 @@ object Dedup {
         (size(col("set_a")) + size(col("set_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    // Within-batch identical-text pairs come from THIS batch's members only
+    // (earlier batches emitted theirs already); rep-level pairs fan out
+    // through the member mapping of the whole corpus-so-far.
+    val allMembers = members.unionByName(idxMembers).dropDuplicates(idCol)
+    val pairs = expandPairs(repPairs, shingled.select(col(idCol)).distinct(),
+        members, allMembers, idCol)
       .localCheckpoint(eager = true)
 
     banded.write.mode("append").parquet(s"$indexDir/bands")
     sets.write.mode("append").parquet(s"$indexDir/sets")
+    members.write.mode("append").parquet(s"$indexDir/members")
     pairs
   }
 
@@ -223,15 +245,26 @@ object Dedup {
     * identical shingle set). Work and output are both linear in the number
     * of emitted pairs. */
   private def expandPairs(repPairs: DataFrame, repsWithShingles: DataFrame,
-                          members: DataFrame, idCol: String): DataFrame = {
-    val within = members.select(col("_ch"), col(idCol).as("id_a"), col("_rep"))
-      .join(members.select(col("_ch"), col(idCol).as("id_b")), Seq("_ch"))
+                          members: DataFrame, idCol: String): DataFrame =
+    expandPairs(repPairs, repsWithShingles, members, members, idCol)
+
+  /** As above, with distinct member frames: `withinMembers` generates the
+    * identical-text pairs (the incremental path restricts this to the
+    * current batch — earlier-batch pairs were emitted in THEIR batch, and
+    * batch↔index identical-text pairs arrive via rep-level band pairs
+    * instead); `lookupMembers` resolves rep-level pair endpoints to every
+    * member of each rep's text group. */
+  private def expandPairs(repPairs: DataFrame, repsWithShingles: DataFrame,
+                          withinMembers: DataFrame, lookupMembers: DataFrame,
+                          idCol: String): DataFrame = {
+    val within = withinMembers.select(col("_ch"), col(idCol).as("id_a"), col("_rep"))
+      .join(withinMembers.select(col("_ch"), col(idCol).as("id_b")), Seq("_ch"))
       .filter(col("id_a") < col("id_b"))
       .join(repsWithShingles.select(col(idCol).as("_rep")), Seq("_rep"), "left_semi")
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val cross = repPairs
-      .join(members.select(col("_rep").as("id_a"), col(idCol).as("_ia")), Seq("id_a"))
-      .join(members.select(col("_rep").as("id_b"), col(idCol).as("_ib")), Seq("id_b"))
+      .join(lookupMembers.select(col("_rep").as("id_a"), col(idCol).as("_ia")), Seq("id_a"))
+      .join(lookupMembers.select(col("_rep").as("id_b"), col(idCol).as("_ib")), Seq("id_b"))
       .select(least(col("_ia"), col("_ib")).as("id_a"),
         greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
     within.unionByName(cross)

@@ -155,7 +155,13 @@ object Sampling {
                              weightCol: String, salt: String, k: Int): DataFrame = {
     val h = Dedup.shingleHash(concat(lit(salt + ":"), col(idCol).cast("string")))
     val u = (h.cast("double") + 0.5) / 4294967296.0
-    val key = pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1.0)))
+    // The key is rounded to 12 dp BEFORE ranking (repo convention: round
+    // doubles before comparing): Spark's Math.pow and another engine's libm
+    // pow may diverge by 1 ulp, which could flip the selection at the
+    // rank-k boundary; at 12 dp both engines rank the identical key, and
+    // the idCol tie-break resolves rounded-equal keys deterministically.
+    val key = round(
+      pow(u, lit(1.0) / greatest(col(weightCol).cast("double"), lit(1.0))), 12)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("_k").desc, col(idCol))
     df.withColumn("_k", key)

@@ -1469,9 +1469,9 @@ object Registry {
           "lang", "doc_id", "n_chars", "wsamp", 10)
           .orderBy(col("lang"), col("smp_rank")),
       Some("""WITH t AS (SELECT lang, doc_id, n_chars,
-        |pow((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |round(pow((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
         |    / 4294967296.0,
-        |    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k
+        |    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 12) AS k
         |FROM documents),
         |r AS (SELECT lang, doc_id, n_chars,
         |CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS INT) AS smp_rank

@@ -621,13 +621,18 @@ object Streaming {
       "phrase" -> phraseSink.state(spark).get)
   }
 
-  /** Idempotent append sink: appends each batch AT MOST once, tracked by a
-    * committed-batch marker — foreachBatch is at-least-once, so a bare
+  /** Idempotent append sink: appends each batch EXACTLY once under
+    * crash-replay — foreachBatch is at-least-once, so a bare
     * `mode("append")` write would duplicate a batch replayed after a crash
-    * between the write and the checkpoint commit. The residual window (a
-    * crash between the append and the marker write) re-appends one batch;
-    * close it with a staging-dir + rename when byte-exact replay matters.
-    */
+    * between the write and the checkpoint commit, and even a marker-gated
+    * bare append leaves a window (crash between append and marker write)
+    * that re-appends one batch. Closed here the way the upsert sink closes
+    * its swap: each batch is staged into a dot-prefixed directory
+    * (invisible to readers) and its files then MOVED into place under
+    * DETERMINISTIC batch-derived names — a replay after a crash at any
+    * point re-stages and overwrites the same destination names instead of
+    * appending a second copy, so the end state is byte-identical to a
+    * crash-free run. */
   final class AppendOnceSink(path: String) {
     private def fs(spark: SparkSession): FileSystem =
       FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -650,8 +655,17 @@ object Streaming {
         Streaming.drainReplayedBatch(batch) // replayed batch: skip the append
         return
       }
-      batch.write.mode("append").parquet(path)
       val f = fs(batch.sparkSession)
+      val staging = new Path(path, s".staging_b$batchId")
+      batch.write.mode("overwrite").parquet(staging.toString)
+      val parts = f.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (src, i) =>
+        val dst = new Path(path, f"b$batchId%06d-p$i%05d.parquet")
+        f.delete(dst, false) // crashed-attempt leftover: overwrite, never duplicate
+        require(f.rename(src, dst), s"append: could not move $src to $dst")
+      }
+      f.delete(staging, true)
       val out = f.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -721,10 +735,13 @@ object Streaming {
     *
     * Idempotence: a replayed batch is skipped WHOLESALE via
     * `committedBatch` (pairs and index alike); the residual crash window —
-    * index appended, pairs marker not yet written — re-runs the batch
-    * against an index already containing its own signatures, which
+    * index appended, pairs not yet committed — re-runs the batch against
+    * an index already containing its own signatures, which
     * `incrementalNearDup`'s self-pair filter and index dedup make emit the
-    * identical pair set (spec-pinned).
+    * identical pair set (spec-pinned). The pairs append itself has no
+    * duplication window: [[AppendOnceSink]] stages and moves files under
+    * deterministic names, so a replayed append overwrites rather than
+    * re-appends.
     *
     * The documents table is staged as one file per doc_id residue class
     * and streamed with `maxFilesPerTrigger=1`, so the replay exercises

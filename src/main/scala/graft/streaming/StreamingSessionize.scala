@@ -153,6 +153,11 @@ object StreamingSessionize {
     // appends sentinel files below, which must never leak into other
     // consumers of the events table.
     val staged = Streaming.privateStagedTableDir(dir, "events")
+    // Bounded-metadata collect: one value per distinct CHANNEL (the
+    // reference's streams are per-channel — hundreds, not millions), needed
+    // driver-side because each channel gets its own sentinel row appended
+    // to the staging dir. Grows with channel cardinality only, never with
+    // events.
     val chans = graft.Tables.messages(spark, dir)
       .select(col("channel")).distinct().as[String].collect().toSeq
     // Sentinel file in the SAME staged landing dir, same events schema.

@@ -172,6 +172,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains(Seq(1L, 2L)) && pairs.contains(Seq(1L, 3L)))
   }
 
+  test("incremental flood: exact dups collapse before banding, index stays rep-only") {
+    import spark.implicits._
+    // 300 byte-identical docs per batch: uncollapsed, the band join against
+    // the accumulated index would materialize ~Bands·B² candidate rows
+    // (ADVICE r6). Collapsed, each batch bands ONE representative and the
+    // index accumulates one signature per distinct text.
+    val idx = java.nio.file.Files.createTempDirectory("incflood").toString + "/index"
+    val mk = (r: Range) => r.map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val p1 = Dedup.incrementalNearDup(mk(1 to 300), "doc_id", "text", 3, 0.8, idx)
+    val p2 = Dedup.incrementalNearDup(mk(301 to 600), "doc_id", "text", 3, 0.8, idx)
+    // Batch 1: C(300,2) within pairs; batch 2: C(300,2) within + 300·300 cross.
+    assert(p1.count() === 300L * 299 / 2)
+    assert(p2.count() === 300L * 299 / 2 + 300L * 300)
+    assert(p1.union(p2).filter($"jaccard" =!= 1.0).count() === 0L)
+    // The persisted band index carries ONE rep per (batch, text): 2 batches
+    // × Bands rows — not 600 × Bands.
+    assert(spark.read.parquet(s"$idx/bands").count() === 2L * Dedup.Bands)
+    assert(spark.read.parquet(s"$idx/members").count() === 600L)
+  }
+
   test("incremental near-dup replay: a batch re-run against its own crashed index append emits the identical pair set") {
     import spark.implicits._
     val base = (1 to 37).map(i => s"tok$i").mkString("spark ", " ", " end")

@@ -246,6 +246,27 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(log) === Set(Seq("h1"), Seq("h2"), Seq("h3")))
   }
 
+  test("AppendOnceSink: crash between file move and marker write replays without duplicates (ADVICE r6)") {
+    import spark.implicits._
+    val base = tmp("graft-apponce2")
+    val path = base + "/log"
+    val sink = new Streaming.AppendOnceSink(path)
+    sink.append(Seq("h1", "h2").toDF("content_hash"), 0L)
+    // Simulate the crashed attempt of batch 1: its files were moved into
+    // place but the marker was never advanced — exactly the window the old
+    // bare mode("append") turned into a duplicate batch.
+    sink.append(Seq("h3", "h4").toDF("content_hash"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path + ".committed")
+    val out = fs.create(marker, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close() // rewind marker
+    sink.append(Seq("h3", "h4").toDF("content_hash"), 1L)   // replay
+    val log = spark.read.parquet(path)
+    assert(log.count() === 4L, "replayed batch must overwrite, not re-append")
+    assert(rows(log) === Set(Seq("h1"), Seq("h2"), Seq("h3"), Seq("h4")))
+  }
+
   test("partial mid-swap crash: only a subset of partitions carry the new epoch; replay completes the rest exactly once") {
     import spark.implicits._
     val base = tmp("graft-partial")
