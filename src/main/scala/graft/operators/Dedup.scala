@@ -88,19 +88,38 @@ object Dedup {
   def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
                          shingleK: Int, threshold: Double,
                          indexDir: String): DataFrame = {
-    // Exact-dup collapse per batch (the same hot-bucket hardening as
-    // minHashNearDup): B byte-identical docs in a batch would put B rows
-    // into every one of their LSH buckets — against the accumulated index
-    // the band equi-join then materializes ~Bands·B² candidate rows before
-    // distinct. Collapsed, only ONE representative per distinct text is
-    // banded/indexed; the member→rep mapping is persisted beside the index
-    // and pairs are reconstructed after verification with output-linear
-    // work. Batch↔index identical-text pairs need no special casing:
-    // identical texts have identical signatures, so the reps meet in every
-    // band and verify at jaccard 1.0, and expansion fans the pair out to
-    // both text groups' members.
-    val members = collapseExact(batch, idCol, textCol).localCheckpoint(eager = false)
-    val reps = repDocsOf(batch, members, idCol)
+    // HOT-bucket hardening (the advice-r6 quadratic): B byte-identical
+    // docs in a batch put B rows into every one of their LSH buckets, and
+    // against the accumulated index the band equi-join materializes
+    // ~Bands·B² candidate rows before distinct. The hazard is quadratic in
+    // the GROUP size, so the collapse machinery (window, rep semi-join,
+    // member-index append, pair expansion) is engaged only when a probe
+    // agg finds a text group at or above [[HotGroupThreshold]] copies —
+    // small dup groups (the common case after upstream exact dedup) flow
+    // through the plain band join, whose per-bucket cost at B < 8 is
+    // B² ≤ 49 candidate rows, cheaper than any collapse. Both paths emit
+    // the identical pair set (spec-pinned: the equivalence property runs
+    // the cold path, the flood test the hot path, and the mixed test one
+    // after the other on one index).
+    val maxGroup = batch.select(md5(col(textCol)).as("_ch"))
+      .groupBy(col("_ch")).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n"))).collect()(0)
+    val batchHot = !maxGroup.isNullAt(0) && maxGroup.getLong(0) >= HotGroupThreshold
+    val idxHasMembers = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+      p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // Only MULTI-member groups are persisted and joined: expandPairs
+    // defaults an endpoint with no member rows to itself, so only text
+    // groups of a hot batch ever need storing or joining. The collapse
+    // frame is narrow (id, 32-char hash) — the window never shuffles text.
+    val members =
+      if (batchHot) collapseExact(batch, idCol, textCol).localCheckpoint(eager = false)
+      else batch.select(col(idCol), lit("").as("_ch"), col(idCol).as("_rep"),
+        lit(1L).as("_grp_n")).limit(0)
+    val multi = members.filter(col("_grp_n") > 1)
+      .select(col(idCol), col("_ch"), col("_rep"))
+    val reps = if (batchHot) repDocsOf(batch, members, idCol) else batch
     val shingled = shingles(reps, idCol, textCol, shingleK)
       .withColumn("_md5", md5(col("shingle")))
       .localCheckpoint(eager = false)
@@ -122,7 +141,7 @@ object Dedup {
 
     val idxBands = readIndexOr(banded.limit(0), s"$indexDir/bands")
     val idxSets = readIndexOr(sets.limit(0), s"$indexDir/sets")
-    val idxMembers = readIndexOr(members.limit(0), s"$indexDir/members")
+    val idxMembers = readIndexOr(multi.limit(0), s"$indexDir/members")
 
     // Replay hardening (the streaming runner's crash window): a crashed
     // attempt may have appended THIS batch's rows to the index already, so
@@ -155,15 +174,20 @@ object Dedup {
 
     // Within-batch identical-text pairs come from THIS batch's members only
     // (earlier batches emitted theirs already); rep-level pairs fan out
-    // through the member mapping of the whole corpus-so-far.
-    val allMembers = members.unionByName(idxMembers).dropDuplicates(idCol)
-    val pairs = expandPairs(repPairs, shingled.select(col(idCol)).distinct(),
-        members, allMembers, idCol)
-      .localCheckpoint(eager = true)
+    // through the multi-member mapping of the whole corpus-so-far. With no
+    // multi-member groups anywhere, expansion is the identity.
+    val expanded =
+      if (!batchHot && !idxHasMembers) repPairs
+      else {
+        val allMulti = multi.unionByName(idxMembers).dropDuplicates(idCol)
+        expandPairs(repPairs, shingled.select(col(idCol)).distinct(),
+          multi, allMulti, idCol)
+      }
+    val pairs = expanded.localCheckpoint(eager = true)
 
     banded.write.mode("append").parquet(s"$indexDir/bands")
     sets.write.mode("append").parquet(s"$indexDir/sets")
-    members.write.mode("append").parquet(s"$indexDir/members")
+    if (batchHot) multi.write.mode("append").parquet(s"$indexDir/members")
     pairs
   }
 
@@ -184,6 +208,11 @@ object Dedup {
     * 32 bits of md5(shingle) — all values < 2^32, products < 2^49: exact in
     * 64-bit integers on any engine. */
   val P = 2147483647L
+  /** Identical-copy group size at which a batch is "hot" and the
+    * incremental path engages the exact-dup collapse: below it the plain
+    * band join's per-bucket B² is single-digit-squared rows (cheaper than
+    * the collapse machinery); at or above it the quadratic dominates. */
+  val HotGroupThreshold = 8L
   val K = 12
   val Bands = 4
   val R = 3
@@ -232,10 +261,12 @@ object Dedup {
     * collapsed, it contributes ONE representative per bucket, and the
     * full pair set is reconstructed afterwards with output-linear work.
     * One shuffle (window min over the hash partition). */
-  private def collapseExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def collapseExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_ch"))
     df.select(col(idCol), md5(col(textCol)).as("_ch"))
-      .withColumn("_rep", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_ch"))))
+      .withColumn("_rep", min(col(idCol)).over(w))
+      .withColumn("_grp_n", count(lit(1)).over(w))
+  }
 
   /** Reconstruct all near-dup pairs from representative-level pairs:
     * within-group pairs are exact duplicates (jaccard 1.0 by identity — no
@@ -253,7 +284,10 @@ object Dedup {
     * current batch — earlier-batch pairs were emitted in THEIR batch, and
     * batch↔index identical-text pairs arrive via rep-level band pairs
     * instead); `lookupMembers` resolves rep-level pair endpoints to every
-    * member of each rep's text group. */
+    * member of each rep's text group, and MAY omit singleton groups — the
+    * left join defaults an endpoint with no member rows to itself, so only
+    * multi-member groups ever need storing (the incremental index stays
+    * empty for dup-free corpora). */
   private def expandPairs(repPairs: DataFrame, repsWithShingles: DataFrame,
                           withinMembers: DataFrame, lookupMembers: DataFrame,
                           idCol: String): DataFrame = {
@@ -263,8 +297,12 @@ object Dedup {
       .join(repsWithShingles.select(col(idCol).as("_rep")), Seq("_rep"), "left_semi")
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val cross = repPairs
-      .join(lookupMembers.select(col("_rep").as("id_a"), col(idCol).as("_ia")), Seq("id_a"))
-      .join(lookupMembers.select(col("_rep").as("id_b"), col(idCol).as("_ib")), Seq("id_b"))
+      .join(lookupMembers.select(col("_rep").as("id_a"), col(idCol).as("_ia")),
+        Seq("id_a"), "left")
+      .withColumn("_ia", coalesce(col("_ia"), col("id_a")))
+      .join(lookupMembers.select(col("_rep").as("id_b"), col(idCol).as("_ib")),
+        Seq("id_b"), "left")
+      .withColumn("_ib", coalesce(col("_ib"), col("id_b")))
       .select(least(col("_ia"), col("_ib")).as("id_a"),
         greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
     within.unionByName(cross)

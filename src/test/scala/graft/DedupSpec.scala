@@ -191,6 +191,17 @@ class DedupSpec extends SparkSpec {
     // × Bands rows — not 600 × Bands.
     assert(spark.read.parquet(s"$idx/bands").count() === 2L * Dedup.Bands)
     assert(spark.read.parquet(s"$idx/members").count() === 600L)
+    // Mixed paths on one index: a COLD batch (no hot group — collapse
+    // skipped) carrying one more copy of the flood text must still expand
+    // against the hot index's member mapping and pair with ALL 600 copies.
+    val p3 = Dedup.incrementalNearDup(
+      Seq((601L, "alpha beta gamma delta epsilon"),
+          (602L, "totally unrelated words here now")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.8, idx)
+    assert(p3.count() === 600L)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    assert(p3.agg(fmin($"id_a"), fmax($"id_a"), fmin($"id_b"), fmax($"id_b"))
+      .collect()(0).toSeq === Seq(1L, 600L, 601L, 601L))
   }
 
   test("incremental near-dup replay: a batch re-run against its own crashed index append emits the identical pair set") {
