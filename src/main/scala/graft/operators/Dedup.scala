@@ -453,6 +453,69 @@ object Dedup {
     expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
 
+  /** Exact overlap-coefficient (containment) near-dup — doc-IN-doc
+    * detection, the case Jaccard misses: a document wholly contained in a
+    * much larger one has overlap |A∩B| / min(|A|,|B|) = 1.0 but Jaccard
+    * ≈ |A|/|B| → 0. Training pipelines run this against quote-heavy and
+    * concatenated-shard corpora where subset copies are the dominant
+    * duplication mode.
+    *
+    * Lossless prefix filter, containment form (PPJoin's bound applied to
+    * the SMALLER set): if overlap ≥ t then the smaller set S shares
+    * ≥ t·|S| shingles, so at least one of S's first
+    * `|S| - ceil(t·|S|) + 1` shingles (rarest-first order) appears in the
+    * other doc's FULL set — hence candidates are prefix ⋈ full, never
+    * full ⋈ full, and any shared shingle has df ≥ 2 so the df > 1 cut on
+    * both sides is also lossless. Verification is exact on the full
+    * shingle-set arrays. Same exact-dup collapse + checkpoint discipline
+    * as [[minHashNearDup]].
+    *
+    * Output: (id_a, id_b, overlap) with id_a < id_b, overlap ≥ threshold,
+    * rounded 4 dp. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = collapseExact(df, idCol, textCol).localCheckpoint(eager = false)
+    val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
+      .localCheckpoint(eager = false)
+    val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val wN = Window.partitionBy(col(idCol))
+    // Same epsilon discipline as ngramJaccardPairs: t*n that is integer-
+    // valued must not round UP through float error.
+    val prefLen = col("_n") - ceil(lit(threshold) * col("_n") - lit(1e-9)) + 1
+    val indexed = shingled.join(dfreq, Seq("shingle"))
+      .filter(col("_df") > 1)
+      .withColumn("_n", count(lit(1)).over(wN))
+      .withColumn("_rn", row_number().over(wDoc))
+      .localCheckpoint(eager = false)
+    val pref = indexed.filter(col("_rn") <= prefLen)
+      .select(col("shingle"), col(idCol).as("_pid"), col("_n").as("_np"))
+    val full = indexed.select(col("shingle"), col(idCol).as("_fid"), col("_n").as("_nf"))
+    // Asymmetric cut (lossless): the containment bound needs only the
+    // SMALLER set's prefix to hit the other's full set, so candidates
+    // where the prefix side is the larger doc are redundant — the same
+    // pair is generated with roles swapped. This stops every big doc's
+    // prefix from pairing with the whole corpus.
+    val cand = pref.join(full, Seq("shingle"))
+      .filter(col("_pid") =!= col("_fid") && col("_np") <= col("_nf"))
+      .select(least(col("_pid"), col("_fid")).as("id_a"),
+        greatest(col("_pid"), col("_fid")).as("id_b"))
+      .distinct()
+    val sets = shingled.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("sset"))
+    val repPairs = cand
+      .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), Seq("id_b"))
+      .withColumn("_i", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("_i").cast("double") /
+        least(size(col("set_a")), size(col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
+      .withColumnRenamed("jaccard", "overlap")
+  }
+
   // ---- Embedding-cosine near-dup ----
 
   /** Near-duplicate pairs over an embedding column via sign-LSH banding +

@@ -271,6 +271,26 @@ object Registry {
        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Dedup.overlapPairs]]: UNPRUNED overlap-coefficient
+    * ground truth (the engine side prunes with the smaller-side prefix
+    * filter; the oracle verifies the pruning is lossless). */
+  private def overlapOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+       |  list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |  ELSE [] END AS sl FROM toks),
+       |shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh0),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |o AS (SELECT ia AS id_a, ib AS id_b,
+       |  CAST(i AS DOUBLE) / least(sa.n, sb.n) AS ov FROM inter
+       |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
+       |SELECT id_a, id_b, round(ov, 4) AS overlap FROM o WHERE ov >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -1166,6 +1186,16 @@ object Registry {
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
           .orderBy(col("id_a"), col("id_b")),
       Some(ngramJaccardOracleSql)),
+
+    ("x41_overlap_dedup",
+      // Overlap-coefficient (containment) near-dup — doc-IN-doc detection,
+      // the duplication mode Jaccard misses (subset copy ⇒ overlap 1.0,
+      // jaccard → 0). Engine side prunes candidates with the smaller-side
+      // prefix filter (prefix ⋈ full); oracle is unpruned ground truth.
+      (s: SparkSession, dir: String) =>
+        Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(overlapOracleSql)),
 
     ("x7_ann_ivf",
       // IVF-bucketed approximate top-k: 16 coarse centroids, probe 4.

@@ -144,6 +144,24 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 1L, 1), Seq(2L, 1L, 0), Seq(3L, 1L, 0), Seq(9L, 9L, 1)))
   }
 
+  test("overlap pairs: subset doc hits 1.0 where jaccard misses; disjoint stays out") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-shingles
+    val sub = (10 to 20).map(i => s"w$i").mkString(" ")  // 9 shingles, all ⊂ big
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, big), (2L, sub), (3L, other), (4L, big)).toDF("doc_id", "text")
+    val out = Dedup.overlapPairs(df, "doc_id", "text", 3, 0.8)
+      .orderBy("id_a", "id_b").collect()
+    // (1,2): containment 9/9 = 1.0 — jaccard would be 9/58 ≈ 0.155 and
+    // x6 at 0.8 would never emit it; (1,4) exact dup 1.0; (2,4) inherits
+    // the subset containment against the duplicate.
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)), "jaccard at 0.8 must miss the subset pair")
+  }
+
   test("incremental near-dup over batches equals the one-shot batch answer") {
     import spark.implicits._
     // ~40 tokens: one changed token alters 3 of 38 shingles → jaccard
