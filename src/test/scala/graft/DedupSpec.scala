@@ -162,6 +162,40 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), "jaccard at 0.8 must miss the subset pair")
   }
 
+  test("property: overlap pairs equal brute force on random corpora (prefix filter lossless)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Small vocab forces shared shingles; subset docs, exact dups, and
+    // sub-k docs all arise naturally from the generator.
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf((1 to 8).map(i => s"w$i")))
+    } yield toks.mkString(" ")
+    val corpusGen = Gen.choose(4, 14).flatMap(m => Gen.listOfN(m, docGen))
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingleSet(t) }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        ov = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+        if ov >= 0.8
+      } yield (ia, ib, BigDecimal(ov).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"overlapPairs: $res")
+  }
+
   test("incremental near-dup over batches equals the one-shot batch answer") {
     import spark.implicits._
     // ~40 tokens: one changed token alters 3 of 38 shingles → jaccard
