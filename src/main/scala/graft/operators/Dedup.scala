@@ -738,6 +738,27 @@ object Dedup {
     labelClusters(docs, comps, idCol)
   }
 
+  /** Quality-aware canonical selection — which member of each near-dup
+    * cluster SURVIVES into the training set. [[nearDupClusters]] keeps the
+    * min-id member (deterministic but arbitrary); production pipelines
+    * keep the best member by some score (longest, highest quality — the
+    * FineWeb/SemDeDup survivor policy). One window over the cluster
+    * partition: rank by score desc with the id tie-break, keep rank 1.
+    *
+    * Scale shape: one shuffle on cluster_id (clusters are near-dup groups
+    * — small and numerous, never skewed beyond true duplication), after
+    * the score equi-join on the id. Output: (idCol, clusterCol, scoreCol,
+    * keep_best 0/1) — exactly one keep per cluster. */
+  def keepBestPerCluster(clusters: DataFrame, idCol: String, clusterCol: String,
+                         scores: DataFrame, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.select(col(idCol), col(clusterCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("keep_best", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup over embeddings: where
     * [[nearDupClusters]] collapses lexical near-copies, this collapses
     * vectors that are semantically interchangeable — pairs from

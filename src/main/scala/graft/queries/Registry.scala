@@ -149,6 +149,30 @@ object Registry {
        |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
        |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Dedup.keepBestPerCluster]] over the x25 clusters and
+    * the x10 whitespace token count as the quality score: same recursive
+    * closure, then rank members per cluster by (tokens desc, id asc). */
+  private def clusterKeepBestOracleSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(n, r) AS (
+       |  SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+       |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS INT) AS ws_tokens
+       |  FROM documents),
+       |lab AS (SELECT d.doc_id, coalesce(c.root, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+       |r AS (SELECT lab.doc_id, cluster_id, ws_tokens,
+       |  CAST(row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY ws_tokens DESC, lab.doc_id) = 1 AS INT) AS keep_best
+       |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id)
+       |SELECT doc_id, cluster_id, ws_tokens, keep_best FROM r
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** The embedding-LSH pair CTE chain (sign-LSH banding, 8 bands × 8 bits,
     * candidates from the (band, key) equi-join, exact-cosine verify table
     * `s`) — the SQL twin of [[Dedup.embeddingNearDup]]'s arithmetic. Shared
@@ -1103,6 +1127,23 @@ object Registry {
           3, 0.8)
           .orderBy(col("doc_id")),
       Some(nearDupClustersOracleSql)),
+
+    ("x42_cluster_keep_best",
+      // Quality-aware survivor selection per near-dup cluster (the
+      // FineWeb/SemDeDup keep policy): x25's clusters ranked by the x10
+      // whitespace token count, longest member (id tie-break) survives —
+      // diverges from min-id keep in 10 of the 23 sf0.01 clusters.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.keepBestPerCluster(
+            Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.8),
+            "doc_id", "cluster_id",
+            TextAnalysis.tokenCounts(docs).select(col("doc_id"),
+              col("ws_tokens").cast("int").as("ws_tokens")),
+            "ws_tokens")
+          .orderBy(col("doc_id"))
+      },
+      Some(clusterKeepBestOracleSql)),
 
     ("x26_chunks",
       // Token-window chunking (16-token windows, 4-token overlap): the

@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), "jaccard at 0.8 must miss the subset pair")
   }
 
+  test("keepBestPerCluster: longest member survives, one keep per cluster, singletons keep themselves") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 10), (2L, 40), (3L, 40), (9L, 5))
+      .toDF("doc_id", "ws_tokens")
+    val out = Dedup.keepBestPerCluster(clusters, "doc_id", "cluster_id",
+        scores, "ws_tokens")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // Doc 2 wins cluster 1 (score tie with 3 → smaller id); the min-id
+    // member (1) does NOT survive — the policy genuinely differs from
+    // nearDupClusters' keep. Singleton 9 keeps itself.
+    assert(out.toSeq === Seq((1L, 1L, 10, 0), (2L, 1L, 40, 1),
+      (3L, 1L, 40, 0), (9L, 9L, 5, 1)))
+  }
+
   test("property: overlap pairs equal brute force on random corpora (prefix filter lossless)") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
