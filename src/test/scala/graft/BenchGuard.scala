@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object BenchGuard {
 
   val Heavy = Seq("x2_near_dedup", "x6_ngram_jaccard",
-    "x25b_neardup_clusters_star", "x38_incremental_neardup")
+    "x25b_neardup_clusters_star", "x38_incremental_neardup",
+    "x41_overlap_dedup")
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
