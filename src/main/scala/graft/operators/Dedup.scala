@@ -599,6 +599,48 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — [[decontaminate]]'s
+    * semantics for when the benchmark gram set outgrows a cheap per-gram
+    * broadcast join: the bench grams are compacted into an mBits-bit
+    * Bloom bitset ([[graft.functions.Bloom]], bounded driver metadata of
+    * mBits/64 longs), membership-tested ARRAY-LOCALLY per document, and
+    * only Bloom-POSITIVE grams are exploded into the exact broadcast
+    * verify join. A Bloom filter has no false negatives, so the verified
+    * result is EXACT — identical to [[decontaminate]] by construction
+    * (spec-pinned); false positives only cost extra verify-join rows.
+    *
+    * Scale shape: the per-doc total gram count is computed array-locally
+    * (`size(array_distinct(...))`, no explode), the corpus explodes only
+    * candidate grams (contamination is rare, so candidates ≪ grams), and
+    * the one shuffle is the per-doc hash aggregate. At 100 TB this is the
+    * difference between exploding every gram of the corpus through the
+    * join and exploding a sliver. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, mBits: Int = 1 << 16,
+                         kHashes: Int = 4): DataFrame = {
+    import graft.functions.Bloom
+    def gramsOf(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        array_distinct(TextAnalysis.gramArray(col("_toks"), n)).as("_grams"))
+    val benchGrams = gramsOf(bench)
+      .select(explode(col("_grams")).as("shingle")).distinct()
+    val bitsLit = Bloom.bitsLiteral(Bloom.build(benchGrams, "shingle", mBits, kHashes))
+    val bg = benchGrams.withColumn("_hit", lit(1))
+    gramsOf(corpus)
+      .select(col(idCol), size(col("_grams")).cast("bigint").as("n_grams"),
+        filter(col("_grams"),
+          s => Bloom.mightContain(bitsLit, mBits, kHashes, s)).as("_cand"))
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), col("n_grams"), explode_outer(col("_cand")).as("shingle"))
+      .join(broadcast(bg), Seq("shingle"), "left_outer")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("_hit")).as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
+  }
+
   /** Connected components over an undirected pair graph — min-label
     * propagation to a fixpoint. Near-dup PAIRS are only half the dedup
     * story: keeping one doc per near-dup CLUSTER needs the transitive

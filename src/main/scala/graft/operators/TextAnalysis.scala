@@ -155,9 +155,16 @@ object TextAnalysis {
     * counts). One explode + ONE hash aggregate with map-side partial
     * combine, then TakeOrderedAndProject — no global sort, no second
     * shuffle. Ties break to the lexicographically smallest gram. */
-  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+  /** Every word n-gram occurrence in the corpus, one row each (column
+    * `ngram`) — the shared front half of the corpus-frequency family
+    * ([[topNgrams]], [[Sketch.cmsHeavyHitters]]). Narrow: tokenize +
+    * array-local gram build + posexplode, no shuffle. */
+  def corpusGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(tokens(col("text")).as("_toks"))
       .select(explode(gramArray(col("_toks"), n)).as("ngram"))
+
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    corpusGrams(docs, n)
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("ngram").asc)

@@ -1502,6 +1502,64 @@ object Registry {
         |FROM tot LEFT JOIN ovl USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    ("x43_bloom_decontaminate",
+      // Bloom-prefiltered decontamination: x18's check for when the
+      // benchmark gram set outgrows a per-gram broadcast — bench grams
+      // compact into a 2^16-bit Bloom bitset (8 KiB driver metadata)
+      // tested array-locally; only Bloom-positive grams explode into the
+      // exact verify join (no false negatives ⇒ exact result). Bench =
+      // the src0 slice, corpus = every other source; oracle is the
+      // bloom-free ground truth.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomDecontaminate(docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), "doc_id", "text", 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ct AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents WHERE source <> 'src0'),
+        |bt AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents WHERE source = 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS s FROM ct),
+        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS s FROM bt),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+        |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM cg
+        |WHERE s IN (SELECT s FROM bg) GROUP BY 1)
+        |SELECT tot.doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap,
+        |round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams, 4) AS contamination
+        |FROM tot LEFT JOIN ovl USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x44_cms_heavy_hitters",
+      // Exact heavy-hitter 3-grams (count >= 5) through a count-min
+      // pre-filter: the full gram stream folds into one 4x16384 sketch
+      // (shuffle carries matrices, not values), candidates are an
+      // array-local estimate test against the literal matrix, and only
+      // candidate rows reach the exact count. CMS never underestimates,
+      // so the verified result is exact — the oracle is the naive
+      // ground-truth GROUP BY.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.cmsHeavyHitters(
+            TextAnalysis.corpusGrams(Tables.documents(s, dir), 3)
+              .withColumnRenamed("ngram", "gram"),
+            "gram", 5L)
+          .orderBy(desc("n"), col("gram")),
+      Some("""WITH toks AS (SELECT
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS gram FROM toks)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+        |GROUP BY 1 HAVING count(*) >= 5 ORDER BY n DESC, gram"""
+        .stripMargin.replace("\n", " "))),
+
     ("x19_cap_per_group",
       // Stratified cap: at most 50 docs per language stratum, picked by
       // deterministic hash order — corpus rebalancing (one shuffle +

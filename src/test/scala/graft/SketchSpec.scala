@@ -75,4 +75,50 @@ class SketchSpec extends SparkSpec {
     assert(s.merge(s.zero, other).toSeq === other.toSeq)
     assert(s.merge(other, s.zero).toSeq === other.toSeq)
   }
+
+  test("property: CMS fold+merge over ANY partitioning — exact totals, never underestimates") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val depth = 3; val width = 16
+    val s = new graft.functions.CountMinSketch(depth, width)
+    def posOf(v: Long): Array[Int] =
+      (0 until depth).map(i => (((v * 31 + i * 7) % width + width) % width).toInt).toArray
+    def estimate(sk: Array[Long], v: Long): Long =
+      posOf(v).zipWithIndex.map { case (p, i) => sk(i * width + p) }.min
+    val genParts: Gen[List[List[Long]]] =
+      Gen.listOf(Gen.listOf(Gen.choose(0L, 40L)))
+    val prop = Prop.forAll(genParts) { parts =>
+      val merged = parts.map(p => p.map(posOf).foldLeft(s.zero)(s.reduce))
+        .foldLeft(s.zero)(s.merge)
+      val flat = parts.flatten
+      val truth = flat.groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+      // merge-order invariance; every estimate >= truth; totals conserved
+      val rev = parts.reverse.map(p => p.map(posOf).foldLeft(s.zero)(s.reduce))
+        .foldLeft(s.zero)(s.merge)
+      val mFin = s.finish(merged)
+      s.finish(rev).toSeq == mFin.toSeq &&
+        truth.forall { case (v, c) => estimate(mFin, v) >= c } &&
+        (0 until depth).forall(i =>
+          (0 until width).map(w => mFin(i * width + w)).sum == flat.size.toLong)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("cmsHeavyHitters is exact even when the sketch is saturated") {
+    import spark.implicits._
+    // 3 heavy values among 200 light ones; a deliberately TINY matrix
+    // (2x8) guarantees collisions — false candidates must be cut by the
+    // exact verify, true heavies must always survive (no underestimates).
+    val rows = Seq.fill(40)("hot-a") ++ Seq.fill(25)("hot-b") ++
+      Seq.fill(12)("hot-c") ++ (1 to 200).map(i => s"cold-$i")
+    val df = rows.toDF("v").repartition(9)
+    val naive = df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+    assertSameRows(Sketch.cmsHeavyHitters(df, "v", 10L, 2, 8), naive)
+    assertSameRows(Sketch.cmsHeavyHitters(df, "v", 10L), naive)
+    // Degenerate inputs: empty frame, threshold above every count.
+    assert(Sketch.cmsHeavyHitters(df.limit(0), "v", 1L).count() === 0L)
+    assert(Sketch.cmsHeavyHitters(df, "v", 1000L).count() === 0L)
+  }
 }
