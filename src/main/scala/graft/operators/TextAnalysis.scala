@@ -170,6 +170,55 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** BM25 top-k retrieval over the corpus for a bag of query terms — the
+    * lexical complement of the embedding ANN family
+    * ([[Similarity.cosineTopK]]/`ivfTopK`): the ranking function behind
+    * sparse retrieval in RAG and dedup-mining pipelines.
+    *
+    * Scale shape — the corpus NEVER shuffles: one full-scan aggregate
+    * computes the collection statistics (N, total length, one
+    * document-frequency per query term — query-term-bounded, so the
+    * result is a single broadcast row), scoring is a narrow codegen
+    * projection (per-term tf via array-local `filter`, never an explode
+    * or posting-list join), and the top-k is TakeOrderedAndProject. The
+    * per-term contributions fold in FIXED query order, so the double
+    * arithmetic is deterministic and oracle-portable.
+    *
+    * Output: (idCol, bm25 DOUBLE round 4) for docs matching ≥1 term,
+    * ordered score DESC with id tie-break, limited to k. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val aggs = Seq(
+      count(lit(1)).cast("bigint").as("n_docs"),
+      sum(size(col("_toks"))).cast("bigint").as("total_len")) ++
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("_toks"), t), 1).otherwise(0))
+          .cast("bigint").as(s"_df$i")
+      }
+    val stats = toks.agg(aggs.head, aggs.tail: _*)
+    val dl = size(col("_toks"))
+    // (1-b) + b·dl/avgdl with avgdl = total_len/n_docs, written as ONE
+    // division so both engines evaluate the identical op sequence.
+    val norm = lit(1 - b) +
+      lit(b) * dl * col("n_docs") / col("total_len").cast("double")
+    val tfs = queryTerms.map(t =>
+      size(filter(col("_toks"), x => x === lit(t))))
+    val contribs = tfs.zipWithIndex.map { case (tf, i) =>
+      val df = col(s"_df$i")
+      val idf = log(lit(1) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1)) / (tf + lit(k1) * norm)
+    }
+    toks.crossJoin(broadcast(stats))
+      .withColumn("_ntf", tfs.reduce(_ + _))
+      .filter(col("_ntf") > 0)
+      .select(col(idCol), round(contribs.reduce(_ + _), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PII patterns for [[piiScrub]] — deliberately conservative,
     * dialect-portable regexes (same semantics under Java regex and RE2,
     * the two engines the oracle parity spans). */

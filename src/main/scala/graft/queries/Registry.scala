@@ -2021,6 +2021,95 @@ object Registry {
         |GROUP BY CUBE (event_type, day)
         |ORDER BY gid, event_type, day""".stripMargin.replace("\n", " "))),
 
+    ("j9_scd2_history",
+      // SCD type-2 dimension history: each user's event_type runs become
+      // validity intervals [valid_from, valid_to) with is_current on the
+      // open tail — the warehouse twin of the reference's DO-UPDATE
+      // upsert (Bot.java:156-159 keeps only the latest; this keeps every
+      // version). One shuffle: change window, (key,version) aggregate,
+      // and valid_to lead all cluster by user_id.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scd.scd2(Tables.events(s, dir), "user_id",
+            "event_type", unix_millis(col("ts")), "event_id", NOW)
+          .orderBy(col("user_id"), col("version")),
+      Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events),
+        |d AS (SELECT user_id, t, event_id, event_type,
+        |CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+        |(PARTITION BY user_id ORDER BY t, event_id) THEN 1 ELSE 0 END AS chg FROM e),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM d),
+        |g AS (SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
+        |min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |$NOW) AS valid_to,
+        |CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |IS NULL THEN true ELSE false END AS is_current, n_events
+        |FROM g ORDER BY user_id, version""".stripMargin.replace("\n", " "))),
+
+    ("x45_bm25_search",
+      // BM25 top-20 lexical retrieval for the query bag {hash, join,
+      // scan}: collection stats (N, total length, per-term df) in ONE
+      // full-scan aggregate broadcast back as a single row; tf is
+      // array-local per doc; top-k via TakeOrderedAndProject. The corpus
+      // never shuffles. Per-term contributions fold in fixed query
+      // order, so the double arithmetic is engine-portable.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "scan"), 20),
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(len(t)) AS BIGINT) AS total_len,
+        |CAST(sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |CAST(sum(CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |FROM toks),
+        |sc AS (SELECT doc_id,
+        |len(list_filter(t, x -> x = 'hash')) AS tf0,
+        |len(list_filter(t, x -> x = 'join')) AS tf1,
+        |len(list_filter(t, x -> x = 'scan')) AS tf2,
+        |len(t) AS dl, n_docs, total_len, df0, df1, df2 FROM toks, stats),
+        |s2 AS (SELECT doc_id,
+        |ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE))) AS score,
+        |tf0 + tf1 + tf2 AS ntf FROM sc)
+        |SELECT doc_id, round(score, 4) AS bm25 FROM s2 WHERE ntf > 0
+        |ORDER BY round(score, 4) DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x46_snapshot_diff",
+      // Corpus version diff: old = docs with doc_id % 7 <> 0, new = all
+      // but doc_id % 13 == 0 with text amended for doc_id % 11 == 0 —
+      // added/removed/changed by content md5. Each side reduces to
+      // (id, hash) before the full-outer join, so the shuffle carries
+      // two slim columns; unchanged rows drop in a codegen filter.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.operators.Maintenance.snapshotDiff(oldSnap, newSnap,
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+        |WHERE doc_id % 7 <> 0),
+        |new AS (SELECT doc_id,
+        |md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+        |CASE WHEN old.doc_id IS NULL THEN 'added'
+        |WHEN new.doc_id IS NULL THEN 'removed'
+        |ELSE 'changed' END AS status,
+        |old.h AS old_hash, new.h AS new_hash
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        |WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.h <> new.h
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     ("q23_window_suite",
       // Navigation + ranking + distribution window functions in one pass:
       // lag/lead/row_number/ntile over the per-user event-time order,

@@ -93,4 +93,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(retired), "sweep must remove crashed-run leftovers")
     assert(spark.read.parquet(path).count() == 200)
   }
+
+  test("snapshotDiff: added/removed/changed by content hash, unchanged dropped") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Maintenance.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2) == null, r.getString(3) == null))
+    // doc 1 unchanged → absent; 2 changed (both hashes); 3 removed
+    // (new_hash null); 4 added (old_hash null).
+    assert(out.toSeq === Seq(
+      (2L, "changed", false, false),
+      (3L, "removed", false, true),
+      (4L, "added", true, false)))
+    // Identical snapshots diff to empty.
+    assert(Maintenance.snapshotDiff(oldSnap, oldSnap, "doc_id", "text")
+      .count() === 0L)
+  }
 }

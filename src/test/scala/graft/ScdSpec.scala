@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scd
+
+/** SCD2 history building (operators/Scd.scala): version segmentation,
+  * interval chaining, open-tail handling — and the one-shuffle plan
+  * claim (every step clusters by the key). */
+class ScdSpec extends SparkSpec {
+
+  private val NOW = 1000L
+
+  private def history(rows: Seq[(Long, String, Long, Long)]) = {
+    import spark.implicits._
+    Scd.scd2(rows.toDF("k", "attr", "t", "id"), "k", "attr",
+      col("t"), "id", NOW)
+  }
+
+  test("versions segment on change; intervals chain; tail is open") {
+    // k=1: a,a,b,a — the value RETURNS, so version 3 must be a new 'a',
+    // not merged with version 1 (the bug a plain groupBy(key, attr)
+    // would have). k=2: single run stays one current version.
+    val out = history(Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 40L, 4L),
+      (2L, "x", 5L, 5L))).orderBy(col("k"), col("version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", 10L, 30L, false, 2L),
+      (1L, 2L, "b", 30L, 40L, false, 1L),
+      (1L, 3L, "a", 40L, NOW, true, 1L),
+      (2L, 1L, "x", 5L, NOW, true, 1L)))
+  }
+
+  test("same-timestamp events order by the tie column deterministically") {
+    val out = history(Seq(
+      (1L, "b", 10L, 2L), (1L, "a", 10L, 1L), (1L, "c", 10L, 3L)))
+      .orderBy(col("version"))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("one Exchange total: change window, aggregate, and lead reuse the key clustering") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ((i % 7).toLong, s"v${i % 3}", i.toLong, i.toLong))
+      .toDF("k", "attr", "t", "id")
+    val plan = Scd.scd2(df, "k", "attr", col("t"), "id", NOW)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
+  }
+}

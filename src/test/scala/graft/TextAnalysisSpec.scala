@@ -149,4 +149,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
     assert(out.forall(_.getAs[Double]("src_avg_chars") === 15.0))
   }
+
+  test("bm25Search: tf and idf ordering, non-matching docs cut, k cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple pear"), // tf(apple)=3
+      (2L, "apple pear plum fig"),    // tf(apple)=1
+      (3L, "apple banana"),           // apple + rare term
+      (4L, "plum fig plum fig"))      // no query terms → cut
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("apple", "banana"), 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.toSet === Set(1L, 2L, 3L), "doc 4 matches nothing")
+    // banana is rarer (df=1 vs 3) → doc 3's idf-heavy hit outranks the
+    // repeated common term; higher tf outranks lower at equal df.
+    assert(ids.head === 3L)
+    assert(ids.indexOf(1L) < ids.indexOf(2L))
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.sorted.reverse.toSeq === scores.toSeq, "ordered DESC")
+    assert(TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("apple"), 1).count() === 1L)
+  }
 }
