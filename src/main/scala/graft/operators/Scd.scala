@@ -32,27 +32,81 @@ object Scd {
     * valid_to, is_current, n_events BIGINT); timestamps epoch millis. */
   def scd2(events: DataFrame, keyCol: String, attrCol: String,
            tsMillis: Column, tieCol: String, nowMillis: Long): DataFrame = {
-    // Windows bind to the PROJECTED `_t` (the caller's tsMillis
-    // expression exists only before the first select).
-    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    scd2Weighted(
+      events.select(col(keyCol), col(attrCol), tsMillis.as("_t"),
+        col(tieCol).as("_tie"), lit(1L).as("_w")),
+      keyCol, attrCol, nowMillis, versionBase = lit(0L))
+  }
+
+  /** The shared core of [[scd2]] and [[scd2Merge]]: segment
+    * (`_t`, `_tie`)-ordered rows per key into versions, where each row
+    * carries a pre-aggregated event weight `_w` (1 for raw events; a
+    * whole collapsed version's count for merge seeds) and `versionBase`
+    * offsets the numbering (0 for a full build; the closed-version count
+    * per key for an incremental merge). */
+  private def scd2Weighted(rows: DataFrame, keyCol: String, attrCol: String,
+                           nowMillis: Long, versionBase: Column): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col("_tie"))
     // Null-safe change marker (<=> keeps a null attribute from starting
     // a new version against itself); the first row per key always marks.
     val chg = when(!(col(attrCol) <=> lag(col(attrCol), 1).over(wOrd)), 1L)
       .otherwise(0L)
-    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wVer = Window.partitionBy(col(keyCol)).orderBy(col("version"))
-    events
-      .select(col(keyCol), col(attrCol), tsMillis.as("_t"), col(tieCol))
-      .withColumn("version", sum(chg).over(wRun))
+    rows
+      .withColumn("version", sum(chg).over(wRun) + versionBase)
       .groupBy(col(keyCol), col("version"), col(attrCol))
       .agg(min(col("_t")).as("valid_from"),
-        count(lit(1)).as("n_events"))
+        sum(col("_w")).as("n_events"))
       .withColumn("valid_to",
         coalesce(lead(col("valid_from"), 1).over(wVer), lit(nowMillis)))
       .withColumn("is_current",
         lead(col("valid_from"), 1).over(wVer).isNull)
       .select(col(keyCol), col("version"), col(attrCol), col("valid_from"),
         col("valid_to"), col("is_current"), col("n_events"))
+  }
+
+  /** INCREMENTAL SCD2 maintenance — fold a batch of new events into an
+    * existing [[scd2]] history without rescanning the event corpus: the
+    * batch either EXTENDS each key's open version (same attribute — the
+    * count grows, valid_from stays) or CLOSES it and opens new ones.
+    * Equivalence `scd2(all) ≡ scd2Merge(scd2(older), newer)` for any
+    * event-time split is the operator's contract (property-pinned in
+    * ScdSpec across multi-way splits).
+    *
+    * Mechanics: closed versions pass through untouched; each key's open
+    * version collapses to ONE seed row (t = valid_from, weight =
+    * n_events) that re-enters the weighted segmentation together with
+    * the new events, numbered from that key's closed-version count.
+    * Late events older than an open version's start would reorder
+    * against the seed — the same out-of-order limit the reference's
+    * timer-flushed aggregations have; feed late data through a full
+    * rebuild instead.
+    *
+    * Scale shape: per-batch cost is O(batch + dimension) — the pass
+    * reads the history TABLE (version-grain, dimension-sized), never the
+    * event corpus, and everything clusters by the key like [[scd2]]. */
+  def scd2Merge(history: DataFrame, newEvents: DataFrame, keyCol: String,
+                attrCol: String, tsMillis: Column, tieCol: String,
+                nowMillis: Long): DataFrame = {
+    val closed = history.filter(!col("is_current"))
+    // Seed rows sort before any same-timestamp new event (tie = null
+    // sorts first in ASC), so an equal-attribute batch row always joins
+    // the seed's run rather than starting its own.
+    val seeds = history.filter(col("is_current"))
+      .select(col(keyCol), col(attrCol), col("valid_from").as("_t"),
+        lit(null).cast("long").as("_tie"), col("n_events").as("_w"))
+    val base = closed.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_vbase"))
+    val fresh = newEvents.select(col(keyCol), col(attrCol),
+      tsMillis.as("_t"), col(tieCol).cast("long").as("_tie"),
+      lit(1L).as("_w"))
+    val reopened = scd2Weighted(
+      seeds.unionByName(fresh)
+        .join(base, Seq(keyCol), "left_outer")
+        .withColumn("_vbase", coalesce(col("_vbase"), lit(0L))),
+      keyCol, attrCol, nowMillis, versionBase = col("_vbase"))
+    closed.select(reopened.columns.map(col): _*).unionByName(reopened)
   }
 }

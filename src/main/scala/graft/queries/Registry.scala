@@ -94,6 +94,26 @@ object Registry {
       |count(*) AS n_events FROM g GROUP BY channel, sid
       |ORDER BY channel, started_at""".stripMargin.replace("\n", " ")
 
+  /** Shared by j9 (one-shot SCD2 build) and j9b (incremental merge) —
+    * split-equivalence is the merge operator's contract, so one oracle
+    * covers both. */
+  private lazy val scd2OracleSql =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events),
+       |d AS (SELECT user_id, t, event_id, event_type,
+       |CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+       |(PARTITION BY user_id ORDER BY t, event_id) THEN 1 ELSE 0 END AS chg FROM e),
+       |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM d),
+       |g AS (SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
+       |min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+       |FROM v GROUP BY 1, 2, 3)
+       |SELECT user_id, version, event_type, valid_from,
+       |COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+       |$NOW) AS valid_to,
+       |CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+       |IS NULL THEN true ELSE false END AS is_current, n_events
+       |FROM g ORDER BY user_id, version""".stripMargin.replace("\n", " ")
+
   /** The MinHash pair CTE chain (toks → shingles → signatures → banded
     * candidates → exact-Jaccard `j`) — generated from the same constants as
     * [[Dedup.minHashNearDup]] so the signature arithmetic is identical by
@@ -2032,21 +2052,26 @@ object Registry {
         graft.operators.Scd.scd2(Tables.events(s, dir), "user_id",
             "event_type", unix_millis(col("ts")), "event_id", NOW)
           .orderBy(col("user_id"), col("version")),
-      Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events),
-        |d AS (SELECT user_id, t, event_id, event_type,
-        |CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
-        |(PARTITION BY user_id ORDER BY t, event_id) THEN 1 ELSE 0 END AS chg FROM e),
-        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM d),
-        |g AS (SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
-        |min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
-        |FROM v GROUP BY 1, 2, 3)
-        |SELECT user_id, version, event_type, valid_from,
-        |COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-        |$NOW) AS valid_to,
-        |CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-        |IS NULL THEN true ELSE false END AS is_current, n_events
-        |FROM g ORDER BY user_id, version""".stripMargin.replace("\n", " "))),
+      Some(scd2OracleSql)),
+
+    ("j9b_scd2_incremental",
+      // The incremental form of j9: history built from events before T1,
+      // then one scd2Merge folds the tail batch in — open versions
+      // extend or close, numbering continues, the event corpus is never
+      // rescanned (per-batch cost is O(batch + dimension)). Same oracle
+      // as the one-shot build by the operator's split-equivalence
+      // contract (property-pinned in ScdSpec).
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val hist = graft.operators.Scd.scd2(
+          ev.filter(unix_millis(col("ts")) < T1), "user_id",
+          "event_type", unix_millis(col("ts")), "event_id", NOW)
+        graft.operators.Scd.scd2Merge(hist,
+            ev.filter(unix_millis(col("ts")) >= T1), "user_id",
+            "event_type", unix_millis(col("ts")), "event_id", NOW)
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(scd2OracleSql)),
 
     ("x45_bm25_search",
       // BM25 top-20 lexical retrieval for the query bag {hash, join,

@@ -41,6 +41,62 @@ class ScdSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("scd2Merge: extends same-attr open versions, closes on change, numbering continues") {
+    import spark.implicits._
+    val older = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L),
+      (2L, "x", 5L, 3L)).toDF("k", "attr", "t", "id")
+    val newer = Seq(
+      (1L, "b", 30L, 4L), // same attr as open v2 → extends (n_events 2)
+      (1L, "c", 40L, 5L), // change → closes v2, opens v3
+      (2L, "y", 50L, 6L), // change for k=2
+      (3L, "q", 60L, 7L)) // key first seen in the batch
+      .toDF("k", "attr", "t", "id")
+    val hist = Scd.scd2(older, "k", "attr", col("t"), "id", NOW)
+    val merged = Scd.scd2Merge(hist, newer, "k", "attr", col("t"), "id", NOW)
+    val out = merged.orderBy(col("k"), col("version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", 10L, 20L, false, 1L),
+      (1L, 2L, "b", 20L, 40L, false, 2L),
+      (1L, 3L, "c", 40L, NOW, true, 1L),
+      (2L, 1L, "x", 5L, 50L, false, 1L),
+      (2L, 2L, "y", 50L, NOW, true, 1L),
+      (3L, 1L, "q", 60L, NOW, true, 1L)))
+  }
+
+  test("property: scd2Merge over ANY event-time split chain equals the one-shot build") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEvents: Gen[List[(Long, String, Long)]] = Gen.listOf(for {
+      k <- Gen.choose(1L, 4L)
+      a <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 100L)
+    } yield (k, a, t))
+    val genCuts: Gen[List[Long]] = Gen.listOfN(2, Gen.choose(0L, 100L))
+    val prop = Prop.forAll(genEvents, genCuts) { (evs, cuts) =>
+      // Distinct ids double as the order tie-break; event-time splits at
+      // the sorted cut points → up to a 3-way incremental chain.
+      val rows = evs.zipWithIndex.map { case ((k, a, t), i) =>
+        (k, a, t, i.toLong) }
+      val df = rows.toDF("k", "attr", "t", "id")
+      val oneShot = Scd.scd2(df, "k", "attr", col("t"), "id", NOW)
+      val Seq(c1, c2) = cuts.sorted
+      val parts = Seq(
+        df.filter(col("t") < c1),
+        df.filter(col("t") >= c1 && col("t") < c2),
+        df.filter(col("t") >= c2))
+      val chained = parts.tail.foldLeft(
+        Scd.scd2(parts.head, "k", "attr", col("t"), "id", NOW)) {
+        (h, batch) => Scd.scd2Merge(h, batch, "k", "attr", col("t"), "id", NOW)
+      }
+      sortedRows(chained) == sortedRows(oneShot)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("one Exchange total: change window, aggregate, and lead reuse the key clustering") {
     import spark.implicits._
     val df = (1 to 100).map(i => ((i % 7).toLong, s"v${i % 3}", i.toLong, i.toLong))
