@@ -109,4 +109,30 @@ object Scd {
       keyCol, attrCol, nowMillis, versionBase = col("_vbase"))
     closed.select(reopened.columns.map(col): _*).unionByName(reopened)
   }
+
+  /** Point-in-time enrichment against an [[scd2]] history — attach to each
+    * fact row the dimension version VALID AT its timestamp (the feature-store
+    * correctness rule: no attribute from the future may leak into a training
+    * example). Facts with no version yet valid get nulls.
+    *
+    * Scale shape: because a key's versions partition its timeline
+    * (`valid_from` of version n+1 == `valid_to` of version n), "the interval
+    * containing t" is exactly "the latest valid_from <= t" — so this
+    * delegates to [[AsofJoin.asofBackward]]'s union + one-window-per-key
+    * linear pass. NO range join, NO per-fact interval probe: one shuffle on
+    * the key, output exactly |facts| rows, and the history side is
+    * dimension-sized (version grain), never event-sized.
+    *
+    * @param history  [[scd2]] output (needs `keyCol`, `valid_from`, `attrCols`)
+    * @param attrCols history columns to attach (e.g. version, the attribute)
+    * @param validFromAs output column carrying the matched version's
+    *                    valid_from (null when no version was valid yet) */
+  def pitJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+              tsCol: String, attrCols: Seq[String],
+              validFromAs: String = "state_from"): DataFrame = {
+    val versions = history.select(
+      col(keyCol) +: col("valid_from").as(tsCol) +: attrCols.map(col): _*)
+    AsofJoin.asofBackward(facts, versions, Seq(keyCol), tsCol, attrCols,
+      validFromAs)
+  }
 }

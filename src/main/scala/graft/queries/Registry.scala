@@ -94,11 +94,13 @@ object Registry {
       |count(*) AS n_events FROM g GROUP BY channel, sid
       |ORDER BY channel, started_at""".stripMargin.replace("\n", " ")
 
-  /** Shared by j9 (one-shot SCD2 build) and j9b (incremental merge) —
-    * split-equivalence is the merge operator's contract, so one oracle
-    * covers both. */
-  private lazy val scd2OracleSql =
-    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events),
+  /** The SCD2 history CTE chain over `events` rows matching `pred`, ending
+    * in table `h` (user_id, version, event_type, valid_from, valid_to,
+    * is_current, n_events) — generated once so j9 (one-shot build), j9b
+    * (incremental merge, same result by the split-equivalence contract) and
+    * j10 (point-in-time join) all check against the identical history. */
+  private def scd2CteSql(pred: String) =
+    s"""e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type FROM events WHERE $pred),
        |d AS (SELECT user_id, t, event_id, event_type,
        |CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
        |(PARTITION BY user_id ORDER BY t, event_id) THEN 1 ELSE 0 END AS chg FROM e),
@@ -106,13 +108,33 @@ object Registry {
        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM d),
        |g AS (SELECT user_id, CAST(ver AS BIGINT) AS version, event_type,
        |min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
-       |FROM v GROUP BY 1, 2, 3)
-       |SELECT user_id, version, event_type, valid_from,
+       |FROM v GROUP BY 1, 2, 3),
+       |h AS (SELECT user_id, version, event_type, valid_from,
        |COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
        |$NOW) AS valid_to,
        |CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-       |IS NULL THEN true ELSE false END AS is_current, n_events
-       |FROM g ORDER BY user_id, version""".stripMargin.replace("\n", " ")
+       |IS NULL THEN true ELSE false END AS is_current, n_events FROM g)""".stripMargin
+
+  /** Shared by j9 (one-shot SCD2 build) and j9b (incremental merge) —
+    * split-equivalence is the merge operator's contract, so one oracle
+    * covers both. */
+  private lazy val scd2OracleSql =
+    s"""WITH ${scd2CteSql("TRUE")}
+       |SELECT user_id, version, event_type, valid_from, valid_to,
+       |is_current, n_events
+       |FROM h ORDER BY user_id, version""".stripMargin.replace("\n", " ")
+
+  /** j10: even events build the dimension history; odd events are the fact
+    * stream enriched point-in-time against it. */
+  private lazy val pitJoinOracleSql =
+    s"""WITH ${scd2CteSql("event_id % 2 = 0")},
+       |o AS (SELECT event_id, user_id, epoch_ms(ts) AS t,
+       |event_type AS ev_type FROM events WHERE event_id % 2 = 1)
+       |SELECT o.event_id, o.user_id, o.t, o.ev_type,
+       |h.valid_from AS state_from, h.version, h.event_type AS state
+       |FROM o LEFT JOIN h ON o.user_id = h.user_id
+       |AND h.valid_from <= o.t AND o.t < h.valid_to
+       |ORDER BY o.event_id""".stripMargin.replace("\n", " ")
 
   /** The MinHash pair CTE chain (toks → shingles → signatures → banded
     * candidates → exact-Jaccard `j`) — generated from the same constants as
@@ -2072,6 +2094,29 @@ object Registry {
           .orderBy(col("user_id"), col("version"))
       },
       Some(scd2OracleSql)),
+
+    ("j10_pit_join",
+      // Point-in-time enrichment: even events build the SCD2 dimension
+      // (the user's state machine), odd events are the fact stream — each
+      // fact picks the version valid AT its timestamp (nulls before the
+      // key's first version), the feature-store no-future-leakage rule.
+      // Delegates to the as-of union+window pass: one shuffle, no range
+      // join, history stays version-grain. Oracle is the interval
+      // containment LEFT JOIN over the same history CTE.
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val hist = graft.operators.Scd.scd2(
+          ev.filter(col("event_id") % 2 === 0), "user_id",
+          "event_type", unix_millis(col("ts")), "event_id", NOW)
+          .withColumnRenamed("event_type", "state")
+        val facts = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("t"), col("event_type").as("ev_type"))
+        graft.operators.Scd.pitJoin(facts, hist, "user_id", "t",
+            Seq("version", "state"), "state_from")
+          .orderBy(col("event_id"))
+      },
+      Some(pitJoinOracleSql)),
 
     ("x45_bm25_search",
       // BM25 top-20 lexical retrieval for the query bag {hash, join,

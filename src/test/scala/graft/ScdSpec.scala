@@ -97,6 +97,30 @@ class ScdSpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
+  test("pitJoin: facts pick the version valid AT their ts; boundary joins the new version; pre-history facts get nulls") {
+    import spark.implicits._
+    val events = Seq((1L, "a", 10L, 1L), (1L, "b", 30L, 2L))
+      .toDF("k", "attr", "t", "id")
+    val hist = Scd.scd2(events, "k", "attr", col("t"), "id", NOW)
+    val facts = Seq(
+      (101L, 1L, 5L),  // before any version → nulls
+      (102L, 1L, 10L), // exactly v1's valid_from → v1
+      (103L, 1L, 29L), // inside v1 → v1 (v2 at t=30 must NOT leak back)
+      (104L, 1L, 30L), // exactly the v1→v2 boundary → v2
+      (105L, 2L, 50L)) // key with no history at all → nulls
+      .toDF("fact_id", "k", "t")
+    val out = Scd.pitJoin(facts, hist.withColumnRenamed("attr", "state"),
+        "k", "t", Seq("version", "state"), "state_from")
+      .orderBy(col("fact_id")).collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5))))
+    assert(out.toSeq === Seq(
+      (101L, None, None),
+      (102L, Some(1L), Some("a")),
+      (103L, Some(1L), Some("a")),
+      (104L, Some(2L), Some("b")),
+      (105L, None, None)))
+  }
+
   test("one Exchange total: change window, aggregate, and lead reuse the key clustering") {
     import spark.implicits._
     val df = (1 to 100).map(i => ((i % 7).toLong, s"v${i % 3}", i.toLong, i.toLong))
