@@ -142,4 +142,29 @@ object Maintenance {
           .otherwise(lit("changed")).as("status"),
         col("old_hash"), col("new_hash"))
   }
+
+  /** Dataset profiling card — the per-column QA summary (row count, null
+    * count, exact distinct count) published alongside a training-data
+    * release, long-form: one row per profiled column.
+    *
+    * Scale shape: ONE pass over the table. The multi-column DISTINCT
+    * aggregate plans as a single Expand (one duplicated agg-input row per
+    * profiled column) feeding a partially-combined hash aggregate — the
+    * canonical exact shape; the final stack to long form is a zero-shuffle
+    * projection of the 1-row aggregate. For very wide tables where |cols| ×
+    * corpus Expand rows is too hot, the approximate path is the mergeable
+    * KMV sketch ([[Sketch.kmvDistinct]], x32) per column instead of exact
+    * distinct — same one-pass shape, constant-size state. */
+  def datasetCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n_$c"),
+      countDistinct(col(c)).as(s"_d_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', _n_$c, _d_$c").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
 }

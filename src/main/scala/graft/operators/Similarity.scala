@@ -310,4 +310,35 @@ object Similarity {
       .select(col("qid"), col(idCol), col("_cid").as("centroid_id"),
         col("sim"), col("knn_rank"))
   }
+
+  /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
+    * each anchor vector, the top-`k` most-similar corpus vectors whose
+    * cosine lies in `[lo, hi)` — similar enough to be informative
+    * negatives, capped below `hi` so positives and near-duplicates are
+    * excluded (a near-dup mislabeled as a negative actively poisons the
+    * loss; `hi` should sit at the near-dup threshold, cf. x12/x29).
+    *
+    * Scale shape: the anchor set is a training batch — bounded — so its
+    * vectors broadcast and similarity is one codegen projection per
+    * (corpus row, anchor); only BAND SURVIVORS reach the per-anchor top-k
+    * window, which shuffles on anchor id. For anchor sets beyond broadcast
+    * size, mine through [[knnJoin]]'s shared-IVF path and band-filter its
+    * output instead — same contract, candidates pruned by centroid probe. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    anchorIds: Seq[Long], k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    val anchors = embeddings.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("sim").desc, col(idCol).asc)
+    embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .withColumn("sim", round(cosine(col(vecCol), col("_qv")), 6))
+      .filter(col("sim") >= lo && col("sim") < hi)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col(idCol), col("sim"), col("neg_rank"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
 }

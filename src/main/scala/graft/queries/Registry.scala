@@ -357,6 +357,40 @@ object Registry {
        |SELECT id_a, id_b, round(ov, 4) AS overlap FROM o WHERE ov >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** x47: profiled columns — the oracle SQL is generated from the same
+    * list so the column set can't drift between the two sides. */
+  private val profileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private lazy val profileOracleSql = {
+    val aggs = "CAST(count(*) AS BIGINT) AS n_rows, " + profileCols.map(c =>
+      s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_$c, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c").mkString(", ")
+    val arms = profileCols.map(c =>
+      s"SELECT '$c' AS col_name, n_rows, n_$c AS n_nulls, d_$c AS n_distinct FROM t")
+      .mkString(" UNION ALL ")
+    s"WITH d AS (SELECT doc_id, text, source, n_chars, " +
+      s"CASE WHEN doc_id % 9 = 0 THEN NULL ELSE lang END AS lang FROM documents), " +
+      s"t AS (SELECT $aggs FROM d) $arms ORDER BY col_name"
+  }
+
+  /** x48: anchor ids — shared between the Spark entry and its oracle. */
+  private val hardNegAnchors = Seq(0L, 1L, 2L, 3L)
+
+  private lazy val hardNegativesOracleSql = {
+    val anchors = hardNegAnchors.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+       |FROM embeddings WHERE vec_id IN ($anchors)),
+       |s AS (SELECT q.anchor_id, e.vec_id,
+       |round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
+       |FROM embeddings e, q WHERE e.vec_id <> q.anchor_id),
+       |b AS (SELECT anchor_id, vec_id, sim,
+       |CAST(row_number() OVER (PARTITION BY anchor_id
+       |ORDER BY sim DESC, vec_id) AS BIGINT) AS neg_rank
+       |FROM s WHERE sim >= 0.10 AND sim < 0.95)
+       |SELECT anchor_id, vec_id, sim, neg_rank FROM b WHERE neg_rank <= 5
+       |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -2179,6 +2213,28 @@ object Registry {
         |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         |WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.h <> new.h
         |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x47_dataset_profile",
+      // Per-column QA card over documents (row count, nulls, exact
+      // distinct) — one pass, one Expand-fed hash aggregate, long-form
+      // stack of the 1-row result. Nulls injected (lang of doc_id % 9 == 0
+      // nulled) so the null accounting is actually exercised.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.datasetCard(
+          Tables.documents(s, dir).withColumn("lang",
+            when(col("doc_id") % 9 === 0, lit(null)).otherwise(col("lang"))),
+          profileCols),
+      Some(profileOracleSql)),
+
+    ("x48_hard_negatives",
+      // Contrastive hard-negative mining: for 4 anchor vectors, the top-5
+      // most-similar corpus vectors with cosine in [0.10, 0.95) — the
+      // informative-but-not-duplicate band. Anchors broadcast; only band
+      // survivors reach the per-anchor top-k window.
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id",
+          "embedding", hardNegAnchors, 5, 0.10, 0.95),
+      Some(hardNegativesOracleSql)),
 
     ("q23_window_suite",
       // Navigation + ranking + distribution window functions in one pass:

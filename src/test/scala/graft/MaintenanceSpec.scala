@@ -114,4 +114,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.snapshotDiff(oldSnap, oldSnap, "doc_id", "text")
       .count() === 0L)
   }
+
+  test("datasetCard: one row per column with exact null/distinct accounting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("a"), None),
+      (3L, None, Some(10L)),
+      (4L, Some("b"), None))
+      .toDF("id", "s", "v")
+    val out = Maintenance.datasetCard(df, Seq("id", "s", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // Ordered by col_name; distinct excludes nulls (SQL semantics).
+    assert(out.toSeq === Seq(
+      ("id", 4L, 0L, 4L),
+      ("s", 4L, 1L, 2L),
+      ("v", 4L, 2L, 1L)))
+  }
 }

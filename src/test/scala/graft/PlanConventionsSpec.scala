@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, InSet, Literal}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -47,6 +47,11 @@ class PlanConventionsSpec extends SparkSpec {
     case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     case f: FilterExec if f.condition.exists {
       case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+      // A literal IN-list (≤ 1000 keys) bounds rows the same way a
+      // point lookup does — the multi-anchor frame of x48.
+      case In(_, list) if list.nonEmpty && list.size <= 1000 &&
+        list.forall(_.isInstanceOf[Literal]) => true
+      case s: InSet if s.hset.size <= 1000 => true
       case _ => false
     } => true
     case l: LocalTableScanExec if l.rows.size <= 1000 => true

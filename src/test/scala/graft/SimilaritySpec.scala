@@ -134,4 +134,34 @@ class SimilaritySpec extends SparkSpec {
         forcedFb.orderBy($"qid", $"knn_rank"))
     } finally spark.conf.set(key, saved)
   }
+
+  test("hardNegatives: band-filtered per-anchor top-k; self and out-of-band excluded") {
+    import spark.implicits._
+    val vecs = fixture
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+      Seq(0L, 1L), 3, 0.10, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // Brute-force expectation per anchor from the same fixture.
+    val raw = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      dot / (na * nb)
+    }
+    val expected = Seq(0L, 1L).flatMap { anchor =>
+      val qv = raw.find(_._1 == anchor).get._2
+      raw.filter(_._1 != anchor)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(v, qv)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .filter { case (_, s) => s >= 0.10 && s < 0.95 }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, s), i) => (anchor, id, s, (i + 1).toLong) }
+    }
+    assert(out.toSeq === expected)
+    // Every mined similarity sits inside the band.
+    assert(out.forall { case (_, _, s, _) => s >= 0.10 && s < 0.95 })
+  }
 }
