@@ -23,6 +23,7 @@ object Registry {
   private val NOW = Tables.NowMillis        // 2024-01-31T00:00:00Z
   private val T0 = 1704672000000L           // 2024-01-08T00:00:00Z
   private val T1 = 1705276800000L           // 2024-01-15T00:00:00Z
+  private val T2 = 1706054400000L           // 2024-01-24T00:00:00Z
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1114,6 +1115,21 @@ object Registry {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(minHashOracleSql)),
+
+    ("s13_stream_scd2",
+      // Streaming SCD2 dimension maintenance: events replayed as three
+      // time-sliced micro-batches (maxFilesPerTrigger=1), each folded into
+      // a versioned history snapshot (write-new-version, flip pointer —
+      // readers always pin one complete snapshot) via scd2Merge. Final
+      // snapshot ≡ the one-shot j9 build by the split-equivalence
+      // contract, so j9's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s13")
+        graft.streaming.Streaming.runStreamScd2(s, dir, base + "/scd",
+            Seq(T1, T2))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(scd2OracleSql)),
 
     ("s11_stream_join_attribution",
       // Stream-STREAM interval join: clicks joined to same-user purchases

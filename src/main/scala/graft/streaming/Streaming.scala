@@ -780,6 +780,100 @@ object Streaming {
     spark.read.parquet(s"$base/pairs")
   }
 
+  /** One micro-batch step of the streaming SCD2 dimension — versioned
+    * SNAPSHOT discipline: fold the batch into the current history with
+    * [[graft.operators.Scd.scd2Merge]] (or build it with `scd2` when none
+    * exists yet), write the result as a NEW snapshot dir `v<batchId>`, then
+    * flip the `_current` pointer file. Readers resolve the pointer and pin
+    * one complete snapshot — there is never a moment with a partial or
+    * missing dimension (the table-level analog of
+    * [[graft.operators.Maintenance.compactPartitioned]]'s per-leaf swap).
+    *
+    * Idempotence: a replayed batch (`batchId <= _current`) is drained and
+    * skipped; a crash AFTER the snapshot write but BEFORE the pointer flip
+    * replays into an `overwrite` of the same snapshot dir and then flips —
+    * same end state. Snapshots older than the PREVIOUS version are retired
+    * on each step (the previous one is kept so an in-flight reader of the
+    * old pointer never loses files mid-scan); a crash between flip and
+    * retire only delays that cleanup to the next step. */
+  private[graft] def scd2BatchStep(dimBase: String, batch: DataFrame,
+                                   batchId: Long, nowMillis: Long): Unit = {
+    val spark = batch.sparkSession
+    val f = FileSystem.get(new java.net.URI(dimBase),
+      spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(dimBase, "_current")
+    val cur = scd2CurrentVersion(f, ptr)
+    if (batchId <= cur) { drainReplayedBatch(batch); return }
+    val merged =
+      if (cur < 0)
+        graft.operators.Scd.scd2(batch, "user_id", "event_type",
+          unix_millis(col("ts")), "event_id", nowMillis)
+      else
+        graft.operators.Scd.scd2Merge(
+          spark.read.parquet(s"$dimBase/v$cur"), batch, "user_id",
+          "event_type", unix_millis(col("ts")), "event_id", nowMillis)
+    merged.write.mode("overwrite").parquet(s"$dimBase/v$batchId")
+    val out = f.create(ptr, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    f.listStatus(new Path(dimBase)).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) && p.getName.drop(1).toLong < cur)
+      .foreach(p => f.delete(p, true))
+  }
+
+  private def scd2CurrentVersion(f: FileSystem, ptr: Path): Long =
+    if (!f.exists(ptr)) -1L
+    else {
+      val in = f.open(ptr)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+
+  /** Streaming SCD2 dimension maintenance — [[scd2BatchStep]] under real
+    * micro-batches: the events table is staged as time-sliced files (cut at
+    * `cuts`, mtimes forced ascending so the file source replays them in
+    * event-time order — [[graft.operators.Scd.scd2Merge]]'s no-late-events
+    * contract) and streamed with `maxFilesPerTrigger=1`, so each slice
+    * folds into the persisted dimension as its own micro-batch. By the
+    * merge operator's split-equivalence the final snapshot equals the
+    * one-shot `scd2` over all events — the registry oracle is j9's SQL
+    * verbatim. Per-batch cost is O(batch + dimension): the event corpus is
+    * never rescanned. */
+  def runStreamScd2(spark: SparkSession, dir: String, base: String,
+                    cuts: Seq[Long]): DataFrame = {
+    val landing = s"$base/landing"
+    val dimBase = s"$base/dim"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val stage = s"$base/stage$i"
+      ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+      f.mkdirs(new Path(landing))
+      val dst = new Path(s"$landing/b$i.parquet")
+      f.rename(part, dst)
+      f.setTimes(dst, 1000L * (i + 1), -1) // force replay order = slice order
+    }
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        scd2BatchStep(dimBase, b, id, graft.Tables.NowMillis)
+      }
+      .start()
+    q.awaitTermination()
+    val cur = scd2CurrentVersion(f, new Path(dimBase, "_current"))
+    spark.read.parquet(s"$dimBase/v$cur")
+  }
+
   /** Stream-STREAM interval join — click→conversion attribution: each
     * `click` event joined to every `purchase` by the same user within
     * `horizon` after the click. The capability the reference's

@@ -246,6 +246,45 @@ class StreamingParitySpec extends SparkSpec {
     assert(rows(log) === Set(Seq("h1"), Seq("h2"), Seq("h3")))
   }
 
+  test("scd2BatchStep: snapshot+pointer dimension — replay skipped, pre-flip crash rebuilds the same version, readers always see a complete snapshot") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val NOW = 1000L
+    val base = tmp("graft-scd2stream")
+    val dim = base + "/dim"
+    def batch(rows: (Long, Long, Long, String)*): DataFrame =
+      rows.toSeq.toDF("event_id", "ts_ms", "user_id", "event_type")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val b0 = batch((1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"))
+    val b1 = batch((3L, 30L, 1L, "b"), (4L, 40L, 1L, "c"))
+    Streaming.scd2BatchStep(dim, b0, 0L, NOW)
+    Streaming.scd2BatchStep(dim, b1, 1L, NOW)
+    val after = sortedRows(spark.read.parquet(dim + "/v1"))
+    // Replayed batch: no-op.
+    Streaming.scd2BatchStep(dim, b1, 1L, NOW)
+    assert(sortedRows(spark.read.parquet(dim + "/v1")) === after)
+    // Crash window: v1 written but pointer still at v0 → the replay
+    // overwrites v1 and flips — same end state.
+    val f = FileSystem.get(new java.net.URI(dim),
+      spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(dim, "_current")
+    val out = f.create(ptr, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    Streaming.scd2BatchStep(dim, b1, 1L, NOW)
+    assert(sortedRows(spark.read.parquet(dim + "/v1")) === after)
+    // The merged history equals the one-shot build over both batches.
+    val oneShot = graft.operators.Scd.scd2(b0.unionByName(b1), "user_id",
+      "event_type", unix_millis(col("ts")), "event_id", NOW)
+    assert(after === sortedRows(oneShot))
+    // The PREVIOUS snapshot survives each step (in-flight reader safety):
+    // after step 1 both v0 and v1 exist.
+    assert(f.exists(new Path(dim, "v0")) && f.exists(new Path(dim, "v1")))
+    // A third step retires everything older than the previous version.
+    Streaming.scd2BatchStep(dim, batch((5L, 50L, 1L, "d")), 2L, NOW)
+    assert(!f.exists(new Path(dim, "v0")) && f.exists(new Path(dim, "v1")) &&
+      f.exists(new Path(dim, "v2")))
+  }
+
   test("AppendOnceSink: crash between file move and marker write replays without duplicates (ADVICE r6)") {
     import spark.implicits._
     val base = tmp("graft-apponce2")
