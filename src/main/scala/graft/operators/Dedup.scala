@@ -831,4 +831,66 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep", (col(idCol) === col("cluster_id")).cast("int"))
+
+  /** Exact repeated-SUBSTRING detection — the suffix-array dedup criterion
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): every doc pair sharing a VERBATIM substring of
+    * length >= `minLen`, with how many distinct length-`minLen` windows
+    * they share. Lossless reduction: a shared substring of length >= L
+    * implies a shared length-L window, so stride-1 windows are hashed
+    * (md5 — the 128-bit width is the collision-safety margin, and the
+    * oracle hashes identically so both engines bucket the same) and pairs
+    * form ONLY inside equal-hash buckets — an equi-self-join, never
+    * all-pairs.
+    *
+    * Scale shape: window generation is array-local per doc (no explode
+    * until the windows are DISTINCT per doc, so self-repeated boilerplate
+    * contributes once); the shuffle carries (16-byte hash, id) rows —
+    * linear in corpus bytes, embarrassingly parallel. A window shared by B
+    * docs expands to B(B-1)/2 pairs — output-inherent (those pairs ARE the
+    * answer). When even stride-1 generation is too hot, winnowing (keep
+    * the min hash of every w consecutive windows) is the documented knob:
+    * detection stays guaranteed for shares >= w + L - 1. */
+  def substringPairs(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int): DataFrame = {
+    val t = col(textCol)
+    val wins = when(length(t) >= minLen,
+      transform(sequence(lit(1), length(t) - (minLen - 1)),
+        i => md5(t.substr(i, lit(minLen)))))
+      .otherwise(array().cast("array<string>"))
+    val w = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(wins)).as("_h"))
+    w.as("a").join(w.as("b"),
+        col("a._h") === col("b._h") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Record-linkage blocking + edit-distance verify: candidate entity
+    * pairs come ONLY from equal blocking keys (an equi-self-join — the
+    * classic blocking step that makes fuzzy matching sub-quadratic), then
+    * survive iff `levenshtein <= maxDist`. The blocking key is PART of the
+    * operator's contract — pairs differing in the key are out of scope by
+    * definition (standard record-linkage recall trade; pick keys like
+    * normalized prefixes or phonetic codes to taste), which is what keeps
+    * the oracle exact rather than heuristic.
+    *
+    * Scale shape: one shuffle on the block key; per-block work is
+    * |block|² edit distances — bounded by the key's selectivity, the
+    * operator's one tuning obligation (a degenerate constant key
+    * reintroduces all-pairs; the spec pins a multi-block fixture). */
+  def blockedEditDistancePairs(entities: DataFrame, idCol: String,
+                               nameCol: String, blockKey: Column,
+                               maxDist: Int): DataFrame = {
+    val e = entities.select(col(idCol).as("_id"), col(nameCol).as("_name"),
+      blockKey.as("_blk"))
+    e.as("a").join(e.as("b"),
+        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
+      .withColumn("dist",
+        levenshtein(col("a._name"), col("b._name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

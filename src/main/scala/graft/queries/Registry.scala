@@ -2252,6 +2252,44 @@ object Registry {
           "embedding", hardNegAnchors, 5, 0.10, 0.95),
       Some(hardNegativesOracleSql)),
 
+    ("x49_substring_dedup",
+      // Exact repeated-substring pairs (Lee et al. 2022 criterion): doc
+      // pairs sharing a verbatim >= 60-char substring, found via stride-1
+      // window md5s bucketed by an equi-self-join — never all-pairs; the
+      // oracle hashes identically so both engines bucket the same.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.substringPairs(
+          Tables.documents(s, dir), "doc_id", "text", 60),
+      Some("""WITH g AS (SELECT doc_id, unnest(CASE WHEN length(text) >= 60 THEN
+        |list_transform(generate_series(1, length(text) - 59),
+        |i -> md5(substr(text, CAST(i AS INT), 60)))
+        |ELSE CAST([] AS VARCHAR[]) END) AS h FROM documents),
+        |w AS (SELECT DISTINCT doc_id, h FROM g),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(count(*) AS BIGINT) AS n_shared
+        |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("x50_fuzzy_linkage",
+      // Record-linkage blocking + edit-distance verify over doc "titles"
+      // (first 30 chars): candidates only within equal 4-char block
+      // prefixes (the blocking key is part of the contract), kept iff
+      // levenshtein <= 3 — near-identical titles with small edits, i.e.
+      // the same article re-crawled under light mutation.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.blockedEditDistancePairs(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
+          "doc_id", "title", substring(col("title"), 1, 4), 3),
+      Some("""WITH e AS (SELECT doc_id, substr(text, 1, 30) AS title FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM e a JOIN e b ON substr(a.title, 1, 4) = substr(b.title, 1, 4)
+        |AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     ("q23_window_suite",
       // Navigation + ranking + distribution window functions in one pass:
       // lag/lead/row_number/ntile over the per-user event-time order,

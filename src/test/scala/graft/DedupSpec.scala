@@ -288,4 +288,41 @@ class DedupSpec extends SparkSpec {
     assert(replay.filter($"id_a" === $"id_b").count() === 0L)
     assert(replay.count() === replay.distinct().count())
   }
+
+  test("substringPairs: shared >= L substring detected, shorter shares and self-repeats excluded") {
+    import spark.implicits._
+    val common = "0123456789abcdefghij" // length 20
+    val docs = Seq(
+      (1L, s"XX${common}YY"),          // shares `common` with 2
+      (2L, s"zz${common}qq"),
+      (3L, "no overlap with anything here at all"),
+      (4L, common.take(9) + "#" + common.takeRight(9)), // breaks every 10-window
+      (5L, s"AA$common$common"))       // self-repeat + shares with 1, 2
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairs(docs, "doc_id", "text", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map { case (a, b, _) => (a, b) }.toSet
+    assert(pairs === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    // Docs 1 and 2 share exactly the 11 distinct 10-windows of `common`.
+    assert(out.find { case (a, b, _) => (a, b) == (1L, 2L) }.get._3 === 11L)
+    // A doc shorter than L yields nothing (and no crash).
+    assert(Dedup.substringPairs(Seq((9L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text", 10).count() === 0L)
+  }
+
+  test("blockedEditDistancePairs: within-block near matches kept, out-of-block and too-far excluded") {
+    import spark.implicits._
+    val ents = Seq(
+      (1L, "smith john"),
+      (2L, "smith jean"),   // dist 2 from 1, same block "smit"
+      (3L, "smyth john"),   // dist 1 from 1 but block "smyt" → excluded
+      (4L, "smith jonathan"), // dist 4 from 1 → too far
+      (5L, "jones mary"))
+      .toDF("id", "name")
+    val out = Dedup.blockedEditDistancePairs(ents, "id", "name",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("name"), 1, 4), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L)))
+  }
 }
