@@ -169,4 +169,44 @@ object Sampling {
       .filter(col("smp_rank") <= k)
       .select(col(groupCol), col(idCol), col(weightCol), col("smp_rank"))
   }
+
+  /** Domain REWEIGHTING (the DoReMi / data-mixture shape): resample so the
+    * surviving corpus's domain shares track `targetShares`, with the rates
+    * COMPUTED from the measured distribution rather than hand-set (the
+    * difference from [[stratifiedSample]]). Per-domain keep rate =
+    * (target share / actual share), normalized so the largest is 1.0 —
+    * downsample-only, no row duplication; domains absent from the target
+    * map get rate 0 (dropped). Selection is the repo's deterministic
+    * id-hash uniform, so the sample is reproducible across engines, runs
+    * and partitionings.
+    *
+    * Scale shape: actual shares are ONE map-side-combined count aggregate
+    * at domain grain; the two scalar reductions (total, max ratio) ride
+    * the audited `crossJoin(broadcast(scalar-agg))` frames; the rate table
+    * (domain-grain, tiny) broadcasts back onto the corpus for a codegen'd
+    * filter — the corpus itself is never shuffled. Rates are rounded to
+    * 6 dp before the compare (repo convention) so both engines threshold
+    * identical values; the hash side of the compare is an exact integer
+    * bucket in [0, 10000). */
+  def domainReweight(df: DataFrame, idCol: String, domainCol: String,
+                     targetShares: Map[String, Double],
+                     salt: String): DataFrame = {
+    require(targetShares.nonEmpty, "need at least one target share")
+    val tgtMap = map(targetShares.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val shares = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+      .withColumn("_tgt", coalesce(element_at(tgtMap, col(domainCol)), lit(0.0)))
+    val total = shares.agg(sum(col("_cnt")).as("_tot"))
+    val ratios = shares.crossJoin(broadcast(total))
+      .withColumn("_ratio", col("_tgt") * col("_tot") / col("_cnt"))
+    val maxRatio = ratios.agg(max(col("_ratio")).as("_maxr"))
+    val rates = ratios.crossJoin(broadcast(maxRatio))
+      .withColumn("keep_rate", round(col("_ratio") / col("_maxr"), 6))
+      .select(col(domainCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(idCol), salt, 10000).cast("double") / 10000.0 <
+        col("keep_rate"))
+      .select(col(idCol), col(domainCol), col("keep_rate"))
+  }
 }

@@ -392,6 +392,35 @@ object Registry {
        |ORDER BY anchor_id, neg_rank""".stripMargin.replace("\n", " ")
   }
 
+  /** j11: PageRank oracle — the iteration loop unrolled into CTEs r1..rN,
+    * generated from the SAME constants as the Spark call (5 iterations,
+    * d=0.85, per-iteration round to 6 dp) so the fixed-point arithmetic is
+    * identical by construction. The graph (bidirectional customer↔supplier
+    * transaction edges, suppliers negated into their own id space) has no
+    * dangling nodes, so the oracle omits the dangling term the operator
+    * spec-pins separately. */
+  private lazy val pageRankOracleSql = {
+    val (d, iters) = (0.85, 5)
+    val itCtes = (1 to iters).map { i =>
+      s"r$i AS (SELECT n.node, round((SELECT (1-$d)/nn FROM cnt) + " +
+        s"$d * COALESCE(c.contrib, 0.0), 6) AS rank FROM n LEFT JOIN " +
+        s"(SELECT e.dst AS node, sum(r${i - 1}.rank / o.ow * e.w) AS contrib " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+        s"JOIN o ON e.src = o.src GROUP BY 1) c ON n.node = c.node)"
+    }.mkString(", ")
+    "WITH base AS (SELECT o_custkey AS c, l_suppkey AS s, " +
+      "CAST(count(*) AS DOUBLE) AS w FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+      "e AS (SELECT c AS src, -s AS dst, w FROM base " +
+      "UNION ALL SELECT -s AS src, c AS dst, w FROM base), " +
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+      "o AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1), " +
+      "r0 AS (SELECT node, (SELECT 1.0/nn FROM cnt) AS rank FROM n), " +
+      s"$itCtes SELECT node, rank FROM r$iters " +
+      "ORDER BY rank DESC, node LIMIT 20"
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -2168,6 +2197,28 @@ object Registry {
       },
       Some(pitJoinOracleSql)),
 
+    ("j11_pagerank",
+      // Weighted PageRank (5 iterations, d=0.85) over the bidirectional
+      // customer↔supplier transaction graph (suppliers negated into their
+      // own id space; edge weight = lineitem count) — the link-graph
+      // quality prior of web-corpus curation. Per-iteration 6-dp rounding
+      // makes the fixed-point iteration engine-portable; top-20 by rank.
+      (s: SparkSession, dir: String) => {
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val e = base.select(col("c").as("src"), (-col("s")).as("dst"), col("w"))
+          .unionByName(
+            base.select((-col("s")).as("src"), col("c").as("dst"), col("w")))
+        graft.operators.Graph.pageRank(e, "src", "dst", "w", 5)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      Some(pageRankOracleSql)),
+
     ("x45_bm25_search",
       // BM25 top-20 lexical retrieval for the query bag {hash, join,
       // scan}: collection stats (N, total length, per-term df) in ONE
@@ -2289,6 +2340,34 @@ object Registry {
         |AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("x51_domain_reweight",
+      // DoReMi-style mixture reshaping: target shares {src0 .4, src1 .3,
+      // src2 .2, src3 .1} over the uniform 20-source corpus → computed
+      // keep rates {1.0, .75, .5, .25}, everything else dropped (target
+      // 0). Deterministic id-hash selection; rates derived from measured
+      // shares, rounded 6 dp on both sides.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.domainReweight(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          "mix")
+          .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+        |FROM documents GROUP BY 1),
+        |t AS (SELECT source, cnt, CASE source
+        |WHEN 'src0' THEN CAST(0.4 AS DOUBLE) WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |WHEN 'src2' THEN CAST(0.2 AS DOUBLE) WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+        |ELSE CAST(0.0 AS DOUBLE) END AS tgt FROM s),
+        |r AS (SELECT source, tgt * (SELECT sum(cnt) FROM s) / cnt AS ratio FROM t),
+        |rates AS (SELECT source,
+        |round(ratio / (SELECT max(ratio) FROM r), 6) AS keep_rate FROM r)
+        |SELECT d.doc_id, d.source, rates.keep_rate
+        |FROM documents d JOIN rates ON d.source = rates.source
+        |WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |% 10000) / 10000.0 < keep_rate
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     ("q23_window_suite",
       // Navigation + ranking + distribution window functions in one pass:

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  test("pageRank: a symmetric cycle stays uniform and mass is conserved") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRank(e, "src", "dst", "w", 4)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // Uniform is a fixed point of the cycle: every node keeps 1/3
+    // (rounded to the operator's 6-dp grain).
+    assert(out.forall { case (_, r) => math.abs(r - 1.0 / 3) < 1e-5 })
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank: dangling mass is redistributed (hand-computed 1-iteration values)") {
+    import spark.implicits._
+    // A→B only; B is dangling. r0 = (.5, .5); dangling = .5.
+    // A: .075 + .85*(0 + .25) = .2875   B: .075 + .85*(.5 + .25) = .7125
+    val e = Seq((1L, 2L, 1.0)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(e, "src", "dst", "w", 1)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 0.2875), (2L, 0.7125)))
+  }
+
+  test("pageRank: weighted edges split contributions proportionally") {
+    import spark.implicits._
+    // Hub 1 links to 2 (w=3) and 3 (w=1): contribs split 3:1. One
+    // iteration from uniform r0 = 1/3 each; 2 and 3 also dangle.
+    // dangling = 2/3. base = .05 + .85*(2/3)/3 = .238888...
+    // node2: base + .85*(1/3)*(3/4) = .45138888 → .451389 (6 dp)
+    // node3: base + .85*(1/3)*(1/4) = .30972222 → .309722
+    // node1: base = .238889
+    val e = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(e, "src", "dst", "w", 1)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 0.238889), (2L, 0.451389), (3L, 0.309722)))
+  }
+}

@@ -157,4 +157,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSamplePerGroup(df.repartition(7), "lang", "doc_id",
         "n_chars", "s", 10))
   }
+
+  test("domainReweight: rates = target/actual normalized to max 1; absent domains dropped; deterministic") {
+    import spark.implicits._
+    // a: 60 rows, b: 30, c: 10 (actual .6/.3/.1); target a .2, b .8.
+    // ratios: a = .2/.6 = 1/3, b = .8/.3 = 8/3 → rates a .125, b 1.0;
+    // c absent → dropped.
+    val df = ((1L to 60L).map(i => (i, "a")) ++ (61L to 90L).map(i => (i, "b"))
+      ++ (91L to 100L).map(i => (i, "c"))).toDF("id", "dom")
+    val out = Sampling.domainReweight(df, "id", "dom",
+      Map("a" -> 0.2, "b" -> 0.8), "t")
+    val rates = out.select($"dom", $"keep_rate").distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rates("a") === 0.125 && rates("b") === 1.0)
+    assert(!rates.contains("c"))
+    // Rate-1.0 domain keeps every row; selection is partitioning-invariant.
+    assert(out.filter($"dom" === "b").count() === 30L)
+    assertSameRows(out, Sampling.domainReweight(df.repartition(7), "id",
+      "dom", Map("a" -> 0.2, "b" -> 0.8), "t"))
+  }
 }
