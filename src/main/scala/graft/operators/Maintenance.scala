@@ -167,4 +167,21 @@ object Maintenance {
         col("n_distinct"))
       .orderBy(col("col_name"))
   }
+
+  /** k-anonymity audit for a data release: any quasi-identifier
+    * combination shared by FEWER than `k` rows re-identifies its members —
+    * emit those risky groups with their sizes, smallest (most
+    * identifying) first. The pre-publication privacy QA twin of
+    * [[datasetCard]].
+    *
+    * Scale shape: ONE map-side-combined hash aggregate on the quasi-id
+    * tuple + a codegen HAVING filter; output is bounded by the number of
+    * rare combinations, which is what the audit exists to find. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[String],
+                      k: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .select(quasiIds.map(col) :+ col("group_size"): _*)
+      .orderBy(col("group_size").asc +: quasiIds.map(col(_).asc): _*)
 }

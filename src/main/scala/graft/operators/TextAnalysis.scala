@@ -386,4 +386,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         round(col("_s").cast("double") / col("_n"), 4).as("src_avg_chars"))
   }
+
+  /** Tokenizer-coverage analysis: build the top-`vocabSize` corpus
+    * vocabulary (by total occurrence count, token tie-break), then score
+    * every document's OUT-OF-VOCABULARY rate against it — the coverage
+    * check run before committing to a tokenizer/vocab for training.
+    *
+    * Scale shape: vocabulary = one map-side-combined token count agg +
+    * TakeOrdered (vocab-sized, bounded) broadcast back as a left-semi
+    * membership probe per exploded token; the per-doc rate is a second
+    * hash agg at doc grain. The corpus shuffles token COUNTS (post
+    * combine), never documents.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate rounded 6 dp). Docs with
+    * no tokens have nothing to cover and are absent. */
+  def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"))
+    toks.join(broadcast(vocab.withColumn("_inv", lit(1))), Seq("tok"),
+        "left_outer")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"))
+  }
 }

@@ -2341,6 +2341,42 @@ object Registry {
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x52_vocab_oov",
+      // Tokenizer-coverage: top-200 corpus vocabulary (count desc, token
+      // tie-break), then every doc's out-of-vocabulary rate against it —
+      // the coverage check before committing to a vocab. Vocab is bounded
+      // and broadcast; the corpus shuffles token counts, never documents.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.vocabOovRate(Tables.documents(s, dir), "doc_id",
+          "text", 200).orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1)
+        |ORDER BY c DESC, tok LIMIT 200)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY 1
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x53_k_anonymity",
+      // Pre-release privacy QA: quasi-identifier combos (event_type, day,
+      // user-id bucket) shared by fewer than 3 rows re-identify — emit the
+      // risky groups, most identifying first. One hash agg + HAVING.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.kAnonymityAudit(
+          Tables.events(s, dir).select(
+            col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            (col("user_id") % 10).as("uid_bucket")),
+          Seq("event_type", "day", "uid_bucket"), 3),
+      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |user_id % 10 AS uid_bucket, CAST(count(*) AS BIGINT) AS group_size
+        |FROM events GROUP BY 1, 2, 3 HAVING count(*) < 3
+        |ORDER BY group_size, event_type, day, uid_bucket"""
+        .stripMargin.replace("\n", " "))),
+
     ("x51_domain_reweight",
       // DoReMi-style mixture reshaping: target shares {src0 .4, src1 .3,
       // src2 .2, src3 .1} over the uniform 20-source corpus → computed

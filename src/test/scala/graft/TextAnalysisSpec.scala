@@ -171,4 +171,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bm25Search(docs, "doc_id", "text",
       Seq("apple"), 1).count() === 1L)
   }
+
+  test("vocabOovRate: top-V vocab by count with token tie-break; per-doc OOV accounting") {
+    import spark.implicits._
+    // Counts: a 5 (docs 1,1,2,3,4), b 3, c 2, d 2, e 1. Vocab(3) = {a, b}
+    // plus ONE of the count-2 tie {c, d} — token tie-break keeps "c".
+    val docs = Seq(
+      (1L, "a a b c"),      // 0 OOV of 4
+      (2L, "a b d"),        // 1 OOV of 3
+      (3L, "a b c e d"),    // 2 OOV of 5 (e and d)
+      (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabOovRate(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 5L, 2L, 0.4),
+      (4L, 1L, 0L, 0.0)))
+  }
+
+  test("kAnonymityAudit: only sub-k groups emitted, most identifying first") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", 1L), ("x", 2L), ("x", 3L), // size 3 → safe at k=3
+      ("y", 4L), ("y", 5L),            // size 2 → risky
+      ("z", 6L))                       // size 1 → risky, first
+      .toDF("qid", "row_id")
+    val out = graft.operators.Maintenance.kAnonymityAudit(
+      df, Seq("qid"), 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("z", 1L), ("y", 2L)))
+  }
 }
