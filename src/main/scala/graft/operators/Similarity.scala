@@ -341,4 +341,37 @@ object Similarity {
       .select(col("anchor_id"), col(idCol), col("sim"), col("neg_rank"))
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
+
+  /** Embedding-space label QA (confident-learning-style outlier mining):
+    * per-label centroid (elementwise mean), every vector's cosine to ITS
+    * label's centroid, and the k LEAST-similar vectors per label — the
+    * rows most likely mislabeled or off-distribution, surfaced for review
+    * before training.
+    *
+    * Scale shape: the centroid build is one (label, position) hash agg
+    * over the posexploded vectors — |corpus|×dims rows but two slim
+    * columns, map-side combined — reassembled into label-grain arrays
+    * (bounded: |labels| rows) that BROADCAST back onto the corpus; the
+    * cosine is per-row work and only the per-label top-k window shuffles
+    * ranked candidates. Uses [[cosineFold]] (double fold) because the
+    * centroid is a double array; similarity rounded 6 dp so ranking is
+    * engine-portable. */
+  def labelOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val pos = embeddings.select(col(labelCol).as("_lbl"),
+      posexplode(col(vecCol)).as(Seq("_p", "_v")))
+    val cent = pos.groupBy(col("_lbl"), col("_p"))
+      .agg(avg(col("_v").cast("double")).as("_m"))
+      .groupBy(col("_lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+        s => s.getField("_m")).as("_cent"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(col("sim").asc, col(idCol).asc)
+    embeddings.join(broadcast(cent), col(labelCol) === col("_lbl"))
+      .withColumn("sim", round(cosineFold(col(vecCol), col("_cent")), 6))
+      .withColumn("out_rank", row_number().over(w).cast("long"))
+      .filter(col("out_rank") <= k)
+      .select(col(idCol), col(labelCol), col("sim"), col("out_rank"))
+      .orderBy(col(labelCol), col("out_rank"))
+  }
 }

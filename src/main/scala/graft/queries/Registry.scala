@@ -2341,6 +2341,30 @@ object Registry {
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x54_label_outliers",
+      // Embedding-space label QA: per-label centroid, every vector's
+      // cosine to its own label's centroid, 5 least-similar per label —
+      // the likely-mislabeled review queue. Centroids are label-grain
+      // broadcasts; similarity rounded 6 dp so both engines rank alike.
+      (s: SparkSession, dir: String) =>
+        Similarity.labelOutliers(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", 5),
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, avg(v) AS m FROM p GROUP BY 1, 2),
+        |cl AS (SELECT label, list(m ORDER BY pos) AS cent FROM c GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label,
+        |round(${cosSql("e.embedding", "cl.cent")}, 6) AS sim
+        |FROM embeddings e JOIN cl ON e.label = cl.label),
+        |r AS (SELECT vec_id, label, sim,
+        |CAST(row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id)
+        |AS BIGINT) AS out_rank FROM d)
+        |SELECT vec_id, label, sim, out_rank FROM r WHERE out_rank <= 5
+        |ORDER BY label, out_rank""".stripMargin.replace("\n", " "))),
+
     ("x52_vocab_oov",
       // Tokenizer-coverage: top-200 corpus vocabulary (count desc, token
       // tie-break), then every doc's out-of-vocabulary rate against it —

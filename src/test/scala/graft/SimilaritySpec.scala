@@ -164,4 +164,26 @@ class SimilaritySpec extends SparkSpec {
     // Every mined similarity sits inside the band.
     assert(out.forall { case (_, _, s, _) => s >= 0.10 && s < 0.95 })
   }
+
+  test("labelOutliers: the planted off-cluster vector ranks first in its label") {
+    import spark.implicits._
+    // Label 0: vectors near +e1, except vec 99 planted at -e1 (mislabeled).
+    // Label 1: a tight cluster near +e2 — no outlier expected to stand out.
+    val rows =
+      (0L until 8L).map(i => (i, Seq(1.0f, 0.05f * i, 0.0f), 0)) ++
+        Seq((99L, Seq(-1.0f, 0.0f, 0.0f), 0)) ++
+        (10L until 18L).map(i => (i, Seq(0.0f, 1.0f, 0.03f * i), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+    val out = Similarity.labelOutliers(df, "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(3), r.getLong(0),
+        r.getDouble(2)))
+    val firstLabel0 = out.find { case (l, rank, _, _) => l == 0 && rank == 1L }
+    assert(firstLabel0.get._3 === 99L, "planted mislabel must rank first")
+    assert(firstLabel0.get._4 < 0, "anti-aligned vector has negative cosine")
+    // 3 per label, ranks dense from 1.
+    assert(out.count(_._1 == 0) === 3 && out.count(_._1 == 1) === 3)
+    assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
 }
