@@ -400,6 +400,34 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_tokens, n_oov, oov_rate rounded 6 dp). Docs with
     * no tokens have nothing to cover and are absent. */
+  /** BPE merge-candidate table — the inner signal of byte-pair-encoding
+    * tokenizer TRAINING: adjacent character-pair frequencies weighted by
+    * word frequency (each word counted once, then its pair contributions
+    * scaled by its corpus count — exactly how BPE's first merge is
+    * chosen; iterating merge+recount yields the full vocab). Emits the
+    * top `k` pairs by weighted count, pair tie-break — the argmax row IS
+    * the first merge.
+    *
+    * Scale shape: one word-count agg (map-side combined — the shuffle
+    * carries distinct words, not the corpus), then pair generation stays
+    * ARRAY-LOCAL per distinct word (a word's pair multiset via one
+    * projection) before a second slim (pair, weight) agg +
+    * TakeOrderedAndProject. The corpus text is read once. */
+  def bpePairCandidates(docs: DataFrame, textCol: String,
+                        k: Int): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("_wc"))
+    val pairs = words
+      .withColumn("pair", explode(when(length(col("word")) >= 2,
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("_wc")).as("weighted_count"))
+      .orderBy(col("weighted_count").desc, col("pair").asc)
+      .limit(k)
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),

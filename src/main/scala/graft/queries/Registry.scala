@@ -2341,6 +2341,24 @@ object Registry {
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x55_bpe_pairs",
+      // BPE tokenizer-training signal: top-20 adjacent character pairs
+      // weighted by word frequency — the argmax row is the first BPE
+      // merge. Word counts aggregate first (shuffle carries distinct
+      // words); pair generation stays array-local per distinct word.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpePairCandidates(Tables.documents(s, dir), "text", 20),
+      Some("""WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS tok FROM documents) GROUP BY 1),
+        |p AS (SELECT unnest(CASE WHEN length(word) >= 2 THEN
+        |list_transform(generate_series(1, length(word) - 1),
+        |i -> substr(word, CAST(i AS INT), 2))
+        |ELSE CAST([] AS VARCHAR[]) END) AS pair, wc FROM w)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS weighted_count FROM p
+        |GROUP BY 1 ORDER BY weighted_count DESC, pair
+        |LIMIT 20""".stripMargin.replace("\n", " "))),
+
     ("x54_label_outliers",
       // Embedding-space label QA: per-label centroid, every vector's
       // cosine to its own label's centroid, 5 least-similar per label —

@@ -192,6 +192,17 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0)))
   }
 
+  test("bpePairCandidates: pairs weighted by word frequency, overlapping pairs counted per position") {
+    import spark.implicits._
+    // "ab" occurs in 3 docs (wc=3) → pair "ab" weight 3.
+    // "aaa" wc=1 contributes "aa" TWICE (positions 1,2) → weight 2.
+    // Single chars contribute nothing.
+    val docs = Seq((1L, "ab aaa x"), (2L, "ab"), (3L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCandidates(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
+  }
+
   test("kAnonymityAudit: only sub-k groups emitted, most identifying first") {
     import spark.implicits._
     val df = Seq(
