@@ -184,4 +184,22 @@ object Maintenance {
       .filter(col("group_size") < k)
       .select(quasiIds.map(col) :+ col("group_size"): _*)
       .orderBy(col("group_size").asc +: quasiIds.map(col(_).asc): _*)
+
+  /** User-contribution capping — the differential-privacy preprocessing
+    * step (and heavy-poster guard): each user's row count toward any
+    * group's total is clamped at `cap`, bounding any single user's
+    * influence on downstream statistics. Emits per-group raw vs capped
+    * totals and the distinct-user count, so the gap IS the heavy-user
+    * mass removed.
+    *
+    * Scale shape: two map-side-combined hash aggregates — (user, group)
+    * grain then group grain; the second input is already bounded by
+    * distinct (user, group) pairs, not rows. No joins, no windows. */
+  def contributionCap(df: DataFrame, userCol: String, groupCol: String,
+                      cap: Long): DataFrame =
+    df.groupBy(col(userCol), col(groupCol)).agg(count(lit(1)).as("_n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_n")).cast("long").as("raw_count"),
+        sum(least(col("_n"), lit(cap))).cast("long").as("capped_count"),
+        countDistinct(col(userCol)).as("n_users"))
 }

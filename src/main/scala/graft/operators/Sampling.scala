@@ -170,6 +170,37 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(weightCol), col("smp_rank"))
   }
 
+  /** Curriculum ordering: assign every doc a difficulty TILE (quartiles of
+    * `diffCol` — e.g. length as the classic proxy) plus a deterministic
+    * intra-tile shuffle key; sorting by (tile, shuffle_key, id) IS the
+    * training epoch order — easy tiles first, random within a tile.
+    *
+    * Scale shape: tile boundaries are one exact-percentile aggregate
+    * (map-side combined, 1-row broadcast back), the tile assignment and
+    * shuffle key are a pure codegen projection — NO window, NO ntile
+    * (a global ntile is an Exchange SinglePartition; per-tile row_number
+    * shuffles the corpus into `tiles` partitions — both banned shapes).
+    * The writer sorts by the emitted keys instead, which at 100 TB is a
+    * sortWithinPartitions after a range partition, never a global window.
+    *
+    * Boundaries are rounded to 4 dp on both engines before the
+    * comparison (repo convention) so an interpolation-ulp divergence
+    * cannot flip a boundary doc's tile. */
+  def curriculumOrder(df: DataFrame, idCol: String, diffCol: String,
+                      salt: String): DataFrame = {
+    val qs = df.agg(
+      round(expr(s"percentile($diffCol, 0.25)"), 4).as("_q1"),
+      round(expr(s"percentile($diffCol, 0.50)"), 4).as("_q2"),
+      round(expr(s"percentile($diffCol, 0.75)"), 4).as("_q3"))
+    val d = col(diffCol).cast("double")
+    df.crossJoin(broadcast(qs))
+      .select(col(idCol), col(diffCol),
+        (lit(1L) + when(d > col("_q1"), 1L).otherwise(0L)
+          + when(d > col("_q2"), 1L).otherwise(0L)
+          + when(d > col("_q3"), 1L).otherwise(0L)).as("tile"),
+        hashBucket(col(idCol), salt, 1000000).as("shuffle_key"))
+  }
+
   /** Domain REWEIGHTING (the DoReMi / data-mixture shape): resample so the
     * surviving corpus's domain shares track `targetShares`, with the rates
     * COMPUTED from the measured distribution rather than hand-set (the

@@ -356,6 +356,47 @@ object Similarity {
     * ranked candidates. Uses [[cosineFold]] (double fold) because the
     * centroid is a double array; similarity rounded 6 dp so ranking is
     * engine-portable. */
+  /** Per-dimension z-score standardization of the embedding store — the
+    * feature-normalization pass run before clustering / IVF training /
+    * whitened-distance ANN, where unscaled dimensions dominate the metric.
+    *
+    * Scale shape: corpus → per-dimension (mean, stddev_pop) via one
+    * posexplode + map-side-combined hash agg whose OUTPUT is d rows
+    * (d = vector width, not corpus size); the d-row frame packs into two
+    * ordered literal arrays in a 1-row broadcast, and the normalization
+    * itself is a zip_with projection — the 100 TB side is touched exactly
+    * once and never shuffles. Constant dimensions (σ = 0) map to 0, not
+    * NaN.
+    *
+    * Output per vector: (id, n_dims, pre_norm, z_norm, z_mean) — the L2
+    * norms before/after and the mean standardized component (4/4/6 dp),
+    * the standard sanity scalars for a normalization pass. */
+  def standardizeEmbeddings(embeddings: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .groupBy(col("_p"))
+      .agg(avg(col("_v").cast("double")).as("_m"),
+        stddev_pop(col("_v").cast("double")).as("_s"))
+    val packed = dims.agg(
+      transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+        s => s.getField("_m")).as("_ms"),
+      transform(array_sort(collect_list(struct(col("_p"), col("_s")))),
+        s => s.getField("_s")).as("_ss"))
+    embeddings.crossJoin(broadcast(packed))
+      .withColumn("_z", zip_with(
+        zip_with(col(vecCol), col("_ms"), (x, m) => x.cast("double") - m),
+        col("_ss"), (d, s) => when(s === 0.0d, lit(0.0d)).otherwise(d / s)))
+      .select(col(idCol),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        round(sqrt(aggregate(col(vecCol), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double"))), 4).as("pre_norm"),
+        round(sqrt(aggregate(col("_z"), lit(0.0d),
+          (a, z) => a + z * z)), 4).as("z_norm"),
+        round(aggregate(col("_z"), lit(0.0d), (a, z) => a + z) /
+          size(col(vecCol)).cast("double"), 6).as("z_mean"))
+  }
+
   def labelOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int): DataFrame = {
     val pos = embeddings.select(col(labelCol).as("_lbl"),

@@ -428,6 +428,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Character-entropy gibberish filter: Shannon entropy (bits/char) of
+    * each document's character distribution — low entropy flags repeated-
+    * character spam and template boilerplate, abnormally high entropy
+    * flags base64/hex blobs; both are standard cheap pre-training drops.
+    *
+    * Scale shape: fully ARRAY-LOCAL per row (split → distinct → counted
+    * via higher-order filter/aggregate) — zero shuffles, zero joins; the
+    * embarrassingly-parallel ideal at 100 TB. The per-row cost is
+    * O(distinct·len), bounded by the alphabet (distinct ≤ ~100), not the
+    * corpus. Entropy is computed as log2(L) − Σ n·log2(n)/L (one division
+    * at the end) so both engines fold the identical expression tree.
+    *
+    * Output: (doc_id, len_chars, n_distinct_chars, char_entropy 4 dp). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => length(c) > 0)
+    val log2 = (x: Column) => log(2.0, x)
+    docs.select(col(idCol), chars.as("_cs"))
+      .select(col(idCol), col("_cs"), array_distinct(col("_cs")).as("_dc"),
+        size(col("_cs")).cast("double").as("_len"))
+      .select(
+        col(idCol),
+        col("_len").cast("long").as("len_chars"),
+        size(col("_dc")).cast("long").as("n_distinct_chars"),
+        round(log2(col("_len")) -
+          aggregate(col("_dc"), lit(0.0d), (acc, c) => {
+            val n = size(filter(col("_cs"), x => x === c)).cast("double")
+            acc + n * log2(n)
+          }) / col("_len"), 4).as("char_entropy"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),

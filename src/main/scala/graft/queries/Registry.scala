@@ -2542,7 +2542,133 @@ object Registry {
         |SELECT doc_id, d.source, round(CAST(sc AS DOUBLE) / n, 4) AS src_avg_chars
         |FROM documents d JOIN s USING (source), g
         |WHERE CAST(sc AS DOUBLE) / n >= g.gavg
-        |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x56_char_entropy",
+      // Character-entropy gibberish filter (TextAnalysis.charEntropy) —
+      // fully array-local per row, zero shuffles/joins; the oracle
+      // recomputes the identical log2(L) − Σ n·log2(n)/L via unnest.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+        |unnest(list_transform(range(1, length(text)+1),
+        |  x -> substring(text, CAST(x AS INT), 1))) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot, count(*) AS nd,
+        |  sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS s
+        |FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(tot AS BIGINT) AS len_chars,
+        |CAST(nd AS BIGINT) AS n_distinct_chars,
+        |round(log2(tot) - s / tot, 4) AS char_entropy
+        |FROM e ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x57_topk_per_group",
+      // Per-group top-k through the bounded mergeable aggregate
+      // (functions/TopKAgg.scala) — map-side partial keeps ≤k candidates
+      // per (partition, group), so the exchange carries k rows per group
+      // per partition instead of every row a row_number window would ship
+      // and SORT. Oracle is the window ground truth.
+      (s: SparkSession, dir: String) => {
+        val topk = graft.functions.TopKAgg.topK(3)
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(topk(col("value"), col("event_id")).as("_top"))
+          .select(col("user_id"), posexplode(col("_top")).as(Seq("_i", "_s")))
+          .select(col("user_id"), (col("_i") + 1).cast("long").as("rnk"),
+            col("_s.id").as("event_id"), round(col("_s.score"), 4).as("value"))
+          .orderBy(col("user_id"), col("rnk"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, value,
+        |row_number() OVER (PARTITION BY user_id
+        |  ORDER BY value DESC, event_id ASC) AS rnk
+        |FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |round(value, 4) AS value
+        |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x58_embed_standardize",
+      // Per-dimension z-score standardization of the embedding store
+      // (Similarity.standardizeEmbeddings) — d-row stats agg, 1-row
+      // broadcast, zip_with projection; emits the norms-before/after +
+      // mean-z sanity scalars.
+      (s: SparkSession, dir: String) =>
+        Similarity.standardizeEmbeddings(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+          .orderBy(col("vec_id")),
+      Some("""WITH d AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |unnest(range(1, len(embedding)+1)) AS pos FROM embeddings),
+        |st AS (SELECT pos, avg(x) AS m, stddev_pop(x) AS s FROM d GROUP BY 1),
+        |z AS (SELECT vec_id, d.x,
+        |CASE WHEN st.s = 0 THEN 0.0 ELSE (d.x - st.m) / st.s END AS z
+        |FROM d JOIN st USING (pos))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |round(sqrt(sum(x*x)), 4) AS pre_norm,
+        |round(sqrt(sum(z*z)), 4) AS z_norm,
+        |round(sum(z) / count(*), 6) AS z_mean
+        |FROM z GROUP BY 1 ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    ("x59_curriculum",
+      // Curriculum epoch ordering (Sampling.curriculumOrder): quartile
+      // difficulty tiles from one exact-percentile aggregate + a
+      // deterministic intra-tile shuffle key — no window, no ntile, the
+      // corpus is one codegen projection.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.curriculumOrder(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", "curr")
+          .orderBy(col("tile"), col("shuffle_key"), col("doc_id")),
+      Some("""WITH q AS (SELECT
+        |round(quantile_cont(n_chars, 0.25), 4) AS q1,
+        |round(quantile_cont(n_chars, 0.50), 4) AS q2,
+        |round(quantile_cont(n_chars, 0.75), 4) AS q3 FROM documents)
+        |SELECT doc_id, n_chars,
+        |1 + CAST(CAST(n_chars AS DOUBLE) > q1 AS BIGINT)
+        |  + CAST(CAST(n_chars AS DOUBLE) > q2 AS BIGINT)
+        |  + CAST(CAST(n_chars AS DOUBLE) > q3 AS BIGINT) AS tile,
+        |('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  % 1000000 AS shuffle_key
+        |FROM documents, q
+        |ORDER BY tile, shuffle_key, doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x60_contribution_cap",
+      // User-contribution capping (Maintenance.contributionCap) — the DP
+      // preprocessing / heavy-poster guard: per-group raw vs user-capped
+      // totals, cap 20 per (user, type).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.contributionCap(
+          Tables.events(s, dir), "user_id", "event_type", 20L)
+          .orderBy(col("event_type")),
+      Some("""WITH ug AS (SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS raw_count,
+        |CAST(sum(least(n, 20)) AS BIGINT) AS capped_count,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ug GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("s14_stream_topk",
+      // Streaming running top-k leaderboard: x57's bounded aggregate as a
+      // streaming STATEFUL aggregation over a three-slice replay — state
+      // per event_type is the k-capped buffer, update-mode re-emissions
+      // replace-upsert the exploded ranks. Oracle is the one-shot window
+      // ground truth over all events.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s14")
+        graft.streaming.Streaming.runStreamTopK(s, dir, base + "/tk", 3)
+          .select(col("event_type"), col("rnk"), col("event_id"),
+            round(col("value"), 4).as("value"))
+          .orderBy(col("event_type"), col("rnk"))
+      },
+      Some("""WITH r AS (SELECT event_type, event_id, value,
+        |row_number() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, event_id) AS rnk
+        |FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |round(value, 4) AS value
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk"""
+        .stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

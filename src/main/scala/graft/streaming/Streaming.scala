@@ -962,4 +962,58 @@ object Streaming {
     q.awaitTermination()
     spark.read.parquet(sinkPath)
   }
+
+  /** X57 under streaming: per-event_type top-k (value desc, event_id asc)
+    * maintained by the BOUNDED mergeable aggregate
+    * ([[graft.functions.TopKAgg]]) as a streaming stateful aggregation —
+    * the state-store entry per group is the k-capped buffer, never the
+    * event history, so state is O(groups·k) regardless of stream length
+    * (the running-leaderboard shape). Update mode re-emits a group's
+    * buffer whenever a batch improves it; the sink replace-upserts the
+    * exploded ranks keyed (event_type, rnk) — a group's rank count never
+    * shrinks as data grows, so stale ranks cannot linger under replace.
+    *
+    * Events are staged as three event_id-residue slices replayed with
+    * maxFilesPerTrigger=1, so the replay exercises real cross-batch state
+    * merges; the result equals the one-shot batch top-k for ANY split
+    * because the aggregate's merge is order-insensitive (spec-pinned by
+    * TopKAggSpec). */
+  def runStreamTopK(spark: SparkSession, dir: String, base: String,
+                    k: Int): DataFrame = {
+    val landing = s"$base/landing"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      val stage = s"$base/stage$i"
+      ev.where(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+      f.mkdirs(new Path(landing))
+      f.rename(part, new Path(s"$landing/b$i.parquet"))
+    }
+    val topk = graft.functions.TopKAgg.topK(k)
+    val sink = new ParquetUpsertSink(s"$base/state", Seq("event_type", "rnk"),
+      Seq("event_id", "value"), additive = false)
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("_top"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val flat = b
+          .select(col("event_type"), posexplode(col("_top")).as(Seq("_i", "_s")))
+          .select(col("event_type"), (col("_i") + 1).cast("long").as("rnk"),
+            col("_s.id").as("event_id"), col("_s.score").as("value"))
+        sink.upsert(flat, id)
+      }
+      .start()
+    q.awaitTermination()
+    sink.state(spark).get
+  }
 }

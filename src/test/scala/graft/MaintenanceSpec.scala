@@ -132,4 +132,16 @@ class MaintenanceSpec extends SparkSpec {
       ("s", 4L, 1L, 2L),
       ("v", 4L, 2L, 1L)))
   }
+
+  test("contributionCap: heavy user clamped, light users untouched") {
+    import spark.implicits._
+    // User 1 posts 5 times in group g (cap 3 bites), user 2 twice; group h
+    // has one post each from users 1 and 3.
+    val df = (Seq.fill(5)((1L, "g")) ++ Seq.fill(2)((2L, "g")) ++
+      Seq((1L, "h"), (3L, "h"))).toDF("uid", "grp")
+    val out = Maintenance.contributionCap(df, "uid", "grp", 3L)
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
+  }
 }

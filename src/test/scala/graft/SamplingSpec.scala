@@ -176,4 +176,20 @@ class SamplingSpec extends SparkSpec {
     assertSameRows(out, Sampling.domainReweight(df.repartition(7), "id",
       "dom", Map("a" -> 0.2, "b" -> 0.8), "t"))
   }
+
+  test("curriculumOrder: quartile tiles from exact percentiles; no window in the plan") {
+    import spark.implicits._
+    // Difficulties 1..4 → rounded quartile bounds 1.75/2.5/3.25 → one doc
+    // per tile.
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "diff")
+    val out = Sampling.curriculumOrder(df, "id", "diff", "curr")
+    val tiles = out.orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tiles.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    // Shuffle key is the deterministic hash bucket — partitioning-invariant.
+    assertSameRows(out, Sampling.curriculumOrder(df.repartition(5), "id",
+      "diff", "curr"))
+    // The whole operator must plan without a Window (no ntile/row_number).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"curriculum must not window:\n$plan")
+  }
 }

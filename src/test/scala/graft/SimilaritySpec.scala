@@ -186,4 +186,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(_._1 == 0) === 3 && out.count(_._1 == 1) === 3)
     assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("standardizeEmbeddings: hand-computed z-scores; constant dim maps to 0") {
+    import spark.implicits._
+    // dim0 values 0,2,4 → mean 2, σ_pop = sqrt(8/3); dim1 constant 2 → z 0.
+    val df = Seq(
+      (1L, Seq(0.0f, 2.0f)), (2L, Seq(2.0f, 2.0f)), (3L, Seq(4.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.standardizeEmbeddings(df, "vec_id", "embedding")
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // |z| for vecs 1 and 3 on dim0: 2/sqrt(8/3) = 1.224745.
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2.0, 1.2247, -0.612372),
+      (2L, 2L, 2.8284, 0.0, 0.0),
+      (3L, 2L, 4.4721, 1.2247, 0.612372)))
+  }
 }

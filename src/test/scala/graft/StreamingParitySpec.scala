@@ -628,4 +628,25 @@ class StreamingParitySpec extends SparkSpec {
       spark, "/root/testdata/sf0.001", base + "/nd"))
     assert(second === first, "replayed batch duplicated near-dup pairs")
   }
+
+  test("streaming top-k equals the one-shot batch top-k; crash replay is idempotent") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s14")
+    val streamed = Streaming.runStreamTopK(spark, dir, base + "/tk", 3)
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val batch = Tables.events(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+    assertSameRows(streamed, batch)
+    // Crash between upsert commit and checkpoint commit: the replayed
+    // update must overwrite, not duplicate or corrupt, the rank rows.
+    rollbackLastCommit(base + "/tk/ckpt")
+    val second = Streaming.runStreamTopK(spark, dir, base + "/tk", 3)
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+    assertSameRows(second, batch)
+  }
 }

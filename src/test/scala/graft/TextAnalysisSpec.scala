@@ -203,6 +203,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
   }
 
+  test("charEntropy: hand-computed entropies, uniform and degenerate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"), // one symbol → H = 0
+      (2L, "ab"),   // two equiprobable → H = 1
+      (3L, "abcd"), // four equiprobable → H = 2
+      (4L, "aab"))  // H = log2(3) − (2·log2 2)/3 = 0.9183
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 1L, 0.0),
+      (2L, 2L, 2L, 1.0),
+      (3L, 4L, 4L, 2.0),
+      (4L, 3L, 2L, 0.9183)))
+  }
+
+  test("charEntropy plan is shuffle-free (no Exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val plan = graft.operators.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"entropy must stay array-local:\n$plan")
+  }
+
   test("kAnonymityAudit: only sub-k groups emitted, most identifying first") {
     import spark.implicits._
     val df = Seq(
