@@ -39,19 +39,55 @@ object Bench {
     * scheduling jitter even for min-of-5; 1.5x AND +0.25 s is a real
     * algorithmic change (lost pushdown, lost broadcast), not noise. */
   val RegressionSlackSec = 0.25
+  /** Minimum paired (baseline, current) queries before fleet-median drift
+    * is estimated; below this the factor is 1.0 (no de-drifting). */
+  val MinDriftSamples = 8
+
+  /** Fleet-median drift factor: the median of cur/base over every query
+    * present in both maps. A SHARED slowdown (slower host, IO contention,
+    * thermal limits — today's machine vs freeze-day's machine) moves every
+    * query by roughly this factor; a real algorithmic regression moves one
+    * query far beyond it. Clamped to >= 1 so a faster-than-freeze machine
+    * never loosens the gate, and estimated only when at least
+    * [[MinDriftSamples]] paired queries exist — a median over a handful of
+    * queries could be dragged by the very regression it should expose
+    * (the full registry pairs 100+, so real runs always estimate). */
+  def driftFactor(
+      baselineMin: Map[String, Double],
+      currentMin: Map[String, Double]): Double = {
+    val ratios = currentMin.toSeq.collect {
+      case (name, cur) if cur >= 0 && baselineMin.getOrElse(name, 0.0) > 0 =>
+        cur / baselineMin(name)
+    }.sorted
+    if (ratios.size < MinDriftSamples) 1.0
+    else {
+      val m =
+        if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+      math.max(1.0, m)
+    }
+  }
 
   /** Pure regression detector (unit-tested with a seeded slowdown).
     * Queries absent from the baseline (new this round) and failed queries
-    * (time < 0: already surfaced via `errors`/`n_failed`) are not flagged. */
+    * (time < 0: already surfaced via `errors`/`n_failed`) are not flagged.
+    * Current mins are DE-DRIFTED by [[driftFactor]] before the gate, so a
+    * global environment slowdown (which min-of-5 cannot cancel — it is not
+    * within-run noise) doesn't paint the whole fleet as regressed, while a
+    * single query drifting far beyond the fleet still trips. */
   def regressions(
       baselineMin: Map[String, Double],
       currentMin: Map[String, Double],
       factor: Double = RegressionFactor,
-      slackSec: Double = RegressionSlackSec): Seq[String] =
+      slackSec: Double = RegressionSlackSec): Seq[String] = {
+    val drift = driftFactor(baselineMin, currentMin)
     currentMin.toSeq.sortBy(_._1).collect {
-      case (name, cur) if cur >= 0 && baselineMin.get(name).exists(base =>
-        cur > base * factor && cur - base > slackSec) => name
+      case (name, cur) if cur >= 0 && baselineMin.get(name).exists { base =>
+        val adj = cur / drift
+        adj > base * factor && adj - base > slackSec
+      } => name
     }
+  }
 
   /** Repo root resolved from the compiled classes' location (works no matter
     * what CWD sbt launched the JVM with), falling back to user.dir. */
@@ -168,10 +204,11 @@ object Bench {
     val foreignJson = foreign.mkString("[", ",", "]")
     val root = repoRoot
     val baseline = loadBaseline(root.resolve("BASELINE_local.json"))
-    val regs = regressions(
-      baseline, results.map { case (k, _, mn, _) => k -> mn }.toMap)
+    val curMin = results.map { case (k, _, mn, _) => k -> mn }.toMap
+    val regs = regressions(baseline, curMin)
+    val drift = driftFactor(baseline, curMin)
     val regsJson = regs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"n_failed":$nFailed,"regressions":$regsJson,"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"n_failed":$nFailed,"regressions":$regsJson,"drift":${f3(drift)},"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     println(line)
     // Full line also lands in a scratch file so a truncated console tail is
     // never the only record of a bench run. Absolute repo-root path, not CWD

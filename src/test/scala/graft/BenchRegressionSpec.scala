@@ -39,6 +39,31 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressions(base, cur) == Seq("a", "b"))
   }
 
+  test("fleet-wide drift does not fire; a query drifting far beyond the fleet does") {
+    // Ten queries all 2x slower: a machine-level slowdown, not ten
+    // simultaneous algorithmic regressions — the de-drifted gate is silent.
+    val base = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val allDrift = base.map { case (k, v) => k -> v * 2.0 }
+    assert(Bench.driftFactor(base, allDrift) === 2.0)
+    assert(Bench.regressions(base, allDrift).isEmpty)
+    // Same fleet, but one query at 6x: 3x beyond the fleet median — fires.
+    val oneBad = allDrift + ("q3" -> 6.0)
+    assert(Bench.regressions(base, oneBad) == Seq("q3"))
+  }
+
+  test("drift needs a population: small fleets never de-drift, and a faster machine never loosens") {
+    // 2 paired queries < MinDriftSamples → factor 1.0 (the seeded-slowdown
+    // test above relies on this).
+    assert(Bench.driftFactor(Map("a" -> 1.0, "b" -> 1.0),
+      Map("a" -> 3.0, "b" -> 3.0)) === 1.0)
+    // 10 queries all FASTER than freeze: clamped to 1.0, not 0.5 — a fast
+    // machine must not hide a regression behind a loosened gate.
+    val base = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val faster = base.map { case (k, v) => k -> v * 0.5 } + ("q9" -> 1.9)
+    assert(Bench.driftFactor(base, faster) === 1.0)
+    assert(Bench.regressions(base, faster) == Seq("q9"))
+  }
+
   test("loadBaseline parses queries_min from disk and tolerates absence") {
     val tmp = java.nio.file.Files.createTempFile("baseline", ".json")
     java.nio.file.Files.writeString(tmp,
