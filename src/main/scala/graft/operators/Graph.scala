@@ -74,4 +74,36 @@ object Graph {
     }
     ranks
   }
+
+  /** Item-item co-occurrence with PMI — the "related items" projection of
+    * a (user, item) bipartite interaction log: for every unordered item
+    * pair sharing >= `minCount` distinct users, the shared-user count and
+    * pointwise mutual information ln(N·c12 / (c1·c2)) with N the distinct
+    * user population.
+    *
+    * Scale shape: interactions first collapse to DISTINCT (user, item) —
+    * the per-user self-equi-join then generates each user's item-pair
+    * set, the classic co-occurrence expansion that is quadratic in a
+    * user's item count. At 100 TB the guard is contribution capping
+    * (run [[Maintenance.contributionCap]]-style per-user item limits
+    * first); the join itself hash-partitions on the user, never
+    * broadcasting the interaction table. Marginals join AFTER pair
+    * aggregation — item-vocabulary grain, broadcastable under AQE. */
+  def cooccurrencePmi(df: DataFrame, userCol: String, itemCol: String,
+                      minCount: Long): DataFrame = {
+    val ui = df.select(col(userCol).as("_u"), col(itemCol).as("_i")).distinct()
+    val c = ui.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val n = ui.agg(countDistinct(col("_u")).cast("double").as("_n"))
+    ui.as("a").join(ui.as("b"),
+        col("a._u") === col("b._u") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("item_a"), col("b._i").as("item_b"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(c.select(col("_i").as("item_a"), col("_c").as("_ca")), Seq("item_a"))
+      .join(c.select(col("_i").as("item_b"), col("_c").as("_cb")), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("c12").cast("long").as("c12"),
+        round(log(col("_n") * col("c12") /
+          (col("_ca").cast("double") * col("_cb"))), 4).as("pmi"))
+  }
 }

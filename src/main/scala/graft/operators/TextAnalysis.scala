@@ -428,6 +428,61 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram-LM fluency scoring — the conditional-probability upgrade of
+    * [[unigramLmScore]] (the CCNet/KenLM filtering shape, self-trained on
+    * the corpus): per-doc mean ln P(w2|w1) with P = bigram count over the
+    * first-word marginal of the SAME bigram table, so the model is
+    * self-consistent and every scored bigram has nonzero probability.
+    *
+    * Scale shape: bigram generation is array-local per doc (one
+    * projection, no shuffle); the count tables aggregate map-side and
+    * carry the bigram VOCABULARY, not the corpus; the score join ships
+    * (doc, w1, w2) instances against those count tables — the same join
+    * grain x36 already carries for unigrams. AQE picks broadcast vs
+    * shuffled-hash by the measured vocabulary size.
+    *
+    * Output: (doc_id, n_bigrams, bi_score 4 dp); docs with < 2 tokens
+    * have no bigrams and are absent. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("_t")) - 2),
+        i => struct(element_at(col("_t"), i + 1).as("w1"),
+          element_at(col("_t"), i + 2).as("w2")))).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_bc"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("_bc")).cast("double").as("_uc"))
+    bi.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(log(col("_bc").cast("double") / col("_uc"))) /
+          count(lit(1)), 4).as("bi_score"))
+  }
+
+  /** Robust per-source length-outlier gate: docs outside the Tukey fence
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] of their OWN source's n_chars
+    * distribution — the robust-statistics complement of [[sourceQualityGate]]
+    * (a mean-based gate a few giant docs can drag; quartiles cannot be).
+    *
+    * Scale shape: one per-source exact-percentile aggregate (source-count
+    * rows) broadcast back; the fence test is a codegen filter — the corpus
+    * never shuffles. Fences are rounded 4 dp BEFORE the comparison on
+    * both engines (repo convention) so an interpolation ulp cannot flip a
+    * boundary doc. Output: the outlier docs with their fences. */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val st = docs.groupBy(col("source")).agg(
+      round(expr("percentile(n_chars, 0.25)"), 4).as("_q1"),
+      round(expr("percentile(n_chars, 0.75)"), 4).as("_q3"))
+    val fences = st.select(col("source"),
+      round(col("_q1") - (col("_q3") - col("_q1")) * 1.5, 4).as("lo"),
+      round(col("_q3") + (col("_q3") - col("_q1")) * 1.5, 4).as("hi"))
+    docs.join(broadcast(fences), "source")
+      .where(col("n_chars").cast("double") < col("lo") ||
+        col("n_chars").cast("double") > col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lo"), col("hi"))
+  }
+
   /** Character-entropy gibberish filter: Shannon entropy (bits/char) of
     * each document's character distribution — low entropy flags repeated-
     * character spam and template boilerplate, abnormally high entropy

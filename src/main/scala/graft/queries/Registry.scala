@@ -2648,6 +2648,69 @@ object Registry {
         |FROM ug GROUP BY 1 ORDER BY event_type"""
         .stripMargin.replace("\n", " "))),
 
+    ("x61_bigram_lm",
+      // Bigram-LM fluency scoring (TextAnalysis.bigramLmScore) — per-doc
+      // mean ln P(w2|w1) under the corpus's own bigram table; the
+      // conditional upgrade of x36.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bigramLmScore(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |unnest(t[2:len(t)]) AS w2 FROM tok WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(sum(bc) AS DOUBLE) AS uc FROM bc GROUP BY 1)
+        |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |round(sum(ln(CAST(bc.bc AS DOUBLE) / uc.uc)) / count(*), 4) AS bi_score
+        |FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    ("x62_length_outliers",
+      // Robust per-source Tukey-fence outlier gate
+      // (TextAnalysis.lengthOutliers) — quartile fences broadcast back,
+      // corpus never shuffles; fences rounded 4 dp pre-comparison.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.lengthOutliers(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH st AS (SELECT source,
+        |round(quantile_cont(n_chars, 0.25), 4) AS q1,
+        |round(quantile_cont(n_chars, 0.75), 4) AS q3
+        |FROM documents GROUP BY 1),
+        |b AS (SELECT source, round(q1 - 1.5*(q3-q1), 4) AS lo,
+        |round(q3 + 1.5*(q3-q1), 4) AS hi FROM st)
+        |SELECT doc_id, d.source, n_chars, lo, hi
+        |FROM documents d JOIN b USING (source)
+        |WHERE CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("j12_cooccurrence_pmi",
+      // Item-item co-occurrence + PMI (Graph.cooccurrencePmi) over the
+      // click log's item facet (props.k) — the "related items" bipartite
+      // projection, pairs with >= 5 shared distinct users.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Graph.cooccurrencePmi(
+          Tables.events(s, dir).filter(col("event_type") === "click")
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("int").as("item")),
+          "user_id", "item", 5L)
+          .orderBy(col("item_a"), col("item_b")),
+      Some("""WITH ui AS (SELECT DISTINCT user_id,
+        |CAST(json_extract(props, '$.k') AS INT) AS item
+        |FROM events WHERE event_type = 'click'),
+        |c AS (SELECT item, count(*) AS c1 FROM ui GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu FROM ui),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS c12
+        |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(c12 AS BIGINT) AS c12,
+        |round(ln(nu * c12 / (CAST(ca.c1 AS DOUBLE) * cb.c1)), 4) AS pmi
+        |FROM p JOIN c ca ON p.item_a = ca.item
+        |JOIN c cb ON p.item_b = cb.item, n
+        |WHERE c12 >= 5
+        |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
+
     ("s14_stream_topk",
       // Streaming running top-k leaderboard: x57's bounded aggregate as a
       // streaming STATEFUL aggregation over a three-slice replay — state

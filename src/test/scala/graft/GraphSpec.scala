@@ -40,4 +40,16 @@ class GraphSpec extends SparkSpec {
       .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.toSeq === Seq((1L, 0.238889), (2L, 0.451389), (3L, 0.309722)))
   }
+
+  test("cooccurrencePmi: hand-computed pair counts and PMI; min-count prunes") {
+    import spark.implicits._
+    // u1:{1,2} u2:{1,2} u3:{1,3} u4:{2} → N=4, c1=3, c2=3, c3=1.
+    // (1,2) shared by u1,u2 → c12=2, pmi = ln(4·2/(3·3)) = -0.1178;
+    // (1,3) c12=1 pruned at minCount=2; duplicates collapse first.
+    val df = Seq((1L, 1), (1L, 2), (1L, 2), (2L, 1), (2L, 2), (3L, 1),
+      (3L, 3), (4L, 2)).toDF("u", "i")
+    val out = Graph.cooccurrencePmi(df, "u", "i", 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 2, 2L, -0.1178)))
+  }
 }

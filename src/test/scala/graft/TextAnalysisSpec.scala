@@ -203,6 +203,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
   }
 
+  test("bigramLmScore: hand-computed conditional log-probs; short docs absent") {
+    import spark.implicits._
+    // bc: (a,b)=1, (b,c)=1, (a,c)=1; marginals: a=2, b=1.
+    // d1 = mean(ln 1/2, ln 1/1) = -0.3466; d2 = ln 1/2 = -0.6931.
+    val docs = Seq((1L, "a b c"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramLmScore(docs)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, -0.3466), (2L, 1L, -0.6931)))
+  }
+
+  test("lengthOutliers: zero-IQR source flags its giant; healthy source is silent") {
+    import spark.implicits._
+    val docs = (Seq.fill(4)(10L) :+ 100L).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "s", n)
+    } ++ Seq((10L, "t", 50L), (11L, "t", 60L), (12L, "t", 70L))
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.lengthOutliers(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((4L, "s", 100L)))
+  }
+
   test("charEntropy: hand-computed entropies, uniform and degenerate") {
     import spark.implicits._
     val docs = Seq(
