@@ -2711,6 +2711,67 @@ object Registry {
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
 
+    ("x63_approx_quantiles",
+      // Mergeable quantile SKETCH path (percentile_approx / Greenwald-
+      // Khanna): the 100 TB replacement for x24's exact percentile — the
+      // sketch aggregates map-side and merges across partitions, the
+      // shuffle carries summaries, never values. At this accuracy
+      // (1e6 ≫ group sizes) GK stores every value, so the result is
+      // EXACT and the oracle is DuckDB's discrete quantile.
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            expr("percentile_approx(n_chars, array(0.5, 0.9, 0.99), 1000000)")
+              .as("_q"))
+          .select(col("lang"), col("n_docs"),
+            element_at(col("_q"), 1).cast("long").as("p50"),
+            element_at(col("_q"), 2).cast("long").as("p90"),
+            element_at(col("_q"), 3).cast("long").as("p99"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |quantile_disc(n_chars, 0.5) AS p50,
+        |quantile_disc(n_chars, 0.9) AS p90,
+        |quantile_disc(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j13_rate_anomaly",
+      // Event-rate anomaly detection: per-type daily counts z-scored
+      // against that type's own mean/stddev — the ingest-monitoring
+      // query run before trusting a day's data. Two map-side-combined
+      // aggs (day grain, then type grain — 5 rows) + a broadcast join
+      // back; σ=0 types (constant rate) get z=0, not NaN. Emits EVERY
+      // day with its z so the audit is reviewable, anomalies flagged at
+      // |z| >= 2 on the UNROUNDED z (both engines).
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+          .agg(count(lit(1)).as("n"))
+        val st = daily.groupBy(col("event_type")).agg(
+          avg(col("n")).as("_m"), stddev_samp(col("n")).as("_s"))
+        val z = when(col("_s").isNull || col("_s") === 0.0, 0.0)
+          .otherwise((col("n") - col("_m")) / col("_s"))
+        daily.join(broadcast(st), "event_type")
+          .select(col("event_type"), col("day_ms"),
+            col("n").cast("long").as("n"), round(z, 4).as("z"),
+            when(abs(z) >= 2.0, 1).otherwise(0).as("is_anomaly"))
+          .orderBy(col("event_type"), col("day_ms"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS n
+        |FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS m, stddev_samp(n) AS s
+        |FROM d GROUP BY 1)
+        |SELECT d.event_type, day_ms, CAST(n AS BIGINT) AS n,
+        |round(CASE WHEN s = 0 OR s IS NULL THEN 0.0
+        |  ELSE (n - m) / s END, 4) AS z,
+        |CAST(abs(CASE WHEN s = 0 OR s IS NULL THEN 0.0
+        |  ELSE (n - m) / s END) >= 2 AS INT) AS is_anomaly
+        |FROM d JOIN st USING (event_type)
+        |ORDER BY event_type, day_ms""".stripMargin.replace("\n", " "))),
+
     ("s14_stream_topk",
       // Streaming running top-k leaderboard: x57's bounded aggregate as a
       // streaming STATEFUL aggregation over a three-slice replay — state

@@ -121,4 +121,21 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.cmsHeavyHitters(df.limit(0), "v", 1L).count() === 0L)
     assert(Sketch.cmsHeavyHitters(df, "v", 1000L).count() === 0L)
   }
+
+  test("percentile_approx at exact accuracy equals the discrete quantile (x63's oracle contract)") {
+    import spark.implicits._
+    // GK with accuracy >> n stores every value, so the answer must be the
+    // DISCRETE quantile: the smallest element whose rank covers ceil(p·n)
+    // — the definition DuckDB's quantile_disc uses. Pinned on even and
+    // odd n and across a repartition (sketch MERGE path).
+    for (n <- Seq(100, 101); parts <- Seq(1, 7)) {
+      val df = (1 to n).map(_.toLong).toDF("v").repartition(parts)
+      val got = df.agg(
+        expr("percentile_approx(v, array(0.5, 0.9, 0.99), 1000000)"))
+        .head().getSeq[Long](0)
+      val expect = Seq(0.5, 0.9, 0.99).map(p =>
+        math.ceil(p * n).toLong) // sorted values are 1..n ⇒ element = rank
+      assert(got === expect, s"n=$n parts=$parts")
+    }
+  }
 }
