@@ -31,6 +31,29 @@ class TopKAggSpec extends SparkSpec {
     assert(viaMerge === Seq(ScoredId(9.0, 3), ScoredId(7.0, 9), ScoredId(4.0, 0)))
   }
 
+  test("property: any split + any order folded through reduce/merge == sorted take-k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ord = Ordering.by[ScoredId, (Double, Long)](s => (-s.score, s.id))
+    val genXs = Gen.listOfN(25, for {
+      sc <- Gen.chooseNum(-5.0, 5.0)
+      // Coarse score grid → frequent ties, exercising the id tie-break.
+      id <- Gen.choose(0L, 50L)
+    } yield ScoredId(math.rint(sc * 2) / 2, id))
+    val prop = Prop.forAll(genXs, Gen.choose(1, 6), Gen.choose(1, 5), Gen.choose(0L, 99L)) {
+      (xs, k, nSplits, seed) =>
+        val a = new TopKAgg(k)
+        val shuffled = new scala.util.Random(seed).shuffle(xs)
+        val parts = shuffled.grouped(
+          math.max(1, shuffled.size / nSplits)).toList
+        val merged = parts.map(_.foldLeft(a.zero)(a.reduce))
+          .foldLeft(a.zero)(a.merge)
+        a.finish(merged) == xs.sorted(ord).take(k)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("end-to-end equals the row_number window; partial agg in the plan") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i % 7, (i * 37 % 13).toDouble, i))
