@@ -311,6 +311,26 @@ object Similarity {
         col("sim"), col("knn_rank"))
   }
 
+  /** kNN-density outlier mining: every vector's similarity to its k-th
+    * nearest neighbor (through the shared IVF probe) is a density proxy —
+    * the `bottomN` least-dense vectors are the isolated points reviewed
+    * before clustering/dedup trusts the embedding space (the global
+    * complement of [[labelOutliers]]'s per-label view).
+    *
+    * Scale shape: [[knnJoin]] with the query predicate wide open — the
+    * corpus assigns once, the probe side broadcasts or shuffle-hashes by
+    * its measured size; one TakeOrdered over the rank-k rows. A query
+    * whose probed buckets hold fewer than k neighbors has no k-th rank
+    * and drops on BOTH engines (the oracle replays the same probe). */
+  def knnDensityOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nCentroids: Int, nProbe: Int,
+                         bottomN: Int): DataFrame =
+    knnJoin(embeddings, idCol, vecCol, lit(true), k, nCentroids, nProbe)
+      .filter(col("knn_rank") === k)
+      .select(col("qid").as(idCol), col("sim").as("knn_sim"))
+      .orderBy(col("knn_sim").asc, col(idCol).asc)
+      .limit(bottomN)
+
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
     * each anchor vector, the top-`k` most-similar corpus vectors whose
     * cosine lies in `[lo, hi)` — similar enough to be informative

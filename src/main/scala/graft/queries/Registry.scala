@@ -476,6 +476,32 @@ object Registry {
        |SELECT qid, vec_id, cid AS centroid_id, sim, knn_rank FROM r
        |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.knnDensityOutliers]] (all queries,
+    * 16 centroids, 4 probes, k=10, bottom 25). Same assignment/probe/rank
+    * tie-breaks as the knnJoin oracle. */
+  private def knnOutlierOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS (SELECT p.qid, a.vec_id,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN (SELECT qid, qv, cid FROM pr WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS knn_rank
+       |  FROM cand)
+       |SELECT qid AS vec_id, sim AS knn_sim FROM r WHERE knn_rank = 10
+       |ORDER BY knn_sim ASC, vec_id LIMIT 25""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[TextAnalysis.langId]] — generated from the same
     * marker sets. */
   private def langIdOracleSql: String = {
@@ -2710,6 +2736,15 @@ object Registry {
         |JOIN c cb ON p.item_b = cb.item, n
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
+
+    ("x64_knn_outliers",
+      // kNN-density outlier mining (Similarity.knnDensityOutliers): each
+      // vector's sim to its 10th neighbor through the shared IVF probe as
+      // a density proxy; the 25 most isolated vectors surface for review.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnDensityOutliers(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 10, 16, 4, 25),
+      Some(knnOutlierOracleSql)),
 
     ("x63_approx_quantiles",
       // Mergeable quantile SKETCH path (percentile_approx / Greenwald-

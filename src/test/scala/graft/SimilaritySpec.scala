@@ -187,6 +187,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("knnDensityOutliers: the planted isolated vector is the least dense") {
+    import spark.implicits._
+    // 15 vectors in a tight cone around +e1; vec 99 planted anti-aligned.
+    val rows = (0L until 15L).map(i => (i, Seq(1.0f, 0.01f * i, 0.0f))) :+
+      (99L, Seq(-1.0f, 0.0f, 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.knnDensityOutliers(df, "vec_id", "embedding",
+      3, 4, 2, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.nonEmpty)
+    assert(out.head._1 === 99L, s"planted outlier must rank first: ${out.toSeq}")
+    assert(out.head._2 < 0, "anti-aligned vector's 3rd-NN sim is negative")
+    // The returned list is ascending in density (knn_sim).
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
+  }
+
   test("standardizeEmbeddings: hand-computed z-scores; constant dim maps to 0") {
     import spark.implicits._
     // dim0 values 0,2,4 → mean 2, σ_pop = sqrt(8/3); dim1 constant 2 → z 0.
