@@ -513,6 +513,48 @@ object TextAnalysis {
           }) / col("_len"), 4).as("char_entropy"))
   }
 
+  /** Multi-signal quality ENSEMBLE (the FineWeb-style composition): three
+    * cheap signals — token count, punctuation density, char entropy —
+    * each thresholded at its own corpus MEDIAN; a doc survives by passing
+    * at least 2 of 3, so no single noisy signal can drop good text.
+    *
+    * Scale shape: signals are one array-local projection per doc (the
+    * entropy is x56's shuffle-free fold); medians are ONE scalar
+    * exact-percentile aggregate broadcast back (percentile_approx is the
+    * documented 100 TB swap, cf. x63); the vote is a codegen filter.
+    * Medians and double-valued signals are rounded 4 dp on both engines
+    * BEFORE comparison, so a boundary doc votes identically.
+    *
+    * Output: (doc_id, n_pass) for survivors (n_pass in {2, 3}). */
+  def qualityEnsemble(docs: DataFrame): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) > 0)
+    val log2 = (x: Column) => log(2.0, x)
+    val sig = docs
+      .select(col("doc_id"), col("text"), chars.as("_cs"))
+      .select(col("doc_id"), col("text"), col("_cs"),
+        array_distinct(col("_cs")).as("_dc"),
+        size(col("_cs")).cast("double").as("_len"))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("double").as("_ntok"),
+        round(regexp_count(col("text"), lit("[\\.,;:!?]")).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("_punct"),
+        round(log2(col("_len")) -
+          aggregate(col("_dc"), lit(0.0d), (acc, c) => {
+            val n = size(filter(col("_cs"), x => x === c)).cast("double")
+            acc + n * log2(n)
+          }) / col("_len"), 4).as("_ent"))
+    val med = sig.agg(
+      round(expr("percentile(_ntok, 0.5)"), 4).as("_m_ntok"),
+      round(expr("percentile(_punct, 0.5)"), 4).as("_m_punct"),
+      round(expr("percentile(_ent, 0.5)"), 4).as("_m_ent"))
+    val nPass = when(col("_ntok") >= col("_m_ntok"), 1).otherwise(0) +
+      when(col("_punct") <= col("_m_punct"), 1).otherwise(0) +
+      when(col("_ent") >= col("_m_ent"), 1).otherwise(0)
+    sig.crossJoin(broadcast(med))
+      .select(col("doc_id"), nPass.as("n_pass"))
+      .where(col("n_pass") >= 2)
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),

@@ -2737,6 +2737,89 @@ object Registry {
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
 
+    ("x65_quality_ensemble",
+      // Multi-signal quality ensemble (TextAnalysis.qualityEnsemble):
+      // token count, punct density, char entropy each vs its corpus
+      // median; survivors pass >= 2 of 3.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.qualityEnsemble(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id,
+        |unnest(list_transform(range(1, length(text)+1),
+        |  x -> substring(text, CAST(x AS INT), 1))) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+        |ent AS (SELECT doc_id, round(log2(CAST(sum(n) AS DOUBLE))
+        |  - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+        |    / CAST(sum(n) AS DOUBLE), 4) AS ent FROM cnt GROUP BY 1),
+        |sig AS (SELECT d.doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |  t -> t <> '')) AS DOUBLE) AS ntok,
+        |round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |  AS DOUBLE) / greatest(length(text), 1), 4) AS punct,
+        |ent FROM documents d JOIN ent ON d.doc_id = ent.doc_id),
+        |med AS (SELECT round(quantile_cont(ntok, 0.5), 4) AS m_ntok,
+        |round(quantile_cont(punct, 0.5), 4) AS m_punct,
+        |round(quantile_cont(ent, 0.5), 4) AS m_ent FROM sig)
+        |SELECT doc_id, CAST(ntok >= m_ntok AS INT)
+        |  + CAST(punct <= m_punct AS INT)
+        |  + CAST(ent >= m_ent AS INT) AS n_pass
+        |FROM sig, med
+        |WHERE CAST(ntok >= m_ntok AS INT) + CAST(punct <= m_punct AS INT)
+        |  + CAST(ent >= m_ent AS INT) >= 2
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("q27_decayed_counts",
+      // Exponential-decay trend counts (tau = 7 days): recency-weighted
+      // activity per type — the "trending now" serving scalar. The
+      // anchor (max ts) is one scalar agg broadcast back; the decay sum
+      // is a single map-side-combined agg over a codegen exp projection.
+      (s: SparkSession, dir: String) => {
+        val mx = Tables.events(s, dir)
+          .agg(max(unix_millis(col("ts"))).cast("double").as("_mts"))
+        Tables.events(s, dir).crossJoin(broadcast(mx))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(exp((unix_millis(col("ts")) - col("_mts")) /
+              604800000.0d)), 4).as("decayed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH mx AS (SELECT CAST(max(epoch_ms(ts)) AS DOUBLE) AS mts
+        |FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(exp((epoch_ms(ts) - mts) / 604800000.0)), 4) AS decayed
+        |FROM events, mx GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j14_retention_cohorts",
+      // Retention cohort matrix: cohort = user's first activity day,
+      // counts of distinct users active at each day offset 0..7 — the
+      // product-analytics staple. User-grain min agg joins back
+      // co-partitioned on user_id; the (cohort, offset) agg is distinct
+      // user counts at cohort-day grain.
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("_day"))
+        val f = ev.groupBy(col("user_id")).agg(min(col("_day")).as("_cohort"))
+        ev.join(f, "user_id")
+          .select(col("user_id"), col("_cohort"),
+            datediff(col("_day"), col("_cohort")).as("_off"))
+          .distinct()
+          .filter(col("_off") <= 7)
+          .groupBy(unix_millis(col("_cohort")).as("cohort_ms"),
+            col("_off").cast("long").as("offset_d"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy(col("cohort_ms"), col("offset_d"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        |FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort,
+        |date_diff('day', f.cohort, date_trunc('day', e.ts)) AS offset_d
+        |FROM events e JOIN f USING (user_id))
+        |SELECT epoch_ms(cohort) AS cohort_ms, CAST(offset_d AS BIGINT)
+        |  AS offset_d, CAST(count(*) AS BIGINT) AS n_users
+        |FROM act WHERE offset_d <= 7 GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     ("x64_knn_outliers",
       // kNN-density outlier mining (Similarity.knnDensityOutliers): each
       // vector's sim to its 10th neighbor through the shared IVF probe as

@@ -203,6 +203,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
   }
 
+  test("qualityEnsemble: 2-of-3 vote keeps good docs, drops the all-signal failure") {
+    import spark.implicits._
+    // d2 fails every signal (1 token < median, punct density above
+    // median, repeated-char entropy below median) → dropped; d1/d3 pass
+    // all three (>= / <= at the median are passes).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaa....aaaa"),
+      (3L, "hello world foo bar")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.qualityEnsemble(docs)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq === Seq((1L, 3), (3L, 3)))
+  }
+
   test("bigramLmScore: hand-computed conditional log-probs; short docs absent") {
     import spark.implicits._
     // bc: (a,b)=1, (b,c)=1, (a,c)=1; marginals: a=2, b=1.
