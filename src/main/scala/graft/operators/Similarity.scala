@@ -311,6 +311,50 @@ object Similarity {
         col("sim"), col("knn_rank"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProjection]]: entry (j, i)
+    * is the parity of md5("salt:j:i") — reproducible on any engine or
+    * cluster size with no RNG state (the repo's hash-not-rand
+    * convention). */
+  def rpSigns(m: Int, d: Int, salt: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until m).map(j => (0 until d).map { i =>
+      val h = md.digest(s"$salt:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson-Lindenstrauss random projection (sparse sign variant): d-dim
+    * embeddings project to m dims through a deterministic ±1/√m matrix —
+    * the dimension-reduction pass run before an ANN index or pairwise
+    * sweep when d itself is the cost driver. Emits per-vector norms
+    * before/after and their ratio: the JL lemma says the ratio
+    * concentrates near 1, and this output IS the distortion audit.
+    *
+    * Scale shape: the matrix is a LITERAL (m·d doubles of driver
+    * metadata, ~4 KiB at 16×64) folded into a single codegen projection —
+    * zero shuffles, zero joins, embarrassingly parallel. Dot products
+    * fold left-to-right over the index order on both engines, so the
+    * double arithmetic is order-identical and the oracle matches at 4 dp. */
+  def randomProjection(embeddings: DataFrame, idCol: String, vecCol: String,
+                       m: Int, d: Int, salt: String): DataFrame = {
+    val signs = rpSigns(m, d, salt)
+    val matLit = typedlit(signs)
+    val scale = math.sqrt(m.toDouble)
+    val dotRow = (row: Column) => aggregate(
+      zip_with(col(vecCol), row, (x, s) => x.cast("double") * s),
+      lit(0.0d), (acc, v) => acc + v) / scale
+    embeddings
+      .withColumn("_p", transform(matLit, row => dotRow(row)))
+      .select(col(idCol),
+        round(norm(col(vecCol)), 4).as("orig_norm"),
+        round(sqrt(aggregate(col("_p"), lit(0.0d), (a, v) => a + v * v)), 4)
+          .as("proj_norm"),
+        round(
+          when(norm(col(vecCol)) === 0.0d, 0.0d)
+            .otherwise(sqrt(aggregate(col("_p"), lit(0.0d),
+              (a, v) => a + v * v)) / norm(col(vecCol))), 4).as("norm_ratio"))
+  }
+
   /** kNN-density outlier mining: every vector's similarity to its k-th
     * nearest neighbor (through the shared IVF probe) is a density proxy —
     * the `bottomN` least-dense vectors are the isolated points reviewed

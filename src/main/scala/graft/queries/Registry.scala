@@ -502,6 +502,30 @@ object Registry {
        |SELECT qid AS vec_id, sim AS knn_sim FROM r WHERE knn_rank = 10
        |ORDER BY knn_sim ASC, vec_id LIMIT 25""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.randomProjection]] (16×64, salt "rp") —
+    * the ±1 matrix is generated from the SAME [[Similarity.rpSigns]]
+    * constants, and every fold runs left-to-right over the index order on
+    * both engines. */
+  private def rpOracleSql: String = {
+    val rows = Similarity.rpSigns(16, 64, "rp")
+      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val normE = "sqrt(list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), " +
+      "(x,y) -> x+y))"
+    s"""WITH p AS (SELECT vec_id, $normE AS onorm,
+       |sqrt(list_reduce(list_transform(generate_series(1, 16),
+       |  j -> pow(list_reduce(list_transform(generate_series(1, 64),
+       |    i -> CAST(embedding[i] AS DOUBLE) * ($rows)[j][i]),
+       |    (x,y) -> x+y) / sqrt(16.0), 2)), (x,y) -> x+y)) AS pnorm
+       |FROM embeddings)
+       |SELECT vec_id, round(onorm, 4) AS orig_norm,
+       |round(pnorm, 4) AS proj_norm,
+       |round(CASE WHEN onorm = 0 THEN 0.0 ELSE pnorm / onorm END, 4)
+       |  AS norm_ratio
+       |FROM p ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[TextAnalysis.langId]] — generated from the same
     * marker sets. */
   private def langIdOracleSql: String = {
@@ -2736,6 +2760,17 @@ object Registry {
         |JOIN c cb ON p.item_b = cb.item, n
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
+
+    ("x66_random_projection",
+      // Johnson-Lindenstrauss sign projection 64 -> 16 dims
+      // (Similarity.randomProjection): deterministic ±1/√m literal matrix
+      // in one codegen projection, zero shuffles; output is the per-vector
+      // norm-distortion audit the JL lemma bounds.
+      (s: SparkSession, dir: String) =>
+        Similarity.randomProjection(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 16, 64, "rp")
+          .orderBy(col("vec_id")),
+      Some(rpOracleSql)),
 
     ("x65_quality_ensemble",
       // Multi-signal quality ensemble (TextAnalysis.qualityEnsemble):

@@ -187,6 +187,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("randomProjection: deterministic signs, norm preserved in expectation, shuffle-free plan") {
+    import spark.implicits._
+    // Signs are a pure hash function — identical across calls.
+    assert(Similarity.rpSigns(4, 8, "t") === Similarity.rpSigns(4, 8, "t"))
+    assert(Similarity.rpSigns(4, 8, "t") !== Similarity.rpSigns(4, 8, "u"))
+    val df = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(j => (((i * 13 + j * 7) % 17).toFloat - 8f) / 8f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", 16, 64, "rp")
+    val rows = out.collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // JL concentration: every ratio within a loose band, mean near 1.
+    assert(rows.forall { case (_, _, ratio) => ratio > 0.4 && ratio < 1.8 })
+    val mean = rows.map(_._3).sum / rows.length
+    assert(math.abs(mean - 1.0) < 0.25, s"mean ratio $mean")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("knnDensityOutliers: the planted isolated vector is the least dense") {
     import spark.implicits._
     // 15 vectors in a tight cone around +e1; vec 99 planted anti-aligned.
