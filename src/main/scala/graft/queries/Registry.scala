@@ -2761,6 +2761,66 @@ object Registry {
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
 
+    ("j15_transition_matrix",
+      // Event-type transition (Markov) matrix: per-user time-ordered lag
+      // pairs counted at (from, to) grain — path analysis. One
+      // user-partitioned window (never global) + one bounded agg
+      // (|types|² rows out).
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("_prev", lag(col("event_type"), 1).over(w))
+          .filter(col("_prev").isNotNull)
+          .groupBy(col("_prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, lag(event_type) OVER
+        |(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " "))),
+
+    ("q28_conversion_latency",
+      // Conversion-latency distribution: first view -> first subsequent
+      // purchase per user, exact latency percentiles over converters —
+      // the funnel's timing complement (q24). Two user-grain min aggs
+      // co-partitioned on user_id, one scalar percentile agg.
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_millis(col("ts")).as("_ms"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("_ms")).as("_view"))
+        val p = e.join(v, "user_id")
+          .filter(col("event_type") === "purchase" && col("_ms") > col("_view"))
+          .groupBy(col("user_id")).agg(min(col("_ms")).as("_purch"))
+        v.join(p, "user_id")
+          .select((col("_purch") - col("_view")).as("_lat"))
+          .agg(count(lit(1)).cast("long").as("n_converted"),
+            round(expr("percentile(_lat, 0.5)"), 4).as("p50_ms"),
+            round(expr("percentile(_lat, 0.9)"), 4).as("p90_ms"),
+            round(expr("percentile(_lat, 0.99)"), 4).as("p99_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |FROM events),
+        |v AS (SELECT user_id, min(ms) AS view_ms FROM e
+        |WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS purch_ms FROM e JOIN v
+        |USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ms > v.view_ms GROUP BY 1),
+        |lat AS (SELECT v.user_id, purch_ms - view_ms AS lat_ms
+        |FROM v JOIN p USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |round(quantile_cont(lat_ms, 0.5), 4) AS p50_ms,
+        |round(quantile_cont(lat_ms, 0.9), 4) AS p90_ms,
+        |round(quantile_cont(lat_ms, 0.99), 4) AS p99_ms
+        |FROM lat""".stripMargin.replace("\n", " "))),
+
     ("x66_random_projection",
       // Johnson-Lindenstrauss sign projection 64 -> 16 dims
       // (Similarity.randomProjection): deterministic ±1/√m literal matrix
