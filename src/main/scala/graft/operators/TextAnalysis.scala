@@ -513,6 +513,34 @@ object TextAnalysis {
           }) / col("_len"), 4).as("char_entropy"))
   }
 
+  /** N-gram NOVELTY scoring — the diversity complement of
+    * [[Dedup.decontaminate]]'s overlap: per doc, the share of its
+    * distinct word n-grams appearing NOWHERE else in the corpus (df = 1).
+    * High-novelty docs carry unique content; near-zero novelty flags
+    * templates the near-dup family may have missed.
+    *
+    * Scale shape: gram generation is array-local, the per-doc DISTINCT
+    * and the df agg both shuffle gram-grain rows (map-side combined) —
+    * the same grain x18/x15 already carry; the df table joins back at
+    * gram grain, and the final agg returns to doc grain.
+    *
+    * Output: (doc_id, n_grams, n_unique, novelty 4 dp); docs with < n
+    * tokens have no grams and are absent. */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val g = docs.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), explode(gramArray(col("_t"), n)).as("g"))
+      .distinct()
+    val df_ = g.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    g.join(df_, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams"), 4))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"), col("novelty"))
+  }
+
   /** Multi-signal quality ENSEMBLE (the FineWeb-style composition): three
     * cheap signals — token count, punctuation density, char entropy —
     * each thresholded at its own corpus MEDIAN; a doc survives by passing

@@ -2761,6 +2761,51 @@ object Registry {
         |WHERE c12 >= 5
         |ORDER BY item_a, item_b""".stripMargin.replace("\n", " "))),
 
+    ("s15_stream_transitions",
+      // J15 under streaming: the transition matrix folded incrementally
+      // over three time-sliced micro-batches — within-batch lag pairs
+      // plus the carried last-event boundary pair merge through the
+      // additive upsert; per-user last-event state in a replace sink.
+      // Union over time-disjoint batches ≡ the one-shot window answer,
+      // so j15's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s15")
+        graft.streaming.Streaming.runStreamTransitions(s, dir,
+            base + "/tr", Seq(T1, T2))
+          .select(col("from_type"), col("to_type"),
+            col("n").cast("long").as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, lag(event_type) OVER
+        |(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x67_novelty",
+      // N-gram novelty (TextAnalysis.ngramNovelty): share of each doc's
+      // distinct 3-grams with corpus df = 1 — the diversity complement of
+      // decontamination overlap.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.ngramNovelty(Tables.documents(s, dir), 3)
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END) AS s FROM tok),
+        |df AS (SELECT s, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 4) AS novelty
+        |FROM g JOIN df USING (s) GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " "))),
+
     ("j15_transition_matrix",
       // Event-type transition (Markov) matrix: per-user time-ordered lag
       // pairs counted at (from, to) grain — path analysis. One

@@ -963,6 +963,91 @@ object Streaming {
     spark.read.parquet(sinkPath)
   }
 
+  /** J15 under streaming: the event-type transition matrix maintained
+    * incrementally across time-sliced micro-batches. Two pieces of
+    * audited sink machinery compose the fold:
+    *
+    *  - PAIR DELTAS: each batch's within-batch lag pairs PLUS the
+    *    boundary pair from the carried last-event row merge through the
+    *    ADDITIVE upsert (Q19 semantics) — union over time-disjoint
+    *    batches ≡ the one-shot window answer, because each user's
+    *    boundary pair is exactly the lag the batch split severed;
+    *  - LAST-EVENT STATE: one row per user (ms, event_id, type) kept in a
+    *    REPLACE upsert sink; the next batch unions those rows in as the
+    *    earliest per-user events, so its first lag IS the boundary pair.
+    *
+    * Crash windows: pairs append first, state second — a replay after
+    * either lands recomputes against the still-old state or skips
+    * wholesale via each sink's committed-batch marker (the additive sink's
+    * skip is what prevents double-counting; spec-pinned below).
+    *
+    * State is O(users), the streaming-native shape: the event HISTORY is
+    * never retained, unlike a batch window that re-sorts every user's
+    * full sequence per refresh. */
+  def runStreamTransitions(spark: SparkSession, dir: String, base: String,
+                           cuts: Seq[Long]): DataFrame = {
+    val landing = s"$base/landing"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val stage = s"$base/stage$i"
+      ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+      f.mkdirs(new Path(landing))
+      val dst = new Path(s"$landing/b$i.parquet")
+      f.rename(part, dst)
+      f.setTimes(dst, 1000L * (i + 1), -1) // replay order = slice order
+    }
+    val pairs = new ParquetUpsertSink(s"$base/pairs",
+      Seq("from_type", "to_type"), Seq("n"), additive = true)
+    // The state table keys on user_id but PARTITIONS on a bounded hash
+    // bucket (keys.head is the physical partition column): one leaf dir
+    // per user would be a small-file explosion at any real user count.
+    val last = new ParquetUpsertSink(s"$base/last",
+      Seq("user_bucket", "user_id"), Seq("last_ms", "last_eid", "last_type"),
+      additive = false)
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val cur = b.select(col("user_id"), unix_millis(col("ts")).as("_ms"),
+          col("event_id").as("_eid"), col("event_type").as("_ty"))
+        val withCarry = last.state(b.sparkSession) match {
+          case Some(st) => cur.unionByName(st.select(col("user_id"),
+            col("last_ms").as("_ms"), col("last_eid").as("_eid"),
+            col("last_type").as("_ty")))
+          case None => cur
+        }
+        val bucket = pmod(col("user_id"), lit(16L)).as("user_bucket")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("_ms"), col("_eid"))
+        val lagged = withCarry
+          .withColumn("_prev", lag(col("_ty"), 1).over(w))
+        pairs.upsert(lagged.filter(col("_prev").isNotNull)
+          .groupBy(col("_prev").as("from_type"), col("_ty").as("to_type"))
+          .agg(count(lit(1)).as("n")), id)
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("_ms").desc, col("_eid").desc)
+        last.upsert(withCarry
+          .withColumn("_rn", row_number().over(wDesc))
+          .filter(col("_rn") === 1)
+          .select(bucket, col("user_id"), col("_ms").as("last_ms"),
+            col("_eid").as("last_eid"), col("_ty").as("last_type")), id)
+      }
+      .start()
+    q.awaitTermination()
+    pairs.state(spark).get
+  }
+
   /** X57 under streaming: per-event_type top-k (value desc, event_id asc)
     * maintained by the BOUNDED mergeable aggregate
     * ([[graft.functions.TopKAgg]]) as a streaming stateful aggregation —

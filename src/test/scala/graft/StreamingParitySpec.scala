@@ -629,6 +629,30 @@ class StreamingParitySpec extends SparkSpec {
     assert(second === first, "replayed batch duplicated near-dup pairs")
   }
 
+  test("streaming transitions equal the one-shot window; crash replay never double-counts") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s15")
+    val cuts = Seq(1705276800000L, 1706054400000L)
+    val streamed = Streaming.runStreamTransitions(spark, dir, base + "/tr", cuts)
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")), col("event_id"))
+    val batch = Tables.events(spark, dir)
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    assertSameRows(streamed, batch)
+    // Replay the final batch: the ADDITIVE pairs sink must skip it
+    // wholesale (a re-applied delta would double-count), the replace
+    // state sink must stay consistent.
+    rollbackLastCommit(base + "/tr/ckpt")
+    val second = Streaming.runStreamTransitions(spark, dir, base + "/tr", cuts)
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
+    assertSameRows(second, batch)
+  }
+
   test("streaming top-k equals the one-shot batch top-k; crash replay is idempotent") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"

@@ -203,6 +203,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("ab", 3L), ("aa", 2L)))
   }
 
+  test("ngramNovelty: shared grams score 0, unique grams score 1, repeats collapse") {
+    import spark.implicits._
+    // d1 and d2 share their only 3-gram ("a b c") → novelty 0 for both;
+    // d3's gram is unique → 1.0; d4 repeats its unique gram (distinct
+    // collapses to one) → 1 gram, novelty 1.0; d5 too short → absent.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"),
+      (4L, "p q r p q r p q r p q"), (5L, "one two")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramNovelty(docs, 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // d4's 9 positional grams collapse to 3 distinct rotations.
+    assert(out.toSeq === Seq(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 0L, 0.0), (3L, 1L, 1L, 1.0),
+      (4L, 3L, 3L, 1.0)))
+  }
+
   test("qualityEnsemble: 2-of-3 vote keeps good docs, drops the all-signal failure") {
     import spark.implicits._
     // d2 fails every signal (1 token < median, punct density above
