@@ -986,22 +986,30 @@ object Streaming {
     * full sequence per refresh. */
   def runStreamTransitions(spark: SparkSession, dir: String, base: String,
                            cuts: Seq[Long]): DataFrame = {
-    val landing = s"$base/landing"
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val f = FileSystem.get(new java.net.URI(base),
-      spark.sparkContext.hadoopConfiguration)
-    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
-    bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      val stage = s"$base/stage$i"
-      ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
-      f.mkdirs(new Path(landing))
-      val dst = new Path(s"$landing/b$i.parquet")
-      f.rename(part, dst)
-      f.setTimes(dst, 1000L * (i + 1), -1) // replay order = slice order
-    }
+    // Time-sliced staging cached per (dir, cuts) — the slice files are a
+    // pure function of the input (same discipline as stagedEventSlices);
+    // checkpoint and both sinks stay per-run under `base`.
+    val landing = stagedSliceDirs.computeIfAbsent(
+      s"$dir#tr#${cuts.mkString(",")}", _ => {
+        val l = java.nio.file.Files
+          .createTempDirectory("graft-trslices").toString
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val f = FileSystem.get(new java.net.URI(l),
+          spark.sparkContext.hadoopConfiguration)
+        val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+        bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val stage = s"$l/stage$i"
+          ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+          val dst = new Path(s"$l/b$i.parquet")
+          f.rename(part, dst)
+          f.delete(new Path(stage), true)
+          f.setTimes(dst, 1000L * (i + 1), -1) // replay order = slice order
+        }
+        l
+      })
     val pairs = new ParquetUpsertSink(s"$base/pairs",
       Seq("from_type", "to_type"), Seq("n"), additive = true)
     // The state table keys on user_id but PARTITIONS on a bounded hash
