@@ -921,20 +921,30 @@ object Streaming {
       .select(col("event_id").as("purchase_id"), col("user_id").as("_p_user"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", horizon)
-    val q = clicks.join(purchases,
-        col("user_id") === col("_p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
-        joinType)
-      .select(col("user_id"), col("click_id"),
-        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
-        unix_millis(col("click_ts")).as("click_ms"),
-        coalesce(unix_millis(col("purchase_ts")), lit(-1L)).as("purchase_ms"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", sinkPath + ".ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
-      .start()
+    // State-partition sizing (same rationale as runStreamTopK): the join
+    // keeps TWO state stores per partition, and the count is fixed at
+    // query start by shuffle.partitions and checkpointed. 32 partitions
+    // for one horizon of per-user state is 64 near-empty stores of
+    // snapshot/delta small-file IO per micro-batch; 8 is the deployment
+    // knob, restored after start.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      clicks.join(purchases,
+          col("user_id") === col("_p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+          joinType)
+        .select(col("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          coalesce(unix_millis(col("purchase_ts")), lit(-1L)).as("purchase_ms"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", sinkPath + ".ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.append(b, id) }
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     clickCutoffMs.foldLeft(spark.read.parquet(sinkPath)) { (df, cut) =>
       df.filter(col("click_ms") < cut)
