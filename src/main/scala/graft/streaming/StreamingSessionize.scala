@@ -114,14 +114,18 @@ object StreamingSessionize {
     * after a crash between the write and the checkpoint commit. */
   def writeSessions(out: Dataset[Session], sinkPath: String): Unit = {
     val sink = new Streaming.AppendOnceSink(sinkPath)
-    val q = out.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", sinkPath + ".ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Session], id: Long) =>
-        sink.append(b.toDF(), id)
-      }
-      .start()
+    // Session state is channel-grain — see Streaming.withStatePartitions
+    // for the 8-partition rationale.
+    val q = Streaming.withStatePartitions(out.sparkSession, 8) {
+      out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", sinkPath + ".ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Session], id: Long) =>
+          sink.append(b.toDF(), id)
+        }
+        .start()
+    }
     q.awaitTermination()
   }
 
