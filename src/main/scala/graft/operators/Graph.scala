@@ -52,23 +52,27 @@ object Graph {
     val nNodes = nodes.count()
     val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
       .localCheckpoint(eager = true)
+    // The dangling NODE SET is static — compute it once; per round its
+    // rank mass folds in as a broadcast 1-row scalar aggregate inside the
+    // round's single job (no per-round driver action: the old
+    // `.head()` collect cost one extra job + round-trip per iteration).
+    val danglingNodes = nodes.join(outW, nodes("node") === outW("_src"),
+      "left_anti").localCheckpoint(eager = true)
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     (1 to iterations).foreach { _ =>
-      // Dangling mass: rank sitting on nodes with no out-edges — one
-      // scalar (bounded metadata), redistributed uniformly.
-      val dangling = ranks.join(outW, ranks("node") === outW("_src"),
-          "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
       val contribs = e
         .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
         .join(outW, Seq("_src"))
         .groupBy(col("_dst").as("node"))
         .agg(sum(col("rank") / col("_ow") * col("_w")).as("_c"))
       ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dang))
         .select(col("node"), round(
           lit((1.0 - damping) / nNodes) +
             lit(damping) * (coalesce(col("_c"), lit(0.0)) +
-              lit(dangling / nNodes)),
+              col("_dm") / nNodes),
           scaleDp).as("rank"))
         .localCheckpoint(eager = true)
     }
