@@ -756,18 +756,26 @@ object Streaming {
     * REAL multi-batch increments; batch order is irrelevant by the
     * disjoint-split equivalence. */
   def runStreamNearDup(spark: SparkSession, dir: String, base: String): DataFrame = {
-    val landing = s"$base/landing"
-    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val f = FileSystem.get(new java.net.URI(base),
-      spark.sparkContext.hadoopConfiguration)
-    (0 until 3).foreach { i =>
-      val stage = s"$base/stage$i"
-      docs.where(col("doc_id") % 3 === i)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
-      f.mkdirs(new Path(landing))
-      f.rename(part, new Path(s"$landing/b$i.parquet"))
-    }
+    // Residue-slice staging cached per dir — a pure function of the input
+    // table (same discipline as stagedEventSlices); the checkpoint, pairs
+    // sink, and signature index stay per-run under `base`.
+    val landing = stagedSliceDirs.computeIfAbsent(s"$dir#nd#3", _ => {
+      val l = java.nio.file.Files
+        .createTempDirectory("graft-ndslices").toString
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val f = FileSystem.get(new java.net.URI(l),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until 3).foreach { i =>
+        val stage = s"$l/stage$i"
+        docs.where(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$l/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      l
+    })
     val pairsSink = new AppendOnceSink(s"$base/pairs")
     val q = spark.readStream
       .schema("doc_id LONG, text STRING")
