@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
-  /** events.parquet physical schema. `ts` is parquet TIMESTAMP(NANOS), read
-    * as an epoch-nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`
-    * (see [[Tables.events]] for the ns→µs conversion). */
+  /** events.parquet physical schema. `ts` is parquet timestamp[us] with
+    * isAdjustedToUTC=false → TIMESTAMP_NTZ (current testdata generation;
+    * see [[Tables.events]] for the adaptive batch path and
+    * FixturesSpec for the drift gate that keeps this declaration honest —
+    * a declared type that mismatches the footer would make streaming reads
+    * silently misinterpret raw values, as the r7 µs-as-ns break showed). */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

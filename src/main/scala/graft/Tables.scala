@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md) plus the
   * derived chat-domain views that map the corpus onto the reference's data
@@ -55,19 +56,32 @@ object Tables {
     else df
   }
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default; read it as a nanos LONG and convert with integer
-    * division (never via double — epoch-nanos exceed double's exact range).
-    * Floor ns→µs→ms matches DuckDB's `epoch_ms` flooring for the oracle.
-    *
-    * The nanosAsLong conf is set in our own session builders (Verify, Bench,
-    * tests); the guarded set below only covers driver-built sessions that
-    * call `SparkEntry.entry` without it (set once, not per call). */
+  /** events.parquet's `ts` physical type has drifted across corpus
+    * generations — parquet INT64 TIMESTAMP(NANOS) originally, plain
+    * timestamp[us] (TIMESTAMP_NTZ) since the r7 regeneration — so the
+    * reader is type-adaptive: probe the scanned type and normalize to one
+    * engine-internal contract, a session-TZ TimestampType at µs grain.
+    * Under the engine's fixed UTC session (all builders) the NTZ wall-clock
+    * equals the UTC instant, and `unix_millis` floors µs→ms exactly like
+    * the DuckDB oracle's `epoch_ms`, so oracle parity is unchanged on
+    * either physical layout. Legacy NANOS files surface as an epoch-nanos
+    * LONG under `spark.sql.legacy.parquet.nanosAsLong` (set in our
+    * builders) and are floored ns→µs by integer division (never via
+    * double — epoch-nanos exceed double's exact integer range). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(spark, dir, "events")
+    df.withColumn("ts", normalizeEventTs(df.schema("ts").dataType))
+  }
+
+  /** ts normalization by scanned type; see [[events]]. Schema drift to any
+    * OTHER type fails loudly here instead of corrupting downstream math. */
+  private[graft] def normalizeEventTs(dt: types.DataType): Column = dt match {
+    case types.TimestampNTZType => col("ts").cast(types.TimestampType)
+    case types.LongType         => timestamp_micros(expr("ts div 1000"))
+    case types.TimestampType    => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other; " +
+        "expected TIMESTAMP_NTZ, legacy nanos LONG, or TIMESTAMP")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import graft.Schemas
 import graft.operators.Merge
 import graft.pipeline.StatsPipeline
@@ -98,14 +99,33 @@ object Streaming {
     d.toString
   }
 
+  /** Streaming-source schema-drift guard: a declared schema that mismatches
+    * the parquet footer does NOT fail a stream read — Spark reinterprets the
+    * raw values (the r7 testdata regeneration had the old LongType
+    * declaration silently reading µs as ns, collapsing every window to
+    * epoch 1970). Probe the footer via a one-time batch schema read per
+    * staged dir and fail loudly instead. */
+  private val tsCheckedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[streaming] def assertEventsTsType(spark: SparkSession, staged: String): Unit =
+    if (!tsCheckedDirs.contains(staged)) {
+      val physical = spark.read.parquet(staged).schema("ts").dataType
+      val declared = Schemas.events("ts").dataType
+      require(physical == declared,
+        s"events.ts physical type $physical != declared $declared: a declared-" +
+          "schema stream would silently misread raw values; update Schemas.events")
+      tsCheckedDirs.add(staged)
+    }
+
   /** S1: streaming replay of the events table. Explicit schema (S7) — file
-    * sources don't infer at plan time. */
+    * sources don't infer at plan time. `ts` is TIMESTAMP_NTZ on disk
+    * (guarded above); normalize to the engine's session-TZ TimestampType,
+    * identical instants under the fixed UTC session. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stagedTableDir(dir, "events")
+    assertEventsTsType(spark, staged)
     spark.readStream.schema(Schemas.events)
-      .parquet(stagedTableDir(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged)
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** S1 production half: the Kafka source proper — `format("kafka")` + S2

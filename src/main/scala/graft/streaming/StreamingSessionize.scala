@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** S10 streaming half: incremental stream-session tracking with CUSTOM
   * per-key state — the reference's Bot maintains the `streams` uptime table
@@ -148,11 +149,6 @@ object StreamingSessionize {
   def runSessions(spark: SparkSession, dir: String, sinkPath: String,
                   gapMs: Long, flushTs: Long): DataFrame = {
     import spark.implicits._
-    // events.parquet is TIMESTAMP(NANOS): the long-read legacy conf must be
-    // on for OUR readStream below — do not rely on a side effect of some
-    // earlier Tables call having set it.
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // PRIVATE staging (not the shared cached landing dir): this runner
     // appends sentinel files below, which must never leak into other
     // consumers of the events table.
@@ -164,14 +160,20 @@ object StreamingSessionize {
     // events.
     val chans = graft.Tables.messages(spark, dir)
       .select(col("channel")).distinct().as[String].collect().toSeq
-    // Sentinel file in the SAME staged landing dir, same events schema.
+    // Sentinel file in the SAME staged landing dir, same events schema —
+    // ts written as TIMESTAMP_NTZ to match the physical layout (the drift
+    // guard below would reject a mixed-type landing dir).
     chans.zipWithIndex.map { case (c, i) =>
-      (-1L - i, (flushTs + gapMs) * 1000000L, 0L, c, 0.0, "")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (-1L - i, flushTs + gapMs, 0L, c, 0.0, "")
+    }.toDF("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_millis(col("ts_ms")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode("append").parquet(staged)
 
+    Streaming.assertEventsTsType(spark, staged)
     val stream = spark.readStream.schema(graft.Schemas.events).parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
       .select(col("event_type").as("channel"), col("ts"))
     writeSessions(sessions(stream, gapMs), sinkPath)
     // A degenerate replay (every channel a single never-gapped session that
