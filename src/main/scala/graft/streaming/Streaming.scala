@@ -108,13 +108,19 @@ object Streaming {
   private val tsCheckedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[streaming] def assertEventsTsType(spark: SparkSession, staged: String): Unit =
     if (!tsCheckedDirs.contains(staged)) {
-      val physical = spark.read.parquet(staged).schema("ts").dataType
-      val declared = Schemas.events("ts").dataType
-      require(physical == declared,
-        s"events.ts physical type $physical != declared $declared: a declared-" +
-          "schema stream would silently misread raw values; update Schemas.events")
+      assertDeclaredTsType(spark, staged, Schemas.events("ts").dataType)
       tsCheckedDirs.add(staged)
     }
+
+  /** Uncached core of the guard, parameterized so the spec can pin the
+    * negative path (a wrong declaration MUST trip, not misread). */
+  private[graft] def assertDeclaredTsType(spark: SparkSession, staged: String,
+                                          declared: org.apache.spark.sql.types.DataType): Unit = {
+    val physical = spark.read.parquet(staged).schema("ts").dataType
+    require(physical == declared,
+      s"events.ts physical type $physical != declared $declared: a declared-" +
+        "schema stream would silently misread raw values; update Schemas.events")
+  }
 
   /** S1: streaming replay of the events table. Explicit schema (S7) — file
     * sources don't infer at plan time. `ts` is TIMESTAMP_NTZ on disk
