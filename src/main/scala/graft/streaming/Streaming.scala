@@ -506,11 +506,11 @@ object Streaming {
                                watermark: String, trigger: Trigger): DataFrame = {
     val sink = new ParquetUpsertSink(sinkPath, keys, Seq("messages"),
       additive = false, tsBucket = Some(("ts", DayMillis)))
-    val out = agg(messagesStream(spark, dir).withWatermark("ts", watermark))
     // Windowed-agg state is (channel[, user], window)-grain — see
-    // [[withStatePartitions]] for the 8-partition rationale.
-    val q = withStatePartitions(spark, 8) {
-      out.writeStream
+    // [[withStatePartitions]] for the 8-partition rationale. The whole
+    // stream is built on the cloned session so planning sees the override.
+    val q = withStatePartitions(spark, 8) { ss =>
+      agg(messagesStream(ss, dir).withWatermark("ts", watermark)).writeStream
         .outputMode("update")
         .option("checkpointLocation", sinkPath + ".ckpt")
         .trigger(trigger)
@@ -711,8 +711,8 @@ object Streaming {
     * it, and a crash-replayed batch is not appended twice. */
   def runStreamDedup(spark: SparkSession, dir: String, sinkPath: String): DataFrame = {
     val sink = new AppendOnceSink(sinkPath)
-    val q = withStatePartitions(spark, 8) {
-      eventsStream(spark, dir)
+    val q = withStatePartitions(spark, 8) { ss =>
+      eventsStream(ss, dir)
         .withColumn("content_hash", md5(col("props")))
         .dropDuplicates("content_hash")
         .select(col("content_hash"))
@@ -741,8 +741,8 @@ object Streaming {
   def runStreamDedupBounded(spark: SparkSession, dir: String, sinkPath: String,
                             horizonEndMs: Long, horizon: String): DataFrame = {
     val sink = new AppendOnceSink(sinkPath)
-    val q = withStatePartitions(spark, 8) {
-      eventsStream(spark, dir)
+    val q = withStatePartitions(spark, 8) { ss =>
+      eventsStream(ss, dir)
         .filter(col("ts") < timestamp_millis(lit(horizonEndMs)))
         .withColumn("content_hash", md5(col("props")))
         .withWatermark("ts", horizon)
@@ -954,18 +954,19 @@ object Streaming {
                           horizon: String, joinType: String,
                           clickCutoffMs: Option[Long]): DataFrame = {
     val sink = new AppendOnceSink(sinkPath)
-    val ev = eventsStream(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", horizon)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("_p_user"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", horizon)
     // The join keeps TWO state stores per partition — see
-    // [[withStatePartitions]] for why 8, not the batch default.
-    val q = withStatePartitions(spark, 8) {
+    // [[withStatePartitions]] for why 8, not the batch default. Both
+    // sides are built on the cloned session so planning sees it.
+    val q = withStatePartitions(spark, 8) { ss =>
+      val ev = eventsStream(ss, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", horizon)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("_p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", horizon)
       clicks.join(purchases,
           col("user_id") === col("_p_user") &&
             col("purchase_ts") >= col("click_ts") &&
@@ -1117,21 +1118,40 @@ object Streaming {
     * merges; the result equals the one-shot batch top-k for ANY split
     * because the aggregate's merge is order-insensitive (spec-pinned by
     * TopKAggSpec). */
-  /** Start a streaming query with `n` shuffle partitions (restored after
-    * start): the state-store count is fixed at query START by
+  /** Build + start a streaming query with `n` shuffle partitions: the
+    * state-store count is fixed at query START by
     * `spark.sql.shuffle.partitions` and checkpointed forever, and for
     * low-cardinality state (a handful of channels/types, one horizon of
     * per-user rows) the 32-partition batch default is pure small-file
     * snapshot overhead — 32+ near-empty stores written per micro-batch.
     * Production streams size this to state cardinality, not to the batch
-    * default; measured 3x on the stream-stream joins (8 s → 2.7 s). */
+    * default; measured 3x on the stream-stream joins (8 s → 2.7 s).
+    *
+    * The override lives on a CLONED session (shared SparkContext and
+    * table cache, isolated SQLConf) handed to `body`, which must build
+    * its stream from it. A set/start/restore on the parent would RACE:
+    * first-batch planning — the moment the state-partition count is
+    * pinned — happens on the stream thread after `start()` returns, and
+    * while the window was open every concurrent query on the session saw
+    * the override. */
   private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)
-                                               (body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      body
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+                                               (body: SparkSession => T): T =
+    body(sessionWithStatePartitions(spark, n))
+
+  private[graft] def sessionWithStatePartitions(spark: SparkSession,
+                                                n: Int): SparkSession = {
+    val ss = spark.newSession()
+    // newSession() starts from the context's INITIAL conf — runtime-set
+    // switches (spark.graft.stream.source, test overrides) would vanish.
+    // Carry the parent's runtime conf over, then pin the partition count.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try ss.conf.set(k, v)
+      catch { // static confs can't be set post-start; clone shares them anyway
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
   }
 
   /** Cached residue-slice staging for [[runStreamTopK]]: the slice files
@@ -1169,8 +1189,8 @@ object Streaming {
     val topk = graft.functions.TopKAgg.topK(k)
     val sink = new ParquetUpsertSink(s"$base/state", Seq("event_type", "rnk"),
       Seq("event_id", "value"), additive = false)
-    val q = withStatePartitions(spark, 8) {
-      spark.readStream
+    val q = withStatePartitions(spark, 8) { ss =>
+      ss.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)

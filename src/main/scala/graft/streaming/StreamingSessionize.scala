@@ -112,21 +112,22 @@ object StreamingSessionize {
   /** Drains a closed-session stream into `sinkPath` through the
     * [[Streaming.AppendOnceSink]]: foreachBatch is at-least-once, and a bare
     * `mode("append")` would double-emit every session of a batch replayed
-    * after a crash between the write and the checkpoint commit. */
+    * after a crash between the write and the checkpoint commit.
+    *
+    * State-partition sizing is the CALLER's job: the count is pinned at
+    * first-batch planning from `out.sparkSession`'s conf, so `out` must be
+    * built on a session sized for channel-grain state ([[runSessions]]
+    * builds it on Streaming.sessionWithStatePartitions(spark, 8)). */
   def writeSessions(out: Dataset[Session], sinkPath: String): Unit = {
     val sink = new Streaming.AppendOnceSink(sinkPath)
-    // Session state is channel-grain — see Streaming.withStatePartitions
-    // for the 8-partition rationale.
-    val q = Streaming.withStatePartitions(out.sparkSession, 8) {
-      out.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", sinkPath + ".ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: Dataset[Session], id: Long) =>
-          sink.append(b.toDF(), id)
-        }
-        .start()
-    }
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Session], id: Long) =>
+        sink.append(b.toDF(), id)
+      }
+      .start()
     q.awaitTermination()
   }
 
@@ -172,7 +173,12 @@ object StreamingSessionize {
       .write.mode("append").parquet(staged)
 
     Streaming.assertEventsTsType(spark, staged)
-    val stream = spark.readStream.schema(graft.Schemas.events).parquet(staged)
+    // Session state is channel-grain — build the stream on a cloned
+    // session with right-sized state partitions (see
+    // Streaming.withStatePartitions for the rationale and the race the
+    // clone avoids).
+    val ss = Streaming.sessionWithStatePartitions(spark, 8)
+    val stream = ss.readStream.schema(graft.Schemas.events).parquet(staged)
       .withColumn("ts", col("ts").cast(TimestampType))
       .select(col("event_type").as("channel"), col("ts"))
     writeSessions(sessions(stream, gapMs), sinkPath)
