@@ -44,6 +44,39 @@ class BloomSpec extends SparkSpec {
     assert(fp < 200, s"false-positive rate implausibly high: $fp / 2000")
   }
 
+  test("native BloomCandidates === SQL mightContain filter; padEmpty contract") {
+    import spark.implicits._
+    import graft.functions.BloomCandidates
+    val members = (1 to 300).map(i => s"member $i")
+    val bits = Bloom.build(members.toDF("v"), "v", M, K)
+    val bitsLit = Bloom.bitsLiteral(bits)
+    // Mixed member/non-member gram arrays, including empty and
+    // all-non-member arrays, exercised through a real plan (codegen path).
+    val arrays = Seq(
+      (1L, Seq("member 1", "other x", "member 299")),
+      (2L, Seq("other a", "other b")),
+      (3L, Seq.empty[String]),
+      (4L, members.take(50)))
+    val df = arrays.toDF("id", "grams").repartition(3)
+    val viaSql = df.select(col("id"),
+      filter(col("grams"), g => Bloom.mightContain(bitsLit, M, K, g)).as("c"))
+    val viaNative = df.select(col("id"),
+      BloomCandidates(col("grams"), bits, M, K, padEmpty = false).as("c"))
+    assertSameRows(viaSql, viaNative) // hash parity, element for element
+    // padEmpty: [] for an empty input (a plain explode DROPS the row),
+    // [null] sentinel when no candidates (the row SURVIVES the explode).
+    val padded = df.select(col("id"),
+      explode(BloomCandidates(col("grams"), bits, M, K, padEmpty = true))
+        .as("g"))
+    val perId = padded.groupBy("id")
+      .agg(count(lit(1)).as("n"), count(col("g")).as("nonNull"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!perId.contains(3L), "empty grams must vanish under explode")
+    assert(perId(2L)._1 === 1L && perId(2L)._2 === 0L,
+      "zero-candidate doc must survive as one null-gram sentinel row")
+    assert(perId(4L)._2 >= 50L - 0L) // all members are candidates
+  }
+
   test("bloomDecontaminate is row-identical to the exact broadcast path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.filter(col("source") === "src0")
