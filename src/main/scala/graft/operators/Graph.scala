@@ -50,25 +50,52 @@ object Graph {
       .unionByName(e.select(col("_dst").as("node")))
       .distinct().localCheckpoint(eager = true)
     val nNodes = nodes.count()
+    // Node-grain frames (ranks, out-weights, contribs) are V-sized; the
+    // edge table is E-sized with V ≪ E on transaction/link graphs. A
+    // checkpointed frame carries no size stats, so AQE never converts the
+    // per-round rank⋈edge join to broadcast on its own and E shuffles
+    // EVERY round (measured: the whole j11 budget). Size-switch on the
+    // measured node count (knnJoin's broadcastQueries discipline): small
+    // V → broadcast the node-grain side, edges never move; huge V (web
+    // graphs) → the co-partitioned shuffle join, which AQE re-plans.
+    val bcastV = nNodes <= 2000000
+    def vSide(df: DataFrame): DataFrame = if (bcastV) broadcast(df) else df
+    // V-sized and round-invariant: materialize once (cheap — V rows).
+    // NOT folded into an E-sized edge+weight table: that costs a second
+    // full E materialization up front, which measured as much as the five
+    // rounds it saved joins from; as a broadcast the per-round join is a
+    // map-side probe over the already-cached edge blocks anyway.
     val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
       .localCheckpoint(eager = true)
     // The dangling NODE SET is static — compute it once; per round its
     // rank mass folds in as a broadcast 1-row scalar aggregate inside the
     // round's single job (no per-round driver action: the old
     // `.head()` collect cost one extra job + round-trip per iteration).
-    val danglingNodes = nodes.join(outW, nodes("node") === outW("_src"),
-      "left_anti").localCheckpoint(eager = true)
+    // When the set is EMPTY (every node has out-edges — j11's bipartite
+    // transaction graph, most link graphs after trimming) the correction
+    // term is identically 0.0 and the semi-join + aggregate + broadcast
+    // are skipped per round outright; IEEE `x + 0.0 === x` on positive
+    // rank sums keeps the emitted doubles bit-identical.
+    val danglingNodes = nodes.join(vSide(outW.select(col("_src"))),
+      nodes("node") === col("_src"), "left_anti")
+      .localCheckpoint(eager = true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     (1 to iterations).foreach { _ =>
-      val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
-        .join(outW, Seq("_src"))
+        .join(vSide(ranks.withColumnRenamed("node", "_src")), Seq("_src"))
+        .join(vSide(outW), Seq("_src"))
         .groupBy(col("_dst").as("node"))
         .agg(sum(col("rank") / col("_ow") * col("_w")).as("_c"))
-      ranks = nodes.join(contribs, Seq("node"), "left_outer")
-        .crossJoin(broadcast(dang))
+      val joined = nodes.join(vSide(contribs), Seq("node"), "left_outer")
+      val withDang =
+        if (!hasDangling) joined.withColumn("_dm", lit(0.0))
+        else {
+          val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+          joined.crossJoin(broadcast(dang))
+        }
+      ranks = withDang
         .select(col("node"), round(
           lit((1.0 - damping) / nNodes) +
             lit(damping) * (coalesce(col("_c"), lit(0.0)) +
