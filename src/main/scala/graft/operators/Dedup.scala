@@ -659,10 +659,14 @@ object Dedup {
     * closure (a~b, b~c ⇒ one cluster {a,b,c}), or chained duplicates
     * survive pairwise filtering.
     *
-    * Scale shape: each round is ONE equi-join shuffle (edges × labels on
-    * the node key) plus one map-side-combined min aggregate; the labels
-    * frame is node-count sized and the edge list is output-linear from LSH
-    * banding. Rounds needed = component DIAMETER — near-dup clusters are
+    * Scale shape: each round is one edges × labels equi-join plus one
+    * map-side-combined min aggregate (partial agg collapses to node grain
+    * before the exchange). The labels frame is node-count sized and the
+    * edge list is output-linear from LSH banding; when the node set is
+    * small the labels side BROADCASTS (size-switched on the measured node
+    * count — checkpointed frames carry no stats, so AQE cannot make this
+    * call itself) and the materialized edge blocks never re-shuffle across
+    * rounds. Rounds needed = component DIAMETER — near-dup clusters are
     * dense (quasi-cliques), so 2-3 rounds in practice; `maxIter` guards
     * adversarial chains (a path graph needs O(n) rounds — at web scale with
     * long chains, switch to large-star/small-star to bound rounds by
@@ -681,6 +685,10 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // Count on already-materialized blocks: one cheap job, decides the
+    // per-round join strategy for the whole loop.
+    val bcastLabels = labels.count() <= 2000000L
+    def lSide(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -688,7 +696,7 @@ object Dedup {
       // (own label, neighbor labels). The own label rides the same
       // aggregate (tagged rows), so convergence is a filter probe on the
       // checkpointed round result — no extra join per round.
-      val prop = edges.join(labels, edges("src") === labels("node"))
+      val prop = edges.join(lSide(labels), edges("src") === labels("node"))
         .select(edges("dst").as("node"), col("label"))
       val merged = labels.withColumn("_own", lit(1))
         .union(prop.withColumn("_own", lit(0)))
