@@ -56,6 +56,17 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H star-schema footers match the pinned Schemas.star") {
+    for ((table, declared) <- Schemas.star) {
+      val phys = physical(table)
+      assert(phys.fieldNames.toSeq === declared.fieldNames.toSeq, table)
+      phys.fields.foreach { f =>
+        assert(f.dataType.sql === declared(f.name).dataType.sql,
+          s"$table.${f.name} drifted to ${f.dataType}")
+      }
+    }
+  }
+
   test("normalizeEventTs: adaptable types normalize, anything else throws") {
     assert(Tables.normalizeEventTs(TimestampNTZType) ne null)
     assert(Tables.normalizeEventTs(LongType) ne null)
