@@ -913,4 +913,51 @@ object Dedup {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Exact duplicated-SPAN removal — the acting half of [[substringPairs]]'
+    * detection (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" §4: dedup the repeated SPANS, not whole
+    * docs): every character covered by a verbatim >= `spanLen`-char
+    * window that also occurs in ANOTHER document is removed; the cleaned
+    * text is the uncovered characters concatenated in order. Single-pass
+    * contract (also per the paper): removal is computed against the
+    * ORIGINAL corpus — newly adjacent characters are not re-scanned.
+    *
+    * Scale shape: window hashes generate ARRAY-LOCALLY (stride-1 md5s,
+    * the x49 machinery) and shuffle ONCE at hash grain for the
+    * distinct-doc count; the duplicated-hash set is output-scale (shared
+    * spans only), rejoined at hash grain; per-doc coverage and cleanup
+    * are array-local over the doc's own duplicated-start list, and docs
+    * with no shared span pass through a left-outer miss untouched. The
+    * corpus never self-joins and nothing quadratic materializes.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed), one row per doc. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int): DataFrame = {
+    val t = col(textCol)
+    val winsCol = when(length(t) >= spanLen,
+      transform(sequence(lit(1), length(t) - (spanLen - 1)),
+        p => struct(p.as("p"), md5(t.substr(p, lit(spanLen))).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:string>>"))
+    val wins = docs.select(col(idCol).as("_id"), explode(winsCol).as("_w"))
+      .select(col("_id"), col("_w.p").as("_p"), col("_w.h").as("_h"))
+    val duph = wins.groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("_h"))
+    val dupStarts = wins.join(duph, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_set(col("_p"))).as("_ps"))
+    docs.select(col(idCol), t.as("_text"))
+      .join(dupStarts, col(idCol) === col("_id"), "left_outer")
+      .withColumn("clean_text",
+        when(col("_ps").isNull, col("_text")).otherwise(expr(
+          "concat_ws('', transform(filter(sequence(1, length(_text)), " +
+            s"j -> NOT exists(_ps, p -> j >= p AND j < p + $spanLen)), " +
+            "j -> substring(_text, j, 1)))")))
+      .select(col(idCol), col("clean_text"),
+        length(col("clean_text")).cast("long").as("n_kept"),
+        (length(col("_text")) - length(col("clean_text"))).cast("long")
+          .as("n_removed"))
+  }
 }

@@ -2372,6 +2372,38 @@ object Registry {
         |SELECT id_a, id_b, n_shared FROM p
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x68_span_removal",
+      // Exact duplicated-SPAN removal — the acting half of x49's
+      // detection (Lee et al. 2022: dedup the repeated spans, not whole
+      // docs): every char covered by a >= 40-char window shared with
+      // another doc is dropped; uncovered chars concatenate in order.
+      // Window hashes shuffle once at hash grain; coverage + cleanup are
+      // array-local per doc; untouched docs pass through a left-outer
+      // miss. Single-pass contract: computed against the ORIGINAL corpus.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.removeDuplicatedSpans(
+            Tables.documents(s, dir), "doc_id", "text", 40)
+          .orderBy(col("doc_id")),
+      Some("""WITH w0 AS (SELECT doc_id, text,
+        |unnest(generate_series(1, length(text) - 39)) AS i
+        |FROM documents WHERE length(text) >= 40),
+        |wins AS (SELECT doc_id, i AS p,
+        |md5(substr(text, CAST(i AS INT), 40)) AS h FROM w0),
+        |duph AS (SELECT h FROM wins GROUP BY h
+        |HAVING count(DISTINCT doc_id) >= 2),
+        |dstarts AS (SELECT doc_id, list(p ORDER BY p) AS ps FROM wins
+        |WHERE h IN (SELECT h FROM duph) GROUP BY doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS lt,
+        |CASE WHEN s.ps IS NULL THEN d.text ELSE
+        |list_aggregate(list_transform(list_filter(generate_series(1, length(d.text)),
+        |j -> len(list_filter(s.ps, p -> j >= p AND j < p + 40)) = 0),
+        |j -> substr(d.text, CAST(j AS INT), 1)), 'string_agg', '') END AS ct
+        |FROM documents d LEFT JOIN dstarts s USING (doc_id))
+        |SELECT doc_id, COALESCE(ct, '') AS clean_text,
+        |CAST(length(COALESCE(ct, '')) AS BIGINT) AS n_kept,
+        |CAST(lt - length(COALESCE(ct, '')) AS BIGINT) AS n_removed
+        |FROM cleaned ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     ("x50_fuzzy_linkage",
       // Record-linkage blocking + edit-distance verify over doc "titles"
       // (first 30 chars): candidates only within equal 4-char block

@@ -310,6 +310,33 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 10).count() === 0L)
   }
 
+  test("removeDuplicatedSpans: shared spans removed, unshared text intact, short docs pass through") {
+    import spark.implicits._
+    val common = "0123456789abcdefghij" // length 20; L = 10 below
+    val docs = Seq(
+      (1L, s"XX${common}YY"),  // shares `common` with 2
+      (2L, s"zz${common}qq"),
+      (3L, "no overlap with anything here at all"),
+      (4L, "tiny"))            // shorter than L: no windows, passthrough
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // Every char of `common` is covered by a shared 10-window; the
+    // doc-unique flanks survive untouched and in order.
+    assert(out(1L) === (("XXYY", 4L, 20L)))
+    assert(out(2L) === (("zzqq", 4L, 20L)))
+    assert(out(3L)._3 === 0L)
+    assert(out(3L)._1 === "no overlap with anything here at all")
+    assert(out(4L) === (("tiny", 4L, 0L)))
+    // A WITHIN-doc repeat alone is not "duplicated" (cross-doc contract):
+    val self = Seq((7L, common + common), (8L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val selfOut = Dedup.removeDuplicatedSpans(self, "doc_id", "text", 10)
+      .filter($"doc_id" === 7L).head()
+    assert(selfOut.getLong(3) === 0L)
+  }
+
   test("blockedEditDistancePairs: within-block near matches kept, out-of-block and too-far excluded") {
     import spark.implicits._
     val ents = Seq(
