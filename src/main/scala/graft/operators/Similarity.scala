@@ -435,6 +435,62 @@ object Similarity {
     * Output per vector: (id, n_dims, pre_norm, z_norm, z_mean) — the L2
     * norms before/after and the mean standardized component (4/4/6 dp),
     * the standard sanity scalars for a normalization pass. */
+  /** Lloyd k-means TRAINING over the embedding store — the missing half of
+    * the IVF family: [[ivfTopK]]/[[buildIvfIndex]] take their coarse
+    * quantizer as given (first-k vectors), this trains it. Cosine
+    * objective for consistency with the whole similarity family; `iters`
+    * fixed Lloyd rounds (init = first k vectors by id, the deterministic
+    * k-means seeding both engines can reproduce), then one final
+    * assignment against the trained centroids.
+    *
+    * Engine-portable fixed point (the j11 discipline lifted to k-means):
+    * per-dimension centroid means round to 6 dp AND quantize to float32
+    * each round, so both engines iterate from bit-identical centroids;
+    * assignment argmax ties break to the smallest centroid index on both
+    * (array_position takes the FIRST maximum; the oracle sorts sim DESC,
+    * cid ASC). Empty clusters keep their previous centroid.
+    *
+    * Scale shape per round: ONE codegen projection assigns every vector
+    * against the centroid literal (no join, no shuffle — the ivfTopK
+    * assignment machinery), and the update is one map-side-combined
+    * (cid, dim)-grain mean aggregate whose k·d-row result is the bounded
+    * driver metadata that becomes the next round's literal. The corpus
+    * never shuffles row-wise; nothing V×E materializes. At 100 TB add
+    * mini-batching (sampled update rounds) — the documented knob; the
+    * full-pass update here is already the scalable shape. */
+  def kMeansTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    val init = embeddings.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+    var cvecs = init
+    // k explicit native-cosine terms, not transform(lit, lambda): the HOF
+    // form evaluates interpreted; this one stays inside whole-stage
+    // codegen (CosineSim.doGenCode) with each centroid a typed literal.
+    def sims = array(cvecs.map(c => cosine(col(vecCol), typedlit(c))): _*)
+    (1 to iters).foreach { _ =>
+      val means = embeddings
+        .withColumn("_sims", sims)
+        .withColumn("_cid",
+          array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+        .select(col("_cid"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_m"))
+        .collect() // bounded driver metadata: k x d rows
+      val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toIndexedSeq
+      }
+      cvecs = cvecs.zipWithIndex.map { case (prev, i) =>
+        byCid.getOrElse(i + 1, prev)
+      }
+    }
+    embeddings
+      .withColumn("_sims", sims)
+      .select(col(idCol),
+        array_position(col("_sims"), array_max(col("_sims"))).cast("long")
+          .as("cluster_id"),
+        round(array_max(col("_sims")), 6).as("sim"))
+  }
+
   def standardizeEmbeddings(embeddings: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     val dims = embeddings

@@ -421,6 +421,42 @@ object Registry {
       "ORDER BY rank DESC, node LIMIT 20"
   }
 
+  /** DuckDB twin of [[Similarity.kMeansTrain]] (k=8, 3 Lloyd rounds,
+    * cosine objective): the iteration unrolled into generated CTEs from
+    * the same constants — init = first k vectors, per-round means rounded
+    * 6 dp and quantized to FLOAT so both engines iterate from
+    * bit-identical centroids, argmax ties to the smallest cid. */
+  private lazy val kMeansOracleSql = {
+    val (k, iters) = (8, 3)
+    val ctes = Seq(
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, " +
+        s"CAST(embedding AS FLOAT[]) AS cv FROM " +
+        s"(SELECT * FROM embeddings ORDER BY vec_id LIMIT $k))") ++
+      (1 to iters).flatMap { i =>
+        Seq(
+          s"s$i AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+            s"AS sim FROM embeddings e, c${i - 1} c)",
+          s"a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+            s"AS rn FROM s$i) WHERE rn = 1)",
+          s"m$i AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS mv " +
+            s"FROM a$i a JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+            "AS x, unnest(range(1, len(embedding)+1)) AS pos FROM embeddings) d " +
+            "USING (vec_id) GROUP BY 1, 2)",
+          s"n$i AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cid)",
+          s"c$i AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM c${i - 1} p " +
+            s"LEFT JOIN n$i n USING (cid))")
+      } ++ Seq(
+        s"sf AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+          s"AS sim FROM embeddings e, c$iters c)",
+        "af AS (SELECT vec_id, cid, sim FROM (SELECT vec_id, cid, sim, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+          "AS rn FROM sf) WHERE rn = 1)")
+    "WITH " + ctes.mkString(", ") +
+      " SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(sim, 6) AS sim " +
+      "FROM af ORDER BY vec_id"
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -2268,6 +2304,19 @@ object Registry {
           .orderBy(col("rank").desc, col("node").asc).limit(20)
       },
       Some(pageRankOracleSql)),
+
+    ("x69_kmeans",
+      // Lloyd k-means training (k=8, 3 rounds, cosine) — trains the
+      // coarse quantizer x7's IVF takes as given. Per round: one codegen
+      // centroid-literal argmax projection (no join/shuffle) + one
+      // (cid,dim)-grain mean agg whose k·d rows are the bounded driver
+      // metadata seeding the next round; means round 6 dp + quantize to
+      // float so the oracle iterates bit-identically.
+      (s: SparkSession, dir: String) =>
+        Similarity.kMeansTrain(Tables.embeddings(s, dir),
+            "vec_id", "embedding", 8, 3)
+          .orderBy(col("vec_id")),
+      Some(kMeansOracleSql)),
 
     ("x45_bm25_search",
       // BM25 top-20 lexical retrieval for the query bag {hash, join,

@@ -237,4 +237,25 @@ class SimilaritySpec extends SparkSpec {
       (2L, 2L, 2.8284, 0.0, 0.0),
       (3L, 2L, 4.4721, 1.2247, 0.612372)))
   }
+
+  test("kMeansTrain: planted directions separate perfectly; deterministic repeat") {
+    import spark.implicits._
+    // Two orthogonal directions with small same-direction jitter; ids
+    // interleave the groups so init (first k=2 vectors) seeds one of each.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.02f)), (1L, Seq(0.03f, 1.0f)),
+      (2L, Seq(0.9f, 0.01f)), (3L, Seq(0.02f, 1.1f)),
+      (4L, Seq(1.1f, 0.03f)), (5L, Seq(0.01f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kMeansTrain(vecs, "vec_id", "embedding", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 2L, 4L).map(out) === Set(1L)) // x-direction cluster
+    assert(Set(1L, 3L, 5L).map(out) === Set(2L)) // y-direction cluster
+    // Same constants → bit-identical second run (the oracle contract).
+    val again = Similarity.kMeansTrain(vecs, "vec_id", "embedding", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = Similarity.kMeansTrain(vecs, "vec_id", "embedding", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === first)
+  }
 }
