@@ -887,6 +887,57 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowed substring-pair detection — [[substringPairs]]' documented
+    * scale knob made real (Schleimer, Wilkerson, Aiken 2003 "Winnowing:
+    * Local Algorithms for Document Fingerprinting"): instead of shipping
+    * EVERY stride-1 window hash to the join, each doc keeps only the
+    * lexicographic-min hash of every `window` consecutive hashes — the
+    * winnowing fingerprint set, ~2/(w+1) of the full set. Because any two
+    * docs sharing a verbatim run of >= `minLen + window - 1` chars share a
+    * FULL window of hashes, they select the same min — detection is
+    * GUARANTEED at that length (the winnowing theorem), below it
+    * best-effort. Both engines take the min over identical lowercase-hex
+    * md5 strings under binary collation, so fingerprint selection is
+    * engine-portable and the oracle is exact.
+    *
+    * Scale shape: hash generation AND fingerprint selection are
+    * array-local per doc (sliding `array_min` over the hash array — no
+    * per-position explode, no window function, no per-doc sort shuffle);
+    * only the ~w-fold-smaller distinct fingerprint set explodes into the
+    * hash-grain equi-self-join. Docs shorter than one full hash window
+    * keep the min of what they have, so every doc stays represented.
+    *
+    * Output: (id_a, id_b, n_shared_fp) — pairs sharing >= 1 fingerprint
+    * and how many they share. */
+  def winnowedSubstringPairs(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int, window: Int): DataFrame = {
+    val t = col(textCol)
+    // The hash array MUST materialize in its own projection before the
+    // sliding-min pass references it: higher-order functions are
+    // interpreted, so with the generator inlined into the lambda each
+    // position p would re-run the WHOLE m-hash transform — O(m²) md5s
+    // (measured 117 s vs 1.5 s at sf0.1). As a multiply-referenced
+    // non-cheap alias it survives CollapseProject, so each row hashes
+    // once and the sliding min touches only the computed array.
+    val hsExpr = when(length(t) >= minLen,
+      transform(sequence(lit(1), length(t) - (minLen - 1)),
+        i => md5(t.substr(i, lit(minLen)))))
+      .otherwise(array().cast("array<string>"))
+    val staged = docs.select(col(idCol).as("_id"), hsExpr.as("_hs"))
+    val hs = col("_hs")
+    val fps = when(size(hs) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
+        p => array_min(slice(hs, p, lit(window))))))
+      .otherwise(array().cast("array<string>"))
+    val f = staged.select(col("_id"), explode(fps).as("_h"))
+    f.as("a").join(f.as("b"),
+        col("a._h") === col("b._h") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Record-linkage blocking + edit-distance verify: candidate entity
     * pairs come ONLY from equal blocking keys (an equi-self-join — the
     * classic blocking step that makes fuzzy matching sub-quadratic), then

@@ -71,4 +71,32 @@ object Merge {
     state.unionByName(
       oneRowPerKey(delta.select(state.columns.map(col): _*), keys)
         .join(state.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** CDC change-log apply (the Debezium/warehouse "op log → table state"
+    * collapse, the set-level generalization of [[replaceUpsert]]): fold a
+    * log of upsert/delete operations into the final per-key state —
+    * last-writer-wins by `seqCols`, and a key whose LAST op is the delete
+    * op vanishes (a delete followed by a later re-insert survives).
+    *
+    * `seqCols` must totally order each key's changes (e.g. ts + a unique
+    * change id) — with ties the survivor would be partition-dependent, so
+    * that contract is the caller's (the spec pins it).
+    *
+    * Scale shape: ONE map-side-combined hash aggregation — `max_by` of the
+    * payload struct over the seq struct merges partials associatively, so
+    * each partition contributes one candidate row per key it has seen and
+    * the exchange carries keys, not the log. The window-function phrasing
+    * (`row_number` over ts DESC) would sort and ship EVERY log row; at
+    * 100 TB of changes the agg is the only shape that works. Output rows =
+    * live keys; columns = the log's minus `opCol`. */
+  def applyChangeLog(changes: DataFrame, keys: Seq[String], opCol: String,
+                     deleteOp: String, seqCols: Seq[String]): DataFrame = {
+    val others = changes.columns.filterNot(keys.contains).toSeq
+    val last = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(seqCols.map(col): _*)).as("_last"))
+    last.select(keys.map(col) ++ others.map(c => col(s"_last.$c").as(c)): _*)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+  }
 }

@@ -2453,6 +2453,31 @@ object Registry {
         |CAST(lt - length(COALESCE(ct, '')) AS BIGINT) AS n_removed
         |FROM cleaned ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    ("x70_winnowing",
+      // Winnowed substring-pair detection (Schleimer et al. 2003) — x49's
+      // documented scale knob made real: each doc ships only the min hash
+      // of every 8 consecutive 40-char window hashes (~4.6x fewer rows
+      // into the equi-join at sf0.01), detection GUARANTEED for verbatim
+      // shares >= 40 + 8 - 1 = 47 chars. Fingerprint selection is
+      // array-local (sliding array_min — no explode, no window function);
+      // md5-hex min under binary collation is engine-portable.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.winnowedSubstringPairs(
+          Tables.documents(s, dir), "doc_id", "text", 40, 8),
+      Some("""WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 40 THEN
+        |list_transform(generate_series(1, length(text) - 39),
+        |i -> md5(substr(text, CAST(i AS INT), 40)))
+        |ELSE CAST([] AS VARCHAR[]) END AS hs FROM documents),
+        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |generate_series(1, greatest(len(hs) - 7, 1)),
+        |p -> list_min(hs[CAST(p AS INT):CAST(p + 7 AS INT)])))) AS h
+        |FROM g WHERE len(hs) >= 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(count(*) AS BIGINT) AS n_shared_fp
+        |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared_fp FROM p
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     ("x50_fuzzy_linkage",
       // Record-linkage blocking + edit-distance verify over doc "titles"
       // (first 30 chars): candidates only within equal 4-char block
@@ -2911,6 +2936,32 @@ object Registry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
         .stripMargin.replace("\n", " "))),
+
+    ("j16_cdc_apply",
+      // CDC change-log collapse: the events log read as an op stream over
+      // user_id (event_type 'error' = the delete tombstone, anything else
+      // an upsert), folded to final per-key state — last writer by
+      // (ts, event_id) wins, keys whose last op is a delete vanish. ONE
+      // map-side-combined max_by hash agg (the exchange carries keys, not
+      // the log) vs the window phrasing that sorts and ships every row.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Merge.applyChangeLog(
+            Tables.events(s, dir)
+              .select(col("user_id"), col("event_type").as("op"),
+                col("event_type").as("last_type"), col("value"),
+                unix_millis(col("ts")).as("ts"), col("event_id")),
+            Seq("user_id"), "op", "error", Seq("ts", "event_id"))
+          .select(col("user_id"), col("last_type"),
+            round(col("value"), 2).as("last_value"), col("ts"))
+          .orderBy(col("user_id")),
+      Some("""WITH r AS (SELECT user_id, event_type, value,
+        |CAST(epoch_ms(ts) AS BIGINT) AS ts,
+        |row_number() OVER (PARTITION BY user_id
+        |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |round(value, 2) AS last_value, ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
     ("q28_conversion_latency",
       // Conversion-latency distribution: first view -> first subsequent

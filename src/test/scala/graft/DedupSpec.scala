@@ -310,6 +310,52 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 10).count() === 0L)
   }
 
+  test("winnowedSubstringPairs: guarantee length detected, pairs subset of full detection, short docs represented") {
+    import spark.implicits._
+    // L = 10, w = 4: detection guaranteed for shares >= 10 + 4 - 1 = 13.
+    val share = "0123456789abc" // exactly the guarantee length
+    val docs = Seq(
+      (1L, s"left-flank-one${share}tail-A-unique-part"),
+      (2L, s"другой-префикс${share}and-another-end"),
+      (3L, "nothing shared with anything else here at all"),
+      (4L, "tiny"),                    // < L: no windows at all
+      (5L, s"B$share"),                // m = 5 hashes (>= w)
+      (6L, s"C${share.take(11)}"))     // only an 11-char share with 1/2/5
+      .toDF("doc_id", "text")
+    val winnowed = Dedup.winnowedSubstringPairs(docs, "doc_id", "text", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wPairs = winnowed.map { case (a, b, _) => (a, b) }.toSet
+    // The winnowing theorem: every pair sharing >= L+w-1 chars is found.
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(wPairs))
+    // Soundness: winnowing fingerprints are a subset of the full window
+    // set, so every winnowed pair is a substringPairs pair with
+    // n_shared_fp <= n_shared.
+    val full = Dedup.substringPairs(docs, "doc_id", "text", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    winnowed.foreach { case (a, b, n) =>
+      assert(full.contains((a, b)) && n <= full((a, b)))
+    }
+    // A doc with fewer than w hashes still fingerprints (min of what it
+    // has): two copies of a short-but->=L text must pair.
+    val short = Seq((7L, "0123456789a"), (8L, "0123456789a"))
+      .toDF("doc_id", "text") // m = 2 hashes < w = 4
+    assert(Dedup.winnowedSubstringPairs(short, "doc_id", "text", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((7L, 8L)))
+    // Compression: a long doc selects strictly fewer fingerprints than it
+    // has distinct windows (here: distinct hashes > fingerprints).
+    import org.apache.spark.sql.functions._
+    val one = Seq((9L, ('a' to 'z').mkString * 4)).toDF("doc_id", "text")
+    val fullCount = one.select(explode(array_distinct(
+      transform(sequence(lit(1), length($"text") - 9),
+        i => md5($"text".substr(i, lit(10))))))).count()
+    val hs = transform(sequence(lit(1), length($"text") - 9),
+      i => md5($"text".substr(i, lit(10))))
+    val fpCount = one.select(explode(array_distinct(
+      transform(sequence(lit(1), greatest(size(hs) - 3, lit(1))),
+        p => array_min(slice(hs, p, lit(4))))))).count()
+    assert(fpCount < fullCount)
+  }
+
   test("removeDuplicatedSpans: shared spans removed, unshared text intact, short docs pass through") {
     import spark.implicits._
     val common = "0123456789abcdefghij" // length 20; L = 10 below

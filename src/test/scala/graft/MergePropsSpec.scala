@@ -101,4 +101,38 @@ class MergePropsSpec extends SparkSpec {
     }
     check("replace/ignore laws", prop, cases = 6)
   }
+
+  test("property: applyChangeLog == window-naive; tombstones delete; later re-insert survives") {
+    import spark.implicits._
+    val genLog = Gen.listOfN(24, for {
+      k <- Gen.oneOf("k1", "k2", "k3", "k4", "k5")
+      op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.choose(0L, 100L)
+      ts <- Gen.choose(0L, 5L) // coarse: forces seq-tiebreak on the id
+    } yield (k, op, v, ts))
+    val prop = Prop.forAll(genLog) { log =>
+      // seq = (ts, unique id) — the total order the contract requires
+      val rows = log.zipWithIndex.map { case ((k, op, v, ts), i) =>
+        (k, op, v, ts, i.toLong)
+      }
+      val df = rows.toDF("k", "op", "v", "ts", "chg_id").repartition(5)
+      val got = Merge.applyChangeLog(df, Seq("k"), "op", "D",
+        Seq("ts", "chg_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"ts".desc, $"chg_id".desc)
+      val naive = df.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1 && $"op" =!= "D")
+        .select($"k", $"v", $"ts", $"chg_id")
+      sortedRows(got) == sortedRows(naive)
+    }
+    check("cdc apply vs naive", prop, cases = 8)
+    // Directed: D then later U revives; U then later D removes.
+    val df = Seq(
+      ("a", "U", 1L, 0L, 0L), ("a", "D", 0L, 1L, 1L), ("a", "U", 7L, 2L, 2L),
+      ("b", "U", 3L, 0L, 3L), ("b", "D", 0L, 9L, 4L))
+      .toDF("k", "op", "v", "ts", "chg_id")
+    val out = Merge.applyChangeLog(df, Seq("k"), "op", "D", Seq("ts", "chg_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 7L))
+  }
 }
