@@ -82,6 +82,55 @@ object Multimodal {
     * driver state; at 100 TB this is a pure map over the media table with
     * output ≤ nFrames× rows of `frameBytes` payloads. Output:
     * (media_id, frame_idx, frame_off, frame_len, frame_hash). */
+  /** M3: content-defined chunking (CDC) — the rsync/LBFS/backup-dedup
+    * primitive for binary payloads: a chunk boundary falls AFTER byte
+    * position p whenever the `windowBytes`-byte window starting at p
+    * hashes to a digest with hex prefix `boundaryHexPrefix` (prefix
+    * length k → boundary probability 16^-k → expected chunk ≈ 16^k +
+    * windowBytes bytes). Because the cut decision depends ONLY on the
+    * local window, an insertion or deletion re-aligns chunking within
+    * one expected chunk length — the interior chunks of a shared span
+    * hash identically in every payload that contains it, which is what
+    * makes cross-media chunk-level dedup shift-robust where fixed-stride
+    * framing ([[sampleFrames]]) only matches aligned content.
+    *
+    * Scale shape: cut positions, spans, and chunk hashes all compute
+    * ARRAY-LOCALLY per payload (the cut list materializes in its own
+    * projection — the same interpreted-HOF O(n²) trap the winnowing
+    * operator documents); output is one row per chunk (≈ payload bytes /
+    * expected chunk size), a pure map with no shuffle — downstream
+    * chunk-grain aggregation is the only exchange, and it carries 16-byte
+    * hashes, never payloads.
+    *
+    * Output: (media_id, chunk_idx, chunk_off, chunk_len, chunk_hash);
+    * chunks partition the payload exactly (offsets contiguous from 1,
+    * lengths sum to the payload length — spec-pinned). */
+  def contentDefinedChunks(media: DataFrame, windowBytes: Int,
+                           boundaryHexPrefix: String): DataFrame = {
+    val len = length(col("media")).cast("long")
+    val cutsExpr = when(len >= windowBytes,
+      filter(sequence(lit(1L), len - (windowBytes - 1)),
+        p => md5(col("media").substr(p.cast("int"), lit(windowBytes)))
+          .like(s"$boundaryHexPrefix%")))
+      .otherwise(array().cast("array<bigint>"))
+    val staged = media
+      .filter(length(col("media")) >= 1)
+      .select(col("media_id"), col("media"), cutsExpr.as("_cuts"))
+    val starts = concat(array(lit(1L)), transform(col("_cuts"), c => c + 1))
+    val ends = concat(col("_cuts"), array(length(col("media")).cast("long")))
+    staged
+      .select(col("media_id"), col("media"),
+        posexplode(zip_with(starts, ends,
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("chunk_idx", "_c")))
+      .select(
+        col("media_id"),
+        col("chunk_idx"),
+        col("_c.s").as("chunk_off"),
+        (col("_c.e") - col("_c.s") + 1).as("chunk_len"),
+        md5(col("media").substr(col("_c.s").cast("int"),
+          (col("_c.e") - col("_c.s") + 1).cast("int"))).as("chunk_hash"))
+  }
+
   def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
     media
       .select(col("media_id"), col("media"),

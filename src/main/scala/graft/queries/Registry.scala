@@ -2001,6 +2001,45 @@ object Registry {
         |  md5(substring(text, fi * stride + 1, 64)) AS frame_hash
         |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "))),
 
+    ("m3_cdc_chunks",
+      // Content-defined chunking dedup (the rsync/LBFS primitive): cut
+      // after any byte whose 8-byte window md5 starts with '0' (expected
+      // chunk ~16+8 B), then report every chunk seen >= 2 times across the
+      // media corpus — the storage-dedup index. Boundaries depend only on
+      // local windows, so shared spans chunk identically regardless of
+      // offset shifts (m2's fixed-stride frames only match aligned
+      // content). Chunking is array-local per payload; the only exchange
+      // carries 16-byte chunk hashes.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.contentDefinedChunks(
+            graft.operators.Multimodal.mediaFromDocuments(
+              Tables.documents(s, dir)), 8, "0")
+          .groupBy(col("chunk_hash"))
+          .agg(max(col("chunk_len")).cast("long").as("chunk_len"),
+            countDistinct(col("media_id")).cast("long").as("n_media"),
+            count(lit(1)).cast("long").as("n_occ"))
+          .filter(col("n_occ") >= 2)
+          .orderBy(col("chunk_hash")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+        |cuts AS (SELECT media_id, text, len,
+        |CASE WHEN len >= 8 THEN list_filter(generate_series(1, len - 7),
+        |p -> md5(substr(text, CAST(p AS INT), 8)) LIKE '0%')
+        |ELSE CAST([] AS BIGINT[]) END AS cs FROM m WHERE len >= 1),
+        |spans AS (SELECT media_id, text, len,
+        |list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
+        |list_append(cs, CAST(len AS BIGINT)) AS ends FROM cuts),
+        |ch AS (SELECT media_id,
+        |unnest(list_transform(generate_series(1, len(starts)),
+        |i -> {'h': md5(substr(text, CAST(starts[CAST(i AS INT)] AS INT),
+        |CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT))),
+        |'l': ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1})) AS c
+        |FROM spans),
+        |g AS (SELECT c.h AS chunk_hash, CAST(max(c.l) AS BIGINT) AS chunk_len,
+        |CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |CAST(count(*) AS BIGINT) AS n_occ FROM ch GROUP BY 1)
+        |SELECT chunk_hash, chunk_len, n_media, n_occ FROM g
+        |WHERE n_occ >= 2 ORDER BY chunk_hash""".stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Relational core on the TPC-H-ish tables (joins, top-N at scale)
     // =======================================================================

@@ -32,4 +32,55 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(r.getAs[String]("frame_hash") === expected)
   }
+
+  test("CDC chunks partition the payload exactly; short payloads are one chunk") {
+    val text = (1 to 60).map(i => s"word$i piece").mkString(" ") // ~700 chars
+    val out = media((1L, text), (2L, "tiny"))
+      .transform(Multimodal.contentDefinedChunks(_, 8, "0"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+      }
+    // Partition invariant: offsets contiguous from 1, lengths cover the text.
+    val chunks = out(1L)
+    assert(chunks.head._1 === 1L)
+    chunks.sliding(2).foreach {
+      case Array((o1, l1, _), (o2, _, _)) => assert(o2 === o1 + l1)
+      case _ =>
+    }
+    assert(chunks.map(_._2).sum === text.length.toLong)
+    // Reassembly: each chunk hash is the md5 of the corresponding slice.
+    chunks.foreach { case (off, len, h) =>
+      val slice = text.substring(off.toInt - 1, off.toInt - 1 + len.toInt)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h === md)
+    }
+    assert(chunks.length > 1) // the boundary predicate actually fired
+    // A payload shorter than the window is a single whole-payload chunk.
+    assert(out(2L) === Array((1L, 4L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("tiny".getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+  }
+
+  test("CDC chunking is shift-robust where fixed-stride framing is not") {
+    val shared = (1 to 80).map(i => s"tok$i unit").mkString(" ") // ~900 chars
+    val a = media((1L, shared), (2L, "PREFIX-SHIFTS-EVERYTHING " + shared))
+    val cdc = a.transform(Multimodal.contentDefinedChunks(_, 8, "0"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(4)).toSet }
+    // Interior chunks of the shared span re-align within one expected
+    // chunk length of the edit: the overwhelming majority of doc 1's
+    // chunks reappear verbatim in doc 2.
+    val overlap = (cdc(1L) & cdc(2L)).size.toDouble / cdc(1L).size
+    assert(overlap > 0.8, s"CDC overlap $overlap")
+    // Fixed-stride frames at the same payloads share nothing: every
+    // sampled window is offset by the prefix.
+    val frames = a.transform(Multimodal.sampleFrames(_, 4, 64))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(4)).toSet }
+    assert((frames(1L) & frames(2L)).isEmpty)
+  }
 }
