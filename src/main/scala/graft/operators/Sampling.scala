@@ -240,4 +240,27 @@ object Sampling {
         col("keep_rate"))
       .select(col(idCol), col(domainCol), col("keep_rate"))
   }
+
+  /** Split-leakage audit — the contamination check a train/test split
+    * needs before anyone trusts the eval: given a near-dup PAIR frame
+    * (any of the dedup family's outputs) and a per-id split assignment
+    * ([[split]]'s output or any (id, split) frame), return every pair
+    * whose members landed in DIFFERENT splits. A near-dup of a test doc
+    * sitting in train is memorization leakage (the audit GPT-3/Lee et
+    * al. run post-hoc); the fix is re-assigning by CLUSTER instead of by
+    * id, and this audit is the detector that says when that's needed.
+    *
+    * Scale shape: two equi-joins of the output-scale pair frame against
+    * the id-grain assignment — the pair side is orders of magnitude
+    * smaller (it's the duplication found), so AQE broadcasts it and the
+    * assignment never shuffles; nothing here touches text or vectors.
+    * Pass-through columns of `pairs` (similarity scores) survive. */
+  def crossSplitPairs(pairs: DataFrame, idACol: String, idBCol: String,
+                      assign: DataFrame, idCol: String,
+                      splitCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as(idACol), col(splitCol).as("split_a"))
+    val b = assign.select(col(idCol).as(idBCol), col(splitCol).as("split_b"))
+    pairs.join(a, Seq(idACol)).join(b, Seq(idBCol))
+      .filter(col("split_a") =!= col("split_b"))
+  }
 }

@@ -426,7 +426,7 @@ object Registry {
     * the same constants — init = first k vectors, per-round means rounded
     * 6 dp and quantized to FLOAT so both engines iterate from
     * bit-identical centroids, argmax ties to the smallest cid. */
-  private lazy val kMeansOracleSql = {
+  private lazy val kMeansCtes = {
     val (k, iters) = (8, 3)
     val ctes = Seq(
       s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, " +
@@ -452,10 +452,24 @@ object Registry {
         "af AS (SELECT vec_id, cid, sim FROM (SELECT vec_id, cid, sim, " +
           "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
           "AS rn FROM sf) WHERE rn = 1)")
-    "WITH " + ctes.mkString(", ") +
-      " SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(sim, 6) AS sim " +
-      "FROM af ORDER BY vec_id"
+    ctes.mkString(", ")
   }
+
+  private lazy val kMeansOracleSql =
+    s"WITH $kMeansCtes " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(sim, 6) AS sim " +
+      "FROM af ORDER BY vec_id"
+
+  /** DuckDB twin of the cluster-balanced sample: the same unrolled
+    * k-means assignment, then x19's salted-hash cap per cluster. */
+  private lazy val clusterBalancedOracleSql =
+    s"WITH $kMeansCtes, " +
+      "h AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, " +
+      "('0x' || substr(md5('cbal:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT " +
+      "AS hv FROM af), " +
+      "r AS (SELECT vec_id, cluster_id, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY hv, vec_id) AS rn FROM h) " +
+      "SELECT vec_id, cluster_id FROM r WHERE rn <= 40 ORDER BY vec_id"
 
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
@@ -2356,6 +2370,54 @@ object Registry {
             "vec_id", "embedding", 8, 3)
           .orderBy(col("vec_id")),
       Some(kMeansOracleSql)),
+
+    ("x72_cluster_balanced",
+      // Cluster-balanced sampling (the DCLM/SemDeDup diversity move):
+      // train the x69 quantizer, then keep at most 40 vectors per
+      // cluster by x19's deterministic salted-hash order — dense regions
+      // downsample, sparse regions keep everything, and the kept set is
+      // reproducible across runs/partitionings. Composition of two
+      // spec-pinned parts; oracle = the unrolled k-means CTEs + the
+      // hash-capped window.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.capPerGroup(
+            Similarity.kMeansTrain(Tables.embeddings(s, dir),
+                "vec_id", "embedding", 8, 3)
+              .select(col("vec_id"), col("cluster_id")),
+            Seq("cluster_id"), "vec_id", "cbal", 40)
+          .orderBy(col("vec_id")),
+      Some(clusterBalancedOracleSql)),
+
+    ("x71_split_leakage",
+      // Train/test contamination audit: x2's near-dup pairs joined
+      // against x13's split assignment — every pair whose members landed
+      // in DIFFERENT splits is memorization leakage (the GPT-3/Lee et
+      // al. post-hoc check; the fix is cluster-grain assignment). The
+      // output-scale pair frame broadcasts; the assignment never
+      // shuffles.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Sampling.crossSplitPairs(
+            Dedup.minHashNearDup(docs, "doc_id", "text", 3, 0.8),
+            "id_a", "id_b",
+            graft.operators.Sampling.split(
+              docs.select(col("doc_id")), "doc_id", "split", 80, 10),
+            "doc_id", "split")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            col("split_a"), col("split_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $minHashPairsCtes,
+        |p AS (SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8),
+        |s AS (SELECT doc_id,
+        |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |FROM documents))
+        |SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " "))),
 
     ("x45_bm25_search",
       // BM25 top-20 lexical retrieval for the query bag {hash, join,

@@ -192,4 +192,23 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"curriculum must not window:\n$plan")
   }
+
+  test("crossSplitPairs: only split-crossing pairs survive, scores pass through") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.85), (5L, 6L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
+      (5L, "val"), (6L, "test")).toDF("doc_id", "split")
+    val out = Sampling.crossSplitPairs(pairs, "id_a", "id_b",
+        assign, "doc_id", "split")
+      .select($"id_a", $"id_b", $"jaccard", $"split_a", $"split_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4)))
+    // (3,4) both train — not leakage; the two crossing pairs keep their
+    // similarity score and carry each side's split.
+    assert(out.toSet === Set(
+      (1L, 2L, 0.9, "train", "test"),
+      (5L, 6L, 0.8, "val", "test")))
+  }
 }
