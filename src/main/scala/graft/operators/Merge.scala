@@ -90,13 +90,27 @@ object Merge {
     * 100 TB of changes the agg is the only shape that works. Output rows =
     * live keys; columns = the log's minus `opCol`. */
   def applyChangeLog(changes: DataFrame, keys: Seq[String], opCol: String,
-                     deleteOp: String, seqCols: Seq[String]): DataFrame = {
+                     deleteOp: String, seqCols: Seq[String]): DataFrame =
+    collapseChangeLog(changes, keys, seqCols)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+
+  /** [[applyChangeLog]]'s inner collapse WITHOUT the tombstone filter:
+    * latest row per key by `seqCols`, delete records retained as rows.
+    * This is the form an INCREMENTAL/streaming CDC fold must persist —
+    * a tombstone dropped from the state could not out-sequence a stale
+    * upsert replaying later, so deletes stay as records and readers
+    * filter them (tombstone GC past a retention horizon is the
+    * documented production knob). Idempotent and order-insensitive:
+    * `collapse(collapse(a) ∪ b) == collapse(a ∪ b)` for ANY split,
+    * because per-key max over a total order is associative — the law the
+    * streaming fold's batch steps build on (spec-pinned). */
+  def collapseChangeLog(changes: DataFrame, keys: Seq[String],
+                        seqCols: Seq[String]): DataFrame = {
     val others = changes.columns.filterNot(keys.contains).toSeq
     val last = changes.groupBy(keys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*),
         struct(seqCols.map(col): _*)).as("_last"))
     last.select(keys.map(col) ++ others.map(c => col(s"_last.$c").as(c)): _*)
-      .filter(col(opCol) =!= lit(deleteOp))
-      .drop(opCol)
   }
 }

@@ -426,6 +426,19 @@ object Registry {
     * the same constants — init = first k vectors, per-round means rounded
     * 6 dp and quantized to FLOAT so both engines iterate from
     * bit-identical centroids, argmax ties to the smallest cid. */
+  /** DuckDB twin of [[graft.operators.Merge.applyChangeLog]] over the
+    * events op log (j16) — also the oracle of the streaming fold (s16) by
+    * the collapse's split-equivalence. */
+  private val cdcApplyOracleSql: String =
+    """WITH r AS (SELECT user_id, event_type, value,
+      |CAST(epoch_ms(ts) AS BIGINT) AS ts,
+      |row_number() OVER (PARTITION BY user_id
+      |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |SELECT user_id, event_type AS last_type,
+      |round(value, 2) AS last_value, ts
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin.replace("\n", " ")
+
   private lazy val kMeansCtes = {
     val (k, iters) = (8, 3)
     val ctes = Seq(
@@ -3055,14 +3068,49 @@ object Registry {
           .select(col("user_id"), col("last_type"),
             round(col("value"), 2).as("last_value"), col("ts"))
           .orderBy(col("user_id")),
-      Some("""WITH r AS (SELECT user_id, event_type, value,
-        |CAST(epoch_ms(ts) AS BIGINT) AS ts,
-        |row_number() OVER (PARTITION BY user_id
-        |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |SELECT user_id, event_type AS last_type,
-        |round(value, 2) AS last_value, ts
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+      Some(cdcApplyOracleSql)),
+
+    ("s16_stream_cdc",
+      // STREAMING CDC maintenance: the same op log folded incrementally —
+      // three time-sliced micro-batches, each union+re-collapsed into a
+      // versioned state snapshot behind a `_current` pointer flip
+      // (tombstones persist as rows; readers filter). The collapse is
+      // order-insensitive (per-key max over a total order), so the final
+      // state ≡ one-shot j16 for any slicing — j16's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s16")
+        graft.streaming.Streaming.runStreamCdc(s, dir, base + "/cdc",
+            Seq(T1, T2))
+          .orderBy(col("user_id"))
+      },
+      Some(cdcApplyOracleSql)),
+
+    ("j17_rolling_features",
+      // Per-user trailing range-frame features (feature-store staple):
+      // every event stamped with its user's 7d/24h trailing count and
+      // value sum AS OF that event — point-in-time correct by frame
+      // construction. One Exchange on user_id + one per-key sort serves
+      // all four frames; never a global sort.
+      (s: SparkSession, dir: String) =>
+        Serving.rollingFeatures(
+            Tables.events(s, dir).select(col("event_id"), col("user_id"),
+              unix_millis(col("ts")).as("ts"), col("value")),
+            "user_id", "ts", "value",
+            Seq(("7d", 604800000L), ("24h", 86400000L)))
+          .orderBy(col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id,
+        |CAST(epoch_ms(ts) AS BIGINT) AS ts, value FROM events)
+        |SELECT event_id, user_id, ts, value,
+        |CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+        |round(sum(value) OVER w7, 2) AS sum_7d,
+        |CAST(count(*) OVER w1 AS BIGINT) AS n_24h,
+        |round(sum(value) OVER w1, 2) AS sum_24h
+        |FROM e
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
+        |RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW),
+        |w1 AS (PARTITION BY user_id ORDER BY ts
+        |RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     ("q28_conversion_latency",
       // Conversion-latency distribution: first view -> first subsequent

@@ -222,4 +222,31 @@ object Serving {
     series.unionByName(
       defaults.join(broadcast(n), n("n") === 0L, "left_semi"))
   }
+
+  /** Per-key trailing range-frame features — the feature-store
+    * generalization of Q5: where [[trailingSums]] answers one scalar per
+    * table relative to a fixed `now`, this stamps EVERY row with its
+    * key's trailing aggregates as of that row's own event time (the "user
+    * activity in the last 7 d at interaction time" feature family, point
+    * -in-time correct by construction — a frame ending at CURRENT ROW
+    * can't see the future).
+    *
+    * Scale shape: all frames share one (key, ts) clustering — a single
+    * Exchange on the key and one per-key sort serve every span in
+    * `spans`; per-key ordering is partition-parallel (never a global
+    * sort), and a range frame over epoch-ms walks each partition's sorted
+    * run once per frame. Rows with equal (key, ts) — the range-frame tie
+    * group — aggregate identically on both engines by the frame
+    * definition. */
+  def rollingFeatures(events: DataFrame, keyCol: String, tsMsCol: String,
+                      valueCol: String,
+                      spans: Seq[(String, Long)]): DataFrame = {
+    val featCols = spans.flatMap { case (name, spanMs) =>
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol))
+        .rangeBetween(-(spanMs - 1), Window.currentRow)
+      Seq(count(lit(1)).over(w).as(s"n_$name"),
+        round(sum(col(valueCol)).over(w), 2).as(s"sum_$name"))
+    }
+    events.select(Seq(col("*")) ++ featCols: _*)
+  }
 }

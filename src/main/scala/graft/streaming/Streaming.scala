@@ -839,7 +839,28 @@ object Streaming {
     * old pointer never loses files mid-scan); a crash between flip and
     * retire only delays that cleanup to the next step. */
   private[graft] def scd2BatchStep(dimBase: String, batch: DataFrame,
-                                   batchId: Long, nowMillis: Long): Unit = {
+                                   batchId: Long, nowMillis: Long): Unit =
+    versionedStep(dimBase, batch, batchId) {
+      case None =>
+        graft.operators.Scd.scd2(batch, "user_id", "event_type",
+          unix_millis(col("ts")), "event_id", nowMillis)
+      case Some(dim) =>
+        graft.operators.Scd.scd2Merge(dim, batch, "user_id",
+          "event_type", unix_millis(col("ts")), "event_id", nowMillis)
+    }
+
+  /** The versioned-snapshot fold shared by the streaming table
+    * maintainers ([[scd2BatchStep]], [[cdcBatchStep]]): `merge` folds the
+    * batch into the prior snapshot (None on the first batch), the result
+    * lands as a NEW dir `v<batchId>`, then the `_current` pointer flips.
+    * Replay/crash discipline as documented on [[scd2BatchStep]]'s
+    * callers: replayed batches (batchId <= current) drain and skip; a
+    * crash between snapshot write and pointer flip replays into an
+    * overwrite of the same dir; snapshots older than the PREVIOUS version
+    * retire each step. */
+  private[graft] def versionedStep(dimBase: String, batch: DataFrame,
+                                   batchId: Long)
+                                  (merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
     val f = FileSystem.get(new java.net.URI(dimBase),
       spark.sparkContext.hadoopConfiguration)
@@ -847,13 +868,7 @@ object Streaming {
     val cur = scd2CurrentVersion(f, ptr)
     if (batchId <= cur) { drainReplayedBatch(batch); return }
     val merged =
-      if (cur < 0)
-        graft.operators.Scd.scd2(batch, "user_id", "event_type",
-          unix_millis(col("ts")), "event_id", nowMillis)
-      else
-        graft.operators.Scd.scd2Merge(
-          spark.read.parquet(s"$dimBase/v$cur"), batch, "user_id",
-          "event_type", unix_millis(col("ts")), "event_id", nowMillis)
+      merge(if (cur < 0) None else Some(spark.read.parquet(s"$dimBase/v$cur")))
     merged.write.mode("overwrite").parquet(s"$dimBase/v$batchId")
     val out = f.create(ptr, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
@@ -862,6 +877,23 @@ object Streaming {
         p.getName.drop(1).forall(_.isDigit) && p.getName.drop(1).toLong < cur)
       .foreach(p => f.delete(p, true))
   }
+
+  /** One micro-batch fold of the STREAMING CDC table ([[runStreamCdc]]):
+    * the prior collapsed state unions with the batch and re-collapses via
+    * [[graft.operators.Merge.collapseChangeLog]] — per-key max over the
+    * (ts, event_id) total order is associative, so any batch split in any
+    * order converges to the one-shot collapse (the law MergePropsSpec
+    * pins). Tombstones persist as rows (a dropped tombstone could not
+    * out-sequence a stale upsert in a replayed batch); the read side
+    * filters them. Per-batch cost O(state + batch) — one hash agg, the
+    * change corpus is never rescanned. */
+  private[graft] def cdcBatchStep(stateBase: String, batch: DataFrame,
+                                  batchId: Long): Unit =
+    versionedStep(stateBase, batch, batchId) { prior =>
+      graft.operators.Merge.collapseChangeLog(
+        prior.fold(batch)(_.unionByName(batch)),
+        Seq("user_id"), Seq("ts", "event_id"))
+    }
 
   private def scd2CurrentVersion(f: FileSystem, ptr: Path): Long =
     if (!f.exists(ptr)) -1L
@@ -914,6 +946,66 @@ object Streaming {
     q.awaitTermination()
     val cur = scd2CurrentVersion(f, new Path(dimBase, "_current"))
     spark.read.parquet(s"$dimBase/v$cur")
+  }
+
+  /** STREAMING CDC table maintenance — [[cdcBatchStep]] under real
+    * micro-batches: the events table (read as an op log — event_type
+    * 'error' the delete tombstone, anything else an upsert) is staged as
+    * time-sliced files replayed with `maxFilesPerTrigger=1`, each slice
+    * folding into the versioned state snapshot behind the `_current`
+    * pointer. Because the collapse is order-insensitive (per-key max over
+    * a total order), the final state equals the one-shot
+    * [[graft.operators.Merge.applyChangeLog]] over all events for ANY
+    * slicing — the registry oracle is j16's SQL verbatim. Read-back
+    * filters tombstone rows and projects the j16 surface. */
+  def runStreamCdc(spark: SparkSession, dir: String, base: String,
+                   cuts: Seq[Long]): DataFrame = {
+    val landing = stagedSliceDirs.computeIfAbsent(
+      s"$dir#cdc#${cuts.mkString(",")}", _ => {
+        val l = java.nio.file.Files
+          .createTempDirectory("graft-cdcslices").toString
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val f = FileSystem.get(new java.net.URI(l),
+          spark.sparkContext.hadoopConfiguration)
+        val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+        bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val stage = s"$l/stage$i"
+          ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+          val dst = new Path(s"$l/b$i.parquet")
+          f.rename(part, dst)
+          f.delete(new Path(stage), true)
+          f.setTimes(dst, 1000L * (i + 1), -1) // replay order = slice order
+        }
+        l
+      })
+    val stateBase = s"$base/state"
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        cdcBatchStep(stateBase, b.select(
+          col("user_id"), col("event_type").as("op"),
+          col("event_type").as("last_type"), col("value"),
+          unix_millis(col("ts")).as("ts"), col("event_id")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val f = FileSystem.get(new java.net.URI(stateBase),
+      spark.sparkContext.hadoopConfiguration)
+    val cur = scd2CurrentVersion(f, new Path(stateBase, "_current"))
+    spark.read.parquet(s"$stateBase/v$cur")
+      .filter(col("op") =!= "error")
+      .select(col("user_id"), col("last_type"),
+        round(col("value"), 2).as("last_value"), col("ts"))
   }
 
   /** Stream-STREAM interval join — click→conversion attribution: each

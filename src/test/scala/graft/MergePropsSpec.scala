@@ -126,6 +126,26 @@ class MergePropsSpec extends SparkSpec {
       sortedRows(got) == sortedRows(naive)
     }
     check("cdc apply vs naive", prop, cases = 8)
+    // Split-equivalence (the streaming fold's law): re-collapsing a
+    // collapsed prefix with any suffix — in either order — equals the
+    // one-shot collapse.
+    val splitProp = Prop.forAll(genLog, Gen.choose(0, 24)) { (log, cut) =>
+      val rows = log.zipWithIndex.map { case ((k, op, v, ts), i) =>
+        (k, op, v, ts, i.toLong)
+      }
+      val (la, lb) = rows.splitAt(cut)
+      val all = rows.toDF("k", "op", "v", "ts", "chg_id")
+      val a = la.toDF("k", "op", "v", "ts", "chg_id")
+      val b = lb.toDF("k", "op", "v", "ts", "chg_id")
+      val keys = Seq("k"); val seq = Seq("ts", "chg_id")
+      val oneShot = sortedRows(Merge.collapseChangeLog(all, keys, seq))
+      val folded = sortedRows(Merge.collapseChangeLog(
+        Merge.collapseChangeLog(a, keys, seq).unionByName(b), keys, seq))
+      val foldedRev = sortedRows(Merge.collapseChangeLog(
+        Merge.collapseChangeLog(b, keys, seq).unionByName(a), keys, seq))
+      folded == oneShot && foldedRev == oneShot
+    }
+    check("cdc collapse split-equivalence", splitProp, cases = 8)
     // Directed: D then later U revives; U then later D removes.
     val df = Seq(
       ("a", "U", 1L, 0L, 0L), ("a", "D", 0L, 1L, 1L), ("a", "U", 7L, 2L, 2L),

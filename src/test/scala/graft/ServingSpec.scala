@@ -41,4 +41,26 @@ class ServingSpec extends SparkSpec {
         "reliable checkpoint must persist blocks under the checkpoint dir")
     } finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
+
+  test("rollingFeatures: trailing frames per key, no future leakage, ties aggregate together, one Exchange") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u1", 0L, 1.0), (2L, "u1", 10L, 2.0), (3L, "u1", 100L, 4.0),
+      (4L, "u2", 10L, 8.0), (5L, "u2", 10L, 16.0)) // u2: tied event times
+      .toDF("event_id", "k", "ts", "v")
+    val out = Serving.rollingFeatures(ev, "k", "ts", "v", Seq(("s", 50L)))
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1.0),   // nothing before t=0
+      (2L, 2L, 3.0),   // t=10 sees t=0 (frame [-39, 10])
+      (3L, 1L, 4.0),   // t=100: t=10 is outside [51, 100] — no future, no stale
+      (4L, 2L, 24.0),  // tied ts: the whole tie group aggregates together
+      (5L, 2L, 24.0)))
+    // All frames ride ONE key clustering: a two-span call still plans a
+    // single Exchange (both Window nodes reuse the (k, ts) sort order).
+    val plan = Serving.rollingFeatures(ev, "k", "ts", "v",
+      Seq(("a", 50L), ("b", 20L))).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, s"one Exchange:\n$plan")
+  }
 }

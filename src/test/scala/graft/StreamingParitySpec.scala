@@ -285,6 +285,37 @@ class StreamingParitySpec extends SparkSpec {
       f.exists(new Path(dim, "v2")))
   }
 
+  test("cdcBatchStep: state converges to the one-shot collapse; replay and pre-flip crash are no-ops; tombstones persist") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val base = tmp("graft-cdcstream")
+    val st = base + "/state"
+    def batch(rows: (Long, String, String, Double, Long, Long)*): DataFrame =
+      rows.toSeq.toDF("user_id", "op", "last_type", "value", "ts", "event_id")
+    val b0 = batch((1L, "U", "U", 1.0, 10L, 1L), (2L, "U", "U", 2.0, 20L, 2L))
+    val b1 = batch((1L, "D", "D", 0.0, 30L, 3L), (3L, "U", "U", 3.0, 40L, 4L))
+    Streaming.cdcBatchStep(st, b0, 0L)
+    Streaming.cdcBatchStep(st, b1, 1L)
+    val after = sortedRows(spark.read.parquet(st + "/v1"))
+    // Replayed batch: no-op.
+    Streaming.cdcBatchStep(st, b1, 1L)
+    assert(sortedRows(spark.read.parquet(st + "/v1")) === after)
+    // Pre-flip crash: pointer back at v0, replay rebuilds the same v1.
+    val f = FileSystem.get(new java.net.URI(st),
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new Path(st, "_current"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    Streaming.cdcBatchStep(st, b1, 1L)
+    assert(sortedRows(spark.read.parquet(st + "/v1")) === after)
+    // State == one-shot collapse over both batches; user 1's tombstone is
+    // IN the state (a row with op = D), filtered only at read time.
+    assert(after === sortedRows(graft.operators.Merge.collapseChangeLog(
+      b0.unionByName(b1), Seq("user_id"), Seq("ts", "event_id"))))
+    val s1 = spark.read.parquet(st + "/v1")
+    assert(s1.filter($"user_id" === 1L && $"op" === "D").count() === 1L)
+    assert(s1.filter($"op" =!= "D").count() === 2L) // users 2 and 3 live
+  }
+
   test("AppendOnceSink: crash between file move and marker write replays without duplicates (ADVICE r6)") {
     import spark.implicits._
     val base = tmp("graft-apponce2")
