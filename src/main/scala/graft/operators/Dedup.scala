@@ -938,6 +938,39 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Pair-set evaluation — the "measure, don't guess" harness for the
+    * approximate dedup family: given an APPROXIMATE pair frame (LSH
+    * banding, winnowing, any candidate-limited detector) and the EXACT
+    * ground truth at the same semantics, report hit/size counts and
+    * precision/recall. This is the number you read before widening bands
+    * or shrinking rows-per-band: recall says what the candidate
+    * generation missed, precision stays 1.0 whenever the approximate path
+    * exact-verifies its candidates (a drop below 1.0 means the verify
+    * step itself diverged — a bug, not a tuning issue).
+    *
+    * Scale shape: both inputs are output-scale pair frames (the
+    * duplication found, not the corpus); one broadcast-sized semi-join
+    * and three 1-row aggregates combined by broadcast cross-join — no
+    * corpus data moves. Output: one row (n_exact, n_approx, n_hit,
+    * precision, recall), ratios rounded 4 dp. */
+  def pairSetEval(approx: DataFrame, exact: DataFrame,
+                  idACol: String, idBCol: String): DataFrame = {
+    val a = approx.select(col(idACol), col(idBCol))
+    val e = exact.select(col(idACol), col(idBCol))
+    val nA = a.agg(count(lit(1)).as("n_approx"))
+    val nE = e.agg(count(lit(1)).as("n_exact"))
+    val nH = a.join(e, Seq(idACol, idBCol), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nE.crossJoin(broadcast(nA)).crossJoin(broadcast(nH))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        round(when(col("n_approx") === 0L, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_approx")), 4)
+          .as("precision"),
+        round(when(col("n_exact") === 0L, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 4)
+          .as("recall"))
+  }
+
   /** Record-linkage blocking + edit-distance verify: candidate entity
     * pairs come ONLY from equal blocking keys (an equi-self-join — the
     * classic blocking step that makes fuzzy matching sub-quadratic), then

@@ -1462,6 +1462,41 @@ object Registry {
           .orderBy(col("id_a"), col("id_b")),
       Some(ngramJaccardOracleSql)),
 
+    ("x73_lsh_eval",
+      // LSH-recall evaluation: x2's banded MinHash pairs measured against
+      // x6's exact n-gram-Jaccard ground truth (same shingles, same 0.8
+      // threshold) — the number you read before tuning bands/rows.
+      // Precision pins 1.0 because x2 exact-verifies its candidates; any
+      // recall below 1.0 is banding misses, quantified. Both inputs are
+      // output-scale pair frames; no corpus data moves in the eval.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.pairSetEval(
+          Dedup.minHashNearDup(docs, "doc_id", "text", 3, 0.8),
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8),
+          "id_a", "id_b")
+      },
+      Some(s"""WITH $minHashPairsCtes,
+        |a AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+        |ei AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i
+        |FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2),
+        |e AS (SELECT ia AS id_a, ib AS id_b FROM ei
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |h AS (SELECT * FROM a INTERSECT SELECT * FROM e),
+        |c AS (SELECT (SELECT count(*) FROM e) AS n_exact,
+        |(SELECT count(*) FROM a) AS n_approx,
+        |(SELECT count(*) FROM h) AS n_hit)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        |CAST(n_approx AS BIGINT) AS n_approx,
+        |CAST(n_hit AS BIGINT) AS n_hit,
+        |round(CASE WHEN n_approx = 0 THEN 1.0
+        |ELSE CAST(n_hit AS DOUBLE) / n_approx END, 4) AS precision,
+        |round(CASE WHEN n_exact = 0 THEN 1.0
+        |ELSE CAST(n_hit AS DOUBLE) / n_exact END, 4) AS recall
+        |FROM c""".stripMargin.replace("\n", " "))),
+
     ("x41_overlap_dedup",
       // Overlap-coefficient (containment) near-dup — doc-IN-doc detection,
       // the duplication mode Jaccard misses (subset copy ⇒ overlap 1.0,
@@ -3111,6 +3146,31 @@ object Registry {
         |w1 AS (PARTITION BY user_id ORDER BY ts
         |RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    ("j18_grouping_sets",
+      // Arbitrary GROUPING SETS — completes the multi-grain family (j5
+      // ROLLUP is prefix-closed, j8 CUBE is the power set; grouping sets
+      // are the explicitly-chosen strata): (type, day), (type), (day) in
+      // ONE Expand + hash-agg pass, GROUPING() flags disambiguating the
+      // grouped-out nulls. Within a stratum the grouped-out column is
+      // constant null, so the ORDER BY is engine-portable.
+      (s: SparkSession, dir: String) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_events")
+        s.sql("""SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+          CAST(grouping(event_type) AS INT) AS g_type,
+          CAST(grouping(day) AS INT) AS g_day
+          FROM (SELECT event_type, unix_millis(ts) div 86400000 AS day
+                FROM g_events)
+          GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+          ORDER BY g_type, g_day, event_type, day""")
+      },
+      Some("""SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |CAST(grouping(event_type) AS INT) AS g_type,
+        |CAST(grouping(day) AS INT) AS g_day
+        |FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events)
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        |ORDER BY g_type, g_day, event_type, day"""
+        .stripMargin.replace("\n", " "))),
 
     ("q28_conversion_latency",
       // Conversion-latency distribution: first view -> first subsequent

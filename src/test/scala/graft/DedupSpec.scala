@@ -383,6 +383,23 @@ class DedupSpec extends SparkSpec {
     assert(selfOut.getLong(3) === 0L)
   }
 
+  test("pairSetEval: miss lowers recall, spurious pair lowers precision, empty sets read 1.0") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairSetEval(approx, exact, "id_a", "id_b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    assert(r.getDouble(3) === 0.6667 && r.getDouble(4) === 0.6667)
+    // Exact-verified approximate path: subset of truth → precision 1.0.
+    val sub = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r2 = Dedup.pairSetEval(sub, exact, "id_a", "id_b").collect()(0)
+    assert(r2.getDouble(3) === 1.0 && r2.getDouble(4) === 0.3333)
+    // Degenerate empties: defined as perfect, not NaN.
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r3 = Dedup.pairSetEval(none, none, "id_a", "id_b").collect()(0)
+    assert(r3.getDouble(3) === 1.0 && r3.getDouble(4) === 1.0)
+  }
+
   test("blockedEditDistancePairs: within-block near matches kept, out-of-block and too-far excluded") {
     import spark.implicits._
     val ents = Seq(
