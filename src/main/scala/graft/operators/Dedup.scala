@@ -1016,6 +1016,36 @@ object Dedup {
     * corpus never self-joins and nothing quadratic materializes.
     *
     * Output: (idCol, clean_text, n_kept, n_removed), one row per doc. */
+  /** Cross-source contamination matrix: for each unordered pair of sources,
+    * how many distinct content fingerprints they share — the corpus-level
+    * report that tells you WHICH feeds re-serve each other's content
+    * (mirror sites, syndication, benchmark leakage between collections)
+    * before any row-level dedup decision is made.
+    *
+    * Scale shape — never a fingerprint self-join (whose output is quadratic
+    * in duplicate-group size): one aggregation to (fingerprint → sorted
+    * distinct source set), then pairs are expanded ARRAY-LOCALLY with
+    * `transform × slice` (j > i keeps each pair once) and re-aggregated.
+    * The expansion per fingerprint is bounded by the SOURCE DICTIONARY
+    * (≤ |sources|²/2, independent of row count), and fingerprints seen by
+    * one source only are dropped before any expansion.
+    *
+    * Output: `(src_a, src_b, shared_fps)` with src_a < src_b. */
+  def sourceOverlapMatrix(docs: DataFrame, fingerprint: Column,
+                          sourceCol: String): DataFrame = {
+    val srcs = col("_srcs")
+    docs.select(fingerprint.as("_fp"), col(sourceCol).as("_src"))
+      .groupBy(col("_fp"))
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(srcs) > 1)
+      .select(explode(flatten(transform(srcs, (a, i) =>
+        transform(slice(srcs, i + lit(2), size(srcs)), b =>
+          struct(a.as("a"), b.as("b")))))).as("_p"))
+      .select(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("bigint").as("shared_fps"))
+  }
+
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             spanLen: Int): DataFrame = {
     val t = col(textCol)

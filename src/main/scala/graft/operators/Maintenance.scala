@@ -185,6 +185,28 @@ object Maintenance {
       .select(quasiIds.map(col) :+ col("group_size"): _*)
       .orderBy(col("group_size").asc +: quasiIds.map(col(_).asc): _*)
 
+  /** l-diversity audit — k-anonymity's companion gate (Machanavajjhala et
+    * al. 2007): a quasi-identifier group can be large (k-anonymous) yet
+    * still leak if every row shares the same SENSITIVE value. Emits the
+    * full audit table — group size and distinct-sensitive-value count per
+    * quasi-identifier combo, with `risky = l_distinct < l` — so the
+    * release gate is `WHERE risky` and the rest of the table documents
+    * the margin.
+    *
+    * Scale shape: one hash aggregation; `count(distinct)` expands to the
+    * standard two-phase distinct-aggregate (grain = distinct (quasi-ids,
+    * sensitive) pairs, bounded by the dictionary product, then group
+    * grain). No joins, no windows. */
+  def lDiversityAudit(df: DataFrame, quasiIds: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("risky", when(col("l_distinct") < l, 1).otherwise(0))
+      .select(quasiIds.map(col) ++
+        Seq(col("group_size"), col("l_distinct"), col("risky")): _*)
+      .orderBy(col("l_distinct").asc +: quasiIds.map(col(_).asc): _*)
+
   /** User-contribution capping — the differential-privacy preprocessing
     * step (and heavy-poster guard): each user's row count toward any
     * group's total is clamped at `cap`, bounding any single user's

@@ -38,6 +38,66 @@ object Sketch {
           .otherwise(expr(s"${estNum}L div kth_min")))
   }
 
+  /** Per-group approximate distinct count via HyperLogLog — the
+    * fully-RELATIONAL formulation: registers are just a second grouping
+    * level, so the whole sketch is two map-side-combined hash aggregates
+    * and Catalyst sees every step.
+    *
+    *   1. hash each value into the md5 family's 32-bit range; bucket =
+    *      top `p` bits, rank = leading zeros of the remaining `32-p` bits
+    *      + 1 (computed EXACTLY via `length(bin(w))` — no float log, so
+    *      the registers are engine-portable integers);
+    *   2. `groupBy(keys, bucket).agg(max(rank))` → the register table at
+    *      (group × ≤2^p) grain;
+    *   3. `groupBy(keys)` folds registers into the estimate. The 2^-M
+    *      terms are exact powers of two spanning < 53 bits, so their sum
+    *      is EXACT in a double and the estimate is deterministic.
+    *
+    * Below 2.5·m the raw estimator biases high and linear counting over
+    * the unhit-register count takes over (the standard correction;
+    * Flajolet et al. 2007). `ln` is the one transcendental in that branch,
+    * so the estimate is rounded to 2 dp for cross-engine stability.
+    *
+    * Scale shape vs [[kmvDistinct]]: KMV's shuffle carries k-long arrays
+    * per (partition, group); HLL's carries one (group, bucket, max-rank)
+    * row per TOUCHED register — at most 2^p integers per group, partial-
+    * aggregated map-side. Both never move the distinct value set; HLL adds
+    * the property that the register table itself is a queryable DataFrame
+    * (mergeable across corpora by a further `max`).
+    *
+    * Output per group: `v_buckets` (registers hit), `max_rank`,
+    * `n_est` (corrected estimate, 2 dp). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p                  // register count
+    val rem = 1L << (32 - p)        // size of the rank-bearing remainder
+    val maxRank = 32 - p + 1        // rank when the remainder is all zeros
+    val alphaM2 = (0.7213 / (1 + 1.079 / m)) * m.toDouble * m.toDouble
+    val h = Dedup.shingleHash(concat(lit("hll:"), col(valueCol).cast("string")))
+    val kcols = groupCols.map(col)
+    val wrem = col("_h") % rem
+    df.select(kcols :+ h.as("_h"): _*)
+      .withColumn("_bucket", shiftright(col("_h"), 32 - p))
+      .withColumn("_rank",
+        when(wrem === 0, lit(maxRank))
+          .otherwise(lit(maxRank) - length(bin(wrem))))
+      .groupBy(kcols :+ col("_bucket"): _*)
+      .agg(max(col("_rank")).as("_m"))
+      .groupBy(kcols: _*)
+      .agg(
+        count(lit(1)).cast("bigint").as("v_buckets"),
+        max(col("_m")).cast("bigint").as("max_rank"),
+        sum(pow(lit(2.0), -col("_m"))).as("_s"))
+      .withColumn("_raw",
+        lit(alphaM2) / ((lit(m.toLong) - col("v_buckets")) + col("_s")))
+      .withColumn("n_est",
+        round(when(col("_raw") <= 2.5 * m && col("v_buckets") < m,
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("v_buckets"))))
+          .otherwise(col("_raw")), 2))
+      .drop("_s", "_raw")
+  }
+
   /** The depth seeded hash positions of a value for the CMS matrix —
     * md5-family arithmetic, identical wherever it is evaluated. */
   def cmsPositions(value: Column, depth: Int, width: Int): Seq[Column] =

@@ -219,6 +219,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) over N retrieval lists —
+    * the standard hybrid-retrieval combiner (lexical BM25 + embedding
+    * cosine) for RAG / eval-set construction: each list contributes
+    * `1/(kRrf + rank)` and documents appearing in several lists float up.
+    *
+    * Input lists are `(name, df)` where df has `idCol` and a 1-based
+    * `rank` column (produce them with [[graft.queries.Serving.ranked]] —
+    * the range-partition + zipWithIndex path, NOT a global window).
+    * Retrieval lists are top-k frames, so every stage here is bounded:
+    * union of N·k rows, one tiny hash agg, TakeOrdered for the cut.
+    *
+    * Output: `(idCol, rrf, <name>_rank...)` with rank 0 = absent from that
+    * list; rrf rounded 6 dp; top `topK` by (rrf DESC, id). */
+  def rrfFusion(lists: Seq[(String, DataFrame)], idCol: String, topK: Int,
+                kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col(idCol), lit(i).as("_l"), col("rank").cast("long").as("_r"))
+    }.reduce(_ unionAll _)
+    val rankCols = lists.zipWithIndex.map { case ((name, _), i) =>
+      coalesce(max(when(col("_l") === i, col("_r"))), lit(0L))
+        .as(s"${name}_rank")
+    }
+    tagged.groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("_r"))), 6).as("rrf"),
+        rankCols: _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** PII patterns for [[piiScrub]] — deliberately conservative,
     * dialect-portable regexes (same semantics under Java regex and RE2,
     * the two engines the oracle parity spans). */

@@ -3391,7 +3391,184 @@ object Registry {
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
         |round(value, 4) AS value
         |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " "))),
+
+    ("j19_max_concurrency",
+      // Sweep-line interval concurrency over the s10 stream sessions: the
+      // step function of how many channels were live at once (peak-
+      // concurrency — the capacity metric the reference's streams table
+      // exists to answer). Distributed prefix sum: t-grain net deltas,
+      // day-bucket carry-ins as bounded driver metadata broadcast back,
+      // per-bucket parallel windows — never a global single-task window.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Overlap.concurrency(
+          graft.operators.Sessionize.sessions(
+            Tables.messages(s, dir).select(col("channel"),
+              timestamp_millis(unix_millis(col("ts"))).as("ts")),
+            Seq("channel"), "ts", 1800000L),
+          "started_at", "ended_at")
+          .orderBy(col("t")),
+      Some("""WITH e AS (SELECT event_type AS channel, epoch_ms(ts) AS t FROM events),
+        |d AS (SELECT channel, t, CASE WHEN t - lag(t) OVER
+        |  (PARTITION BY channel ORDER BY t) >= 1800000 THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT channel, t, sum(ns) OVER (PARTITION BY channel ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d),
+        |sess AS (SELECT channel, min(t) AS started_at, max(t) + 1800000 AS ended_at
+        |  FROM g GROUP BY channel, sid),
+        |deltas AS (SELECT started_at AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT ended_at AS t, -1 AS delta FROM sess),
+        |steps AS (SELECT t, sum(delta) AS net FROM deltas GROUP BY t)
+        |SELECT t, CAST(sum(net) OVER (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+        |FROM steps ORDER BY t""".stripMargin.replace("\n", " "))),
+
+    ("x74_hll_distinct",
+      // HyperLogLog distinct users per (day, event_type) — the relational
+      // sketch: registers are a second grouping level (two map-side-
+      // combined aggs), ranks are exact integers via length(bin(w)), the
+      // 2^-M sums are exact doubles, and the md5 hash family makes every
+      // register engine-portable. Linear counting below 2.5m (the
+      // standard small-range correction).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.hllDistinct(
+          Tables.events(s, dir).select(
+            unix_millis(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"), col("user_id")),
+          Seq("day", "event_type"), "user_id", 8)
+          .orderBy(col("day"), col("event_type")),
+      Some("""WITH h AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day,
+        |event_type,
+        |('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM events),
+        |br AS (SELECT day, event_type, hv // 16777216 AS bucket,
+        |CASE WHEN hv % 16777216 = 0 THEN 25
+        |     ELSE 25 - length(bin(hv % 16777216)) END AS rank FROM h),
+        |reg AS (SELECT day, event_type, bucket, max(rank) AS m FROM br GROUP BY 1, 2, 3),
+        |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS v_buckets,
+        |CAST(max(m) AS BIGINT) AS max_rank, sum(power(2.0, -m)) AS s FROM reg GROUP BY 1, 2),
+        |est AS (SELECT day, event_type, v_buckets, max_rank,
+        |(0.7213 / (1 + 1.079 / 256)) * 65536 / ((256 - v_buckets) + s) AS raw FROM agg)
+        |SELECT day, event_type, v_buckets, max_rank,
+        |round(CASE WHEN raw <= 640 AND v_buckets < 256
+        |  THEN 256 * ln(256.0 / (256 - v_buckets)) ELSE raw END, 2) AS n_est
+        |FROM est ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
+    ("x75_rrf_fusion",
+      // Hybrid retrieval: BM25 top-20 (x45's lexical list) fused with
+      // embedding-cosine top-20 (x3's semantic list, doc_id ≡ vec_id) by
+      // reciprocal-rank fusion, 1/(60+rank) per list. Ranks come from the
+      // range-partition+zipWithIndex path (never a global window); the
+      // fuse itself is a union + one tiny hash agg over ≤ 2k rows.
+      (s: SparkSession, dir: String) => {
+        val lex = Serving.ranked(
+          TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+            Seq("hash", "join", "scan"), 20),
+          "bm25", "doc_id").select(col("doc_id"), col("rank"))
+        val sem = Serving.ranked(
+          Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id",
+            "embedding", 0L, 20).select(col("vec_id").as("doc_id"), col("sim")),
+          "sim", "doc_id").select(col("doc_id"), col("rank"))
+        TextAnalysis.rrfFusion(Seq(("lex", lex), ("sem", sem)), "doc_id", 10)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(len(t)) AS BIGINT) AS total_len,
+        |CAST(sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |CAST(sum(CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |FROM toks),
+        |sc AS (SELECT doc_id,
+        |len(list_filter(t, x -> x = 'hash')) AS tf0,
+        |len(list_filter(t, x -> x = 'join')) AS tf1,
+        |len(list_filter(t, x -> x = 'scan')) AS tf2,
+        |len(t) AS dl, n_docs, total_len, df0, df1, df2 FROM toks, stats),
+        |s2 AS (SELECT doc_id,
+        |ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE))) AS score,
+        |tf0 + tf1 + tf2 AS ntf FROM sc),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+        |FROM s2 WHERE ntf > 0 QUALIFY r <= 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |simt AS (SELECT vec_id,
+        |round(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |  i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a,b) -> a+b)
+        |/ (sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b))
+        |* sqrt(list_reduce(list_transform(generate_series(1, len(qv)),
+        |  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a,b) -> a+b))), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0),
+        |sem AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        |FROM simt QUALIFY r <= 20),
+        |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |round(COALESCE(1.0/(60+lex.r), 0) + COALESCE(1.0/(60+sem.r), 0), 6) AS rrf,
+        |CAST(COALESCE(lex.r, 0) AS BIGINT) AS lex_rank,
+        |CAST(COALESCE(sem.r, 0) AS BIGINT) AS sem_rank
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, rrf, lex_rank, sem_rank FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    ("x76_source_overlap",
+      // Cross-source contamination matrix: pairs of sources sharing an
+      // 8-token prefix fingerprint (template/syndication leakage report).
+      // Fingerprint-grain aggregation → array-local pair expansion
+      // (bounded by the source dictionary) → pair-grain agg; never a
+      // fingerprint self-join.
+      (s: SparkSession, dir: String) =>
+        Dedup.sourceOverlapMatrix(Tables.documents(s, dir),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 8), " "),
+          "source")
+          .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH f AS (SELECT source,
+        |array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+        |  t -> t <> '')[1:8], ' ') AS fp FROM documents),
+        |p AS (SELECT DISTINCT fp, a.source AS src_a, b.source AS src_b
+        |FROM f a JOIN f b USING (fp) WHERE a.source < b.source)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x77_l_diversity",
+      // l-diversity audit over documents: quasi-identifiers (lang,
+      // 200-char size bucket) vs the sensitive `source` — groups whose
+      // sources are too homogeneous (l < 14) leak provenance even when
+      // k-anonymous. Full audit table with the risky flag, one agg.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.lDiversityAudit(
+          Tables.documents(s, dir).select(col("lang"),
+            expr("n_chars div 200").as("size_bucket"), col("source")),
+          Seq("lang", "size_bucket"), "source", 14),
+      Some("""SELECT lang, n_chars // 200 AS size_bucket,
+        |CAST(count(*) AS BIGINT) AS group_size,
+        |CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+        |CAST(count(DISTINCT source) < 14 AS INT) AS risky
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY l_distinct, lang, size_bucket"""
+        .stripMargin.replace("\n", " "))),
+
+    ("s17_stream_kmv",
+      // x32's KMV distinct sketch as STREAMING state over a three-slice
+      // replay: a bottom-k SET is order- and merge-independent, so the
+      // incrementally-streamed sketch equals the one-shot batch sketch
+      // exactly — same oracle SQL shape as x32, windowed by day.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s17")
+        graft.streaming.Streaming.runStreamKmv(s, dir, base + "/kmv", 64)
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day,
+        |event_type,
+        |('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |FROM events),
+        |r AS (SELECT day, event_type, h, row_number() OVER
+        |  (PARTITION BY day, event_type ORDER BY h) AS rn FROM d),
+        |t AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |max(h) AS kth_min FROM r WHERE rn <= 64 GROUP BY 1, 2)
+        |SELECT day, event_type, n_kept, kth_min,
+        |CASE WHEN n_kept < 64 THEN n_kept ELSE 270582939648 // kth_min END AS n_est
+        |FROM t ORDER BY day, event_type""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

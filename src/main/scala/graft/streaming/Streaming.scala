@@ -1261,7 +1261,8 @@ object Streaming {
       val landing = java.nio.file.Files
         .createTempDirectory("graft-evslices").toString
       val ev = graft.Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
       val f = FileSystem.get(new java.net.URI(landing),
         spark.sparkContext.hadoopConfiguration)
       (0 until slices).foreach { i =>
@@ -1275,6 +1276,54 @@ object Streaming {
       landing
     })
 
+  /** Streaming distinct-cardinality sketch: x32's mergeable bottom-k (KMV)
+    * aggregate as STREAMING state — distinct users per (day, event_type)
+    * maintained incrementally across micro-batches. A bottom-k SET is
+    * order- and merge-independent, so the incrementally-streamed sketch
+    * equals the one-shot batch sketch EXACTLY (no re-aggregation drift),
+    * and the oracle is the same SQL as the batch entry.
+    *
+    * Scale shape: state per (day, type) group is one k-long array — the
+    * streaming analog of the batch shuffle carrying sketches, never the
+    * distinct value set; update-mode re-emissions replace-upsert by key. */
+  def runStreamKmv(spark: SparkSession, dir: String, base: String,
+                   k: Int): DataFrame = {
+    val estNum = (k - 1).toLong * 4294967296L // (k-1) · 2^32, exact in i64
+    val bottomK = graft.functions.BottomKSketch.bottomK(k)
+    val sink = new ParquetUpsertSink(s"$base/state", Seq("day", "event_type"),
+      Seq("n_kept", "kth_min", "n_est"), additive = false)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val q = withStatePartitions(spark, 8) { ss =>
+      ss.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        // Slices are event_id-sharded, so each spans the WHOLE time range:
+        // the watermark must lag past the full replay span or slice-2 rows
+        // arrive "late" and are dropped. 45 days > the 31-day corpus keeps
+        // S4 wired (bounded state on an unbounded stream) without dropping.
+        .withWatermark("ts", "45 days")
+        .withColumn("_h", graft.operators.Dedup.shingleHash(
+          concat(lit("kmv:"), col("user_id").cast("string"))))
+        .groupBy(window(col("ts"), "1 day").as("_w"), col("event_type"))
+        .agg(bottomK(col("_h")).as("_sk"))
+        .select(unix_millis(col("_w.start")).as("day"), col("event_type"),
+          size(col("_sk")).cast("bigint").as("n_kept"),
+          element_at(col("_sk"), size(col("_sk"))).as("kth_min"))
+        .withColumn("n_est",
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(expr(s"${estNum}L div kth_min")))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    }
+    q.awaitTermination()
+    sink.state(spark).get
+  }
+
   def runStreamTopK(spark: SparkSession, dir: String, base: String,
                     k: Int): DataFrame = {
     val landing = stagedEventSlices(spark, dir, 3)
@@ -1283,7 +1332,8 @@ object Streaming {
       Seq("event_id", "value"), additive = false)
     val q = withStatePartitions(spark, 8) { ss =>
       ss.readStream
-        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
         .groupBy(col("event_type"))

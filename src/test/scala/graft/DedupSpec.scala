@@ -415,4 +415,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L, 2L)))
   }
+
+  test("sourceOverlapMatrix: pair counts hand-computed, each fp counted once per pair, no self-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fp1 appears in A (twice — must not double count), B, C → pairs
+    // (A,B), (A,C), (B,C). fp2 in A and B → (A,B) again. fp3 only in C →
+    // never expands.
+    val docs = Seq(
+      ("fp1", "A"), ("fp1", "A"), ("fp1", "B"), ("fp1", "C"),
+      ("fp2", "A"), ("fp2", "B"),
+      ("fp3", "C")).toDF("fp", "source")
+    val out = Dedup.sourceOverlapMatrix(docs, col("fp"), "source")
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+    // Partitioning independence.
+    val out7 = Dedup.sourceOverlapMatrix(docs.repartition(7), col("fp"), "source")
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out7.toSeq === out.toSeq)
+  }
 }

@@ -133,6 +133,21 @@ class MaintenanceSpec extends SparkSpec {
       ("v", 4L, 2L, 1L)))
   }
 
+  test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
+    import spark.implicits._
+    // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
+    // one source (risky). Group c: 2 rows, 2 sources (diverse at l=2).
+    val df = Seq(
+      ("a", "s1"), ("a", "s2"), ("a", "s3"),
+      ("b", "s1"), ("b", "s1"), ("b", "s1"),
+      ("c", "s1"), ("c", "s2")).toDF("qid", "src")
+    val out = Maintenance.lDiversityAudit(df, Seq("qid"), "src", 2)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("b", 3L, 1L, 1), ("c", 2L, 2L, 0), ("a", 3L, 3L, 0)))
+  }
+
   test("contributionCap: heavy user clamped, light users untouched") {
     import spark.implicits._
     // User 1 posts 5 times in group g (cap 3 bites), user 2 twice; group h

@@ -122,6 +122,50 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.cmsHeavyHitters(df, "v", 1000L).count() === 0L)
   }
 
+  /** Brute-force HLL register table: per (group, bucket) the max rank,
+    * computed with plain JVM integer ops — the ground truth the relational
+    * formulation must hit bit-for-bit. */
+  private def hllTruth(rows: Seq[(String, Long)], p: Int): Map[(String, Long), Int] = {
+    val rem = 32 - p
+    rows.distinct
+      .map { case (g, v) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hll:$v".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        val bucket = h >>> rem
+        val w = h & ((1L << rem) - 1)
+        val rank = if (w == 0) rem + 1
+        else rem + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        ((g, bucket), rank)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+  }
+
+  test("hllDistinct registers match a JVM brute force; estimate is partitioning-independent and accurate") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("a", i.toLong)) ++
+      (1 to 40).flatMap(i => Seq(("b", i.toLong), ("b", i.toLong))) ++
+      (1 to 2000).map(i => ("c", i.toLong))
+    val df = rows.toDF("g", "v")
+    val hll = Sketch.hllDistinct(df, Seq("g"), "v", 8)
+    // Merge-order independence: any partitioning, same registers/estimate.
+    assertSameRows(Sketch.hllDistinct(df.repartition(17), Seq("g"), "v", 8), hll)
+    // Register summary vs brute force: buckets hit and global max rank.
+    val truth = hllTruth(rows, 8)
+    val byG = hll.collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val regs = truth.collect { case ((gg, _), rk) if gg == g => rk }
+      assert(byG(g).getLong(1) === regs.size.toLong, s"v_buckets($g)")
+      assert(byG(g).getLong(2) === regs.max.toLong, s"max_rank($g)")
+    }
+    // Accuracy: HLL at m=256 has ~6.5% relative error; assert a loose 3σ.
+    for ((g, n) <- Seq(("a", 500.0), ("b", 40.0), ("c", 2000.0))) {
+      val est = byG(g).getDouble(3)
+      assert(math.abs(est - n) / n < 0.25, s"estimate($g)=$est truth=$n")
+    }
+  }
+
   test("percentile_approx at exact accuracy equals the discrete quantile (x63's oracle contract)") {
     import spark.implicits._
     // GK with accuracy >> n stores every value, so the answer must be the

@@ -704,4 +704,24 @@ class StreamingParitySpec extends SparkSpec {
       .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
     assertSameRows(second, batch)
   }
+
+  test("streaming KMV sketch equals the one-shot batch sketch; crash replay is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s17")
+    val streamed = Streaming.runStreamKmv(spark, dir, base + "/kmv", 64)
+    // Batch twin: the x32 aggregate at the same (day, event_type) grain —
+    // a bottom-k SET is merge-order independent, so incremental streaming
+    // over slices must land on EXACTLY the same registers.
+    val batch = graft.operators.Sketch.kmvDistinct(
+      Tables.events(spark, dir).select(
+        unix_millis(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"), col("user_id")),
+      Seq("day", "event_type"), "user_id", 64)
+    assertSameRows(streamed, batch)
+    // Crash between upsert commit and checkpoint commit: replayed batch
+    // must replace-upsert to the identical sketch rows.
+    rollbackLastCommit(base + "/kmv/ckpt")
+    val second = Streaming.runStreamKmv(spark, dir, base + "/kmv", 64)
+    assertSameRows(second, batch)
+  }
 }

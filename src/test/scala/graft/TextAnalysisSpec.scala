@@ -282,6 +282,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"entropy must stay array-local:\n$plan")
   }
 
+  test("rrfFusion: docs in both lists float up; absent list rank is 0; scores hand-computed") {
+    import spark.implicits._
+    // lex top-3: 10, 20, 30; sem top-3: 20, 30, 40. Doc 20 (ranks 2+1)
+    // must beat doc 10 (lex rank 1 only) and doc 30 (ranks 3+2).
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (30L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+    val out = graft.operators.TextAnalysis
+      .rrfFusion(Seq(("lex", lex), ("sem", sem)), "doc_id", 4)
+      .orderBy($"rrf".desc, $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    def rrf(rs: Long*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (20L, rrf(2, 1), 2L, 1L),
+      (30L, rrf(3, 2), 3L, 2L),
+      (10L, rrf(1), 1L, 0L),
+      (40L, rrf(3), 0L, 3L)))
+  }
+
   test("kAnonymityAudit: only sub-k groups emitted, most identifying first") {
     import spark.implicits._
     val df = Seq(
