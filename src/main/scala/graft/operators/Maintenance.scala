@@ -185,6 +185,55 @@ object Maintenance {
       .select(quasiIds.map(col) :+ col("group_size"): _*)
       .orderBy(col("group_size").asc +: quasiIds.map(col(_).asc): _*)
 
+  /** Equal-width histogram per group — the value-distribution profile a
+    * dataset card links per numeric column. Bin width is derived from the
+    * group's own (min, max); the top edge folds into the last bin.
+    *
+    * Scale shape: one group-grain (lo, hi) aggregate broadcast back, then
+    * one (group, bin) aggregate — both map-side combined; the fact table
+    * never joins anything bigger than the group dictionary. Only bins
+    * that occur are emitted (sparse form). */
+  def histogram(df: DataFrame, keys: Seq[String], valueCol: String,
+                bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val kcols = keys.map(col)
+    val ranges = df.groupBy(kcols: _*)
+      .agg(min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / bins
+    val bin = when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(least(floor((col(valueCol) - col("_lo")) / width),
+        lit((bins - 1).toLong)))
+    df.join(broadcast(ranges), keys)
+      .select(kcols :+ bin.cast("bigint").as("bin"): _*)
+      .groupBy(kcols :+ col("bin"): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+  }
+
+  /** Quantile drift between two corpus snapshots — the distribution-shift
+    * gate run before accepting a regenerated dataset: exact discrete
+    * quantiles of each side (percentile_approx at exact accuracy — the
+    * x63 oracle contract) compared per probability. A fat `delta` at one
+    * tail is the classic signature of a truncation or unit change the
+    * mean never shows.
+    *
+    * Scale shape: each side folds to ONE quantile-sketch row (map-side
+    * combined GK buffers); the compare is a driver-grain 1×1 join
+    * exploded to |ps| rows. */
+  def quantileDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+                    ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one probability")
+    val psArr = ps.map(_.toString).mkString("array(", ", ", ")")
+    def qs(df: DataFrame, out: String) = df.agg(
+      expr(s"percentile_approx($valueCol, $psArr, 1000000)").as(out))
+    qs(oldDf, "_qo").crossJoin(broadcast(qs(newDf, "_qn")))
+      .select(posexplode(typedLit(ps)).as(Seq("_i", "p")),
+        col("_qo"), col("_qn"))
+      .select(col("p"),
+        element_at(col("_qo"), col("_i") + 1).as("v_old"),
+        element_at(col("_qn"), col("_i") + 1).as("v_new"))
+      .withColumn("delta", col("v_new") - col("v_old"))
+  }
+
   /** l-diversity audit — k-anonymity's companion gate (Machanavajjhala et
     * al. 2007): a quasi-identifier group can be large (k-anonymous) yet
     * still leak if every row shares the same SENSITIVE value. Emits the

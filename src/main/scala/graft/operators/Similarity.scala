@@ -491,6 +491,36 @@ object Similarity {
         round(array_max(col("_sims")), 6).as("sim"))
   }
 
+  /** Per-label embedding compactness — the label-quality report run before
+    * trusting a labeled corpus: each label's centroid (rounded 6 dp and
+    * float-quantized, same determinism discipline as [[kMeansTrain]]),
+    * then the distribution of member-to-own-centroid cosine. Tight labels
+    * score near their intra-class ceiling; a low `min_cos` names the
+    * label with intruders (x54 then finds WHICH vectors).
+    *
+    * Scale shape: one (label × dim)-grain aggregate collected as bounded
+    * driver metadata, shipped back as ONE map literal — the scoring pass
+    * is a zero-join, codegen projection; the only other shuffle is the
+    * label-grain summary. */
+  def labelCompactness(embeddings: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val cents = embeddings
+      .select(col(labelCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(col("_lbl"), col("_p"))
+      .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_c"))
+      .collect() // bounded driver metadata: labels × dims rows
+    val byLbl: Map[Int, Seq[Float]] = cents.groupBy(_.getInt(0)).map {
+      case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+    }
+    embeddings
+      .withColumn("_sim",
+        round(cosine(col(vecCol), element_at(typedLit(byLbl), col(labelCol))), 6))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(avg(col("_sim")), 4).as("mean_cos"),
+        round(min(col("_sim")), 4).as("min_cos"))
+  }
+
   def standardizeEmbeddings(embeddings: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     val dims = embeddings

@@ -68,12 +68,20 @@ object Sketch {
     * Output per group: `v_buckets` (registers hit), `max_rank`,
     * `n_est` (corrected estimate, 2 dp). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The HLL register TABLE at (group × touched-bucket) grain —
+    * `(groupCols..., _bucket, _m)` with `_m` the max observed rank. This
+    * is the sketch's persistable, MERGEABLE form: `max` is associative
+    * and idempotent, so register tables from any corpus split combine via
+    * [[hllMergeRegisters]] into exactly the one-shot table — the property
+    * the incremental-maintenance path rides. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
-    val m = 1 << p                  // register count
     val rem = 1L << (32 - p)        // size of the rank-bearing remainder
     val maxRank = 32 - p + 1        // rank when the remainder is all zeros
-    val alphaM2 = (0.7213 / (1 + 1.079 / m)) * m.toDouble * m.toDouble
     val h = Dedup.shingleHash(concat(lit("hll:"), col(valueCol).cast("string")))
     val kcols = groupCols.map(col)
     val wrem = col("_h") % rem
@@ -84,7 +92,26 @@ object Sketch {
           .otherwise(lit(maxRank) - length(bin(wrem))))
       .groupBy(kcols :+ col("_bucket"): _*)
       .agg(max(col("_rank")).as("_m"))
-      .groupBy(kcols: _*)
+  }
+
+  /** Merge two register tables (same grouping + `p`): union + max per
+    * (group, bucket). The scale point of sketch maintenance: a new batch
+    * merges at REGISTER grain (≤ 2^p rows per group), never re-reading
+    * the corpus the existing table summarizes. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame,
+                        groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
+      .agg(max(col("_m")).as("_m"))
+
+  /** Fold a register table into per-group estimates (see [[hllDistinct]]
+    * for the arithmetic-portability argument). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int): DataFrame = {
+    val m = 1 << p
+    val alphaM2 = (0.7213 / (1 + 1.079 / m)) * m.toDouble * m.toDouble
+    registers
+      .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).cast("bigint").as("v_buckets"),
         max(col("_m")).cast("bigint").as("max_rank"),

@@ -219,6 +219,26 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-driven stopword discovery: tokens whose DOCUMENT frequency
+    * exceeds `minDocFrac` of the corpus — the data-dependent stoplist a
+    * retrieval/TF-IDF pipeline builds before indexing (vs x52's fixed
+    * external vocabulary). Per-doc distinct tokens (array-local) → one
+    * map-side-combined token-grain agg → broadcast scalar doc count; the
+    * output is vocabulary-grain, bounded by the dictionary not the corpus.
+    * Output: (tok, df, doc_frac) for df/n_docs >= minDocFrac. */
+  def stopwordDiscovery(docs: DataFrame, textCol: String,
+                        minDocFrac: Double): DataFrame = {
+    val tokDf = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    tokDf.crossJoin(broadcast(nDocs))
+      .withColumn("doc_frac", round(col("df") * lit(1.0) / col("_n"), 4))
+      .filter(col("df") * lit(1.0) / col("_n") >= minDocFrac)
+      .select(col("tok"), col("df"), col("doc_frac"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) over N retrieval lists —
     * the standard hybrid-retrieval combiner (lexical BM25 + embedding
     * cosine) for RAG / eval-set construction: each list contributes

@@ -3548,6 +3548,180 @@ object Registry {
         |ORDER BY l_distinct, lang, size_bucket"""
         .stripMargin.replace("\n", " "))),
 
+    ("x78_stopword_discovery",
+      // Corpus-driven stoplist: tokens document-frequent in >= 40% of
+      // docs (vs x52's FIXED external vocabulary). Vocabulary-grain agg +
+      // broadcast scalar doc count.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.stopwordDiscovery(Tables.documents(s, dir), "text", 0.4)
+          .orderBy(col("df").desc, col("tok")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |  t -> t <> ''))) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok)
+        |SELECT tok, df, round(df * 1.0 / n_docs, 4) AS doc_frac
+        |FROM d, n WHERE df * 1.0 / n_docs >= 0.4
+        |ORDER BY df DESC, tok""".stripMargin.replace("\n", " "))),
+
+    ("j20_weighted_median",
+      // Exact weighted median of line price weighted by quantity per
+      // return flag: one exchange serves both windows (running cumsum +
+      // group total), filter + min — the robust-center statistic under
+      // price skew.
+      (s: SparkSession, dir: String) =>
+        Serving.weightedMedian(
+          Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("v"), col("l_quantity").as("wt")),
+          Seq("flag"), "v", "wt")
+          .orderBy(col("flag")),
+      Some("""WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |l_quantity AS wt FROM lineitem),
+        |c AS (SELECT flag, v, wt,
+        |sum(wt) OVER (PARTITION BY flag ORDER BY v, wt
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |sum(wt) OVER (PARTITION BY flag) AS tw FROM w)
+        |SELECT flag, round(min(v), 2) AS wmedian FROM c
+        |WHERE cw >= tw / 2 GROUP BY flag ORDER BY flag"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x79_incremental_hll",
+      // Incremental sketch maintenance (the x33 discipline applied to
+      // x74): a 10% hash slice of events plays the "new batch", the rest
+      // the summarized corpus; each side's HLL register TABLE is built
+      // independently and merged at register grain (max is associative
+      // and idempotent) — the estimate must equal the one-shot x74
+      // exactly, which is what the shared oracle asserts.
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          unix_millis(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"), col("user_id"))
+        val b = graft.operators.Sampling.hashBucket(col("event_id"), "ihll", 100)
+        val keys = Seq("day", "event_type")
+        val merged = graft.operators.Sketch.hllMergeRegisters(
+          graft.operators.Sketch.hllRegisters(ev.filter(b >= 10), keys, "user_id", 8),
+          graft.operators.Sketch.hllRegisters(ev.filter(b < 10), keys, "user_id", 8),
+          keys)
+        graft.operators.Sketch.hllEstimate(merged, keys, 8)
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day,
+        |event_type,
+        |('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM events),
+        |br AS (SELECT day, event_type, hv // 16777216 AS bucket,
+        |CASE WHEN hv % 16777216 = 0 THEN 25
+        |     ELSE 25 - length(bin(hv % 16777216)) END AS rank FROM h),
+        |reg AS (SELECT day, event_type, bucket, max(rank) AS m FROM br GROUP BY 1, 2, 3),
+        |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS v_buckets,
+        |CAST(max(m) AS BIGINT) AS max_rank, sum(power(2.0, -m)) AS s FROM reg GROUP BY 1, 2),
+        |est AS (SELECT day, event_type, v_buckets, max_rank,
+        |(0.7213 / (1 + 1.079 / 256)) * 65536 / ((256 - v_buckets) + s) AS raw FROM agg)
+        |SELECT day, event_type, v_buckets, max_rank,
+        |round(CASE WHEN raw <= 640 AND v_buckets < 256
+        |  THEN 256 * ln(256.0 / (256 - v_buckets)) ELSE raw END, 2) AS n_est
+        |FROM est ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
+    ("x80_histogram",
+      // Equal-width value histogram per event type (20 bins, sparse form)
+      // — the dataset-card distribution profile. Group-grain (lo, hi)
+      // broadcast back + one (group, bin) agg.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.histogram(
+          Tables.events(s, dir).select(col("event_type"), col("value")),
+          Seq("event_type"), "value", 20)
+          .orderBy(col("event_type"), col("bin")),
+      Some("""WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1),
+        |h AS (SELECT e.event_type,
+        |CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT) AS bin
+        |FROM events e JOIN b USING (event_type))
+        |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY event_type, bin"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x81_quantile_drift",
+      // Distribution-shift gate between corpus snapshots (x46's old/new
+      // convention): exact discrete quantiles per side — one GK-sketch
+      // aggregate each — compared per probability. A tail-heavy delta is
+      // the truncation/unit-change signature the mean never shows.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Maintenance.quantileDrift(
+          docs.filter(col("doc_id") % 7 =!= 0).select(col("n_chars")),
+          docs.filter(col("doc_id") % 13 =!= 0).select(col("n_chars")),
+          "n_chars", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+          .orderBy(col("p"))
+      },
+      Some("""WITH o AS (SELECT quantile_disc(n_chars,
+        |  [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+        |FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT quantile_disc(n_chars,
+        |  [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+        |FROM documents WHERE doc_id % 13 <> 0),
+        |p AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p,
+        |generate_subscripts([0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 1) AS i)
+        |SELECT p.p, CAST(o.v[p.i] AS BIGINT) AS v_old,
+        |CAST(n.v[p.i] AS BIGINT) AS v_new,
+        |CAST(n.v[p.i] - o.v[p.i] AS BIGINT) AS delta
+        |FROM p, o, n ORDER BY p.p""".stripMargin.replace("\n", " "))),
+
+    ("x82_label_compactness",
+      // Label-quality report: per-label centroid (6 dp float-quantized,
+      // the kMeans determinism discipline) and the member-to-centroid
+      // cosine distribution — a low min_cos names the label with
+      // intruders (x54 then finds which vectors). Zero-join scoring pass
+      // against one broadcast map literal.
+      (s: SparkSession, dir: String) =>
+        Similarity.labelCompactness(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label")
+          .orderBy(col("label")),
+      Some("""WITH dims AS (SELECT label, i,
+        |CAST(CAST(round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS REAL) AS DOUBLE) AS c
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY label, i),
+        |cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |round(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |  i -> CAST(embedding[i] AS DOUBLE) * cv[i]), (a,b) -> a+b)
+        |/ (sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b))
+        |* sqrt(list_reduce(list_transform(generate_series(1, len(cv)),
+        |  i -> cv[i] * cv[i]), (a,b) -> a+b))), 6) AS sim
+        |FROM embeddings e JOIN cent USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(sim), 4) AS mean_cos, round(min(sim), 4) AS min_cos
+        |FROM s GROUP BY label ORDER BY label"""
+        .stripMargin.replace("\n", " "))),
+
+    ("s18_stream_hll",
+      // x74's HLL under Structured Streaming: the register table IS the
+      // state (one monotone max aggregate at (day, type, bucket) grain),
+      // replace-upserted per micro-batch; the estimate folds at read
+      // time. Must equal the one-shot batch sketch exactly — shared
+      // oracle with x74.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s18")
+        graft.streaming.Streaming.runStreamHll(s, dir, base + "/hll", 8)
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day,
+        |event_type,
+        |('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM events),
+        |br AS (SELECT day, event_type, hv // 16777216 AS bucket,
+        |CASE WHEN hv % 16777216 = 0 THEN 25
+        |     ELSE 25 - length(bin(hv % 16777216)) END AS rank FROM h),
+        |reg AS (SELECT day, event_type, bucket, max(rank) AS m FROM br GROUP BY 1, 2, 3),
+        |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS v_buckets,
+        |CAST(max(m) AS BIGINT) AS max_rank, sum(power(2.0, -m)) AS s FROM reg GROUP BY 1, 2),
+        |est AS (SELECT day, event_type, v_buckets, max_rank,
+        |(0.7213 / (1 + 1.079 / 256)) * 65536 / ((256 - v_buckets) + s) AS raw FROM agg)
+        |SELECT day, event_type, v_buckets, max_rank,
+        |round(CASE WHEN raw <= 640 AND v_buckets < 256
+        |  THEN 256 * ln(256.0 / (256 - v_buckets)) ELSE raw END, 2) AS n_est
+        |FROM est ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
     ("s17_stream_kmv",
       // x32's KMV distinct sketch as STREAMING state over a three-slice
       // replay: a bottom-k SET is order- and merge-independent, so the

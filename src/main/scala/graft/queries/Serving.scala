@@ -101,6 +101,30 @@ object Serving {
 
   /** Q15: MAX-per-group with share-of-total percentage vs SUM(MAX(..))
     * (MainController.php:335-361, 496-507). */
+  /** Exact weighted median per group: the smallest value whose running
+    * weight reaches half the group's total (lower weighted median — the
+    * robust-center statistic mean-based summaries misreport under skew).
+    *
+    * Scale shape: ONE exchange on the group key serves both windows (the
+    * running cumsum and the per-group total share the partitioning), then
+    * a filter + min-aggregate. Per-group windows run in parallel; no
+    * global sort, no single-partition funnel. Tie-safety: rows of equal
+    * value collapse through `min(value)`, so intra-tie cumsum order can
+    * never change the answer. */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val run = Window.partitionBy(kcols: _*)
+      .orderBy(col(valueCol).asc, col(weightCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(kcols: _*)
+    df.withColumn("_cw", sum(col(weightCol)).over(run))
+      .withColumn("_tw", sum(col(weightCol)).over(tot))
+      .filter(col("_cw") >= col("_tw") / 2)
+      .groupBy(kcols: _*)
+      .agg(round(min(col(valueCol)), 2).as("wmedian"))
+  }
+
   def maxPerGroupWithShare(stats: DataFrame, key: String, valueCol: String): DataFrame = {
     // The share denominator is a single scalar; an empty-partition window
     // (`sum().over(Window.partitionBy())`) would drag every row into one

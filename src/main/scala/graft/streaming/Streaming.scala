@@ -1324,6 +1324,50 @@ object Streaming {
     sink.state(spark).get
   }
 
+  /** Streaming HLL register maintenance: x74's relational sketch under
+    * Structured Streaming — the register table IS the streaming state
+    * (one stateful `max` aggregate at (day, type, bucket) grain, ≤ 2^p
+    * rows per group), update-mode re-emissions replace-upsert registers,
+    * and the ESTIMATE is folded at read time from the maintained table.
+    * `max` is monotone, so replace-upsert converges to the one-shot
+    * registers regardless of how the replay slices. */
+  def runStreamHll(spark: SparkSession, dir: String, base: String,
+                   p: Int): DataFrame = {
+    val landing = stagedEventSlices(spark, dir, 3)
+    val rem = 1L << (32 - p)
+    val maxRank = 32 - p + 1
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("day", "event_type", "_bucket"), Seq("_m"), additive = false)
+    val q = withStatePartitions(spark, 8) { ss =>
+      val wrem = col("_h") % rem
+      ss.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "45 days") // see runStreamKmv: slices span the corpus
+        .withColumn("_h", graft.operators.Dedup.shingleHash(
+          concat(lit("hll:"), col("user_id").cast("string"))))
+        .withColumn("_bucket", shiftright(col("_h"), 32 - p))
+        .withColumn("_rank",
+          when(wrem === 0, lit(maxRank))
+            .otherwise(lit(maxRank) - length(bin(wrem))))
+        .groupBy(window(col("ts"), "1 day").as("_w"), col("event_type"),
+          col("_bucket"))
+        .agg(max(col("_rank")).as("_m"))
+        .select(unix_millis(col("_w.start")).as("day"), col("event_type"),
+          col("_bucket"), col("_m"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    }
+    q.awaitTermination()
+    graft.operators.Sketch.hllEstimate(
+      sink.state(spark).get, Seq("day", "event_type"), p)
+  }
+
   def runStreamTopK(spark: SparkSession, dir: String, base: String,
                     k: Int): DataFrame = {
     val landing = stagedEventSlices(spark, dir, 3)

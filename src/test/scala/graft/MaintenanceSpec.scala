@@ -133,6 +133,32 @@ class MaintenanceSpec extends SparkSpec {
       ("v", 4L, 2L, 1L)))
   }
 
+  test("histogram: hand-computed bins, top edge folds into last bin, degenerate group maps to bin 0") {
+    import spark.implicits._
+    // Group a spans [0, 10] with 2 bins (width 5): values 0,4.9 → bin 0;
+    // 5,9,10 → bin 1 (10 is the top edge, folded). Group b is constant.
+    val df = Seq(
+      ("a", 0.0), ("a", 4.9), ("a", 5.0), ("a", 9.0), ("a", 10.0),
+      ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val out = Maintenance.histogram(df, Seq("g"), "v", 2)
+      .orderBy($"g", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 0L, 2L), ("a", 1L, 3L), ("b", 0L, 2L)))
+    // Bin counts always cover every row.
+    assert(out.map(_._3).sum === 7L)
+  }
+
+  test("quantileDrift: exact discrete quantiles per side, deltas signed") {
+    import spark.implicits._
+    val oldDf = (1L to 100L).toDF("v")
+    val newDf = (1L to 100L).map(_ + 10L).toDF("v") // uniform +10 shift
+    val out = Maintenance.quantileDrift(oldDf, newDf, "v", Seq(0.5, 0.9))
+      .orderBy($"p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Discrete quantile of 1..100 at p = ceil(p*n): 50, 90.
+    assert(out.toSeq === Seq((0.5, 50L, 60L, 10L), (0.9, 90L, 100L, 10L)))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all

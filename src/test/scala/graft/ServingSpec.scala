@@ -63,4 +63,28 @@ class ServingSpec extends SparkSpec {
       Seq(("a", 50L), ("b", 20L))).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 === 1, s"one Exchange:\n$plan")
   }
+
+  test("weightedMedian: hand-computed under skewed weights; both windows share one Exchange") {
+    import spark.implicits._
+    // Group a: values 1,2,3 with weights 1,1,10 → half of 12 is 6, first
+    // value whose running weight reaches 6 is 3 (weight dominates).
+    // Group b: 10,20 with weights 1,1 → cum hits 1 >= 2/2=1 at 10 (lower
+    // median). Group c: single row.
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+      ("b", 10.0, 1.0), ("b", 20.0, 1.0),
+      ("c", 7.0, 5.0)).toDF("g", "v", "w")
+    val out = Serving.weightedMedian(df, Seq("g"), "v", "w")
+      .orderBy($"g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq === Seq(("a", 3.0), ("b", 10.0), ("c", 7.0)))
+    // Unweighted degenerates to the lower median.
+    val unif = Seq(("u", 1.0, 1.0), ("u", 2.0, 1.0), ("u", 3.0, 1.0),
+      ("u", 4.0, 1.0)).toDF("g", "v", "w")
+    val med = Serving.weightedMedian(unif, Seq("g"), "v", "w").head().getDouble(1)
+    assert(med === 2.0)
+    // Plan: the cumsum window and the total window reuse one Exchange.
+    val plan = Serving.weightedMedian(df, Seq("g"), "v", "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, s"one Exchange:\n$plan")
+  }
 }

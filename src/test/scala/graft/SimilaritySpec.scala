@@ -258,4 +258,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(again === first)
   }
+
+  test("labelCompactness: tight label outscores the label with a planted intruder") {
+    import spark.implicits._
+    // Label 0: three near-identical x-direction vectors. Label 1: two
+    // y-direction vectors plus one x-direction intruder — its min_cos
+    // must trail label 0's, and the intruder drags mean_cos down.
+    val vecs = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)), (1L, 0, Seq(0.99f, 0.01f)),
+      (2L, 0, Seq(1.01f, -0.01f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.02f, 0.98f)),
+      (5L, 1, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCompactness(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0)._1 === 3L && out(1)._1 === 3L)
+    assert(out(0)._3 > 0.999, s"tight label min_cos ${out(0)._3}")
+    assert(out(1)._3 < 0.9, s"intruder label min_cos ${out(1)._3}")
+    assert(out(0)._2 > out(1)._2, "tight label has higher mean")
+  }
 }

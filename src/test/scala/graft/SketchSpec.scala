@@ -166,6 +166,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll register merge: any corpus split merges to the one-shot table (max associativity)") {
+    import spark.implicits._
+    val rows = (1 to 800).map(i => ("g", (i % 300).toLong))
+    val df = rows.toDF("g", "v")
+    val oneShot = Sketch.hllDistinct(df, Seq("g"), "v", 8)
+    // Three different split points, including an empty side.
+    for (cut <- Seq(0, 113, 800)) {
+      val (a, b) = (df.filter(col("v") < cut), df.filter(col("v") >= cut))
+      val merged = Sketch.hllEstimate(
+        Sketch.hllMergeRegisters(
+          Sketch.hllRegisters(a, Seq("g"), "v", 8),
+          Sketch.hllRegisters(b, Seq("g"), "v", 8), Seq("g")),
+        Seq("g"), 8)
+      assertSameRows(merged, oneShot)
+    }
+    // Idempotence: merging a table with itself changes nothing.
+    val regs = Sketch.hllRegisters(df, Seq("g"), "v", 8)
+    assertSameRows(
+      Sketch.hllEstimate(Sketch.hllMergeRegisters(regs, regs, Seq("g")), Seq("g"), 8),
+      oneShot)
+  }
+
   test("percentile_approx at exact accuracy equals the discrete quantile (x63's oracle contract)") {
     import spark.implicits._
     // GK with accuracy >> n stores every value, so the answer must be the

@@ -724,4 +724,19 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamKmv(spark, dir, base + "/kmv", 64)
     assertSameRows(second, batch)
   }
+
+  test("streaming HLL registers converge to the one-shot batch sketch; crash replay is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s18")
+    val streamed = Streaming.runStreamHll(spark, dir, base + "/hll", 8)
+    val batch = graft.operators.Sketch.hllDistinct(
+      Tables.events(spark, dir).select(
+        unix_millis(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"), col("user_id")),
+      Seq("day", "event_type"), "user_id", 8)
+    assertSameRows(streamed, batch)
+    rollbackLastCommit(base + "/hll/ckpt")
+    val second = Streaming.runStreamHll(spark, dir, base + "/hll", 8)
+    assertSameRows(second, batch)
+  }
 }

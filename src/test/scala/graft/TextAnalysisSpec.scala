@@ -282,6 +282,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"entropy must stay array-local:\n$plan")
   }
 
+  test("stopwordDiscovery: DF threshold, within-doc repeats count once") {
+    import spark.implicits._
+    // "the" in 3/4 docs (repeated in doc 1 — counts once), "cat" in 2/4
+    // (exactly on the inclusive threshold), "rare" in 1/4 (dropped).
+    val docs = Seq(
+      (1L, "the the cat"), (2L, "the dog"), (3L, "the bird"),
+      (4L, "rare cat")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .stopwordDiscovery(docs, "text", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq.sorted === Seq(("cat", 2L, 0.5), ("the", 3L, 0.75)))
+    // Boundary inclusive: at 0.25 every token qualifies (dog/bird/rare
+    // sit exactly on the threshold).
+    val out2 = graft.operators.TextAnalysis
+      .stopwordDiscovery(docs, "text", 0.25).count()
+    assert(out2 === 5L)
+  }
+
   test("rrfFusion: docs in both lists float up; absent list rank is 0; scores hand-computed") {
     import spark.implicits._
     // lex top-3: 10, 20, 30; sem top-3: 20, 30, 40. Doc 20 (ranks 2+1)
