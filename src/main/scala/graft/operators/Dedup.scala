@@ -1032,18 +1032,34 @@ object Dedup {
     *
     * Output: `(src_a, src_b, shared_fps)` with src_a < src_b. */
   def sourceOverlapMatrix(docs: DataFrame, fingerprint: Column,
-                          sourceCol: String): DataFrame = {
-    val srcs = col("_srcs")
-    docs.select(fingerprint.as("_fp"), col(sourceCol).as("_src"))
-      .groupBy(col("_fp"))
-      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
-      .filter(size(srcs) > 1)
-      .select(explode(flatten(transform(srcs, (a, i) =>
-        transform(slice(srcs, i + lit(2), size(srcs)), b =>
+                          sourceCol: String): DataFrame =
+    sharedKeyPairCounts(docs, fingerprint, col(sourceCol), Int.MaxValue)
+      .select(col("id_a").as("src_a"), col("id_b").as("src_b"),
+        col("n_shared").as("shared_fps"))
+
+  /** The shared-key pair counter both overlap reports ride: members
+    * sharing a key pair up (unordered, a < b), counted per pair across
+    * keys. Keys held by more than `maxMembers` members are DROPPED first
+    * — the boilerplate guard that bounds the quadratic expansion (a key
+    * in m members yields m·(m-1)/2 pairs; super-common keys carry no
+    * dedup signal and would dominate the output).
+    *
+    * Scale shape: one aggregation to (key → sorted distinct member set),
+    * pairs expanded ARRAY-LOCALLY with transform × slice (never a
+    * self-join), one pair-grain agg. */
+  def sharedKeyPairCounts(df: DataFrame, keyCol: Column, memberCol: Column,
+                          maxMembers: Int): DataFrame = {
+    val mbrs = col("_mbrs")
+    df.select(keyCol.as("_k"), memberCol.as("_mbr"))
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_set(col("_mbr"))).as("_mbrs"))
+      .filter(size(mbrs) > 1 && size(mbrs) <= maxMembers)
+      .select(explode(flatten(transform(mbrs, (a, i) =>
+        transform(slice(mbrs, i + lit(2), size(mbrs)), b =>
           struct(a.as("a"), b.as("b")))))).as("_p"))
-      .select(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).cast("bigint").as("shared_fps"))
+      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
   }
 
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,

@@ -131,6 +131,26 @@ object Multimodal {
           (col("_c.e") - col("_c.s") + 1).cast("int"))).as("chunk_hash"))
   }
 
+  /** Binary near-duplicate pairs via SHARED CDC CHUNKS — the acting half
+    * of m3's chunk index: two payloads that share `minShared`+ distinct
+    * content-defined chunks overlap materially even when byte offsets
+    * shift (m2's fixed-stride frames only catch aligned content). Chunks
+    * held by more than `maxMediaPerChunk` payloads are dropped first —
+    * boilerplate chunks carry no pairing signal and would expand
+    * quadratically ([[Dedup.sharedKeyPairCounts]] has the scale
+    * argument).
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b, n_shared >=
+    * minShared distinct shared chunks. */
+  def chunkNearDupPairs(media: DataFrame, windowBytes: Int,
+                        boundaryHexPrefix: String, maxMediaPerChunk: Int,
+                        minShared: Long): DataFrame =
+    Dedup.sharedKeyPairCounts(
+      contentDefinedChunks(media, windowBytes, boundaryHexPrefix)
+        .select(col("chunk_hash"), col("media_id")),
+      col("chunk_hash"), col("media_id"), maxMediaPerChunk)
+      .filter(col("n_shared") >= minShared)
+
   def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
     media
       .select(col("media_id"), col("media"),

@@ -3622,6 +3622,56 @@ object Registry {
         |  THEN 256 * ln(256.0 / (256 - v_buckets)) ELSE raw END, 2) AS n_est
         |FROM est ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
 
+    ("j21_mad",
+      // Robust spread per event type: median absolute deviation — the
+      // outlier-immune stddev (q16's robust sibling). Two sketch
+      // aggregates + one broadcast of the group-grain median table.
+      (s: SparkSession, dir: String) =>
+        Serving.medianAbsoluteDeviation(
+          Tables.events(s, dir).select(col("event_type"), col("value")),
+          Seq("event_type"), "value")
+          .orderBy(col("event_type")),
+      Some("""WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS m
+        |FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, med.m, abs(e.value - med.m) AS d
+        |FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, round(any_value(m), 4) AS median,
+        |round(quantile_disc(d, 0.5), 4) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, median, mad FROM mad ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("m4_chunk_neardup",
+      // Binary near-dup pairs from m3's CDC chunk index: payload pairs
+      // sharing >= 3 distinct content-defined chunks, boilerplate chunks
+      // (> 20 holders) dropped before the capped array-local pair
+      // expansion — never a chunk self-join.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.chunkNearDupPairs(
+          graft.operators.Multimodal.mediaFromDocuments(
+            Tables.documents(s, dir)), 8, "0", 20, 3L)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+        |cuts AS (SELECT media_id, text, len,
+        |CASE WHEN len >= 8 THEN list_filter(generate_series(1, len - 7),
+        |p -> md5(substr(text, CAST(p AS INT), 8)) LIKE '0%')
+        |ELSE CAST([] AS BIGINT[]) END AS cs FROM m WHERE len >= 1),
+        |spans AS (SELECT media_id, text, len,
+        |list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
+        |list_append(cs, CAST(len AS BIGINT)) AS ends FROM cuts),
+        |ch AS (SELECT DISTINCT media_id,
+        |unnest(list_transform(generate_series(1, len(starts)),
+        |i -> md5(substr(text, CAST(starts[CAST(i AS INT)] AS INT),
+        |CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT))))) AS h
+        |FROM spans),
+        |freq AS (SELECT h, count(*) AS nm FROM ch GROUP BY h),
+        |rare AS (SELECT ch.media_id, ch.h FROM ch JOIN freq USING (h)
+        |WHERE freq.nm <= 20 AND freq.nm > 1),
+        |pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+        |FROM rare a JOIN rare b ON a.h = b.h AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"""
+        .stripMargin.replace("\n", " "))),
+
     ("x80_histogram",
       // Equal-width value histogram per event type (20 bins, sparse form)
       // — the dataset-card distribution profile. Group-grain (lo, hi)

@@ -101,6 +101,26 @@ object Serving {
 
   /** Q15: MAX-per-group with share-of-total percentage vs SUM(MAX(..))
     * (MainController.php:335-361, 496-507). */
+  /** Median absolute deviation per group — the robust spread statistic
+    * (stddev's outlier-immune sibling, the backbone of robust z-scores):
+    * `median(|x - median(x)|)`. Exact discrete medians via
+    * percentile_approx at exact accuracy (the x63 oracle contract).
+    *
+    * Scale shape: two passes, each ONE map-side-combined sketch
+    * aggregate; the group-grain median table broadcasts back (dimension
+    * grain, never the fact table). */
+  def medianAbsoluteDeviation(df: DataFrame, keys: Seq[String],
+                              valueCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val med = df.groupBy(kcols: _*)
+      .agg(expr(s"percentile_approx($valueCol, 0.5, 1000000)").as("_med"))
+    df.join(broadcast(med), keys)
+      .withColumn("_d", abs(col(valueCol) - col("_med")))
+      .groupBy(kcols: _*)
+      .agg(round(first(col("_med")), 4).as("median"),
+        round(expr("percentile_approx(_d, 0.5, 1000000)"), 4).as("mad"))
+  }
+
   /** Exact weighted median per group: the smallest value whose running
     * weight reaches half the group's total (lower weighted median — the
     * robust-center statistic mean-based summaries misreport under skew).

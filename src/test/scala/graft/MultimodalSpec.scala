@@ -83,4 +83,17 @@ class MultimodalSpec extends SparkSpec {
       .map { case (id, rs) => id -> rs.map(_.getString(4)).toSet }
     assert((frames(1L) & frames(2L)).isEmpty)
   }
+
+  test("chunkNearDupPairs: shifted twin pairs up; unrelated payload pairs with nothing; boilerplate cap silences a flood") {
+    val shared = (1 to 80).map(i => s"tok$i unit").mkString(" ")
+    val df = media(
+      (1L, shared),
+      (2L, "PREFIX-SHIFTS-EVERYTHING " + shared), // near-dup of 1
+      (3L, (1 to 80).map(i => s"other$i thing").mkString(" ")))
+    val pairs = Multimodal.chunkNearDupPairs(df, 8, "0", 20, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // With the cap at 1, every shared chunk is "boilerplate" → no pairs.
+    assert(Multimodal.chunkNearDupPairs(df, 8, "0", 1, 1L).count() === 0L)
+  }
 }

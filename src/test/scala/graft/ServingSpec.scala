@@ -64,6 +64,19 @@ class ServingSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 === 1, s"one Exchange:\n$plan")
   }
 
+  test("medianAbsoluteDeviation: hand-computed; outlier moves mean-family stats but not MAD") {
+    import spark.implicits._
+    // Group a: 1..9 → median 5, |x-5| = 4,3,2,1,0,1,2,3,4 → MAD 2.
+    // Group b: same but 9 replaced by 1000 — median 5 (discrete, ceil(4.5)=5th
+    // of sorted 1..8,1000), MAD still 2: the outlier is invisible.
+    val rows = (1 to 9).map(i => ("a", i.toDouble)) ++
+      ((1 to 8).map(i => ("b", i.toDouble)) :+ (("b", 1000.0)))
+    val out = Serving.medianAbsoluteDeviation(rows.toDF("g", "v"), Seq("g"), "v")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 5.0, 2.0), ("b", 5.0, 2.0)))
+  }
+
   test("weightedMedian: hand-computed under skewed weights; both windows share one Exchange") {
     import spark.implicits._
     // Group a: values 1,2,3 with weights 1,1,10 → half of 12 is 6, first
