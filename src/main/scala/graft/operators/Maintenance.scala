@@ -209,6 +209,34 @@ object Maintenance {
       .agg(count(lit(1)).cast("bigint").as("n"))
   }
 
+  /** Equi-HEIGHT histogram: rows bucketed by the column's own exact
+    * discrete quantiles (≈equal counts per bucket) — [[histogram]]'s
+    * complement for long-tailed columns, where equal WIDTH collapses
+    * everything into bin 0 and one outlier bin. Bucket of a row = 1 +
+    * (number of edges strictly below it), computed ARRAY-LOCALLY against
+    * the broadcast 1-row edge list; one (bucket)-grain agg emits count
+    * and the realized [lo, hi] per bucket. */
+  def equiHeightHistogram(df: DataFrame, valueCol: String,
+                          buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least two buckets")
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val psArr = ps.map(_.toString).mkString("array(", ", ", ")")
+    // Bounded driver metadata (buckets-1 doubles), inlined as LITERAL
+    // comparisons so the row pass stays in whole-stage codegen — a HOF
+    // `filter(edges, ...)` here would run interpreted per row (the x43
+    // lesson).
+    val edges: Seq[Double] = df
+      .agg(expr(s"percentile_approx(CAST($valueCol AS DOUBLE), $psArr, 1000000)"))
+      .head().getSeq[Double](0)
+    val bucket = edges.map(e =>
+      when(col(valueCol) > e, 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    df.select(bucket.cast("bigint").as("bucket"), col(valueCol))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(min(col(valueCol)), 4).as("lo"),
+        round(max(col(valueCol)), 4).as("hi"))
+  }
+
   /** Quantile drift between two corpus snapshots — the distribution-shift
     * gate run before accepting a regenerated dataset: exact discrete
     * quantiles of each side (percentile_approx at exact accuracy — the

@@ -219,6 +219,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Zipf-law fit over the top-`topN` token frequencies: the slope of
+    * log(freq) ~ log(rank) plus r², the corpus-health check that natural
+    * text sits near slope -1 — a flat slope (synthetic/templated text) or
+    * a cliff (boilerplate flood) both show up here before training does.
+    *
+    * Scale shape: one vocabulary-grain count agg, the top-N cut via
+    * TakeOrderedAndProject (bounded), ranks from the range-partition +
+    * zipWithIndex path, then ONE scalar aggregate of the closed-form
+    * least-squares moments (covar_pop/var_pop — the same definition
+    * regr_slope uses). Output: one row (n_tokens, zipf_slope, r2). */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freqs = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topN)
+    val ranked = graft.queries.Serving.ranked(freqs, "freq", "tok")
+      .withColumn("_lx", log(col("rank").cast("double")))
+      .withColumn("_ly", log(col("freq").cast("double")))
+    ranked.agg(
+      count(lit(1)).cast("bigint").as("n_tokens"),
+      round(covar_pop(col("_ly"), col("_lx")) / var_pop(col("_lx")), 4)
+        .as("zipf_slope"),
+      round(pow(corr(col("_ly"), col("_lx")), 2), 4).as("r2"))
+  }
+
+  /** Vocabulary coverage curve: the share of all token OCCURRENCES that
+    * the top-k most frequent types cover, per k — the statistic that
+    * sizes a tokenizer vocabulary (k where the curve elbows). One
+    * vocabulary-grain agg, ranks via zipWithIndex, the k-grain roll-up is
+    * a 3×-vocab conditional sum plus one broadcast scalar total. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    val freqs = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("freq"))
+    val ranked = graft.queries.Serving.ranked(freqs, "freq", "tok")
+    val total = freqs.agg(sum(col("freq")).as("_t"))
+    ranked
+      .select(col("rank"), col("freq"),
+        explode(typedLit(ks.map(_.toLong))).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rank") <= col("k"), col("freq")).otherwise(0L))
+        .cast("bigint").as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("_t").cast("bigint").as("total"),
+        round(col("covered") * lit(1.0) / col("_t"), 4).as("coverage"))
+  }
+
   /** Corpus-driven stopword discovery: tokens whose DOCUMENT frequency
     * exceeds `minDocFrac` of the corpus — the data-dependent stoplist a
     * retrieval/TF-IDF pipeline builds before indexing (vs x52's fixed

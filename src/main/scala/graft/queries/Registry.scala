@@ -3622,6 +3622,63 @@ object Registry {
         |  THEN 256 * ln(256.0 / (256 - v_buckets)) ELSE raw END, 2) AS n_est
         |FROM est ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
 
+    ("x83_zipf_fit",
+      // Corpus-health Zipf fit: slope/r² of log-freq vs log-rank over the
+      // top-200 token types — natural text sits near -1; this synthetic
+      // corpus's flat slope is exactly what the metric is built to
+      // expose. Vocab-grain agg → TakeOrdered → zipWithIndex ranks → one
+      // scalar moment aggregate.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.zipfFit(Tables.documents(s, dir), "text", 200),
+      Some("""WITH toks AS (SELECT unnest(list_filter(
+        |regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+        |top AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |FROM f QUALIFY rank <= 200)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+        |round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS r2
+        |FROM top""".stripMargin.replace("\n", " "))),
+
+    ("x84_vocab_coverage",
+      // Tokenizer-vocab sizing curve: share of all token occurrences the
+      // top-k types cover, k in {5, 10, 20}. Vocab-grain agg +
+      // zipWithIndex ranks + one broadcast scalar total.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+          Seq(5, 10, 20))
+          .orderBy(col("k")),
+      Some("""WITH toks AS (SELECT unnest(list_filter(
+        |regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(freq) AS t FROM f),
+        |rk AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
+        |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k)
+        |SELECT k, CAST(sum(CASE WHEN rank <= k THEN freq ELSE 0 END) AS BIGINT) AS covered,
+        |CAST(any_value(t) AS BIGINT) AS total,
+        |round(sum(CASE WHEN rank <= k THEN freq ELSE 0 END) * 1.0 / any_value(t), 4) AS coverage
+        |FROM rk, ks, tot GROUP BY k ORDER BY k"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j22_equiheight_hist",
+      // Equi-height histogram of event values: rows bucketed by the
+      // column's own exact decile edges (x80's complement for long
+      // tails); the edge list is bounded driver metadata inlined as
+      // codegen literal comparisons.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.equiHeightHistogram(
+          Tables.events(s, dir).select(col("value")), "value", 10)
+          .orderBy(col("bucket")),
+      Some("""WITH e AS (SELECT quantile_disc(value,
+        |[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM events),
+        |b AS (SELECT value,
+        |1 + len(list_filter((SELECT q FROM e), x -> value > x)) AS bucket
+        |FROM events)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket"""
+        .stripMargin.replace("\n", " "))),
+
     ("j21_mad",
       // Robust spread per event type: median absolute deviation — the
       // outlier-immune stddev (q16's robust sibling). Two sketch

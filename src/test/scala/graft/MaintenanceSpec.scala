@@ -148,6 +148,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.map(_._3).sum === 7L)
   }
 
+  test("equiHeightHistogram: near-equal bucket counts on uniform data; long tail isolated where equal width collapses") {
+    import spark.implicits._
+    // 1..100 uniform in 4 buckets → exactly 25 per bucket.
+    val unif = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Maintenance.equiHeightHistogram(unif, "v", 4)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 25L, 1.0, 25.0), (2L, 25L, 26.0, 50.0),
+      (3L, 25L, 51.0, 75.0), (4L, 25L, 76.0, 100.0)))
+    // Long tail: 99 small values + one huge. Equal height puts the
+    // outlier alone at the top; every bucket still non-empty.
+    val tail = ((1 to 99).map(_.toDouble / 100) :+ 1e9).toDF("v")
+    val ht = Maintenance.equiHeightHistogram(tail, "v", 4)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ht.length === 4 && ht.map(_._2).sum === 100L)
+    assert(ht.last._2 <= 26L, "tail bucket stays small")
+  }
+
   test("quantileDrift: exact discrete quantiles per side, deltas signed") {
     import spark.implicits._
     val oldDf = (1L to 100L).toDF("v")

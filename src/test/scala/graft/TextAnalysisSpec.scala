@@ -282,6 +282,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"entropy must stay array-local:\n$plan")
   }
 
+  test("zipfFit: an exact power law recovers its slope with r2 = 1") {
+    import spark.implicits._
+    // freq(rank r) = 840 / r for r = 1..8 (840 = lcm(1..8), all exact
+    // integers): log-log is a perfect line of slope -1.
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(840 / r)(s"w$r")
+    }.mkString(" ")
+    val out = graft.operators.TextAnalysis
+      .zipfFit(Seq((1L, docs)).toDF("doc_id", "text"), "text", 8)
+      .head()
+    assert(out.getLong(0) === 8L)
+    assert(out.getDouble(1) === -1.0, s"slope ${out.getDouble(1)}")
+    assert(out.getDouble(2) === 1.0, s"r2 ${out.getDouble(2)}")
+  }
+
+  test("vocabCoverage: hand-computed cumulative shares, k beyond vocab covers everything") {
+    import spark.implicits._
+    // freqs: a=6, b=3, c=1 → total 10. k=1 → .6, k=2 → .9, k=5 → 1.0.
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .vocabCoverage(docs, "text", Seq(1, 2, 5))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 10L, 0.6), (2L, 9L, 10L, 0.9), (5L, 10L, 10L, 1.0)))
+  }
+
   test("stopwordDiscovery: DF threshold, within-doc repeats count once") {
     import spark.implicits._
     // "the" in 3/4 docs (repeated in doc 1 — counts once), "cat" in 2/4
