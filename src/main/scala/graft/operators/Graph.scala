@@ -137,4 +137,57 @@ object Graph {
         round(log(col("_n") * col("c12") /
           (col("_ca").cast("double") * col("_cb"))), 4).as("pmi"))
   }
+
+  /** Per-vertex triangle participation over an undirected edge list — the
+    * clustering-structure read on a co-occurrence graph (which items form
+    * tight cliques, vs. merely popular hubs). Input may carry duplicate /
+    * reversed pairs; they are canonicalized and deduped first.
+    *
+    * Scale shape — degree-ordered orientation (the classic O(E^1.5)
+    * bound): every edge is directed from its lower-(degree, id) endpoint
+    * to the higher, so each triangle is enumerated EXACTLY once, as the
+    * out-wedge of its minimal vertex, and the wedge join's cost is
+    * Σ outdeg² with outdeg ≤ O(√E) — a hub of degree d in id-ordered
+    * orientation would cost d², here it costs at most E. Three equi-joins
+    * total (degrees on, wedge self-join, closure against the canonical
+    * edge set) and one hash aggregate; the V-grain degree table joins
+    * broadcast when small. Counts are exact, not sampled.
+    */
+  def trianglesPerVertex(edges: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true) // referenced twice: orientation + closure
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = true)
+    // V-grain side: broadcast when it measurably fits (pageRank's bcastV /
+    // knnJoin's broadcastQueries discipline), else the co-partitioned
+    // shuffle join — a checkpointed frame has no stats for AQE to decide.
+    val vSide: DataFrame => DataFrame =
+      if (deg.count() <= 5000000L) broadcast _ else identity
+    val dir = und
+      .join(vSide(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")), Seq("u"))
+      .join(vSide(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = wedges.join(und,
+      least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex"))
+      .agg(count(lit(1)).cast("long").as("triangles"))
+  }
 }

@@ -301,4 +301,75 @@ object Maintenance {
       .agg(sum(col("_n")).cast("long").as("raw_count"),
         sum(least(col("_n"), lit(cap))).cast("long").as("capped_count"),
         countDistinct(col(userCol)).as("n_users"))
+
+  /** One foreign-key relationship for [[referentialIntegrity]]: audit that
+    * every non-null `childKey` in `child` resolves in `parent.parentKey`. */
+  final case class FkRelation(name: String, child: DataFrame, childKey: String,
+                              parent: DataFrame, parentKey: String)
+
+  /** Referential-integrity audit across a table graph — the pre-flight
+    * check a corpus join pipeline runs before trusting its star schema
+    * (and the load-validation read the reference's startup DDL implies:
+    * stats tables keyed on dimensions that must exist,
+    * ChannelStatsAggregation.java:36-42). Per relationship: child row
+    * count, null keys, orphan rows (non-null keys with no parent),
+    * distinct child keys, and how many distinct parents are referenced —
+    * the row set that varies with data even when the orphan count is the
+    * healthy zero.
+    *
+    * Scale shape, per relation: ONE pass over the child collapsed to key
+    * grain first (hash agg with map-side combine), so the parent
+    * left-anti/semi check joins at DISTINCT-key grain, not row grain —
+    * the orphan join's build side is the parent's key projection, which
+    * broadcasts when the dimension is small. Null keys never enter the
+    * join. Each relation is one independent plan unioned at 1-row grain.
+    */
+  /** Gini concentration of entity activity per group — the inequality
+    * audit behind contribution capping ([[contributionCap]] clamps; this
+    * MEASURES): 0 = every entity contributes equally, →1 = a few heavy
+    * entities dominate the group. Computed on the sorted-share form
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, whose core is EXACT integer
+    * arithmetic (rank-weighted sums of counts) — the only double is the
+    * final expression, so the statistic is engine-portable at 4 dp by
+    * construction.
+    *
+    * Scale shape: one (group, entity) hash agg (map-side combined), one
+    * group-partitioned rank window (per-group parallel sort at entity
+    * grain, never row grain), one group-grain agg. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        entityCol: String): DataFrame = {
+    val x = df.groupBy(col(groupCol), col(entityCol))
+      .agg(count(lit(1)).as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x").asc, col(entityCol).asc)
+    x.withColumn("_i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_entities"),
+        sum(col("_i") * col("_x")).as("_six"),
+        sum(col("_x")).as("_sx"))
+      .select(col(groupCol), col("n_entities"),
+        round(lit(2.0) * col("_six") / (col("n_entities") * col("_sx")) -
+          (col("n_entities") + lit(1.0)) / col("n_entities"), 4).as("gini"))
+  }
+
+  def referentialIntegrity(relations: Seq[FkRelation]): DataFrame =
+    relations.map { r =>
+      // Child collapsed to key grain; null keys ride the same aggregate as
+      // a dedicated bucket so the whole audit is one scan of the child.
+      val keys = r.child.groupBy(col(r.childKey).as("_k"))
+        .agg(count(lit(1)).as("_n"))
+      val parents = r.parent.select(col(r.parentKey).as("_p")).distinct()
+      keys.join(parents, col("_k") === col("_p"), "left")
+        .agg(
+          lit(r.name).as("relation"),
+          coalesce(sum(col("_n")), lit(0L)).cast("long").as("child_rows"),
+          coalesce(sum(when(col("_k").isNull, col("_n"))), lit(0L))
+            .cast("long").as("null_keys"),
+          coalesce(sum(when(col("_k").isNotNull && col("_p").isNull,
+            col("_n"))), lit(0L)).cast("long").as("orphan_rows"),
+          coalesce(sum(when(col("_k").isNotNull, 1L)), lit(0L))
+            .cast("long").as("distinct_child_keys"),
+          coalesce(sum(when(col("_p").isNotNull, 1L)), lit(0L))
+            .cast("long").as("parents_referenced"))
+    }.reduce(_ unionByName _)
 }

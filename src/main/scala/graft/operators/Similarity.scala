@@ -547,6 +547,118 @@ object Similarity {
           size(col(vecCol)).cast("double"), 6).as("z_mean"))
   }
 
+  /** Simplified (centroid-based) silhouette per label — the clustering-
+    * quality score that needs only O(n·k) distance evaluations: for each
+    * vector, a = Euclidean distance to its OWN label centroid, b = the
+    * minimum distance to any OTHER centroid, s = (b-a)/max(a,b); emitted
+    * as the per-label mean. The classic all-pairs silhouette is O(n²) and
+    * dead at corpus scale; the centroid form is the standard scalable
+    * surrogate (and what a curation pipeline actually monitors).
+    *
+    * Determinism: centroid components are rounded to 6 dp (the
+    * [[labelCompactness]] fixed-point discipline) so both engines score
+    * against IDENTICAL centroids; remaining float divergence is the
+    * 64-term distance fold, ~1e-15, far under the 4 dp output grain.
+    *
+    * Scale shape: one (label × dim) aggregate collected as bounded driver
+    * metadata (k·d doubles), shipped back as one broadcast k-row frame;
+    * the scoring crossJoin multiplies rows by the FIXED k, then one
+    * (vec_id) and one (label) hash aggregate. No n² stage. */
+  def simplifiedSilhouette(embeddings: DataFrame, idCol: String,
+                           vecCol: String, labelCol: String): DataFrame = {
+    val cents = embeddings
+      .select(col(labelCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(col("_lbl"), col("_p"))
+      .agg(round(avg(col("_x").cast("double")), 6).as("_c"))
+      .groupBy(col("_lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
+        s => s.getField("_c")).as("_cent"))
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), col("_cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, t) => acc + t))
+    embeddings
+      .crossJoin(broadcast(cents)) // k rows: bounded fan-out by construction
+      .select(col(idCol), col(labelCol), col("_lbl"), dist.as("_d"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(max(when(col("_lbl") === col(labelCol), col("_d"))).as("_a"),
+        min(when(col("_lbl") =!= col(labelCol), col("_d"))).as("_b"))
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg((col("_b") - col("_a")) /
+          greatest(col("_a"), col("_b"))), 4).as("mean_silhouette"))
+  }
+
+  /** Top principal component by fixed-iteration power method — the
+    * embedding-drift / dominant-direction diagnostic (is one axis eating
+    * the representation?): mean-center, covariance, `iters` rounds of
+    * v ← normalize(C·v) from the deterministic 1/√d start, sign-fixed so
+    * the largest-|component| is positive, then every vector's PC1
+    * projection summarized per label plus the Rayleigh-quotient
+    * eigenvalue.
+    *
+    * Determinism discipline: the dim means are rounded to 6 dp before
+    * centering and the final eigenvector to 6 dp before projecting, so
+    * both engines project onto IDENTICAL axes; the iteration itself is a
+    * deterministic function of the covariance (fixed count, no
+    * convergence test).
+    *
+    * Scale shape: one pass computes the d·(d+1)/2 Gram upper triangle via
+    * [[graft.functions.GramMatrixAgg]] (map-side combined, the shuffle
+    * carries ONE array per partition — never a d²-wide explode); the
+    * d×d eigensolve is bounded driver metadata (d=64 → 4 KiB); the
+    * projection pass is a zero-join codegen-friendly fold. */
+  def pcaTopComponent(embeddings: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, iters: Int): DataFrame = {
+    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val mu: Seq[Double] = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .groupBy(col("_p"))
+      .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    val centered = zip_with(col(vecCol), typedlit(mu),
+      (x, m) => x.cast("double") - m)
+    val n = embeddings.count()
+    val packed = embeddings
+      .select(graft.functions.GramMatrixAgg.gram(d)(centered).as("_g"))
+      .head().getSeq[Double](0)
+    val c = graft.functions.GramMatrixAgg.unpack(packed, d)
+      .map(_.map(_ / (n - 1).toDouble))
+    // Driver-side power iteration: O(iters·d²) on bounded metadata.
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      lambda = {
+        var s = 0.0; var i = 0
+        while (i < d) { s += w(i) * v(i); i += 1 }
+        s
+      } // Rayleigh quotient v·C·v (v is unit-norm)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+      it += 1
+    }
+    val sgn = if (v(v.indices.maxBy(i => (math.abs(v(i)), -i))) < 0) -1.0 else 1.0
+    val vf: Seq[Double] = v.map(x =>
+      BigDecimal(x * sgn).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+    val proj = aggregate(
+      zip_with(centered, typedlit(vf), (x, e) => x * e),
+      lit(0.0d), (acc, t) => acc + t)
+    embeddings
+      .select(col(labelCol).as("label"), proj.as("_p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(col("_p")), 4).as("mean_pc1"),
+        round(stddev_samp(col("_p")), 4).as("sd_pc1"))
+      .withColumn("eigenvalue",
+        round(lit(lambda), 4))
+  }
+
   def labelOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int): DataFrame = {
     val pos = embeddings.select(col(labelCol).as("_lbl"),

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Series diagnostics over pre-aggregated per-key time series — the
+  * monitoring layer a corpus/ingest pipeline runs on its own daily volume
+  * curves (the reference's dashboard plots exactly these per-channel
+  * message-count series, MainController.php:593-706; these operators are
+  * the statistical reads on top of that grain).
+  *
+  * All operators here share one scale shape: the input is already at
+  * (key, bucket) grain — tiny relative to the raw events — so every
+  * window partitions by the series key and every aggregate collapses to
+  * key grain. One Exchange on the key serves lag windows, weight folds,
+  * and the final per-key statistics; nothing here ever re-shuffles the
+  * raw event table.
+  */
+object TimeSeries {
+
+  /** Lag-k autocorrelation of a per-key series, k = 1..maxLag: Pearson
+    * `corr(x_t, x_{t-k})` per key (sample correlation — pairs where the
+    * lag falls off the series start are dropped by corr's null handling,
+    * matching the textbook ACF-on-overlap estimator).
+    *
+    * Scale shape: one Exchange on the key; all lag columns ride the same
+    * per-key sort, and the corr aggregates reuse that partitioning
+    * exchange-free.
+    */
+  def autocorrelation(series: DataFrame, keys: Seq[String], orderCol: String,
+                      valueCol: String, maxLag: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val lagged = (1 to maxLag).foldLeft(series) { (df, k) =>
+      df.withColumn(s"_lag$k", lag(col(valueCol), k).over(w))
+    }
+    val aggs = (1 to maxLag).map(k =>
+      round(corr(col(valueCol), col(s"_lag$k")), 4).as(s"acf$k"))
+    lagged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Truncated exponentially-weighted moving average: per (key, bucket),
+    * `sum(alpha·(1-alpha)^age · x) / sum(alpha·(1-alpha)^age)` over the
+    * trailing `span` buckets — the renormalized finite-window EWMA (the
+    * denominator re-scales the truncated weight mass, so early points
+    * aren't biased low).
+    *
+    * Expressed as one collect-free window fold: `collect_list` over a
+    * bounded `span`-row frame, then an `aggregate` HOF over that fixed-
+    * size array — O(span) work per row, no self-join (the join
+    * formulation would re-shuffle the series once per frame bound).
+    */
+  def ewma(series: DataFrame, keys: Seq[String], orderCol: String,
+           valueCol: String, alpha: Double, span: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    // Frame array arrives oldest-first; age of element i (0-based) in an
+    // n-long frame is n-1-i.
+    val frame = collect_list(col(valueCol).cast("double")).over(w)
+    def fold(arr: Column, f: (Column, Column) => Column): Column =
+      aggregate(
+        zip_with(arr, sequence(lit(0), size(arr) - 1),
+          (v, i) => struct(v.as("v"), (size(arr) - 1 - i).as("age"))),
+        lit(0.0), (acc, e) => acc + f(e.getField("v"),
+          pow(lit(1.0 - alpha), e.getField("age").cast("double"))))
+    series
+      .withColumn("_frame", frame)
+      .withColumn("ewma",
+        round(fold(col("_frame"), (v, wt) => v * wt * alpha) /
+          fold(col("_frame"), (_, wt) => wt * alpha), 4))
+      .drop("_frame")
+  }
+
+  /** Additive seasonal decomposition (STL-lite): per (key, bucket),
+    * trend = centered `period`-bucket moving average (null while the
+    * frame is short — no half-window bias), seasonal = the key's mean
+    * detrended value at each bucket-phase (day-of-week for daily data),
+    * residual = value − trend − seasonal. The ingest-curve explainer:
+    * a residual spike is real anomaly, not weekly rhythm.
+    *
+    * One Exchange on the key serves the centered frame; the seasonal
+    * means are a (key, phase) hash agg broadcast back (|keys|·period
+    * rows). Trend/seasonal/residual round 4 dp (engine-portable).
+    */
+  def seasonalDecompose(series: DataFrame, keys: Seq[String],
+                        orderCol: String, valueCol: String,
+                        period: Int): DataFrame = {
+    val half = period / 2
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-half, half)
+    val trended = series.withColumn("trend",
+      when(count(lit(1)).over(w) === period,
+        round(avg(col(valueCol).cast("double")).over(w), 4)))
+      .withColumn("_detr", col(valueCol) - col("trend"))
+      .withColumn("_phase",
+        pmod((col(orderCol).cast("long") / lit(86400000L)).cast("long"),
+          lit(period.toLong)))
+    val seasonal = trended.where(col("_detr").isNotNull)
+      .groupBy((keys.map(col) :+ col("_phase")): _*)
+      .agg(round(avg(col("_detr")), 4).as("seasonal"))
+    trended.join(broadcast(seasonal), keys :+ "_phase")
+      .withColumn("residual",
+        round(col(valueCol) - col("trend") - col("seasonal"), 4))
+      .drop("_detr", "_phase")
+  }
+
+  /** CUSUM change-point estimate: per key, the running sum of the
+    * standardized series S_k = Σ (x_i − μ)/σ, reported at its maximum
+    * |S_k| — the classic single-change locator (the sign says which way
+    * the level shifted). μ/σ are the key's own whole-series moments
+    * (exact-integer sums → identical doubles on both engines); S is
+    * rounded 4 dp BEFORE the arg-max ranking so the tie-broken winner is
+    * engine-portable.
+    *
+    * One Exchange on the key: the stats agg, the running window, and the
+    * rank window all cluster by it.
+    */
+  def cusumChangepoint(series: DataFrame, keys: Seq[String],
+                       orderCol: String, valueCol: String): DataFrame = {
+    val st = series.groupBy(keys.map(col): _*)
+      .agg(avg(col(valueCol).cast("double")).as("_mu"),
+        stddev_samp(col(valueCol).cast("double")).as("_sd"))
+    val run = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val rank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(abs(col("cusum")).desc, col(orderCol).asc)
+    series.join(broadcast(st), keys)
+      .withColumn("cusum",
+        round(sum((col(valueCol) - col("_mu")) / col("_sd")).over(run), 4))
+      .withColumn("_rn", row_number().over(rank))
+      .where(col("_rn") === 1)
+      .select(keys.map(col) :+ col(orderCol).as("change_point") :+
+        col("cusum").as("max_cusum"): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per key: D = max over the
+    * pooled sample of |ecdf_a − ecdf_b| between the rows flagged 0 and 1
+    * by `sideCol` — the drift gate that sees SHAPE changes (x81's
+    * quantile deltas probe fixed probabilities; KS sweeps all of them).
+    *
+    * The ecdfs are peer-inclusive running shares (RANGE frame, so tied
+    * values resolve identically on any engine/row order), both ecdfs and
+    * the max ride ONE (key)-partitioned sort — per-key parallel, never a
+    * global sort.
+    */
+  def ksDistance(df: DataFrame, keys: Seq[String], valueCol: String,
+                 sideCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = df.groupBy(keys.map(col): _*)
+      .agg(sum(when(col(sideCol) === 0, 1.0)).as("_n0"),
+        sum(when(col(sideCol) === 1, 1.0)).as("_n1"))
+    df.join(broadcast(n), keys)
+      .withColumn("_c0", sum(when(col(sideCol) === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("_c1", sum(when(col(sideCol) === 1, 1L).otherwise(0L)).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(round(max(abs(col("_c0") / col("_n0") - col("_c1") / col("_n1"))), 4)
+        .as("ks_d"))
+  }
+
+  /** Inter-arrival gap statistics: per key, the distribution (count, min,
+    * exact interpolated p50/p90, max) of consecutive-event gaps within
+    * each (key, entity) sub-series — the ingest-health read ("how bursty
+    * is each source per user").
+    *
+    * One Exchange on (key, entity) for the lag, then a key-grain exact
+    * `percentile` aggregate (exact because the gap table is already one
+    * row per event — same grain as the input, no blowup).
+    */
+  def interarrivalStats(events: DataFrame, keys: Seq[String],
+                        entityCol: String, tsMsCol: String,
+                        tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy((keys :+ entityCol).map(col): _*)
+      .orderBy(col(tsMsCol), col(tieBreakCol))
+    events
+      .withColumn("_gap", col(tsMsCol) - lag(col(tsMsCol), 1).over(w))
+      .where(col("_gap").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("_gap")).cast("long").as("min_ms"),
+        floor(expr("percentile(_gap, 0.5)")).cast("long").as("p50_ms"),
+        floor(expr("percentile(_gap, 0.9)")).cast("long").as("p90_ms"),
+        max(col("_gap")).cast("long").as("max_ms"))
+  }
+}

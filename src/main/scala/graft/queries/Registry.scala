@@ -610,6 +610,49 @@ object Registry {
   // Pipeline aggregations (SURVEY §2.3 A4-A9, §2.2 T1/T3)
   // =========================================================================
 
+  /** x88's oracle: the SAME fixed-iteration power method the engine runs,
+    * unrolled as chained materialized CTEs (DuckDB forbids aggregates in
+    * recursive CTE terms). Mirrors operators/Similarity.pcaTopComponent
+    * exactly: 6 dp-rounded dim means, covariance over centered values,
+    * `iters` normalize(C·v) rounds from the 1/√64 start, sign fix by the
+    * largest-|component|, 6 dp-rounded final axis, per-label projection
+    * stats + the Rayleigh eigenvalue. */
+  private def pcaPowerOracle(iters: Int): String = {
+    val head = Seq(
+      """u AS MATERIALIZED (SELECT vec_id, label, g.i - 1 AS i,
+        |CAST(g.v AS DOUBLE) AS v FROM embeddings,
+        |LATERAL (SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i) g)""",
+      """nrow AS MATERIALIZED (SELECT count(DISTINCT vec_id) AS n FROM u)""",
+      """mu AS MATERIALIZED (SELECT i, round(avg(v), 6) AS m FROM u GROUP BY 1)""",
+      """cu AS MATERIALIZED (SELECT u.vec_id, u.i, u.v - mu.m AS v
+        |FROM u JOIN mu ON u.i = mu.i)""",
+      """cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |sum(a.v * b.v) / ((SELECT n FROM nrow) - 1) AS c
+        |FROM cu a JOIN cu b ON a.vec_id = b.vec_id GROUP BY 1, 2)""",
+      """v0 AS (SELECT i, 0.125 AS val FROM range(64) t(i))""")
+    val rounds = (1 to iters).flatMap { k =>
+      Seq(
+        s"""w$k AS MATERIALIZED (SELECT c.i AS i, sum(c.c * v${k - 1}.val) AS val
+           |FROM cov c JOIN v${k - 1} ON c.j = v${k - 1}.i GROUP BY 1)""",
+        s"""v$k AS MATERIALIZED (SELECT i,
+           |val / (SELECT sqrt(sum(val * val)) FROM w$k) AS val FROM w$k)""")
+    }
+    val tail = Seq(
+      s"""sgn AS (SELECT CASE WHEN (SELECT val FROM v$iters
+         |ORDER BY abs(val) DESC, i LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS s)""",
+      s"""vf AS MATERIALIZED (SELECT i, round(val * s, 6) AS val FROM v$iters, sgn)""",
+      s"""lam AS (SELECT sum(w.val * v.val) AS ev
+         |FROM w$iters w JOIN v${iters - 1} v ON w.i = v.i)""",
+      """proj AS (SELECT cu.vec_id, sum(cu.v * vf.val) AS p
+        |FROM cu JOIN vf ON cu.i = vf.i GROUP BY 1)""")
+    ("WITH " + (head ++ rounds ++ tail).mkString(", ") + """
+      |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+      |round(avg(p.p), 4) AS mean_pc1, round(stddev_samp(p.p), 4) AS sd_pc1,
+      |round((SELECT ev FROM lam), 4) AS eigenvalue
+      |FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+      |GROUP BY 1 ORDER BY label""").stripMargin.replace("\n", " ")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("a4_channel_stats",
@@ -3849,7 +3892,249 @@ object Registry {
         |max(h) AS kth_min FROM r WHERE rn <= 64 GROUP BY 1, 2)
         |SELECT day, event_type, n_kept, kth_min,
         |CASE WHEN n_kept < 64 THEN n_kept ELSE 270582939648 // kth_min END AS n_est
-        |FROM t ORDER BY day, event_type""".stripMargin.replace("\n", " ")))
+        |FROM t ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
+    ("j23_referential_integrity",
+      // Star-schema FK audit (operators/Maintenance.referentialIntegrity):
+      // per relationship, child rows / null keys / orphans / distinct keys
+      // / parents referenced — child collapsed to key grain BEFORE the
+      // parent left join, so the check joins distinct keys, not rows.
+      (s: SparkSession, dir: String) => {
+        import graft.operators.Maintenance.FkRelation
+        graft.operators.Maintenance.referentialIntegrity(Seq(
+          FkRelation("lineitem.l_orderkey->orders",
+            Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey"),
+          FkRelation("lineitem.l_partkey->part",
+            Tables.lineitem(s, dir), "l_partkey",
+            Tables.part(s, dir), "p_partkey"),
+          FkRelation("lineitem.l_suppkey->supplier",
+            Tables.lineitem(s, dir), "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"),
+          FkRelation("orders.o_custkey->customer",
+            Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"),
+          FkRelation("customer.c_nationkey->nation",
+            Tables.customer(s, dir), "c_nationkey",
+            Tables.nation(s, dir), "n_nationkey")))
+          .orderBy(col("relation"))
+      },
+      Some("""WITH a AS (
+        |SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  CAST(count(*) AS BIGINT) AS child_rows,
+        |  CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS null_keys,
+        |  CAST(count(*) FILTER (l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT) AS orphan_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_child_keys,
+        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS parents_referenced
+        |FROM lineitem
+        |UNION ALL SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (l_partkey IS NULL) AS BIGINT),
+        |  CAST(count(*) FILTER (l_partkey IS NOT NULL AND l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)) AS BIGINT),
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part
+        |    WHERE p_partkey IN (SELECT l_partkey FROM lineitem))
+        |FROM lineitem
+        |UNION ALL SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (l_suppkey IS NULL) AS BIGINT),
+        |  CAST(count(*) FILTER (l_suppkey IS NOT NULL AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier)) AS BIGINT),
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+        |    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem))
+        |FROM lineitem
+        |UNION ALL SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+        |  CAST(count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders))
+        |FROM orders
+        |UNION ALL SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (c_nationkey IS NULL) AS BIGINT),
+        |  CAST(count(*) FILTER (c_nationkey IS NOT NULL AND c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation)) AS BIGINT),
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation
+        |    WHERE n_nationkey IN (SELECT c_nationkey FROM customer))
+        |FROM customer)
+        |SELECT relation, child_rows, null_keys, orphan_rows,
+        |distinct_child_keys, parents_referenced FROM a ORDER BY relation"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j24_triangles",
+      // Per-part triangle participation on the urgent-order co-purchase
+      // graph (operators/Graph.trianglesPerVertex): degree-ordered
+      // orientation bounds the wedge join at O(E^1.5); the oracle
+      // enumerates the same triangle set via the simpler id-ordered
+      // orientation (the SET is orientation-invariant).
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        graft.operators.Graph.trianglesPerVertex(pairs, "pa", "pb")
+          .orderBy(col("triangles").desc, col("vertex").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri
+        |UNION ALL SELECT c FROM tri)
+        |SELECT vertex, CAST(count(*) AS BIGINT) AS triangles FROM pv
+        |GROUP BY 1 ORDER BY triangles DESC, vertex LIMIT 20"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x85_autocorrelation",
+      // Lag-1..3 ACF of each event type's daily-count series
+      // (operators/TimeSeries.autocorrelation) — the seasonality probe a
+      // corpus-ingest monitor runs on its own volume curves.
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.autocorrelation(
+            daily, Seq("event_type"), "day", "n", 3)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n, lag(n, 1) OVER w AS n1,
+        |lag(n, 2) OVER w AS n2, lag(n, 3) OVER w AS n3 FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, round(corr(n, n1), 4) AS acf1,
+        |round(corr(n, n2), 4) AS acf2, round(corr(n, n3), 4) AS acf3
+        |FROM l GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x86_ewma",
+      // Renormalized truncated EWMA (alpha 0.3, span 14) over the daily
+      // series (operators/TimeSeries.ewma): one bounded window frame +
+      // array fold per row — no self-join. Oracle is the equivalent
+      // weighted self-join (DuckDB has no HOF window).
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.ewma(
+            daily, Seq("event_type"), "day", "n", 0.3, 14)
+          .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+            col("ewma"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n, row_number() OVER
+        |(PARTITION BY event_type ORDER BY day) AS rn FROM d)
+        |SELECT a.event_type, a.day, CAST(max(CASE WHEN b.rn = a.rn THEN b.n END) AS BIGINT) AS n,
+        |round(sum(0.3 * power(0.7, a.rn - b.rn) * b.n) /
+        |sum(0.3 * power(0.7, a.rn - b.rn)), 4) AS ewma
+        |FROM r a JOIN r b ON a.event_type = b.event_type
+        |AND b.rn BETWEEN a.rn - 13 AND a.rn
+        |GROUP BY a.event_type, a.day ORDER BY a.event_type, a.day"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j26_interarrival",
+      // Per-type inter-event gap distribution within each user's
+      // sub-series (operators/TimeSeries.interarrivalStats): exact
+      // interpolated percentiles over the gap table — same grain as the
+      // input, so exact is affordable at any scale.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.interarrivalStats(
+            Tables.events(s, dir).select(col("event_type"), col("user_id"),
+              unix_millis(col("ts")).as("ms"), col("event_id")),
+            Seq("event_type"), "user_id", "ms", "event_id")
+          .orderBy(col("event_type")),
+      Some("""WITH g AS (SELECT event_type, CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |(PARTITION BY event_type, user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_ms
+        |FROM events),
+        |f AS (SELECT event_type, gap_ms FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |CAST(min(gap_ms) AS BIGINT) AS min_ms,
+        |CAST(floor(quantile_cont(gap_ms, 0.5)) AS BIGINT) AS p50_ms,
+        |CAST(floor(quantile_cont(gap_ms, 0.9)) AS BIGINT) AS p90_ms,
+        |CAST(max(gap_ms) AS BIGINT) AS max_ms
+        |FROM f GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x87_silhouette",
+      // Simplified (centroid-based) silhouette per label
+      // (operators/Similarity.simplifiedSilhouette): O(n·k) distances,
+      // never the O(n²) textbook form; centroids fixed-point rounded on
+      // both sides so the engines score identical axes.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity.simplifiedSilhouette(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+          .orderBy(col("label")),
+      Some("""WITH u AS MATERIALIZED (SELECT vec_id, label, g.i AS i,
+        |CAST(g.v AS DOUBLE) AS v FROM embeddings,
+        |LATERAL (SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i) g),
+        |c AS MATERIALIZED (SELECT label, i, round(avg(v), 6) AS cv FROM u GROUP BY 1, 2),
+        |d AS (SELECT u.vec_id, u.label AS row_label, c.label AS cand_label,
+        |sqrt(sum((u.v - c.cv) * (u.v - c.cv))) AS dist
+        |FROM u JOIN c ON u.i = c.i GROUP BY 1, 2, 3),
+        |s AS (SELECT vec_id, row_label,
+        |max(CASE WHEN cand_label = row_label THEN dist END) AS a,
+        |min(CASE WHEN cand_label <> row_label THEN dist END) AS b
+        |FROM d GROUP BY 1, 2)
+        |SELECT row_label AS label, CAST(count(*) AS BIGINT) AS n,
+        |round(avg((b - a) / greatest(a, b)), 4) AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY label"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x88_pca_power",
+      // Top principal component by 20 deterministic power iterations
+      // (operators/Similarity.pcaTopComponent): Gram upper triangle via
+      // ONE mergeable array aggregate (functions/GramMatrixAgg), d×d
+      // eigensolve as bounded driver metadata, zero-join projection pass.
+      // Oracle unrolls the same 20 iterations as chained CTEs.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity.pcaTopComponent(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label", 20)
+          .orderBy(col("label")),
+      Some(pcaPowerOracle(20))),
+
+    ("s19_stream_funnel",
+      // Q24's funnel under streaming (streaming/Streaming.runStreamFunnel):
+      // per-user chained-min state replayed as synthetic step events each
+      // batch — exact because replay slices are time-ordered, so union
+      // over slices ≡ the one-shot batch funnel. q24's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s19")
+        graft.streaming.Streaming.runStreamFunnel(s, dir, base + "/fn",
+            Seq(T1, T2), Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("step0_ms").as("view_ms"),
+            col("step1_ms").as("click_ms"), col("step2_ms").as("purchase_ms"),
+            col("converted"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS view_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > v.view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > c.click_ms GROUP BY 1)
+        |SELECT v.user_id, view_ms, click_ms, purchase_ms,
+        |CAST(purchase_ms IS NOT NULL AS INT) AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

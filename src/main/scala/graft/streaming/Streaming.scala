@@ -1195,6 +1195,92 @@ object Streaming {
     pairs.state(spark).get
   }
 
+  /** Q24's conversion funnel under streaming: per-user chained earliest-
+    * step state (view → click strictly after it → purchase strictly after
+    * that) folded incrementally over time-sliced micro-batches.
+    *
+    * Why incremental is exact here: the replay slices are disjoint and
+    * time-ordered, so every event in batch k+1 is later than everything
+    * already folded; a user's funnel state (v, c, p minima under the
+    * chain) therefore summarizes their whole history — replaying the
+    * state rows as synthetic step events and re-running the SAME batch
+    * funnel operator ([[graft.operators.Funnel.funnel]]) over
+    * carry ∪ batch yields the full-history answer (the min-chain only
+    * ever needs the best-so-far at each step). Union over the slices ≡
+    * the one-shot batch funnel, so q24's oracle applies verbatim.
+    *
+    * State is a replace-upsert table keyed (user_bucket, user_id) — one
+    * row per user who has entered the funnel, O(users) regardless of
+    * stream length; the per-batch funnel windows only over the batch's
+    * users (carry joined at batch grain). */
+  def runStreamFunnel(spark: SparkSession, dir: String, base: String,
+                      cuts: Seq[Long], steps: Seq[String]): DataFrame = {
+    val landing = stagedSliceDirs.computeIfAbsent(
+      s"$dir#fn#${cuts.mkString(",")}", _ => {
+        val l = java.nio.file.Files
+          .createTempDirectory("graft-fnslices").toString
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val f = FileSystem.get(new java.net.URI(l),
+          spark.sparkContext.hadoopConfiguration)
+        val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+        bounds.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val stage = s"$l/stage$i"
+          ev.where(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+          val dst = new Path(s"$l/b$i.parquet")
+          f.rename(part, dst)
+          f.delete(new Path(stage), true)
+          f.setTimes(dst, 1000L * (i + 1), -1)
+        }
+        l
+      })
+    val stepCols = steps.indices.map(i => s"step${i}_ms")
+    val state = new ParquetUpsertSink(s"$base/funnel",
+      Seq("user_bucket", "user_id"), stepCols, additive = false)
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val cur = b.select(col("user_id"),
+          col("event_type").as("_ty"), unix_millis(col("ts")).as("_ms"))
+        // Carry state rows re-enter as synthetic step events: step i's
+        // timestamp replayed with step i's type — the funnel min-chain
+        // over carry ∪ batch equals the full-history chain (see doc).
+        val withCarry = state.state(b.sparkSession) match {
+          case Some(st) =>
+            // Only carry state for users actually IN this batch: untouched
+            // users keep their rows (replace-upsert never visits them), so
+            // per-batch work is O(batch), not O(all users ever seen).
+            val synth = st
+              .join(cur.select(col("user_id")).distinct(), Seq("user_id"),
+                "left_semi")
+              .select(col("user_id"), explode(
+                map(steps.zip(stepCols).flatMap { case (ty, sc) =>
+                  Seq(lit(ty), col(sc))
+                }: _*)).as(Seq("_ty", "_ms")))
+              .where(col("_ms").isNotNull)
+            cur.unionByName(synth)
+          case None => cur
+        }
+        val fu = graft.operators.Funnel.funnel(
+          withCarry, "user_id", "_ty", "_ms", steps)
+        state.upsert(fu.select(
+          (pmod(col("user_id"), lit(16L)).as("user_bucket") +:
+            col("user_id") +: stepCols.map(col)): _*), id)
+      }
+      .start()
+    q.awaitTermination()
+    val st = state.state(spark).get
+    st.select((col("user_id") +: stepCols.map(col) :+
+      col(stepCols.last).isNotNull.cast("int").as("converted")): _*)
+  }
+
   /** X57 under streaming: per-event_type top-k (value desc, event_id asc)
     * maintained by the BOUNDED mergeable aggregate
     * ([[graft.functions.TopKAgg]]) as a streaming stateful aggregation —

@@ -52,4 +52,26 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === Seq((1, 2, 2L, -0.1178)))
   }
+
+  test("trianglesPerVertex: K4 plus a pendant edge, duplicates collapse") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; every K4 vertex sits in
+    // exactly 3. Node 5 hangs off node 1 (no triangle). Reversed and
+    // duplicate pairs must canonicalize away.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val e = (k4 :+ ((1L, 5L)) :+ ((5L, 1L))).toDF("a", "b")
+    val out = Graph.trianglesPerVertex(e, "a", "b")
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("trianglesPerVertex: two triangles sharing an edge count the shared pair twice") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {2,3,4} share edge (2,3): vertices 2 and 3
+    // sit in two triangles each, 1 and 4 in one.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.trianglesPerVertex(e, "a", "b")
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
 }

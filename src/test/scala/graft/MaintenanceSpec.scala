@@ -205,4 +205,35 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
+
+  test("referentialIntegrity: orphans, nulls, and coverage are all counted") {
+    import spark.implicits._
+    // Children: two rows hit parent 10, one hits the MISSING parent 99
+    // (orphan), one has a null key. Parents 10 and 20 exist; only 10 is
+    // referenced.
+    val child = Seq(Some(10L), Some(10L), Some(99L), None).toDF("fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val out = Maintenance.referentialIntegrity(Seq(
+      Maintenance.FkRelation("child.fk->parent", child, "fk", parent, "pk")))
+      .collect().head
+    assert(out.getAs[String]("relation") === "child.fk->parent")
+    assert(out.getAs[Long]("child_rows") === 4L)
+    assert(out.getAs[Long]("null_keys") === 1L)
+    assert(out.getAs[Long]("orphan_rows") === 1L)
+    assert(out.getAs[Long]("distinct_child_keys") === 2L)
+    assert(out.getAs[Long]("parents_referenced") === 1L)
+  }
+
+  test("referentialIntegrity: duplicate parent keys never inflate child counts") {
+    import spark.implicits._
+    // A parent table with duplicate keys (denormalized dim): the audit
+    // joins DISTINCT parents, so child rows must not multiply.
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk")
+    val out = Maintenance.referentialIntegrity(Seq(
+      Maintenance.FkRelation("r", child, "fk", parent, "pk"))).collect().head
+    assert(out.getAs[Long]("child_rows") === 3L)
+    assert(out.getAs[Long]("orphan_rows") === 0L)
+    assert(out.getAs[Long]("parents_referenced") === 2L)
+  }
 }

@@ -278,4 +278,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._3 < 0.9, s"intruder label min_cos ${out(1)._3}")
     assert(out(0)._2 > out(1)._2, "tight label has higher mean")
   }
+
+  test("simplifiedSilhouette: separated clusters score near 1, mixed near 0") {
+    import spark.implicits._
+    // Labels 0/1 are tight, far-apart clusters → silhouette ≈ 1. Label 2
+    // sits exactly between its own two members' midpoint and cluster 0's
+    // centroid — a poorly separated cluster scores much lower.
+    val vecs = Seq(
+      (0L, 0, Seq(0.0f, 0.1f)), (1L, 0, Seq(0.0f, -0.1f)),
+      (2L, 1, Seq(10.0f, 0.1f)), (3L, 1, Seq(10.0f, -0.1f)),
+      (4L, 2, Seq(0.4f, 0.0f)), (5L, 2, Seq(0.6f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.simplifiedSilhouette(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("mean_silhouette")).toMap
+    assert(out(1) > 0.95, s"far cluster ${out(1)}")
+    assert(out(0) > 0.7, s"near-but-separated cluster ${out(0)}")
+    assert(out(2) < out(0), s"crowded cluster must score lower ${out(2)}")
+  }
+
+  test("pcaTopComponent: recovers a planted dominant axis") {
+    import spark.implicits._
+    // Variance 25 along dim 0 (values ±5), variance 0.01 along dim 1:
+    // PC1 must align with dim 0, labels split by sign of their dim-0
+    // coordinate, eigenvalue ≈ sample variance of dim 0.
+    val vecs = Seq(
+      (0L, 0, Seq(5.0f, 0.1f)), (1L, 0, Seq(5.0f, -0.1f)),
+      (2L, 1, Seq(-5.0f, 0.1f)), (3L, 1, Seq(-5.0f, -0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.pcaTopComponent(vecs, "vec_id", "embedding", "label", 20)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Double]("mean_pc1"), r.getAs[Double]("eigenvalue")))).toMap
+    // Sign fix: largest |component| is positive → PC1 = +x.
+    assert(math.abs(out(0)._1 - 5.0) < 1e-3, s"label 0 ${out(0)._1}")
+    assert(math.abs(out(1)._1 + 5.0) < 1e-3, s"label 1 ${out(1)._1}")
+    // var of {5,5,-5,-5} (sample, n-1) = 100/3 ≈ 33.3333
+    assert(math.abs(out(0)._2 - 100.0 / 3) < 0.02, s"eigenvalue ${out(0)._2}")
+  }
 }

@@ -739,4 +739,33 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamHll(spark, dir, base + "/hll", 8)
     assertSameRows(second, batch)
   }
+
+  test("streaming funnel equals the one-shot batch funnel; crash replay is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s19")
+    val steps = Seq("view", "click", "purchase")
+    val cuts = Seq(1705276800000L, 1706054400000L)
+    val streamed = Streaming.runStreamFunnel(
+      spark, dir, base + "/fn", cuts, steps)
+    val batch = graft.operators.Funnel.funnel(
+      Tables.events(spark, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")),
+      "user_id", "event_type", "ms", steps)
+    assertSameRows(
+      streamed.select(col("user_id"), col("step0_ms"), col("step1_ms"),
+        col("step2_ms"), col("converted")),
+      batch.select(col("user_id"), col("step0_ms"), col("step1_ms"),
+        col("step2_ms"), col("converted")))
+    // Replay the final batch: the replace-upsert state must converge to
+    // the same rows (recomputing a user's chain from carry ∪ replayed
+    // slice is idempotent).
+    rollbackLastCommit(base + "/fn/ckpt")
+    val second = Streaming.runStreamFunnel(
+      spark, dir, base + "/fn", cuts, steps)
+    assertSameRows(
+      second.select(col("user_id"), col("step0_ms"), col("step1_ms"),
+        col("step2_ms"), col("converted")),
+      batch.select(col("user_id"), col("step0_ms"), col("step1_ms"),
+        col("step2_ms"), col("converted")))
+  }
 }
