@@ -138,6 +138,52 @@ object Graph {
           (col("_ca").cast("double") * col("_cb"))), 4).as("pmi"))
   }
 
+  /** HITS hub/authority scores over a directed (bipartite-friendly) edge
+    * list, a FIXED number of iterations — the two-sided importance score
+    * for interaction graphs (buyers ↔ products, crawlers ↔ hosts): an
+    * authority is valued by the hubs pointing at it, a hub by the
+    * authorities it finds. Complements [[pageRank]] (one-sided, random-
+    * walk semantics).
+    *
+    * Same numerical contract as pageRank: every normalize is followed by
+    * a 6-dp round, so both engines carry IDENTICAL score tables into the
+    * next half-step and the fixed-point iteration is engine-portable
+    * (the oracle unrolls the same halves as generated CTEs).
+    *
+    * Scale shape per half-step: one edge⋈score equi-join + one hash agg
+    * at node grain + ONE scalar norm aggregate broadcast back; the
+    * node-grain score side broadcasts when it measurably fits (the
+    * pageRank bcastV discipline), else the co-partitioned shuffle join.
+    * localCheckpoint truncates the per-round lineage. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      .distinct().localCheckpoint(eager = true)
+    var h = e.select(col("_s").as("node")).distinct()
+      .withColumn("score", lit(1.0)).localCheckpoint(eager = true)
+    val bcastV = h.count() <= 5000000L
+    def vSide(df: DataFrame): DataFrame = if (bcastV) broadcast(df) else df
+    var a: DataFrame = null
+    def halfStep(scores: DataFrame, joinKey: String,
+                 outKey: String): DataFrame = {
+      val raw = e.join(vSide(scores.withColumnRenamed("node", joinKey)
+          .withColumnRenamed("score", "_in")), Seq(joinKey))
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col("_in")).as("_raw"))
+      val nrm = raw.agg(sqrt(sum(col("_raw") * col("_raw"))).as("_nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("node"), round(col("_raw") / col("_nrm"), 6).as("score"))
+        .localCheckpoint(eager = true)
+    }
+    (1 to iterations).foreach { _ =>
+      a = halfStep(h, "_s", "_t") // authorities gather hub mass
+      h = halfStep(a, "_t", "_s") // hubs gather authority mass
+    }
+    h.select(lit("hub").as("role"), col("node"), col("score"))
+      .unionByName(
+        a.select(lit("authority").as("role"), col("node"), col("score")))
+  }
+
   /** Per-vertex triangle participation over an undirected edge list — the
     * clustering-structure read on a co-occurrence graph (which items form
     * tight cliques, vs. merely popular hubs). Input may carry duplicate /

@@ -701,4 +701,37 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"))
   }
+
+  /** Chi-square independence audit between two categorical columns — the
+    * stratification check before trusting a per-facet sample ("is doc
+    * length independent of language, or must splits stratify on both?").
+    * Emits each row-category's contribution Σ (obs − exp)²/exp so the
+    * drilldown names WHICH category drives the dependence; the global
+    * statistic is the column's sum.
+    *
+    * Scale shape: one (row, col) contingency agg (map-side combined,
+    * bounded by the category product), marginals re-agged from that
+    * bounded table and broadcast back — the corpus is scanned once; the
+    * only doubles are the per-cell expected counts (exact-integer
+    * marginal products over an exact total), rounded 4 dp at the end. */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("_o"))
+    val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("_o")).as("_rt"))
+    val colTot = obs.groupBy(col(colCol)).agg(sum(col("_o")).as("_ct"))
+    val tot = obs.agg(sum(col("_o")).cast("double").as("_n"))
+    // Densify: empty cells carry (0 − e)²/e too — the statistic is over
+    // the FULL row×col grid, materialized from the bounded marginals
+    // (category product, never the corpus).
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq(rowCol, colCol), "left_outer")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("_e", col("_rt") * col("_ct") / col("_n"))
+      .groupBy(col(rowCol))
+      .agg(sum(col("_o")).cast("long").as("n_rows"),
+        round(sum((col("_o") - col("_e")) * (col("_o") - col("_e")) /
+          col("_e")), 4).as("chi2_contrib"))
+  }
 }

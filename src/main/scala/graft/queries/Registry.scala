@@ -653,6 +653,36 @@ object Registry {
       |GROUP BY 1 ORDER BY label""").stripMargin.replace("\n", " ")
   }
 
+  /** j25's oracle: HITS unrolled — the same fixed halves the engine runs
+    * (authority gather → L2 normalize → 6 dp round, then hubs), as
+    * generated CTEs over the urgent-order customer→part edge set. */
+  private def hitsOracle(iters: Int): String = {
+    val head = Seq(
+      """e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS t
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT')""",
+      """h0 AS (SELECT DISTINCT s AS node, 1.0 AS score FROM e)""")
+    val rounds = (1 to iters).flatMap { k =>
+      Seq(
+        s"""ar$k AS MATERIALIZED (SELECT e.t AS node, sum(h${k - 1}.score) AS raw
+           |FROM e JOIN h${k - 1} ON e.s = h${k - 1}.node GROUP BY 1)""",
+        s"""a$k AS MATERIALIZED (SELECT node,
+           |round(raw / (SELECT sqrt(sum(raw*raw)) FROM ar$k), 6) AS score FROM ar$k)""",
+        s"""hr$k AS MATERIALIZED (SELECT e.s AS node, sum(a$k.score) AS raw
+           |FROM e JOIN a$k ON e.t = a$k.node GROUP BY 1)""",
+        s"""h$k AS MATERIALIZED (SELECT node,
+           |round(raw / (SELECT sqrt(sum(raw*raw)) FROM hr$k), 6) AS score FROM hr$k)""")
+    }
+    val tail = Seq(
+      s"""ranked AS (SELECT 'authority' AS role, node, score,
+         |row_number() OVER (ORDER BY score DESC, node) AS rnk FROM a$iters
+         |UNION ALL SELECT 'hub', node, score,
+         |row_number() OVER (ORDER BY score DESC, node) FROM h$iters)""")
+    ("WITH " + (head ++ rounds ++ tail).mkString(", ") +
+      """ SELECT role, node, score, CAST(rnk AS BIGINT) AS rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY role, rnk""").stripMargin.replace("\n", " ")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("a4_channel_stats",
@@ -4134,7 +4164,178 @@ object Registry {
         |SELECT v.user_id, view_ms, click_ms, purchase_ms,
         |CAST(purchase_ms IS NOT NULL AS INT) AS converted
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin.replace("\n", " ")))
+        |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    ("x89_seasonal_decompose",
+      // STL-lite additive decomposition of the daily series
+      // (operators/TimeSeries.seasonalDecompose): 7-day centered MA
+      // trend, day-of-week seasonal means, residual — the ingest-curve
+      // explainer separating weekly rhythm from real anomaly.
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.seasonalDecompose(
+            daily, Seq("event_type"), "day", "n", 7)
+          .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+            col("trend"), col("seasonal"), col("residual"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, n,
+        |CASE WHEN count(*) OVER w = 7 THEN round(avg(n) OVER w, 4) END AS trend
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (SELECT *, n - trend AS detr, (day // 86400000) % 7 AS dow FROM t),
+        |m AS (SELECT event_type, dow, round(avg(detr), 4) AS seasonal
+        |FROM s WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT s.event_type, s.day, s.n, s.trend, m.seasonal,
+        |round(s.n - s.trend - m.seasonal, 4) AS residual
+        |FROM s JOIN m ON s.event_type = m.event_type AND s.dow = m.dow
+        |ORDER BY s.event_type, s.day""".stripMargin.replace("\n", " "))),
+
+    ("x90_cusum",
+      // CUSUM change-point locator (operators/TimeSeries.cusumChangepoint):
+      // running standardized sum reported at its |max| — rounded 4 dp
+      // BEFORE the arg-max ranking so the tie-broken winner is portable.
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.cusumChangepoint(
+            daily, Seq("event_type"), "day", "n")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, round(sum((d.n - st.mu) / st.sd)
+        |OVER (PARTITION BY d.event_type ORDER BY d.day), 4) AS cusum
+        |FROM d JOIN st USING (event_type)),
+        |r AS (SELECT event_type, day, cusum, row_number() OVER
+        |(PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS change_point, cusum AS max_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x91_ks_drift",
+      // Two-sample Kolmogorov-Smirnov drift per type between the month's
+      // halves (operators/TimeSeries.ksDistance): peer-inclusive RANGE
+      // ecdfs so tied values resolve identically on both engines; one
+      // per-key sort, never global.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.ksDistance(
+            Tables.events(s, dir).select(col("event_type"), col("value"),
+              when(unix_millis(col("ts")) < T1, 0).otherwise(1).as("half")),
+            Seq("event_type"), "value", "half")
+          .orderBy(col("event_type")),
+      Some(s"""WITH e AS (SELECT event_type, value,
+        |CASE WHEN epoch_ms(ts) < $T1 THEN 0 ELSE 1 END AS half FROM events),
+        |n AS (SELECT event_type,
+        |CAST(sum(CASE WHEN half = 0 THEN 1 END) AS DOUBLE) AS n0,
+        |CAST(sum(CASE WHEN half = 1 THEN 1 END) AS DOUBLE) AS n1
+        |FROM e GROUP BY 1),
+        |c AS (SELECT event_type, value,
+        |sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) OVER w AS c0,
+        |sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) OVER w AS c1
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value))
+        |SELECT c.event_type, round(max(abs(c.c0/n.n0 - c.c1/n.n1)), 4) AS ks_d
+        |FROM c JOIN n USING (event_type) GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x92_gini",
+      // Gini concentration of per-user activity within each type
+      // (operators/Maintenance.giniConcentration): the inequality audit
+      // behind contribution capping; exact-integer core, one rank window
+      // at entity grain.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.giniConcentration(
+            Tables.events(s, dir).select(col("event_type"), col("user_id")),
+            "event_type", "user_id")
+          .orderBy(col("event_type")),
+      Some("""WITH u AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, row_number() OVER
+        |(PARTITION BY event_type ORDER BY x, user_id) AS i FROM u),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
+        |sum(i * x) AS six, sum(x) AS sx FROM r GROUP BY 1)
+        |SELECT event_type, n_entities,
+        |round(2.0 * six / (n_entities * sx) - (n_entities + 1.0) / n_entities, 4) AS gini
+        |FROM g ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("x93_chi_square",
+      // Chi-square independence of language x length-bucket over
+      // documents (operators/TextAnalysis.chiSquareIndependence): the
+      // stratification check before trusting per-facet samples; per-lang
+      // contributions name the driver of any dependence.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TextAnalysis.chiSquareIndependence(
+            Tables.documents(s, dir).select(col("lang"),
+              least(floor(col("n_chars") / 100), lit(5L)).as("bucket")),
+            "lang", "bucket")
+          .orderBy(col("lang")),
+      Some("""WITH d AS (SELECT lang, least(n_chars // 100, 5) AS bucket FROM documents),
+        |o AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+        |ct AS (SELECT bucket, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS DOUBLE) AS tot FROM o),
+        |grid AS (SELECT rt.lang, ct.bucket, rt.row_tot, ct.col_tot,
+        |coalesce(o.obs, 0) AS obs FROM rt CROSS JOIN ct
+        |LEFT JOIN o ON o.lang = rt.lang AND o.bucket = ct.bucket),
+        |x AS (SELECT g.lang, g.obs, g.row_tot * g.col_tot / n.tot AS exp
+        |FROM grid g, n)
+        |SELECT lang, CAST(sum(obs) AS BIGINT) AS n_rows,
+        |round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2_contrib
+        |FROM x GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", " "))),
+
+    ("j25_hits",
+      // HITS hub/authority over the urgent-order customer->part bipartite
+      // graph (operators/Graph.hits): 5 fixed halves with the pageRank
+      // 6-dp fixed-point discipline; top-10 per role via the BOUNDED
+      // TopKAgg (k-capped map-side buffer, never a full sort).
+      (s: SparkSession, dir: String) => {
+        val edges = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        val scores = graft.operators.Graph.hits(edges, "cust", "part", 5)
+        val topk = graft.functions.TopKAgg.topK(10)
+        scores.groupBy(col("role"))
+          .agg(topk(col("score"), col("node")).as("_t"))
+          .select(col("role"), posexplode(col("_t")).as(Seq("_p", "_e")))
+          .select(col("role"), col("_e.id").as("node"),
+            col("_e.score").as("score"),
+            (col("_p") + 1).cast("long").as("rnk"))
+          .orderBy(col("role"), col("rnk"))
+      },
+      Some(hitsOracle(5))),
+
+    ("s20_stream_rate_anomaly",
+      // J13 under streaming (streaming/Streaming.runStreamRateAnomaly):
+      // the (type, day) count table maintained as streaming state,
+      // z-scores folded over it at read time — j13's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s20")
+        graft.streaming.Streaming.runStreamRateAnomaly(s, dir, base + "/ra")
+          .orderBy(col("event_type"), col("day_ms"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS n
+        |FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS m, stddev_samp(n) AS s
+        |FROM d GROUP BY 1)
+        |SELECT d.event_type, day_ms, CAST(n AS BIGINT) AS n,
+        |round(CASE WHEN s IS NULL OR s = 0 THEN 0
+        |ELSE (n - m) / s END, 4) AS z,
+        |CASE WHEN abs(CASE WHEN s IS NULL OR s = 0 THEN 0
+        |ELSE (n - m) / s END) >= 2 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM d JOIN st USING (event_type) ORDER BY event_type, day_ms"""
+        .stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -1410,6 +1410,51 @@ object Streaming {
     sink.state(spark).get
   }
 
+  /** J13's event-rate anomaly gate under streaming: the per-(type, day)
+    * count table is maintained as streaming state (one stateful windowed
+    * count, update-mode re-emissions replace-upsert by key — each
+    * re-emission carries the group's COMPLETE count so far, so the final
+    * table equals the one-shot batch counts for any slicing), and the
+    * z-score read (mean/σ per type, |z| ≥ 2 flag) folds over the
+    * maintained table at serve time — j13's oracle verbatim.
+    *
+    * This is the deployment shape of ingest monitoring: counts accrue
+    * micro-batch by micro-batch; the anomaly flag is always computed
+    * against the CURRENT whole-history moments, not frozen ones. */
+  def runStreamRateAnomaly(spark: SparkSession, dir: String,
+                           base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day_ms"), Seq("n"), additive = false)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val q = withStatePartitions(spark, 8) { ss =>
+      ss.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "45 days") // id-sharded slices span the range
+        .groupBy(window(col("ts"), "1 day").as("_w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_millis(col("_w.start")).as("day_ms"),
+          col("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    }
+    q.awaitTermination()
+    val daily = sink.state(spark).get
+    val st = daily.groupBy(col("event_type")).agg(
+      avg(col("n")).as("_m"), stddev_samp(col("n")).as("_s"))
+    val z = when(col("_s").isNull || col("_s") === 0.0, 0.0)
+      .otherwise((col("n") - col("_m")) / col("_s"))
+    daily.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("day_ms"),
+        col("n").cast("long").as("n"), round(z, 4).as("z"),
+        when(abs(z) >= 2.0, 1).otherwise(0).as("is_anomaly"))
+  }
+
   /** Streaming HLL register maintenance: x74's relational sketch under
     * Structured Streaming — the register table IS the streaming state
     * (one stateful `max` aggregate at (day, type, bucket) grain, ≤ 2^p

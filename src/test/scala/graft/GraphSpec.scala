@@ -53,6 +53,23 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 2, 2L, -0.1178)))
   }
 
+  test("hits: the hub covering every authority dominates; unit norms hold") {
+    import spark.implicits._
+    // Hub 1 → {10, 11, 12}; hubs 2, 3 → {10} only. Authority 10 is cited
+    // by all three hubs → top authority; hub 1 touches every authority →
+    // top hub. Both score vectors are L2-normalized each half-step.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 10L))
+      .toDF("s", "t")
+    val out = Graph.hits(e, "s", "t", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hubs = out.filter(_._1 == "hub").sortBy(-_._3)
+    val auths = out.filter(_._1 == "authority").sortBy(-_._3)
+    assert(hubs.head._2 === 1L)
+    assert(auths.head._2 === 10L)
+    assert(math.abs(hubs.map(h => h._3 * h._3).sum - 1.0) < 1e-4)
+    assert(math.abs(auths.map(a => a._3 * a._3).sum - 1.0) < 1e-4)
+  }
+
   test("trianglesPerVertex: K4 plus a pendant edge, duplicates collapse") {
     import spark.implicits._
     // K4 on {1,2,3,4} has C(4,3)=4 triangles; every K4 vertex sits in

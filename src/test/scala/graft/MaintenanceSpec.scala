@@ -206,6 +206,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
 
+  test("giniConcentration: equal shares give 0, single dominator approaches 1") {
+    import spark.implicits._
+    // Group "eq": 4 users × 5 rows each → perfect equality, G = 0.
+    // Group "skew": users 1-3 post once, user 4 posts 97 times →
+    // G = 2·(1·1+2·1+3·1+4·97)/(4·100) − 5/4 = 788/400 − 1.25 = 0.72.
+    val rows = (for { u <- 1L to 4L; _ <- 1 to 5 } yield (u, "eq")) ++
+      Seq((1L, "skew"), (2L, "skew"), (3L, "skew")) ++
+      Seq.fill(97)((4L, "skew"))
+    val out = Maintenance.giniConcentration(rows.toDF("uid", "grp"), "grp", "uid")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(out("eq") === 0.0)
+    assert(out("skew") === 0.72)
+  }
+
   test("referentialIntegrity: orphans, nulls, and coverage are all counted") {
     import spark.implicits._
     // Children: two rows hit parent 10, one hits the MISSING parent 99

@@ -357,4 +357,20 @@ class TextAnalysisSpec extends SparkSpec {
       df, Seq("qid"), 3).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq === Seq(("z", 1L), ("y", 2L)))
   }
+
+  test("chiSquareIndependence: independent table scores 0, dependent scores high") {
+    import spark.implicits._
+    // Perfectly independent 2x2 (every cell = row·col/N exactly): chi2 = 0.
+    val indep = (Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(10)(("b", 0)) ++ Seq.fill(10)(("b", 1))).toDF("r", "c")
+    val zi = graft.operators.TextAnalysis.chiSquareIndependence(indep, "r", "c")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("chi2_contrib")).toMap
+    assert(zi("a") === 0.0 && zi("b") === 0.0)
+    // Perfectly dependent (diagonal): each cell contributes (10-5)²/5 = 5,
+    // two cells per row category → 10 per row.
+    val dep = (Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("b", 1))).toDF("r", "c")
+    val zd = graft.operators.TextAnalysis.chiSquareIndependence(dep, "r", "c")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("chi2_contrib")).toMap
+    assert(zd("a") === 10.0 && zd("b") === 10.0)
+  }
 }

@@ -62,6 +62,55 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.getAs[Long]("max_ms") === 100L)
   }
 
+  test("seasonalDecompose: pure weekly pattern is fully explained (residual 0)") {
+    import spark.implicits._
+    // value depends ONLY on day-of-week: trend = weekly mean (constant),
+    // seasonal absorbs the phase offsets, residual must be exactly 0 on
+    // every row that has a full centered window.
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0) // sums to 160
+    val s = (0 until 28).map(i =>
+      ("k", i.toLong * 86400000L, pattern(i % 7))).toDF("key", "t", "n")
+    val out = TimeSeries.seasonalDecompose(s, Seq("key"), "t", "n", 7)
+      .where(col("trend").isNotNull).collect()
+    assert(out.length === 22) // 28 minus 3 edge days each side
+    assert(out.forall(_.getAs[Double]("residual") == 0.0))
+    val mean4dp = 22.8571 // round(160/7, 4) — the operator's 4 dp grain
+    assert(out.forall(r => r.getAs[Double]("trend") == mean4dp))
+  }
+
+  test("cusumChangepoint: locates a planted level shift") {
+    import spark.implicits._
+    // 10 days at 10, then 10 days at 50: |CUSUM| peaks at the last
+    // low-level day (index 9) — the classic single-change signature.
+    val s = (0 until 20).map(i =>
+      ("k", i.toLong * 86400000L, if (i < 10) 10L else 50L)).toDF("key", "t", "n")
+    val out = TimeSeries.cusumChangepoint(s, Seq("key"), "t", "n").collect().head
+    assert(out.getAs[Long]("change_point") === 9L * 86400000L)
+    assert(out.getAs[Double]("max_cusum") < 0.0) // low-side excursion
+  }
+
+  test("ksDistance: identical samples give 0, disjoint supports give 1") {
+    import spark.implicits._
+    val same = ((1 to 50).map(i => ("k", i.toDouble, 0)) ++
+      (1 to 50).map(i => ("k", i.toDouble, 1))).toDF("key", "v", "side")
+    assert(TimeSeries.ksDistance(same, Seq("key"), "v", "side")
+      .collect().head.getAs[Double]("ks_d") === 0.0)
+    val disjoint = ((1 to 50).map(i => ("k", i.toDouble, 0)) ++
+      (1 to 50).map(i => ("k", 100.0 + i, 1))).toDF("key", "v", "side")
+    assert(TimeSeries.ksDistance(disjoint, Seq("key"), "v", "side")
+      .collect().head.getAs[Double]("ks_d") === 1.0)
+  }
+
+  test("ksDistance: tied values resolve peer-inclusively (order-independent)") {
+    import spark.implicits._
+    // All mass on the SAME value on both sides: any row-order-dependent
+    // ecdf would see a spurious mid-tie gap; the RANGE frame must not.
+    val tied = (Seq.fill(10)(("k", 5.0, 0)) ++ Seq.fill(10)(("k", 5.0, 1)))
+      .toDF("key", "v", "side")
+    assert(TimeSeries.ksDistance(tied, Seq("key"), "v", "side")
+      .collect().head.getAs[Double]("ks_d") === 0.0)
+  }
+
   test("interarrival: simultaneous events tie-break on the id column") {
     import spark.implicits._
     val e = Seq(("k", "a", 10L, 2L), ("k", "a", 10L, 1L), ("k", "a", 25L, 3L))
