@@ -138,6 +138,42 @@ object Graph {
           (col("_ca").cast("double") * col("_cb"))), 4).as("pmi"))
   }
 
+  /** k-hop reachability (bounded BFS) from a seed set over a DIRECTED
+    * edge list: per hop, the set of nodes first reached at that distance
+    * — the blast-radius query ("what does this item pull in within 3
+    * hops") behind related-item expansion and contamination spread.
+    * Returns (hop, n_nodes) plus the frontier node sets' sizes only;
+    * callers needing the nodes take the per-hop frames.
+    *
+    * Scale shape per hop: one frontier⋈edges equi-join + distinct + one
+    * anti-join against the visited set; frontier and visited are
+    * node-grain (V-bounded) and localCheckpoint after each hop truncates
+    * the loop lineage — the [[pageRank]]/connected-components loop
+    * discipline. Hop count is FIXED (bounded rounds), never
+    * run-to-convergence. */
+  def kHopCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                 seed: DataFrame, seedCol: String, hops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .distinct().localCheckpoint(eager = true)
+    var frontier = seed.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(eager = true)
+    var visited = frontier
+    var out = frontier.groupBy()
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .select(lit(0).as("hop"), col("n_nodes"))
+    (1 to hops).foreach { h =>
+      frontier = e.join(frontier, col("_u") === col("node"))
+        .select(col("_v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(frontier).localCheckpoint(eager = true)
+      out = out.unionByName(frontier.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+        .select(lit(h).as("hop"), col("n_nodes")))
+    }
+    out
+  }
+
   /** HITS hub/authority scores over a directed (bipartite-friendly) edge
     * list, a FIXED number of iterations — the two-sided importance score
     * for interaction graphs (buyers ↔ products, crawlers ↔ hosts): an

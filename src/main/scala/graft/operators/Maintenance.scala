@@ -324,6 +324,33 @@ object Maintenance {
     * broadcasts when the dimension is small. Null keys never enter the
     * join. Each relation is one independent plan unioned at 1-row grain.
     */
+  /** Winsorization audit + clamp: per group, exact [pLo, pHi] percentile
+    * fences (rounded 4 dp so BOTH engines clamp with identical bounds),
+    * the clipped-row counts each side, and the mean before/after — the
+    * robust-scaling prep that tames heavy tails without dropping rows
+    * (the keep-everything sibling of the Tukey gate's filter).
+    *
+    * Scale shape: one group-grain exact-percentile agg broadcast back
+    * onto a codegen clamp projection + one group agg; `percentile_approx`
+    * is the documented 100 TB swap for the fence pass. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    val fences = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, $pLo)"), 4).as("lo"),
+      round(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_lo"),
+        sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_hi"),
+        round(avg(col(valueCol)), 4).as("mean_raw"),
+        round(avg(greatest(col("lo"), least(col("hi"), col(valueCol)))), 4)
+          .as("mean_winsor"))
+  }
+
   /** Gini concentration of entity activity per group — the inequality
     * audit behind contribution capping ([[contributionCap]] clamps; this
     * MEASURES): 0 = every entity contributes equally, →1 = a few heavy

@@ -659,6 +659,100 @@ object Similarity {
         round(lit(lambda), 4))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking: the diversified top-`picks`
+    * of a cosine top-`k` candidate list — greedy argmax of
+    * λ·rel(d) − (1−λ)·max sim(d, already-picked), the standard RAG/
+    * retrieval move against near-duplicate result lists (pure top-k
+    * returns five copies of the same paragraph; MMR returns one plus
+    * four genuinely different ones).
+    *
+    * Scale shape: candidate generation is the DISTRIBUTED part (one
+    * codegen cosine projection + TakeOrderedAndProject — the corpus
+    * never shuffles); the greedy loop runs on the collected k×d
+    * candidate block, bounded driver metadata by construction (the
+    * kMeansTrain discipline — k is a serving-size constant). All sims
+    * round 6 dp (ascending-index fold, matching the native expression)
+    * so the greedy trajectory is engine-portable.
+    */
+  def mmrRerank(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, picks: Int,
+                lambda: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val qv = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).toIndexedSeq
+    val cand = embeddings.where(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol),
+        round(cosine(col(vecCol), typedlit(qv)), 6).as("rel"))
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(k)
+      .collect() // bounded: k candidate vectors (serving-size constant)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq,
+        r.getDouble(2)))
+    def cos6(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // ascending-index fold = the oracle's order
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, IndexedSeq[Float], Double, Double)]
+    var remaining = cand.toBuffer
+    (1 to math.min(picks, cand.length)).foreach { _ =>
+      val scoredRem = remaining.map { case (id, vec, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos6(vec, s._2)).max
+        (id, vec, rel, r6(lambda * rel - (1 - lambda) * maxSim))
+      }
+      val best = scoredRem.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, rel, mmr), i) =>
+      ((i + 1).toLong, id, rel, mmr)
+    }.toSeq.toDF("rnk", "vec_id", "rel", "mmr")
+  }
+
+  /** Per-label medoid-by-centroid: the REAL member nearest its label's
+    * (6 dp-rounded) centroid — the cluster exemplar you can actually show
+    * (a centroid is synthetic; a medoid is a document). The true medoid
+    * (min total pairwise distance) is O(n²) per label; nearest-to-
+    * centroid is its standard O(n·1) surrogate. [[labelOutliers]] finds
+    * the members FARTHEST out; this picks the one that best represents.
+    *
+    * Distances round 6 dp before the rank (id tie-break) — the
+    * fixed-point discipline that makes the winner engine-portable.
+    * Scale: one (label, dim) agg broadcast back, one codegen distance
+    * projection, one per-label rank window at member grain. */
+  def medoids(embeddings: DataFrame, idCol: String, vecCol: String,
+              labelCol: String): DataFrame = {
+    val cent = embeddings
+      .select(col(labelCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(col("_lbl"), col("_p"))
+      .agg(round(avg(col("_x").cast("double")), 6).as("_c"))
+      .groupBy(col("_lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
+        s => s.getField("_c")).as("_cent"))
+    val dist = round(sqrt(aggregate(
+      zip_with(col(vecCol), col("_cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, t) => acc + t)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(col("dist").asc, col(idCol).asc)
+    embeddings.join(broadcast(cent), col(labelCol) === col("_lbl"))
+      .withColumn("dist", dist)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(labelCol), col(idCol).as("medoid_id"), col("dist"))
+  }
+
   def labelOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int): DataFrame = {
     val pos = embeddings.select(col(labelCol).as("_lbl"),

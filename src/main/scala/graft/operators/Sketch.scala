@@ -67,6 +67,51 @@ object Sketch {
     *
     * Output per group: `v_buckets` (registers hit), `max_rank`,
     * `n_est` (corrected estimate, 2 dp). */
+  /** KMV sketch SET ALGEBRA — union and intersection cardinality
+    * estimates for every group pair WITHOUT rescanning the data: a
+    * bottom-k sketch of A ∪ B is exactly the bottom-k of the two
+    * sketches' hash union (bottom-k is closed under union), and the
+    * Jaccard estimate is the share of the union sketch present in BOTH
+    * sides (the classic KMV coincidence estimator), so
+    * intersect ≈ J · union. This is the audit that answers "how much do
+    * these two sources overlap" from two already-persisted sketches.
+    *
+    * Scale shape: after [[kmvDistinct]]-style sketching (one map-side-
+    * combined agg), everything is ARRAY-LOCAL on a |groups|²-row pair
+    * frame of k-long arrays — the merge is array_sort(union) sliced to
+    * k, membership is array_contains; no re-shuffle of the corpus, no
+    * exact-distinct pass. Estimates are exact-integer arithmetic over
+    * the md5 hash family, so the oracle hash-matches. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    val h: Column = Dedup.shingleHash(
+      concat(lit("kmv:"), col(valueCol).cast("string")))
+    val estNum = (k - 1).toLong * 4294967296L
+    val sk = df.select(col(groupCol), h.as("_h"))
+      .groupBy(col(groupCol))
+      .agg(BottomKSketch.bottomK(k)(col("_h")).as("_sk"))
+    val pairs = sk.select(col(groupCol).as("type_a"), col("_sk").as("_ska"))
+      .join(broadcast(sk.select(col(groupCol).as("type_b"),
+        col("_sk").as("_skb"))), col("type_a") < col("type_b"))
+    val merged = slice(array_sort(array_union(col("_ska"), col("_skb"))),
+      1, k)
+    pairs
+      .withColumn("_m", merged)
+      .withColumn("n_kept", size(col("_m")).cast("bigint"))
+      .withColumn("_kth", element_at(col("_m"), size(col("_m"))))
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${estNum}L div _kth")))
+      .withColumn("n_both", size(filter(col("_m"),
+        x => array_contains(col("_ska"), x) &&
+          array_contains(col("_skb"), x))).cast("bigint"))
+      .withColumn("intersect_est",
+        round(col("n_both").cast("double") / col("n_kept") *
+          col("union_est"), 0).cast("long"))
+      .select(col("type_a"), col("type_b"), col("n_kept"), col("union_est"),
+        col("n_both"), col("intersect_est"))
+  }
+
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)

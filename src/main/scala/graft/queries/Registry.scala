@@ -683,6 +683,73 @@ object Registry {
         |WHERE rnk <= 10 ORDER BY role, rnk""").stripMargin.replace("\n", " ")
   }
 
+  /** Shared CDC chunk-sharing pair CTEs (m4's candidate generation):
+    * content-defined chunks per payload, boilerplate dropped, pairs
+    * sharing >= 3 distinct chunks (`mp`). m4 reads `mp` directly; m5
+    * closes over it transitively. */
+  private val chunkPairsCtes: String =
+    """m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+      |cuts AS (SELECT media_id, text, len,
+      |CASE WHEN len >= 8 THEN list_filter(generate_series(1, len - 7),
+      |p -> md5(substr(text, CAST(p AS INT), 8)) LIKE '0%')
+      |ELSE CAST([] AS BIGINT[]) END AS cs FROM m WHERE len >= 1),
+      |spans AS (SELECT media_id, text, len,
+      |list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
+      |list_append(cs, CAST(len AS BIGINT)) AS ends FROM cuts),
+      |ch AS (SELECT DISTINCT media_id,
+      |unnest(list_transform(generate_series(1, len(starts)),
+      |i -> md5(substr(text, CAST(starts[CAST(i AS INT)] AS INT),
+      |CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT))))) AS h
+      |FROM spans),
+      |freq AS (SELECT h, count(*) AS nm FROM ch GROUP BY h),
+      |rare AS (SELECT ch.media_id, ch.h FROM ch JOIN freq USING (h)
+      |WHERE freq.nm <= 20 AND freq.nm > 1),
+      |pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+      |FROM rare a JOIN rare b ON a.h = b.h AND a.media_id < b.media_id),
+      |mp AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3)"""
+      .stripMargin.replace("\n", " ")
+
+  /** x96's oracle: the MMR greedy unrolled — candidate top-k by rounded
+    * cosine, pairwise candidate sims, then one CTE per pick mirroring
+    * the engine's argmax(λ·rel − (1−λ)·maxsim) with 6 dp rounds and the
+    * id tie-break at every step. */
+  private def mmrOracle(k: Int, picks: Int, lam: Double): String = {
+    def cosSql(a: String, b: String): String =
+      s"""round(list_reduce(list_transform(generate_series(1, len($a)),
+         |i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y) /
+         |(sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+         |i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y)) *
+         |sqrt(list_reduce(list_transform(generate_series(1, len($b)),
+         |i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y))), 6)"""
+    val oneMinus = 1 - lam
+    val head = Seq(
+      "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+      s"""scored AS MATERIALIZED (SELECT vec_id, ${cosSql("embedding", "qv")} AS rel
+         |FROM embeddings, q WHERE vec_id <> 0)""",
+      s"cand AS MATERIALIZED (SELECT vec_id, rel FROM scored ORDER BY rel DESC, vec_id LIMIT $k)",
+      s"""sim AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |${cosSql("a.embedding", "b.embedding")} AS s
+         |FROM (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id) a
+         |JOIN (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id) b
+         |ON a.vec_id <> b.vec_id)""",
+      s"""p1 AS (SELECT vec_id, rel, round($lam * rel, 6) AS mmr FROM cand
+         |ORDER BY mmr DESC, vec_id LIMIT 1)""")
+    val rounds = (2 to picks).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+      s"""p$r AS (SELECT c.vec_id, c.rel,
+         |round($lam * c.rel - $oneMinus * max(s.s), 6) AS mmr
+         |FROM cand c JOIN sim s ON s.ia = c.vec_id AND s.ib IN ($prev)
+         |WHERE c.vec_id NOT IN ($prev)
+         |GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+    }
+    val sel = (1 to picks).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, rel, mmr FROM p$i").mkString(" UNION ALL ")
+    ("WITH " + (head ++ rounds).mkString(", ") +
+      s" SELECT rnk, vec_id, rel, mmr FROM ($sel) ORDER BY rnk")
+      .stripMargin.replace("\n", " ")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("a4_channel_stats",
@@ -3780,27 +3847,35 @@ object Registry {
           graft.operators.Multimodal.mediaFromDocuments(
             Tables.documents(s, dir)), 8, "0", 20, 3L)
           .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
-        |cuts AS (SELECT media_id, text, len,
-        |CASE WHEN len >= 8 THEN list_filter(generate_series(1, len - 7),
-        |p -> md5(substr(text, CAST(p AS INT), 8)) LIKE '0%')
-        |ELSE CAST([] AS BIGINT[]) END AS cs FROM m WHERE len >= 1),
-        |spans AS (SELECT media_id, text, len,
-        |list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
-        |list_append(cs, CAST(len AS BIGINT)) AS ends FROM cuts),
-        |ch AS (SELECT DISTINCT media_id,
-        |unnest(list_transform(generate_series(1, len(starts)),
-        |i -> md5(substr(text, CAST(starts[CAST(i AS INT)] AS INT),
-        |CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT))))) AS h
-        |FROM spans),
-        |freq AS (SELECT h, count(*) AS nm FROM ch GROUP BY h),
-        |rare AS (SELECT ch.media_id, ch.h FROM ch JOIN freq USING (h)
-        |WHERE freq.nm <= 20 AND freq.nm > 1),
-        |pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b
-        |FROM rare a JOIN rare b ON a.h = b.h AND a.media_id < b.media_id)
-        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b"""
-        .stripMargin.replace("\n", " "))),
+      Some(s"WITH $chunkPairsCtes SELECT id_a, id_b, n_shared FROM mp " +
+        "ORDER BY id_a, id_b")),
+
+    ("m5_media_dup_groups",
+      // Binary duplicate GROUPS: connected components over m4's chunk-
+      // sharing pairs (a~b, b~c ⇒ one group) — the media-side twin of
+      // x25's text clustering; per group the min-id label, member count,
+      // and id span. Same min-label-propagation loop, same recursive-
+      // closure oracle discipline.
+      (s: SparkSession, dir: String) => {
+        val pairs = graft.operators.Multimodal.chunkNearDupPairs(
+          graft.operators.Multimodal.mediaFromDocuments(
+            Tables.documents(s, dir)), 8, "0", 20, 3L)
+        graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy(col("label").as("group_id"))
+          .agg(count(lit(1)).cast("long").as("n_media"),
+            max(col("node")).cast("long").as("max_member"))
+          .orderBy(col("group_id"))
+      },
+      Some(s"""WITH RECURSIVE $chunkPairsCtes,
+        |e AS (SELECT id_a AS a, id_b AS b FROM mp UNION SELECT id_b, id_a FROM mp),
+        |reach(n, r) AS (
+        |  SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+        |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1)
+        |SELECT root AS group_id, CAST(count(*) AS BIGINT) AS n_media,
+        |CAST(max(n) AS BIGINT) AS max_member
+        |FROM comp GROUP BY 1 ORDER BY group_id""".stripMargin.replace("\n", " "))),
 
     ("x80_histogram",
       // Equal-width value histogram per event type (20 bins, sparse form)
@@ -4335,7 +4410,164 @@ object Registry {
         |CASE WHEN abs(CASE WHEN s IS NULL OR s = 0 THEN 0
         |ELSE (n - m) / s END) >= 2 THEN 1 ELSE 0 END AS is_anomaly
         |FROM d JOIN st USING (event_type) ORDER BY event_type, day_ms"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " "))),
+
+    ("x94_sketch_set_ops",
+      // KMV sketch set algebra (operators/Sketch.kmvSetOps): union +
+      // intersection cardinality estimates for every type pair from the
+      // persisted bottom-64 sketches alone — array-local merge, never an
+      // exact-distinct rescan; md5 family makes the estimates hash-exact.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.kmvSetOps(
+          Tables.events(s, dir).select(col("event_type"),
+            concat(col("user_id").cast("string"), lit("@"),
+              unix_millis(date_trunc("DAY", col("ts"))).cast("string"))
+              .as("entity")),
+          "event_type", "entity", 64)
+          .orderBy(col("type_a"), col("type_b")),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR) || '@' ||
+        |CAST(epoch_ms(date_trunc('day', ts)) AS VARCHAR)), 1, 8))::BIGINT AS h FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER
+        |(PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b FROM
+        |(SELECT DISTINCT event_type FROM events) a
+        |JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type),
+        |ud AS (SELECT type_a, type_b, h, row_number() OVER
+        |(PARTITION BY type_a, type_b ORDER BY h) AS rn
+        |FROM (SELECT DISTINCT p.type_a, p.type_b, s.h FROM p
+        |JOIN sk s ON s.event_type IN (p.type_a, p.type_b))),
+        |uk AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+        |FROM ud WHERE rn <= 64 GROUP BY 1, 2),
+        |inter AS (SELECT ud.type_a, ud.type_b, CAST(count(*) AS BIGINT) AS n_both
+        |FROM ud JOIN sk a ON a.event_type = ud.type_a AND a.h = ud.h
+        |JOIN sk b ON b.event_type = ud.type_b AND b.h = ud.h
+        |WHERE ud.rn <= 64 GROUP BY 1, 2)
+        |SELECT uk.type_a, uk.type_b, uk.n_kept,
+        |CASE WHEN uk.n_kept < 64 THEN uk.n_kept ELSE 270582939648 // uk.kth END AS union_est,
+        |coalesce(inter.n_both, 0) AS n_both,
+        |CAST(round(1.0 * coalesce(inter.n_both, 0) / uk.n_kept *
+        |(CASE WHEN uk.n_kept < 64 THEN uk.n_kept ELSE 270582939648 // uk.kth END), 0) AS BIGINT)
+        |AS intersect_est
+        |FROM uk LEFT JOIN inter USING (type_a, type_b) ORDER BY type_a, type_b"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x95_winsorize",
+      // Winsorization audit (operators/Maintenance.winsorize): exact
+      // [p05, p95] fences rounded 4 dp so both engines clamp identically;
+      // clipped counts + mean before/after per type.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.winsorize(
+            Tables.events(s, dir).select(col("event_type"), col("value")),
+            "event_type", "value", 0.05, 0.95)
+          .orderBy(col("event_type")),
+      Some("""WITH f AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo,
+        |round(quantile_cont(value, 0.95), 4) AS hi FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, f.lo, f.hi,
+        |CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |round(avg(e.value), 4) AS mean_raw,
+        |round(avg(greatest(f.lo, least(f.hi, e.value))), 4) AS mean_winsor
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1, 3, 4 ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("j27_khop_reachability",
+      // Bounded BFS blast radius (operators/Graph.kHopCounts): nodes
+      // first reached at each hop from the minimum part over the
+      // DIRECTED urgent co-purchase graph; per hop one frontier join +
+      // anti-join, localCheckpoint loop discipline.
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        val seed = pairs.agg(min(col("pa")).as("s"))
+        graft.operators.Graph.kHopCounts(pairs, "pa", "pb", seed, "s", 3)
+          .orderBy(col("hop"))
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |h0 AS (SELECT min(u) AS node FROM e),
+        |h1 AS (SELECT DISTINCT e.v AS node FROM e JOIN h0 ON e.u = h0.node
+        |WHERE e.v NOT IN (SELECT node FROM h0)),
+        |h2 AS (SELECT DISTINCT e.v AS node FROM e JOIN h1 ON e.u = h1.node
+        |WHERE e.v NOT IN (SELECT node FROM h0) AND e.v NOT IN (SELECT node FROM h1)),
+        |h3 AS (SELECT DISTINCT e.v AS node FROM e JOIN h2 ON e.u = h2.node
+        |WHERE e.v NOT IN (SELECT node FROM h0) AND e.v NOT IN (SELECT node FROM h1)
+        |AND e.v NOT IN (SELECT node FROM h2))
+        |SELECT 0 AS hop, CAST(count(*) AS BIGINT) AS n_nodes FROM h0
+        |UNION ALL SELECT 1, count(*) FROM h1
+        |UNION ALL SELECT 2, count(*) FROM h2
+        |UNION ALL SELECT 3, count(*) FROM h3 ORDER BY hop"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j28_medoids",
+      // Cluster exemplars (operators/Similarity.medoids): the real member
+      // nearest each label's 6 dp-rounded centroid, distance rounded
+      // before the id-tie-broken rank — x54 finds intruders, this picks
+      // the representative.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity.medoids(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+          .orderBy(col("label")),
+      Some("""WITH u AS MATERIALIZED (SELECT vec_id, label, g.i AS i,
+        |CAST(g.v AS DOUBLE) AS v FROM embeddings,
+        |LATERAL (SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i) g),
+        |c AS MATERIALIZED (SELECT label, i, round(avg(v), 6) AS cv FROM u GROUP BY 1, 2),
+        |d AS (SELECT u.vec_id, u.label, round(sqrt(sum((u.v - c.cv) * (u.v - c.cv))), 6) AS dist
+        |FROM u JOIN c ON u.i = c.i AND u.label = c.label GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, dist, row_number() OVER
+        |(PARTITION BY label ORDER BY dist, vec_id) AS rn FROM d)
+        |SELECT label, vec_id AS medoid_id, dist FROM r WHERE rn = 1 ORDER BY label"""
+        .stripMargin.replace("\n", " "))),
+
+    ("q29_keyset_page",
+      // Keyset pagination (queries/Serving.keysetPage): page 3 of the
+      // spend leaderboard via the cursor predicate — sargable, plans as
+      // TakeOrderedAndProject, O(page) at any depth (vs OFFSET's
+      // rank-and-discard). Cursor = last row of page 2, obtained as
+      // bounded driver metadata exactly like an API layer would hold it.
+      (s: SparkSession, dir: String) => {
+        val totals = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            round(sum(col("value")), 2).as("total"))
+        val cur = totals.orderBy(col("total").desc, col("user_id").asc)
+          .limit(20).orderBy(col("total").asc, col("user_id").desc)
+          .limit(1).select(col("total"), col("user_id")).head()
+        Serving.keysetPage(totals, "total", "user_id",
+            (cur.getDouble(0), cur.getLong(1)), 10)
+          .select(col("user_id"), col("n_events"), col("total"))
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |round(sum(value), 2) AS total FROM events GROUP BY 1),
+        |cur AS (SELECT total, user_id FROM t ORDER BY total DESC, user_id LIMIT 1 OFFSET 19)
+        |SELECT t.user_id, t.n_events, t.total FROM t, cur
+        |WHERE t.total < cur.total OR (t.total = cur.total AND t.user_id > cur.user_id)
+        |ORDER BY t.total DESC, t.user_id LIMIT 10"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x96_mmr_rerank",
+      // Diversified retrieval (operators/Similarity.mmrRerank): MMR
+      // greedy top-5 of the cosine top-20 against the vec_id=0 query —
+      // candidate generation distributed (codegen cosine +
+      // TakeOrdered), greedy loop on the bounded k-candidate block;
+      // 6 dp rounds at every step make the trajectory engine-portable.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Similarity.mmrRerank(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          0L, 20, 5, 0.7)
+          .orderBy(col("rnk")),
+      Some(mmrOracle(20, 5, 0.7)))
   )
 
   def queries: Map[String, Q] =

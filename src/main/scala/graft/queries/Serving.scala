@@ -293,4 +293,25 @@ object Serving {
     }
     events.select(Seq(col("*")) ++ featCols: _*)
   }
+
+  /** Keyset (seek-method) pagination of a ranked surface: the page AFTER
+    * a cursor row, by the strict (rank key desc, id asc) order — the
+    * API-serving pattern that stays O(page) at any depth, where
+    * OFFSET/row_number pagination ranks and discards everything above
+    * the page (the reference dashboard's leaderboards page exactly this
+    * surface, MainController.php:41-207).
+    *
+    * `cursor` is the LAST row of the previous page (bounded driver
+    * metadata the API layer already holds). The predicate
+    * `v < cv OR (v = cv AND id > cid)` is sargable — it pushes into the
+    * scan — and the result plans as TakeOrderedAndProject: no global
+    * sort, no rank window, no skipped-prefix work. */
+  def keysetPage(ranked: DataFrame, valueCol: String, idCol: String,
+                 cursor: (Double, Long), pageSize: Int): DataFrame = {
+    val (cv, cid) = cursor
+    ranked.where(col(valueCol) < cv ||
+        (col(valueCol) === cv && col(idCol) > cid))
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+      .limit(pageSize)
+  }
 }

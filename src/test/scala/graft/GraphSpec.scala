@@ -53,6 +53,17 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 2, 2L, -0.1178)))
   }
 
+  test("kHopCounts: hop rings on a directed path with a shortcut") {
+    import spark.implicits._
+    // 1→2→3→4 plus shortcut 1→3: hop1 = {2,3}, hop2 = {4} (3 already
+    // visited via the shortcut — first-reach semantics), hop3 = {}.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("s", "t")
+    val seed = Seq(1L).toDF("n")
+    val out = Graph.kHopCounts(e, "s", "t", seed, "n", 3)
+      .orderBy($"hop").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0, 1L), (1, 2L), (2, 1L), (3, 0L)))
+  }
+
   test("hits: the hub covering every authority dominates; unit norms hold") {
     import spark.implicits._
     // Hub 1 → {10, 11, 12}; hubs 2, 3 → {10} only. Authority 10 is cited

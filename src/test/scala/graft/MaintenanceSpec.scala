@@ -206,6 +206,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
 
+  test("winsorize: fences clamp the tails, counts and means are hand-checked") {
+    import spark.implicits._
+    // Values 1..10 in one group, p10/p90 interpolated fences = 1.9 / 9.1:
+    // one row clips low (1), one clips high (10);
+    // winsorized mean = (1.9 + 2..9 + 9.1)/10 = 5.5.
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Maintenance.winsorize(df, "grp", "v", 0.1, 0.9).collect().head
+    assert(out.getAs[Double]("lo") === 1.9)
+    assert(out.getAs[Double]("hi") === 9.1)
+    assert(out.getAs[Long]("n_clip_lo") === 1L)
+    assert(out.getAs[Long]("n_clip_hi") === 1L)
+    assert(out.getAs[Double]("mean_raw") === 5.5)
+    assert(out.getAs[Double]("mean_winsor") === 5.5) // symmetric clip
+  }
+
   test("giniConcentration: equal shares give 0, single dominator approaches 1") {
     import spark.implicits._
     // Group "eq": 4 users × 5 rows each → perfect equality, G = 0.

@@ -100,4 +100,19 @@ class ServingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 === 1, s"one Exchange:\n$plan")
   }
+
+  test("keysetPage: resumes exactly after the cursor, ties split by id") {
+    import spark.implicits._
+    // Scores: 9,8,8,8,7 for ids 1..5. Cursor = (8, 3) — mid-tie: the
+    // page must start at the REMAINING tied row (8, id 4), then 7.
+    val df = Seq((1L, 9.0), (2L, 8.0), (3L, 8.0), (4L, 8.0), (5L, 7.0))
+      .toDF("id", "score")
+    val out = Serving.keysetPage(df, "score", "id", (8.0, 3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((4L, 8.0), (5L, 7.0)))
+    // Page size truncates.
+    val one = Serving.keysetPage(df, "score", "id", (9.0, 1L), 1)
+      .collect().map(_.getLong(0))
+    assert(one.toSeq === Seq(2L))
+  }
 }

@@ -296,6 +296,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) < out(0), s"crowded cluster must score lower ${out(2)}")
   }
 
+  test("mmrRerank: diversity beats raw relevance for the second pick") {
+    import spark.implicits._
+    // Query +x. Candidates 1 and 2 near-collinear with the query (rel ≈ 1,
+    // mutual sim ≈ 1), 3 off-axis (rel 0.6, sim-to-1 ≈ 0.61). At λ = 0.3:
+    // mmr(2) = .3·.99995 − .7·.99980 ≈ −0.400;
+    // mmr(3) = .3·.6 − .7·.608 ≈ −0.246 → 3 wins despite lower rel.
+    // (Pure top-2 — and MMR at high λ — would pick the near-dup 2.)
+    val vecs = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),              // query
+      (1L, 0, Seq(0.99f, 0.01f)),
+      (2L, 0, Seq(0.99f, -0.01f)),
+      (3L, 0, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.mmrRerank(vecs, "vec_id", "embedding", 0L, 3, 2, 0.3)
+      .orderBy($"rnk").collect().map(_.getLong(1))
+    assert(out.toSeq === Seq(1L, 3L))
+    // Relevance-heavy λ keeps the plain top-2 — the knob works both ways.
+    val rel = Similarity.mmrRerank(vecs, "vec_id", "embedding", 0L, 3, 2, 0.9)
+      .orderBy($"rnk").collect().map(_.getLong(1))
+    assert(rel.toSeq === Seq(1L, 2L))
+  }
+
+  test("medoids: picks the central member, not the synthetic centroid") {
+    import spark.implicits._
+    // Label 0: members at x = 0, 1, 5 → centroid x = 2, nearest member
+    // is id 1 (x=1, dist 1). Label 1: symmetric pair ties on distance →
+    // smaller id wins.
+    val vecs = Seq(
+      (0L, 0, Seq(0.0f, 0.0f)), (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(5.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 2.0f)), (4L, 1, Seq(0.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.medoids(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) === 1L)
+    assert(out(1) === 3L) // tie at dist 1 → smaller vec_id
+  }
+
   test("pcaTopComponent: recovers a planted dominant axis") {
     import spark.implicits._
     // Variance 25 along dim 0 (values ±5), variance 0.01 along dim 1:

@@ -204,4 +204,29 @@ class SketchSpec extends SparkSpec {
       assert(got === expect, s"n=$n parts=$parts")
     }
   }
+
+  test("kmvSetOps: identical groups estimate intersect = union; sub-k groups are exact") {
+    import spark.implicits._
+    // Groups a and b see the SAME 30 values (< k=64 → sketches are the
+    // full hash sets): union estimate is the exact 30, every merged hash
+    // is in both sketches, so intersect_est = union_est = 30.
+    val df = (1 to 30).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+      .toDF("g", "v")
+    val out = graft.operators.Sketch.kmvSetOps(df, "g", "v", 64).collect().head
+    assert(out.getAs[Long]("n_kept") === 30L)
+    assert(out.getAs[Long]("union_est") === 30L)
+    assert(out.getAs[Long]("n_both") === 30L)
+    assert(out.getAs[Long]("intersect_est") === 30L)
+  }
+
+  test("kmvSetOps: disjoint groups estimate zero intersection") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (1000 to 1039).map(i => ("b", i.toLong))).toDF("g", "v")
+    val out = graft.operators.Sketch.kmvSetOps(df, "g", "v", 64).collect().head
+    assert(out.getAs[Long]("n_both") === 0L)
+    assert(out.getAs[Long]("intersect_est") === 0L)
+    // 80 distinct values, sketch capped at k=64.
+    assert(out.getAs[Long]("n_kept") === 64L)
+  }
 }
