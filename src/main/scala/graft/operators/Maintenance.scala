@@ -324,6 +324,30 @@ object Maintenance {
     * broadcasts when the dimension is small. Null keys never enter the
     * join. Each relation is one independent plan unioned at 1-row grain.
     */
+  /** Hill tail-index estimator: α̂ = (k−1) / Σ_{i<k} ln(x_(i)/x_(k)) over
+    * the top-k order statistics of a positive quantity — the standard
+    * heavy-tail exponent (how power-law is user activity / doc length;
+    * small α = wild tail ⇒ cap contributions, salt that key). Complements
+    * the Zipf rank-slope fit (x83): Hill reads the DISTRIBUTION tail,
+    * Zipf the rank curve.
+    *
+    * Scale shape: the top-k order statistics come from the BOUNDED
+    * mergeable [[graft.functions.TopKAgg]] (map-side k-capped buffers —
+    * never a global sort/window), so the whole estimator is one scalar
+    * aggregate plus an array-local log fold on a single k-long row. */
+  def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(k)
+    df.agg(topk(col(valueCol).cast("double"), col(idCol)).as("_t"))
+      .select(lit(k.toLong).as("k"),
+        round((lit(k - 1).cast("double") /
+          aggregate(slice(col("_t"), 1, k - 1), lit(0.0d),
+            (acc, e) => acc + log(e.getField("score") /
+              element_at(col("_t"), k).getField("score")))), 4)
+          .as("hill_alpha"),
+        round(element_at(col("_t"), 1).getField("score"), 1).as("x_max"))
+  }
+
   /** Winsorization audit + clamp: per group, exact [pLo, pHi] percentile
     * fences (rounded 4 dp so BOTH engines clamp with identical bounds),
     * the clipped-row counts each side, and the mean before/after — the

@@ -77,4 +77,42 @@ object Overlap {
           sum(col("_net")).over(w)).cast("long"))
       .select(col("t"), col("concurrent"))
   }
+
+  /** Per-key interval-UNION length: total time covered by at least one
+    * `[startCol, endCol)` interval of that key — the coverage roll-up
+    * ("how long was each channel live at all", utilization, SLA uptime)
+    * where [[concurrency]] asks how DEEPLY covered. Overlaps never double
+    * count: the sweep sums segment lengths where the running open-count
+    * is positive.
+    *
+    * Scale shape: boundaries collapse to net deltas at (key, t) grain
+    * FIRST (map-side-combined shuffle — the window input is distinct
+    * timestamps, not intervals), then ONE (key)-partitioned window serves
+    * both the running count and the segment `lead`; per-key sweeps run
+    * partition-parallel, never a global sort. For a single key whose
+    * distinct-boundary count outgrows one task, [[concurrency]]'s
+    * bucket-carry decomposition is the documented split (covered length
+    * is additive over buckets once carry-ins seed each bucket's running
+    * count).
+    *
+    * Output: (keys..., covered_ms, n_points). */
+  def coveredTime(intervals: DataFrame, keys: Seq[String],
+                  startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals.select(keys.map(col) :+ explode(array(
+        struct(col(startCol).as("t"), lit(1L).as("_d")),
+        struct(col(endCol).as("t"), lit(-1L).as("_d")))).as("_x"): _*)
+      .select(keys.map(col) :+ col("_x.t").as("t") :+ col("_x._d").as("_d"): _*)
+    val steps = deltas.groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(sum(col("_d")).as("_net"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
+    val run = steps
+      .withColumn("_conc", sum(col("_net")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_nxt", lead(col("t"), 1).over(w))
+    run.where(col("_nxt").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("_conc") > 0, col("_nxt") - col("t")).otherwise(0L))
+        .cast("long").as("covered_ms"),
+        count(lit(1)).cast("long").as("n_points"))
+  }
 }

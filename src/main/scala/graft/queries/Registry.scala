@@ -4556,6 +4556,95 @@ object Registry {
         |ORDER BY t.total DESC, t.user_id LIMIT 10"""
         .stripMargin.replace("\n", " "))),
 
+    ("x97_golden_record",
+      // Entity-resolution survivorship (the "golden record"): x50's
+      // blocked fuzzy-linkage pairs closed transitively
+      // (Dedup.connectedComponents), then per entity the merge rules a
+      // master-data pipeline applies — member count, best (max) length,
+      // canonical (min) lang, distinct sources. Only multi-member
+      // entities surface: the review queue.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = graft.operators.Dedup.blockedEditDistancePairs(
+          docs.select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
+          "doc_id", "title", substring(col("title"), 1, 4), 3)
+        val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        docs.join(cc, docs("doc_id") === cc("node"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("entity_id"),
+            col("lang"), col("source"), col("n_chars"))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            max(col("n_chars")).cast("long").as("best_n_chars"),
+            min(col("lang")).as("lang_min"),
+            countDistinct(col("source")).cast("long").as("n_sources"))
+          .where(col("n_members") > 1)
+          .orderBy(col("entity_id"))
+      },
+      Some("""WITH RECURSIVE e0 AS (SELECT doc_id, substr(text, 1, 30) AS title FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM e0 a JOIN e0 b ON substr(a.title, 1, 4) = substr(b.title, 1, 4)
+        |AND a.doc_id < b.doc_id WHERE levenshtein(a.title, b.title) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(n, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+        |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1),
+        |lab AS (SELECT d.doc_id, coalesce(c.root, d.doc_id) AS entity_id,
+        |d.lang, d.source, d.n_chars
+        |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id)
+        |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |CAST(max(n_chars) AS BIGINT) AS best_n_chars,
+        |min(lang) AS lang_min, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM lab GROUP BY 1 HAVING count(*) > 1 ORDER BY entity_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j29_interval_union",
+      // Interval-UNION coverage (operators/Overlap.coveredTime): total ms
+      // covered by >= 1 open 30-min event window per type — j19's
+      // concurrency asks how deep, this asks how long at all; overlaps
+      // never double count. Sweep at (key, t) grain, per-key parallel.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Overlap.coveredTime(
+            Tables.events(s, dir).select(col("event_type"),
+              unix_millis(col("ts")).as("s"),
+              (unix_millis(col("ts")) + 1800000L).as("e")),
+            Seq("event_type"), "s", "e")
+          .orderBy(col("event_type")),
+      Some("""WITH iv AS (SELECT event_type, epoch_ms(ts) AS s,
+        |epoch_ms(ts) + 1800000 AS e FROM events),
+        |pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |UNION ALL SELECT event_type, e, -1 FROM iv),
+        |sw AS (SELECT event_type, t, sum(d) AS delta FROM pts GROUP BY 1, 2),
+        |run AS (SELECT event_type, t,
+        |sum(delta) OVER (PARTITION BY event_type ORDER BY t) AS conc,
+        |lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nxt FROM sw)
+        |SELECT event_type,
+        |CAST(sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_ms,
+        |CAST(count(*) AS BIGINT) AS n_points
+        |FROM run WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x98_hill_tail",
+      // Heavy-tail exponent of per-user activity (operators/Maintenance.
+      // hillTailIndex): Hill estimator over the top-50 order statistics
+      // from the BOUNDED TopKAgg — one scalar aggregate + an array-local
+      // log fold; x83's Zipf fit reads the rank curve, this the tail.
+      (s: SparkSession, dir: String) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        graft.operators.Maintenance.hillTailIndex(u, "x", "user_id", 50)
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+        |FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rn FROM u),
+        |k AS (SELECT x AS xk FROM r WHERE rn = 50)
+        |SELECT CAST(50 AS BIGINT) AS k,
+        |round(49.0 / sum(ln(r.x / k.xk)), 4) AS hill_alpha,
+        |round(max(r.x), 1) AS x_max
+        |FROM r, k WHERE r.rn < 50""".stripMargin.replace("\n", " "))),
+
     ("x96_mmr_rerank",
       // Diversified retrieval (operators/Similarity.mmrRerank): MMR
       // greedy top-5 of the cosine top-20 against the vec_id=0 query —

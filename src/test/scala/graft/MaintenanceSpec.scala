@@ -206,6 +206,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
 
+  test("hillTailIndex: exact geometric tail gives the analytic alpha") {
+    import spark.implicits._
+    // x_(i) = 2^(k-i) for i = 1..k (top-k of a geometric tail):
+    // ln(x_(i)/x_(k)) = (k-i)·ln2, sum over i<k = ln2·k(k-1)/2,
+    // alpha = (k-1)/(ln2·k(k-1)/2) = 2/(k·ln2). k=5 → 0.5771.
+    val xs = (1 to 5).map(i => (math.pow(2.0, 5 - i), i.toLong)) ++
+      Seq((0.5, 99L), (0.25, 100L)) // below top-5: must be ignored
+    val df = xs.toDF("x", "id")
+    val out = graft.operators.Maintenance.hillTailIndex(df, "x", "id", 5)
+      .collect().head
+    assert(out.getAs[Long]("k") === 5L)
+    assert(out.getAs[Double]("hill_alpha") === 0.5771)
+    assert(out.getAs[Double]("x_max") === 16.0)
+  }
+
   test("winsorize: fences clamp the tails, counts and means are hand-checked") {
     import spark.implicits._
     // Values 1..10 in one group, p10/p90 interpolated fences = 1.9 / 9.1:

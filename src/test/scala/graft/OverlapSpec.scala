@@ -54,4 +54,26 @@ class OverlapSpec extends SparkSpec {
     }.max
     assert(curve.map(_._2).max === truthMax.toLong)
   }
+
+  test("coveredTime: overlaps collapse, gaps drop, keys are independent") {
+    import graft.operators.Overlap
+    import spark.implicits._
+    // Key a: [0,10) ∪ [5,15) = [0,15) → 15; plus disjoint [20,25) → 5;
+    // total 20. Key b: nested [0,100) ⊇ [10,20) → 100.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 20L, 25L),
+      ("b", 0L, 100L), ("b", 10L, 20L)).toDF("k", "s", "e")
+    val out = Overlap.coveredTime(iv, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("covered_ms")).toMap
+    assert(out("a") === 20L)
+    assert(out("b") === 100L)
+  }
+
+  test("coveredTime: touching intervals merge without double counting the boundary") {
+    import graft.operators.Overlap
+    import spark.implicits._
+    // [0,10) and [10,20) touch at 10: union = [0,20) → 20 exactly.
+    val iv = Seq(("k", 0L, 10L), ("k", 10L, 20L)).toDF("k", "s", "e")
+    val out = Overlap.coveredTime(iv, Seq("k"), "s", "e").collect().head
+    assert(out.getAs[Long]("covered_ms") === 20L)
+  }
 }
