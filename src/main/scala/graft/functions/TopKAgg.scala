@@ -38,7 +38,12 @@ final class TopKAgg(k: Int)
 
   override def zero: Seq[ScoredId] = Vector.empty
 
-  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+  override def reduce(buf: Seq[ScoredId], x0: ScoredId): Seq[ScoredId] = {
+    // Normalize -0.0 to 0.0 on the way IN (Spark SQL comparison treats
+    // them equal and normalizes in exchange/sort keys): without this, a
+    // buffer could hold -0.0 and 0.0 as distinct-looking peers whose
+    // emitted order differs from the SQL window's.
+    val x = if (x0.score == 0.0) ScoredId(0.0, x0.id) else x0
     if (buf.length >= k && !before(x, buf.last)) buf
     else {
       val ins = buf.indexWhere(b => before(x, b)) match {
@@ -47,6 +52,7 @@ final class TopKAgg(k: Int)
       }
       (buf.take(ins) :+ x) ++ buf.drop(ins).take(k - ins - 1)
     }
+  }
 
   override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
     val out = Vector.newBuilder[ScoredId]

@@ -324,6 +324,37 @@ object Maintenance {
     * broadcasts when the dimension is small. Null keys never enter the
     * join. Each relation is one independent plan unioned at 1-row grain.
     */
+  /** Four-moment distribution profile per group — mean, sd, skewness,
+    * excess kurtosis — computed from RAW POWER SUMS (one map-side-
+    * combined agg of avg(x), avg(x²), avg(x³), avg(x⁴)) with the central
+    * moments assembled by the same closed-form expression on every
+    * engine. Built-in `skewness`/`kurtosis` differ across engines in
+    * bias correction (sample vs population) — the power-sum form is the
+    * portable contract, and it's also the mergeable one (sums combine
+    * across partitions exactly like the aggregate). The dataset-card
+    * companion that catches shape drift the mean/sd pair misses.
+    */
+  def momentsProfile(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(x).as("_m1"), avg(x * x).as("_m2"),
+        avg(x * x * x).as("_m3"), avg(x * x * x * x).as("_m4"))
+      .withColumn("_v", col("_m2") - col("_m1") * col("_m1"))
+      .withColumn("_c3", col("_m3") - lit(3) * col("_m1") * col("_m2") +
+        lit(2) * col("_m1") * col("_m1") * col("_m1"))
+      .withColumn("_c4", col("_m4") - lit(4) * col("_m1") * col("_m3") +
+        lit(6) * col("_m1") * col("_m1") * col("_m2") -
+        lit(3) * col("_m1") * col("_m1") * col("_m1") * col("_m1"))
+      .select(col(groupCol), col("n"),
+        round(col("_m1"), 4).as("mean"),
+        round(sqrt(col("_v")), 4).as("sd"),
+        round(col("_c3") / pow(col("_v"), 1.5), 4).as("skewness"),
+        round(col("_c4") / (col("_v") * col("_v")) - lit(3), 4)
+          .as("excess_kurtosis"))
+  }
+
   /** Hill tail-index estimator: α̂ = (k−1) / Σ_{i<k} ln(x_(i)/x_(k)) over
     * the top-k order statistics of a positive quantity — the standard
     * heavy-tail exponent (how power-law is user activity / doc length;

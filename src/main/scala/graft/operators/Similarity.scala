@@ -566,23 +566,31 @@ object Similarity {
     * (vec_id) and one (label) hash aggregate. No n² stage. */
   def simplifiedSilhouette(embeddings: DataFrame, idCol: String,
                            vecCol: String, labelCol: String): DataFrame = {
-    val cents = embeddings
+    // Centroids collected as bounded driver metadata (k × d doubles — the
+    // labelCompactness discipline) and shipped back as TYPED LITERALS:
+    // the scoring pass is a ZERO-JOIN codegen projection (k explicit
+    // distance terms), so no broadcast fan-out exists at all.
+    val cents: Seq[(Int, Seq[Double])] = embeddings
       .select(col(labelCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
       .groupBy(col("_lbl"), col("_p"))
       .agg(round(avg(col("_x").cast("double")), 6).as("_c"))
-      .groupBy(col("_lbl"))
-      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
-        s => s.getField("_c")).as("_cent"))
-    val dist = sqrt(aggregate(
-      zip_with(col(vecCol), col("_cent"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      .collect() // bounded: labels × dims rows
+      .groupBy(_.getInt(0)).map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }.toSeq.sortBy(_._1)
+    def dist(c: Seq[Double]): Column = sqrt(aggregate(
+      zip_with(col(vecCol), typedlit(c),
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
       lit(0.0d), (acc, t) => acc + t))
+    val own = cents.foldLeft(lit(null).cast("double")) { case (acc, (l, c)) =>
+      when(col(labelCol) === l, dist(c)).otherwise(acc)
+    }
+    // least() skips nulls: each term contributes only for OTHER labels.
+    val other = least(cents.map { case (l, c) =>
+      when(col(labelCol) =!= l, dist(c))
+    }: _*)
     embeddings
-      .crossJoin(broadcast(cents)) // k rows: bounded fan-out by construction
-      .select(col(idCol), col(labelCol), col("_lbl"), dist.as("_d"))
-      .groupBy(col(idCol), col(labelCol))
-      .agg(max(when(col("_lbl") === col(labelCol), col("_d"))).as("_a"),
-        min(when(col("_lbl") =!= col(labelCol), col("_d"))).as("_b"))
+      .select(col(labelCol), own.as("_a"), other.as("_b"))
       .groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).cast("long").as("n"),
         round(avg((col("_b") - col("_a")) /

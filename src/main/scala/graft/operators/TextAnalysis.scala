@@ -702,6 +702,42 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"))
   }
 
+  /** Mutual information between two categorical columns (nats), plus the
+    * marginal entropies and min-normalized MI — the information-theoretic
+    * sibling of [[chiSquareIndependence]] (chi-square tests IF dependent;
+    * MI measures HOW MUCH knowing one tells you about the other, the
+    * redundancy read before dropping a "duplicate" facet column).
+    *
+    * Scale shape: one (a, b) contingency agg (bounded by the category
+    * product); marginals and the 1-row result re-agg from that bounded
+    * table — the corpus is scanned once. Exact integer counts feed every
+    * log, so the doubles are engine-portable at the 4 dp grain. */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val o = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("_c"))
+    val rt = o.groupBy(col(aCol)).agg(sum(col("_c")).as("_rc"))
+    val ct = o.groupBy(col(bCol)).agg(sum(col("_c")).as("_cc"))
+    val tot = o.agg(sum(col("_c")).cast("double").as("_n"))
+    val mi = o.join(broadcast(rt), Seq(aCol))
+      .join(broadcast(ct), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("_c") / col("_n")) *
+        log(col("_c") * col("_n") / (col("_rc") * col("_cc").cast("double"))))
+        .as("_mi"))
+    val hx = rt.crossJoin(broadcast(tot))
+      .agg((-sum((col("_rc") / col("_n")) * log(col("_rc") / col("_n"))))
+        .as("_hx"))
+    val hy = ct.crossJoin(broadcast(tot))
+      .agg((-sum((col("_cc") / col("_n")) * log(col("_cc") / col("_n"))))
+        .as("_hy"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(round(col("_mi"), 4).as("mi_nats"),
+        round(col("_hx"), 4).as("h_a"),
+        round(col("_hy"), 4).as("h_b"),
+        round(col("_mi") / least(col("_hx"), col("_hy")), 4)
+          .as("normalized_mi"))
+  }
+
   /** Chi-square independence audit between two categorical columns — the
     * stratification check before trusting a per-facet sample ("is doc
     * length independent of language, or must splits stratify on both?").

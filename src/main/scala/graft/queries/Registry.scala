@@ -4645,6 +4645,51 @@ object Registry {
         |round(max(r.x), 1) AS x_max
         |FROM r, k WHERE r.rn < 50""".stripMargin.replace("\n", " "))),
 
+    ("x99_moments",
+      // Four-moment profile per type (operators/Maintenance.
+      // momentsProfile): skew/kurtosis from raw power sums — built-in
+      // skewness/kurtosis differ across engines in bias correction, the
+      // power-sum closed form is the portable (and mergeable) contract.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.momentsProfile(
+            Tables.events(s, dir).select(col("event_type"), col("value")),
+            "event_type", "value")
+          .orderBy(col("event_type")),
+      Some("""WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |avg(value) AS m1, avg(value * value) AS m2,
+        |avg(value * value * value) AS m3,
+        |avg(value * value * value * value) AS m4 FROM events GROUP BY 1),
+        |c AS (SELECT event_type, n, m1, m2 - m1 * m1 AS v,
+        |m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS c3,
+        |m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS c4 FROM s)
+        |SELECT event_type, n, round(m1, 4) AS mean, round(sqrt(v), 4) AS sd,
+        |round(c3 / power(v, 1.5), 4) AS skewness,
+        |round(c4 / (v * v) - 3, 4) AS excess_kurtosis
+        |FROM c ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("x100_mutual_info",
+      // Mutual information lang x source (operators/TextAnalysis.
+      // mutualInformation): how much provenance the language column
+      // leaks — the redundancy read before dropping a facet; exact
+      // counts feed every log so the doubles are portable.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TextAnalysis.mutualInformation(
+          Tables.documents(s, dir).select(col("lang"), col("source")),
+          "lang", "source"),
+      Some("""WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |FROM documents GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM o),
+        |rt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |mi AS (SELECT sum((o.c / n.tot) * ln(o.c * n.tot / (rt.rc * CAST(ct.cc AS DOUBLE)))) AS mi
+        |FROM o JOIN rt USING (lang) JOIN ct USING (source), n),
+        |hx AS (SELECT -sum((rc / n.tot) * ln(rc / n.tot)) AS h FROM rt, n),
+        |hy AS (SELECT -sum((cc / n.tot) * ln(cc / n.tot)) AS h FROM ct, n)
+        |SELECT round(mi.mi, 4) AS mi_nats, round(hx.h, 4) AS h_a,
+        |round(hy.h, 4) AS h_b,
+        |round(mi.mi / least(hx.h, hy.h), 4) AS normalized_mi
+        |FROM mi, hx, hy""".stripMargin.replace("\n", " "))),
+
     ("x96_mmr_rerank",
       // Diversified retrieval (operators/Similarity.mmrRerank): MMR
       // greedy top-5 of the cosine top-20 against the vec_id=0 query —

@@ -206,6 +206,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
 
+  test("momentsProfile: symmetric data has zero skew; uniform kurtosis is -1.2") {
+    import spark.implicits._
+    // {1..5} each once: mean 3, population var 2, skew 0 (symmetry),
+    // excess kurtosis = m4c/v² − 3 = (34/5)/4 − 3 = −1.3 for this
+    // 5-point uniform lattice.
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Maintenance.momentsProfile(df, "grp", "v").collect().head
+    assert(out.getAs[Long]("n") === 5L)
+    assert(out.getAs[Double]("mean") === 3.0)
+    assert(out.getAs[Double]("sd") === 1.4142)
+    assert(out.getAs[Double]("skewness") === 0.0)
+    assert(out.getAs[Double]("excess_kurtosis") === -1.3)
+  }
+
   test("hillTailIndex: exact geometric tail gives the analytic alpha") {
     import spark.implicits._
     // x_(i) = 2^(k-i) for i = 1..k (top-k of a geometric tail):

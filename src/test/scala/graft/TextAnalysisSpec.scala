@@ -358,6 +358,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("z", 1L), ("y", 2L)))
   }
 
+  test("mutualInformation: independent columns give 0, identical columns give NMI 1") {
+    import spark.implicits._
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("p", "q")
+    val zi = graft.operators.TextAnalysis.mutualInformation(indep, "p", "q")
+      .collect().head
+    assert(zi.getAs[Double]("mi_nats") === 0.0)
+    // q == p: MI = H(p) = ln 2, normalized MI = 1.
+    val same = (Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b"))).toDF("p", "q")
+    val zs = graft.operators.TextAnalysis.mutualInformation(same, "p", "q")
+      .collect().head
+    assert(zs.getAs[Double]("mi_nats") === 0.6931) // ln 2
+    assert(zs.getAs[Double]("normalized_mi") === 1.0)
+  }
+
   test("chiSquareIndependence: independent table scores 0, dependent scores high") {
     import spark.implicits._
     // Perfectly independent 2x2 (every cell = row·col/N exactly): chi2 = 0.

@@ -47,7 +47,12 @@ class TopKAggSpec extends SparkSpec {
           math.max(1, shuffled.size / nSplits)).toList
         val merged = parts.map(_.foldLeft(a.zero)(a.reduce))
           .foldLeft(a.zero)(a.merge)
-        a.finish(merged) == xs.sorted(ord).take(k)
+        // Model mirrors the aggregate's SQL-style zero normalization:
+        // -0.0 and 0.0 are the same score (total-ordering sortBy would
+        // otherwise rank them as distinct keys).
+        val model = xs.map(s =>
+          if (s.score == 0.0) ScoredId(0.0, s.id) else s)
+        a.finish(merged) == model.sorted(ord).take(k)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
