@@ -324,6 +324,32 @@ object Maintenance {
     * broadcasts when the dimension is small. Null keys never enter the
     * join. Each relation is one independent plan unioned at 1-row grain.
     */
+  /** Benford first-significant-digit audit per group: observed digit
+    * shares vs the Benford expectation log10(1 + 1/d) — the forensic
+    * data-quality read (organically-grown magnitudes follow Benford;
+    * fabricated, truncated, or unit-capped columns don't). Digits are
+    * extracted NUMERICALLY (v / 10^floor(log10 v)) — never via double→
+    * string formatting, which differs across engines.
+    *
+    * One map-side-combined (group, digit) agg + a group-grain total
+    * broadcast back; output bounded at 9 rows per group. */
+  def benfordAudit(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val v = abs(col(valueCol).cast("double"))
+    val fd = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val o = df.where(v >= 1.0)
+      .select(col(groupCol), fd.as("fd"))
+      .groupBy(col(groupCol), col("fd"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val t = o.groupBy(col(groupCol))
+      .agg(sum(col("n")).cast("double").as("_tot"))
+    o.join(broadcast(t), Seq(groupCol))
+      .select(col(groupCol), col("fd"), col("n"),
+        round(col("n") / col("_tot"), 4).as("observed_p"),
+        round(log(lit(1.0) + lit(1.0) / col("fd")) / log(lit(10.0)), 4)
+          .as("benford_p"))
+  }
+
   /** Four-moment distribution profile per group — mean, sd, skewness,
     * excess kurtosis — computed from RAW POWER SUMS (one map-side-
     * combined agg of avg(x), avg(x²), avg(x³), avg(x⁴)) with the central

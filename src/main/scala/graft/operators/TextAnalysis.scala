@@ -702,6 +702,38 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"))
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * KL(P_source ‖ Q_corpus) in nats, P add-½ smoothed over the corpus
+    * vocabulary (so a token the source never emits costs nothing, but a
+    * token it over/under-uses is priced exactly), Q the corpus MLE. The
+    * source-fingerprint read: a crawler feed whose distribution drifts
+    * from the corpus (template spam, wrong language, boilerplate) jumps
+    * out as a KL outlier — completing the information-theoretic trio
+    * (entropy x56, MI, KL).
+    *
+    * Scale shape: token counts aggregate at (source, token) grain (map-
+    * side combined — the shuffle carries the vocabulary, never the
+    * corpus); corpus marginals re-agg from that table; two broadcast
+    * scalars (vocab size, total tokens). One scan of the documents. */
+  def klFromCorpus(docs: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("_src"),
+      explode(tokens(lower(col(textCol)))).as("_tok"))
+    val st = toks.groupBy(col("_src"), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+    val ct = st.groupBy(col("_tok")).agg(sum(col("_c")).as("_ct"))
+    val ns = st.groupBy(col("_src")).agg(sum(col("_c")).as("_ns"))
+    val scal = st.agg(countDistinct(col("_tok")).as("_vocab"),
+      sum(col("_c")).cast("double").as("_n"))
+    val p = (col("_c") + lit(0.5)) / (col("_ns") + lit(0.5) * col("_vocab"))
+    st.join(broadcast(ns), Seq("_src"))
+      .join(ct, Seq("_tok"))
+      .crossJoin(broadcast(scal))
+      .groupBy(col("_src").as("source"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        round(sum(p * log(p / (col("_ct") / col("_n")))), 4).as("kl_nats"))
+  }
+
   /** Mutual information between two categorical columns (nats), plus the
     * marginal entropies and min-normalized MI — the information-theoretic
     * sibling of [[chiSquareIndependence]] (chi-square tests IF dependent;

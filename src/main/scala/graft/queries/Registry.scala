@@ -4690,6 +4690,70 @@ object Registry {
         |round(mi.mi / least(hx.h, hy.h), 4) AS normalized_mi
         |FROM mi, hx, hy""".stripMargin.replace("\n", " "))),
 
+    ("x101_kl_divergence",
+      // Per-source KL from the corpus unigram distribution
+      // (operators/TextAnalysis.klFromCorpus): the source-drift
+      // fingerprint completing the entropy/MI/KL trio; token counts at
+      // vocabulary grain, never the corpus.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TextAnalysis.klFromCorpus(
+            Tables.documents(s, dir), "source", "text")
+          .orderBy(col("source")),
+      Some("""WITH toks AS (SELECT source,
+        |unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+        |FROM documents),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab,
+        |CAST(sum(c) AS DOUBLE) AS n FROM st),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_tot FROM st GROUP BY 1)
+        |SELECT st.source, CAST(count(*) AS BIGINT) AS n_types,
+        |round(sum(((st.c + 0.5) / (ns.n_s + 0.5 * v.vocab)) *
+        |ln(((st.c + 0.5) / (ns.n_s + 0.5 * v.vocab)) / (ct.c_tot / v.n))), 4) AS kl_nats
+        |FROM st JOIN ns USING (source) JOIN ct USING (tok), v
+        |GROUP BY st.source ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("x102_benford",
+      // Benford first-digit audit (operators/Maintenance.benfordAudit):
+      // observed vs log10(1+1/d) digit shares per type — digits extracted
+      // numerically (double->string formatting differs across engines).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.benfordAudit(
+            Tables.events(s, dir).select(col("event_type"), col("value")),
+            "event_type", "value")
+          .orderBy(col("event_type"), col("fd")),
+      Some("""WITH d AS (SELECT event_type,
+        |CAST(floor(abs(value) / power(10, floor(log10(abs(value))))) AS INT) AS fd
+        |FROM events WHERE abs(value) >= 1),
+        |o AS (SELECT event_type, fd, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS tot FROM o GROUP BY 1)
+        |SELECT o.event_type, o.fd, o.n, round(o.n / t.tot, 4) AS observed_p,
+        |round(ln(1.0 + 1.0 / o.fd) / ln(10), 4) AS benford_p
+        |FROM o JOIN t USING (event_type) ORDER BY event_type, fd"""
+        .stripMargin.replace("\n", " "))),
+
+    ("s21_stream_moments",
+      // X99 under streaming (streaming/Streaming.runStreamMoments): the
+      // state per type is the mergeable sufficient statistics (n, Σx..Σx⁴)
+      // accrued through the additive upsert; central moments assemble at
+      // read time — x99's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s21")
+        graft.streaming.Streaming.runStreamMoments(s, dir, base + "/mo")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |avg(value) AS m1, avg(value * value) AS m2,
+        |avg(value * value * value) AS m3,
+        |avg(value * value * value * value) AS m4 FROM events GROUP BY 1),
+        |c AS (SELECT event_type, n, m1, m2 - m1 * m1 AS v,
+        |m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS c3,
+        |m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS c4 FROM s)
+        |SELECT event_type, n, round(m1, 4) AS mean, round(sqrt(v), 4) AS sd,
+        |round(c3 / power(v, 1.5), 4) AS skewness,
+        |round(c4 / (v * v) - 3, 4) AS excess_kurtosis
+        |FROM c ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     ("x96_mmr_rerank",
       // Diversified retrieval (operators/Similarity.mmrRerank): MMR
       // greedy top-5 of the cosine top-20 against the vec_id=0 query —

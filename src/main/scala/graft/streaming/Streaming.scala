@@ -1455,6 +1455,55 @@ object Streaming {
         when(abs(z) >= 2.0, 1).otherwise(0).as("is_anomaly"))
   }
 
+  /** X99's four-moment profile under streaming — the textbook mergeable-
+    * sufficient-statistics pattern: the state per type is (n, Σx, Σx²,
+    * Σx³, Σx⁴), each micro-batch's partial sums ADD into it (the additive
+    * upsert's batch markers make replays exactly-once), and the central
+    * moments assemble at read time from the maintained sums — so the
+    * streamed profile equals the one-shot batch profile for ANY slicing
+    * up to float fold order, far inside the 4 dp output grain. x99's
+    * oracle verbatim. */
+  def runStreamMoments(spark: SparkSession, dir: String,
+                       base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state", Seq("event_type"),
+      Seq("n", "s1", "s2", "s3", "s4"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val x = col("value")
+        sink.upsert(b.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val st = sink.state(spark).get
+    st.withColumn("_m1", col("s1") / col("n"))
+      .withColumn("_m2", col("s2") / col("n"))
+      .withColumn("_m3", col("s3") / col("n"))
+      .withColumn("_m4", col("s4") / col("n"))
+      .withColumn("_v", col("_m2") - col("_m1") * col("_m1"))
+      .withColumn("_c3", col("_m3") - lit(3) * col("_m1") * col("_m2") +
+        lit(2) * col("_m1") * col("_m1") * col("_m1"))
+      .withColumn("_c4", col("_m4") - lit(4) * col("_m1") * col("_m3") +
+        lit(6) * col("_m1") * col("_m1") * col("_m2") -
+        lit(3) * col("_m1") * col("_m1") * col("_m1") * col("_m1"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round(col("_m1"), 4).as("mean"),
+        round(sqrt(col("_v")), 4).as("sd"),
+        round(col("_c3") / pow(col("_v"), 1.5), 4).as("skewness"),
+        round(col("_c4") / (col("_v") * col("_v")) - lit(3), 4)
+          .as("excess_kurtosis"))
+  }
+
   /** Streaming HLL register maintenance: x74's relational sketch under
     * Structured Streaming — the register table IS the streaming state
     * (one stateful `max` aggregate at (day, type, bucket) grain, ≤ 2^p

@@ -206,6 +206,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g", 7L, 5L, 2L), ("h", 2L, 2L, 2L)))
   }
 
+  test("benfordAudit: hand-built digits, sub-1 values dropped, expectation column exact") {
+    import spark.implicits._
+    // 19.5, 150.0, 1.0 → digit 1 (x3); 25.0, 2.0 → digit 2 (x2);
+    // 0.5 drops (no first significant digit at >= 1); -30.0 → |.| → 3.
+    val df = Seq(19.5, 150.0, 1.0, 25.0, 2.0, 0.5, -30.0)
+      .map(("g", _)).toDF("grp", "v")
+    val out = Maintenance.benfordAudit(df, "grp", "v")
+      .orderBy($"fd").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getAs[Double]("observed_p"),
+        r.getAs[Double]("benford_p")))
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1, 3L), (2, 2L), (3, 1L)))
+    assert(out.head._3 === 0.5)      // 3 of 6 kept rows
+    assert(out.head._4 === 0.301)    // log10(2)
+    assert(out(2)._4 === 0.1249)     // log10(4/3)
+  }
+
   test("momentsProfile: symmetric data has zero skew; uniform kurtosis is -1.2") {
     import spark.implicits._
     // {1..5} each once: mean 3, population var 2, skew 0 (symmetry),

@@ -740,6 +740,22 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming moments equal the one-shot profile; crash replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s21")
+    val streamed = Streaming.runStreamMoments(spark, dir, base + "/mo")
+    val batch = graft.operators.Maintenance.momentsProfile(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      "event_type", "value")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: the ADDITIVE sufficient-statistic sink must
+    // skip it wholesale — a re-applied partial sum would shift every
+    // moment.
+    rollbackLastCommit(base + "/mo/ckpt")
+    val second = Streaming.runStreamMoments(spark, dir, base + "/mo")
+    assertSameRows(second, batch)
+  }
+
   test("streaming funnel equals the one-shot batch funnel; crash replay is idempotent") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s19")

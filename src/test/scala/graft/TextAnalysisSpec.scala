@@ -358,6 +358,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("z", 1L), ("y", 2L)))
   }
 
+  test("klFromCorpus: the divergent source scores far above the conforming ones") {
+    import spark.implicits._
+    // Sources a and b share the corpus-typical vocabulary; source c is
+    // pure out-of-distribution boilerplate — its KL must dominate.
+    val docs = (Seq.fill(5)(("a", "the quick brown fox jumps")) ++
+      Seq.fill(5)(("b", "the lazy brown dog sleeps")) ++
+      Seq.fill(5)(("c", "zzz zzz zzz zzz zzz")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.klFromCorpus(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl_nats")).toMap
+    // At this toy scale the add-half smoothing flattens every P toward
+    // uniform, compressing the gap — the divergent source must still rank
+    // strictly highest (symmetric a and b tie).
+    assert(out("c") > out("a") * 1.1, s"divergent source must rank highest: $out")
+    assert(out("c") > out("b") * 1.1, s"divergent source must rank highest: $out")
+    assert(out("a") === out("b"), "symmetric sources must tie exactly")
+  }
+
   test("mutualInformation: independent columns give 0, identical columns give NMI 1") {
     import spark.implicits._
     val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
