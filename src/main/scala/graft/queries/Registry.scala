@@ -4754,6 +4754,104 @@ object Registry {
         |round(c4 / (v * v) - 3, 4) AS excess_kurtosis
         |FROM c ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    ("q30_period_over_period",
+      // Week-over-week deltas per type — the dashboard comparison staple
+      // (the reference UI's time-range views imply exactly this read):
+      // weekly agg + one lag window on the (type, week) grain series.
+      (s: SparkSession, dir: String) => {
+        val w = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("WEEK", col("ts"))).as("week"))
+          .agg(count(lit(1)).as("n"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("week"))
+        w.withColumn("prev_n", lag(col("n"), 1).over(win))
+          .select(col("event_type"), col("week"),
+            col("n").cast("long").as("n"),
+            col("prev_n").cast("long").as("prev_n"),
+            (col("n") - col("prev_n")).cast("long").as("delta"),
+            round(lit(100.0) * (col("n") - col("prev_n")) / col("prev_n"), 2)
+              .as("pct_change"))
+          .orderBy(col("event_type"), col("week"))
+      },
+      Some("""WITH w AS (SELECT event_type, epoch_ms(date_trunc('week', ts)) AS week,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n, lag(n) OVER
+        |(PARTITION BY event_type ORDER BY week) AS prev_n FROM w)
+        |SELECT event_type, week, n, prev_n,
+        |CAST(n - prev_n AS BIGINT) AS delta,
+        |round(100.0 * (n - prev_n) / prev_n, 2) AS pct_change
+        |FROM l ORDER BY event_type, week""".stripMargin.replace("\n", " "))),
+
+    ("j30_markov_entropy",
+      // Behavioral predictability: H(next | prev) per from-type over
+      // j15's transition counts — low entropy = deterministic flows
+      // (bot-like), high = exploratory; one user-partitioned lag window +
+      // two bounded |types|-grain aggs.
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val t = Tables.events(s, dir)
+          .withColumn("_prev", lag(col("event_type"), 1).over(w))
+          .where(col("_prev").isNotNull)
+          .groupBy(col("_prev"), col("event_type"))
+          .agg(count(lit(1)).as("_c"))
+        val m = t.groupBy(col("_prev")).agg(sum(col("_c")).as("_tot"))
+        t.join(broadcast(m), Seq("_prev"))
+          .groupBy(col("_prev").as("from_type"))
+          .agg(first(col("_tot")).cast("long").as("n_transitions"),
+            round(-sum((col("_c") / col("_tot").cast("double")) *
+              log(col("_c") / col("_tot").cast("double"))), 4)
+              .as("cond_entropy_nats"))
+          .orderBy(col("from_type"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, lag(event_type) OVER
+        |(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev FROM events),
+        |t AS (SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT prev, CAST(sum(c) AS BIGINT) AS tot FROM t GROUP BY 1)
+        |SELECT t.prev AS from_type, CAST(m.tot AS BIGINT) AS n_transitions,
+        |round(-sum((t.c / CAST(m.tot AS DOUBLE)) * ln(t.c / CAST(m.tot AS DOUBLE))), 4)
+        |AS cond_entropy_nats
+        |FROM t JOIN m USING (prev) GROUP BY 1, 2 ORDER BY from_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x103_sim_histogram",
+      // Threshold-tuning read for the dedup family: the verified-Jaccard
+      // DISTRIBUTION of x6's candidate pairs at a floor of 0.05, bucketed
+      // by 0.1 — shows WHERE the corpus's similarity mass sits before
+      // anyone picks a cutoff (this corpus: bimodal — trigram-share noise
+      // near 0, true near-dups at 0.9+, nothing between).
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(
+            Tables.documents(s, dir).where(col("lang") === "en"),
+            "doc_id", "text", 3, 0.05)
+          .select(least(floor(col("jaccard") * 10), lit(9)).cast("int")
+            .as("bucket"), col("jaccard"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            round(min(col("jaccard")), 4).as("min_jac"),
+            round(max(col("jaccard")), 4).as("max_jac"))
+          .orderBy(col("bucket")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents WHERE lang = 'en'),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |j0 AS (SELECT CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS raw FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id),
+        |b AS (SELECT CAST(least(floor(round(raw, 4) * 10), 9) AS INT) AS bucket,
+        |round(raw, 4) AS jac FROM j0 WHERE raw >= 0.05)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+        |round(min(jac), 4) AS min_jac, round(max(jac), 4) AS max_jac
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
     ("x96_mmr_rerank",
       // Diversified retrieval (operators/Similarity.mmrRerank): MMR
       // greedy top-5 of the cosine top-20 against the vec_id=0 query —
