@@ -4852,6 +4852,26 @@ object Registry {
         |round(min(jac), 4) AS min_jac, round(max(jac), 4) AS max_jac
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
 
+    ("s22_stream_benford",
+      // X102 under streaming (streaming/Streaming.runStreamBenford): the
+      // (type, digit) count table IS the state — bounded at |types|·9
+      // groups forever — with the audit folded at read; x102's oracle
+      // verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s22")
+        graft.streaming.Streaming.runStreamBenford(s, dir, base + "/bf")
+          .orderBy(col("event_type"), col("fd"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |CAST(floor(abs(value) / power(10, floor(log10(abs(value))))) AS INT) AS fd
+        |FROM events WHERE abs(value) >= 1),
+        |o AS (SELECT event_type, fd, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS tot FROM o GROUP BY 1)
+        |SELECT o.event_type, o.fd, o.n, round(o.n / t.tot, 4) AS observed_p,
+        |round(ln(1.0 + 1.0 / o.fd) / ln(10), 4) AS benford_p
+        |FROM o JOIN t USING (event_type) ORDER BY event_type, fd"""
+        .stripMargin.replace("\n", " "))),
+
     ("x96_mmr_rerank",
       // Diversified retrieval (operators/Similarity.mmrRerank): MMR
       // greedy top-5 of the cosine top-20 against the vec_id=0 query —

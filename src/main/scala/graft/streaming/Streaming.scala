@@ -1455,6 +1455,47 @@ object Streaming {
         when(abs(z) >= 2.0, 1).otherwise(0).as("is_anomaly"))
   }
 
+  /** X102's Benford audit under streaming: the per-(type, first-digit)
+    * count table is the state — a stateful aggregation over at most
+    * |types|·9 groups (bounded forever, no watermark needed), update-mode
+    * re-emissions replace-upserted by key so the table converges to the
+    * one-shot counts for any slicing; observed vs Benford expectation
+    * folds at read time — x102's oracle verbatim. The always-on forensic
+    * monitor shape: digits accrue, the audit is a read. */
+  def runStreamBenford(spark: SparkSession, dir: String,
+                       base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "fd"), Seq("n"), additive = false)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val v = abs(col("value").cast("double"))
+    val q = withStatePartitions(spark, 8) { ss =>
+      ss.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .where(v >= 1.0)
+        .withColumn("fd",
+          floor(v / pow(lit(10.0), floor(log10(v)))).cast("int"))
+        .groupBy(col("event_type"), col("fd"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    }
+    q.awaitTermination()
+    val o = sink.state(spark).get
+    val t = o.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("double").as("_tot"))
+    o.join(broadcast(t), Seq("event_type"))
+      .select(col("event_type"), col("fd"), col("n").cast("long").as("n"),
+        round(col("n") / col("_tot"), 4).as("observed_p"),
+        round(log(lit(1.0) + lit(1.0) / col("fd")) / log(lit(10.0)), 4)
+          .as("benford_p"))
+  }
+
   /** X99's four-moment profile under streaming — the textbook mergeable-
     * sufficient-statistics pattern: the state per type is (n, Σx, Σx²,
     * Σx³, Σx⁴), each micro-batch's partial sums ADD into it (the additive
