@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier / embedding-quality evaluation operators — the read side of
+  * the quality-filter family (x9/x36/x65 produce scores; these grade them).
+  * A 100 TB curation pipeline trains cheap quality classifiers and ANN
+  * retrieval stacks; before trusting either to gate data, it needs AUC /
+  * calibration / inter-rater agreement computed ON the cluster, over the
+  * full corpus, not a notebook sample.
+  *
+  * Scale shapes:
+  *   - [[centroidAuc]] / [[calibrationBins]]: the per-class centroid table
+  *     is bounded driver metadata (|classes| rows) inlined as codegen
+  *     literals (j22's quantile-edge discipline), so scoring is ONE narrow
+  *     projection — no join, no shuffle; the AUC fold then aggregates at
+  *     (class, distinct-score) grain and windows PER CLASS (never a global
+  *     single-partition sort).
+  *   - [[cohensKappa]]: one contingency agg bounded by the class product;
+  *     marginals re-agg from that bounded table; scalar cross-joins are
+  *     broadcast one-row frames (the audited pattern).
+  *
+  * Exactness: AUC's rank-sum numerator Σ np_s·(cum_nn + nn_s/2) is a sum
+  * of half-integer multiples (exactly representable in double well below
+  * 2^53), and kappa reduces to (agree·n − Σrc·cc)/(n² − Σrc·cc) over exact
+  * integers — both are bit-identical across engines with NO rounding
+  * tolerance; only avg_score carries summation-order noise (rounded 4 dp).
+  */
+object Eval {
+
+  /** Per-class mean-vector table, collected as bounded driver metadata:
+    * |classes| rows of `dims` doubles, each dim rounded 6 dp so both
+    * engines score against bit-identical centroids. */
+  private def centroidLiterals(emb: DataFrame, vecCol: String,
+                               labelCol: String): Seq[(Long, Array[Double])] =
+    emb.select(col(labelCol).cast("long").as("_lbl"),
+        posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .groupBy(col("_lbl"), col("_p"))
+      .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      .groupBy(col("_lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+        s => s.getField("_m")).as("_cent"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Every vector scored against every class centroid (cosine, 6 dp):
+    * langId's literal-explode shape — |classes| struct branches in one
+    * projection, output (id, _gold, class, score). */
+  private[graft] def centroidScores(emb: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    labelCol: String): DataFrame = {
+    val cents = centroidLiterals(emb, vecCol, labelCol)
+    emb.select(col(idCol), col(labelCol).cast("long").as("_gold"),
+        explode(array(cents.map { case (lbl, c) =>
+          struct(lit(lbl).as("_cls"),
+            round(Similarity.cosineFold(col(vecCol), lit(c)), 6).as("_s"))
+        }: _*)).as("_cs"))
+      .select(col(idCol), col("_gold"),
+        col("_cs._cls").as("class"), col("_cs._s").as("score"))
+  }
+
+  /** One-vs-rest ROC AUC per class of centroid-cosine as the ranking
+    * score: "how well does similarity-to-the-class-mean retrieve the
+    * class?" — the embedding-quality scalar behind ANN-based labeling.
+    *
+    * Rank-sum form at (class, distinct-score) grain: with per-score
+    * positive/negative counts (np, nn) and the cumulative negatives below
+    * each score, AUC = Σ np·(cum_nn + nn/2) / (NP·NN) — ties credited
+    * half, the exact Mann-Whitney statistic. The window partitions by
+    * class over the bounded distinct-score table. */
+  def centroidAuc(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String): DataFrame = {
+    val g = centroidScores(emb, idCol, vecCol, labelCol)
+      .groupBy(col("class"), col("score"))
+      .agg(sum(when(col("_gold") === col("class"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_gold") === col("class"), 0L).otherwise(1L)).as("_nn"))
+    val w = Window.partitionBy(col("class")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("_cum", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .groupBy(col("class"))
+      .agg(sum(col("_np")).cast("long").as("n_pos"),
+        sum(col("_nn")).cast("long").as("n_neg"),
+        sum(col("_np") * (col("_cum") + col("_nn") / lit(2.0))).as("_num"))
+      .select(col("class"), col("n_pos"), col("n_neg"),
+        round(col("_num") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Reliability diagram per class: equal-width bins over the cosine range
+    * [-1, 1], per-bin count, mean score, and positive fraction — the
+    * calibration read before using centroid similarity as a probability
+    * proxy (|avg_score gap| per bin is the ECE contribution). Pure
+    * two-key aggregation, bounded at classes × nBins. */
+  def calibrationBins(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, nBins: Int): DataFrame = {
+    // Half-width factor precomputed in Scala so both engines multiply by
+    // the same single literal (x·10/2 and x·5 can differ in the last ulp).
+    val bin = greatest(lit(0),
+      least(floor((col("score") + 1.0d) * lit(nBins / 2.0)), lit(nBins - 1)))
+      .cast("int")
+    centroidScores(emb, idCol, vecCol, labelCol)
+      .withColumn("bin", bin)
+      .groupBy(col("class"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(col("score")), 4).as("avg_score"),
+        round(avg(when(col("_gold") === col("class"), 1.0).otherwise(0.0)), 4)
+          .as("frac_pos"))
+  }
+
+  /** Cohen's kappa between two categorical labelings — chance-corrected
+    * agreement (e.g. a heuristic classifier vs gold labels, or two
+    * annotation passes). po = observed agreement, pe = Σ marginal products
+    * / n²; kappa folds to (agree·n − Σrc·cc)/(n² − Σrc·cc) so every input
+    * to the one division is an exact integer. */
+  def cohensKappa(df: DataFrame, predCol: String,
+                  goldCol: String): DataFrame = {
+    val o = df.groupBy(col(predCol).as("_p"), col(goldCol).as("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = o.agg(sum(col("_c")).as("_n"),
+      sum(when(col("_p") === col("_g"), col("_c")).otherwise(0L)).as("_agree"))
+    val pe = o.groupBy(col("_p")).agg(sum(col("_c")).as("_rc"))
+      .join(o.groupBy(col("_g")).agg(sum(col("_c")).as("_cc")),
+        col("_p") === col("_g"))
+      .agg(coalesce(sum(col("_rc") * col("_cc")), lit(0L)).as("_pece"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("_n").cast("long").as("n"),
+        round(col("_agree") / col("_n").cast("double"), 4).as("po"),
+        round(col("_pece") / (col("_n") * col("_n")).cast("double"), 4)
+          .as("pe"),
+        round((col("_agree") * col("_n") - col("_pece")).cast("double") /
+          (col("_n") * col("_n") - col("_pece")), 4).as("kappa"))
+  }
+}

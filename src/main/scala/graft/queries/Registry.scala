@@ -4883,7 +4883,98 @@ object Registry {
           Tables.embeddings(s, dir), "vec_id", "embedding",
           0L, 20, 5, 0.7)
           .orderBy(col("rnk")),
-      Some(mmrOracle(20, 5, 0.7)))
+      Some(mmrOracle(20, 5, 0.7))),
+
+    ("x104_centroid_auc",
+      // Embedding-quality scalar (operators/Eval.centroidAuc): one-vs-rest
+      // Mann-Whitney AUC per class of cosine-to-class-centroid as the
+      // retrieval score. Centroids are bounded driver metadata inlined as
+      // literals; the rank-sum folds at (class, distinct-score) grain with
+      // a PER-CLASS window; the half-integer numerator is exact in double,
+      // so both engines agree bitwise before the final division.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.centroidAuc(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label")
+          .orderBy(col("class")),
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT label AS cls, list(m ORDER BY pos) AS cent
+        |FROM c GROUP BY 1),
+        |d AS (SELECT e.label AS gold, cl.cls,
+        |round(${cosSql("e.embedding", "cl.cent")}, 6) AS score
+        |FROM embeddings e CROSS JOIN cl),
+        |g AS (SELECT cls, score,
+        |CAST(sum(CASE WHEN gold = cls THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |CAST(sum(CASE WHEN gold = cls THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |FROM d GROUP BY 1, 2),
+        |w AS (SELECT cls, np, nn, coalesce(sum(nn) OVER (PARTITION BY cls
+        |ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |FROM g)
+        |SELECT CAST(cls AS BIGINT) AS class, CAST(sum(np) AS BIGINT) AS n_pos,
+        |CAST(sum(nn) AS BIGINT) AS n_neg,
+        |round(sum(np * (cum + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
+        |FROM w GROUP BY 1 ORDER BY class""".stripMargin.replace("\n", " "))),
+
+    ("x105_calibration",
+      // Reliability diagram (operators/Eval.calibrationBins): per-class
+      // equal-width bins over the centroid-cosine range with count, mean
+      // score, and positive fraction — the ECE read before treating
+      // similarity as a probability. Pure classes x bins aggregation over
+      // the same no-join scored projection as x104.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.calibrationBins(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", 10)
+          .orderBy(col("class"), col("bin")),
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT label AS cls, list(m ORDER BY pos) AS cent
+        |FROM c GROUP BY 1),
+        |d AS (SELECT e.label AS gold, cl.cls,
+        |round(${cosSql("e.embedding", "cl.cent")}, 6) AS score
+        |FROM embeddings e CROSS JOIN cl),
+        |b AS (SELECT cls, CAST(greatest(0, least(floor((score + 1.0) * 5.0), 9))
+        |AS INT) AS bin, score,
+        |CASE WHEN gold = cls THEN 1.0 ELSE 0.0 END AS y FROM d)
+        |SELECT CAST(cls AS BIGINT) AS class, bin, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(score), 4) AS avg_score, round(avg(y), 4) AS frac_pos
+        |FROM b GROUP BY 1, 2 ORDER BY class, bin"""
+        .stripMargin.replace("\n", " "))),
+
+    ("x106_lang_kappa",
+      // Chance-corrected agreement (operators/Eval.cohensKappa) between
+      // x8's marker-token language ID and the gold lang column — the
+      // "is the heuristic better than chance?" gate before using it to
+      // route 100 TB. kappa folds to exact-integer arithmetic; the oracle
+      // re-derives the predictions from langId's own generated SQL.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.cohensKappa(
+          TextAnalysis.langId(Tables.documents(s, dir))
+            .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+              Seq("doc_id")),
+          "pred_lang", "lang"),
+      Some(s"""WITH pr AS MATERIALIZED (SELECT doc_id, pred_lang
+        |FROM ($langIdOracleSql) t),
+        |j AS (SELECT pr.pred_lang AS p, d.lang AS g
+        |FROM pr JOIN documents d USING (doc_id)),
+        |o AS (SELECT p, g, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |CAST(sum(CASE WHEN p = g THEN c ELSE 0 END) AS BIGINT) AS agree FROM o),
+        |rt AS (SELECT p, CAST(sum(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |ct AS (SELECT g, CAST(sum(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |pp AS (SELECT coalesce(CAST(sum(rt.rc * ct.cc) AS BIGINT), 0) AS x
+        |FROM rt JOIN ct ON rt.p = ct.g)
+        |SELECT t.n, round(t.agree / CAST(t.n AS DOUBLE), 4) AS po,
+        |round(pp.x / CAST(t.n * t.n AS DOUBLE), 4) AS pe,
+        |round(CAST(t.agree * t.n - pp.x AS DOUBLE) / (t.n * t.n - pp.x), 4)
+        |AS kappa FROM t, pp""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

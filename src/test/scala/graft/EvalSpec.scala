@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+
+  // 2-dim embeddings where every cosine is hand-computable. Label 0:
+  // (1,0) and (0,1); label 1: (0,1). Centroid(0) = (0.5, 0.5),
+  // centroid(1) = (0, 1).
+  private def emb = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("centroidAuc: all-tied scores give 0.5; a separating class scores its rank-sum") {
+    val out = Eval.centroidAuc(emb, "vec_id", "embedding", "label")
+      .orderBy(col("class")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Class 0: every vector ties at cos(v, (.5,.5)) = 0.707107 →
+    // np=2, nn=1, one score group: num = 2·(0 + 1/2) = 1; AUC = 1/(2·1).
+    // Class 1: scores vs (0,1): v1=0 (neg), v2=1 (neg), v3=1 (pos) →
+    // groups asc: (0: np0 nn1), (1: np1 nn1 cum1): num = 1·(1 + .5);
+    // AUC = 1.5/(1·2) = 0.75.
+    assert(out.toSeq === Seq((0L, 2L, 1L, 0.5), (1L, 1L, 2L, 0.75)))
+  }
+
+  test("calibrationBins: bin edges, counts, and positive fractions are exact") {
+    val out = Eval.calibrationBins(emb, "vec_id", "embedding", "label", 10)
+      .orderBy(col("class"), col("bin")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // Class 0: all three rows at score 0.707107 → bin floor(1.707107·5)=8,
+    // frac_pos = 2/3. Class 1: score 0 → bin 5 (one neg), score 1 → bin 9
+    // (one pos of two rows).
+    assert(out.toSeq === Seq(
+      (0L, 8, 3L, 0.7071, 0.6667),
+      (1L, 5, 1L, 0.0, 0.0),
+      (1L, 9, 2L, 1.0, 0.5)))
+  }
+
+  test("cohensKappa: hand-computed 2x2 confusion (po .75, pe .5, kappa .5)") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("pred", "gold")
+    val out = Eval.cohensKappa(df, "pred", "gold").collect().head
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === 0.75) // agree 3/4
+    assert(out.getDouble(2) === 0.5)  // (3·2 + 1·2)/16
+    assert(out.getDouble(3) === 0.5)  // (.75-.5)/(1-.5)
+  }
+
+  test("cohensKappa: perfect agreement is 1, disjoint labelings go negative") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("p", "g")
+    assert(Eval.cohensKappa(perfect, "p", "g").collect().head.getDouble(3) === 1.0)
+    // pred always the OTHER class: po=0, pe=0.5 → kappa = -1.
+    val flipped = Seq(("a", "b"), ("b", "a")).toDF("p", "g")
+    assert(Eval.cohensKappa(flipped, "p", "g").collect().head.getDouble(3) === -1.0)
+  }
+}
