@@ -263,4 +263,43 @@ object Sampling {
     pairs.join(a, Seq(idACol)).join(b, Seq(idBCol))
       .filter(col("split_a") =!= col("split_b"))
   }
+
+  /** Water-filling per-source token budget: given a target of
+    * `budgetFrac` of the corpus's tokens, find the unique cap `c` with
+    * Σ min(tokens_s, c) = budget and allocate min(tokens_s, ⌊c⌋) to each
+    * source — small sources keep everything, the largest are leveled to
+    * the same ceiling (the fair-allocation dual of [[domainReweight]]:
+    * reweighting tracks target SHARES, water-filling enforces a total
+    * BUDGET with maximal flatness).
+    *
+    * Scale shape: the corpus reduces to ONE map-side-combined sum at
+    * source grain; the cap is closed-form over that bounded table
+    * (sorted source totals, first prefix where prefix + rest·t ≥ budget),
+    * computed driver-side as bounded metadata — |sources| longs, the j22
+    * quantile-edge discipline — and inlined as a literal in the final
+    * projection. Exact integer arithmetic end to end (one double division
+    * floored), so both engines agree without tolerance. */
+  def tokenBudget(rows: DataFrame, groupCol: String, ntokCol: String,
+                  budgetFrac: Double): DataFrame = {
+    val counts = rows.groupBy(col(groupCol))
+      .agg(sum(col(ntokCol)).cast("long").as("tokens"))
+    val toks = counts.select(col("tokens")).collect().map(_.getLong(0)).sorted
+    val budget = math.floor(budgetFrac * toks.sum.toDouble).toLong
+    var prefix = 0L
+    var cap = Long.MaxValue
+    var i = 0
+    var found = false
+    while (i < toks.length && !found) {
+      val rest = toks.length - i
+      if (prefix + rest * toks(i) >= budget) {
+        cap = math.floor((budget - prefix).toDouble / rest).toLong
+        found = true
+      }
+      prefix += toks(i)
+      i += 1
+    }
+    counts.select(col(groupCol), col("tokens"),
+      least(col("tokens"), lit(cap)).as("allocated"),
+      (col("tokens") > lit(cap)).as("capped"))
+  }
 }

@@ -182,4 +182,40 @@ object TimeSeries {
         floor(expr("percentile(_gap, 0.9)")).cast("long").as("p90_ms"),
         max(col("_gap")).cast("long").as("max_ms"))
   }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i), x_i < x_j — immune to the outlier days that
+    * drag an OLS slope (one anomalous spike moves OLS arbitrarily; the
+    * pairwise median has a 29% breakdown point). The drift read for
+    * dashboard series and dataset-size trends.
+    *
+    * Contract: the input is a PRE-AGGREGATED per-key series (daily/weekly
+    * grain), so the pair expansion is bounded at |series|² per key —
+    * 435 pairs for a 30-day daily series — the same documented bounded-
+    * blowup discipline as cooccurrencePmi. Slopes round 6 dp BEFORE the
+    * median (both engines sort identical values); the equi-join on the
+    * key broadcasts the aggregated series; the median is a per-key rank
+    * window over the bounded pair table — never a global sort.
+    */
+  def theilSen(series: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = series.select(col(keyCol).as("_k"),
+      col(xCol).as("_x1"), col(yCol).as("_y1"))
+    val b = series.select(col(keyCol).as("_k"),
+      col(xCol).as("_x2"), col(yCol).as("_y2"))
+    val pairs = a.join(broadcast(b), Seq("_k"))
+      .where(col("_x1") < col("_x2"))
+      .select(col("_k"),
+        round((col("_y2") - col("_y1")).cast("double") /
+          (col("_x2") - col("_x1")), 6).as("_s"))
+    val m = pairs.groupBy(col("_k")).agg(count(lit(1)).as("_m"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_s"))
+    pairs.withColumn("_rn", row_number().over(w))
+      .join(broadcast(m), Seq("_k"))
+      .where(col("_rn") === expr("(_m + 1) div 2") ||
+        col("_rn") === expr("(_m + 2) div 2"))
+      .groupBy(col("_k").as(keyCol))
+      .agg(first(col("_m")).cast("long").as("n_pairs"),
+        round(avg(col("_s")), 6).as("slope"))
+  }
 }

@@ -4974,7 +4974,71 @@ object Registry {
         |SELECT t.n, round(t.agree / CAST(t.n AS DOUBLE), 4) AS po,
         |round(pp.x / CAST(t.n * t.n AS DOUBLE), 4) AS pe,
         |round(CAST(t.agree * t.n - pp.x AS DOUBLE) / (t.n * t.n - pp.x), 4)
-        |AS kappa FROM t, pp""".stripMargin.replace("\n", " ")))
+        |AS kappa FROM t, pp""".stripMargin.replace("\n", " "))),
+
+    ("j31_theil_sen",
+      // Robust trend per type (operators/TimeSeries.theilSen): median of
+      // pairwise slopes over the daily count series — the drift read an
+      // outlier day can't drag. The pair expansion is bounded at
+      // |days|² per type (435 pairs / 30-day series); slopes round 6 dp
+      // before the per-type median window.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.theilSen(
+          Tables.events(s, dir)
+            .groupBy(col("event_type"),
+              (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
+                .cast("long").as("_day"))
+            .agg(count(lit(1)).cast("long").as("_n")),
+          "event_type", "_day", "_n")
+          .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT event_type,
+        |epoch_ms(date_trunc('day', ts)) // 86400000 AS x,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x), 6) AS s
+        |FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (SELECT event_type, s,
+        |row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |count(*) OVER (PARTITION BY event_type) AS m FROM p)
+        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        |round(avg(s), 6) AS slope
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("x107_token_budget",
+      // Water-filling source budget (operators/Sampling.tokenBudget):
+      // level per-source token allocations under a 50%-of-corpus budget —
+      // small sources keep everything, big ones are capped at the common
+      // water line. The cap is closed-form over the bounded source-grain
+      // table; exact integers end to end.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.tokenBudget(
+          Tables.documents(s, dir).select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).as("_ntok")),
+          "source", "_ntok", 0.5)
+          .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ntok
+        |FROM documents),
+        |c AS MATERIALIZED (SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM d GROUP BY 1),
+        |t AS (SELECT CAST(floor(0.5 * sum(tokens)) AS BIGINT) AS b FROM c),
+        |r AS (SELECT source, tokens,
+        |coalesce(sum(tokens) OVER (ORDER BY tokens, source
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |count(*) OVER () - (row_number() OVER (ORDER BY tokens, source) - 1) AS rest
+        |FROM c),
+        |f AS (SELECT r.*, t.b FROM r, t
+        |WHERE r.prefix + r.rest * r.tokens >= t.b
+        |ORDER BY tokens, source LIMIT 1),
+        |cap AS (SELECT CASE WHEN (SELECT count(*) FROM f) = 0 THEN NULL
+        |ELSE (SELECT CAST(floor(CAST(b - prefix AS DOUBLE) / rest) AS BIGINT)
+        |FROM f) END AS cap)
+        |SELECT c.source, c.tokens,
+        |CAST(CASE WHEN cap.cap IS NULL THEN c.tokens
+        |ELSE least(c.tokens, cap.cap) END AS BIGINT) AS allocated,
+        |(cap.cap IS NOT NULL AND c.tokens > cap.cap) AS capped
+        |FROM c, cap ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -211,4 +211,25 @@ class SamplingSpec extends SparkSpec {
       (1L, 2L, 0.9, "train", "test"),
       (5L, 6L, 0.8, "val", "test")))
   }
+
+  test("tokenBudget: water line caps only the sources above it and hits the budget") {
+    import spark.implicits._
+    val rows = Seq(("s1", 10L), ("s2", 20L), ("s3", 70L)).toDF("src", "ntok")
+    val out = Sampling.tokenBudget(rows, "src", "ntok", 0.5)
+      .orderBy($"src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // total 100, budget 50: cap solves 10 + 2c = 50 -> c = 20.
+    assert(out.toSeq === Seq(("s1", 10L, 10L, false),
+      ("s2", 20L, 20L, false), ("s3", 70L, 20L, true)))
+    assert(out.map(_._3).sum === 50L)
+  }
+
+  test("tokenBudget: a budget >= the corpus leaves every source uncapped") {
+    import spark.implicits._
+    val rows = Seq(("s1", 10L), ("s2", 90L)).toDF("src", "ntok")
+    val out = Sampling.tokenBudget(rows, "src", "ntok", 1.0)
+      .orderBy($"src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(("s1", 10L, 10L, false), ("s2", 90L, 90L, false)))
+  }
 }

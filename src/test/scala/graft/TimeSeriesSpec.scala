@@ -122,4 +122,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.getAs[Long]("min_ms") === 0L)
     assert(out.getAs[Long]("max_ms") === 15L)
   }
+
+  test("theilSen: outlier day leaves the pairwise median untouched") {
+    import spark.implicits._
+    // y = x on days 1-3 plus a wild spike on day 4: pairwise slopes are
+    // [1, 1, 1, 33, 49, 97] -> even count, median = (1+33)/2 = 17;
+    // without the spike the median is exactly 1.
+    val sp = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 100L))
+      .toDF("k", "x", "y")
+    val out = TimeSeries.theilSen(sp, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("n_pairs") === 6L)
+    assert(out.getAs[Double]("slope") === 17.0)
+    val clean = sp.filter($"y" < 100L)
+    assert(TimeSeries.theilSen(clean, "k", "x", "y")
+      .collect().head.getAs[Double]("slope") === 1.0)
+  }
+
+  test("theilSen: odd pair count picks the single middle slope per key") {
+    import spark.implicits._
+    // slopes 1, 1.5, 2 -> median 1.5; second key checks per-key windows.
+    val sp = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 4L),
+      ("b", 1L, 10L), ("b", 2L, 8L), ("b", 3L, 6L)).toDF("k", "x", "y")
+    val out = TimeSeries.theilSen(sp, "k", "x", "y")
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 3L, 1.5), ("b", 3L, -2.0)))
+  }
 }
