@@ -33,8 +33,8 @@ object Eval {
   /** Per-class mean-vector table, collected as bounded driver metadata:
     * |classes| rows of `dims` doubles, each dim rounded 6 dp so both
     * engines score against bit-identical centroids. */
-  private def centroidLiterals(emb: DataFrame, vecCol: String,
-                               labelCol: String): Seq[(Long, Array[Double])] =
+  private[graft] def centroidLiterals(emb: DataFrame, vecCol: String,
+                                      labelCol: String): Seq[(Long, Array[Double])] =
     emb.select(col(labelCol).cast("long").as("_lbl"),
         posexplode(col(vecCol)).as(Seq("_p", "_v")))
       .groupBy(col("_lbl"), col("_p"))
@@ -51,8 +51,16 @@ object Eval {
     * projection, output (id, _gold, class, score). */
   private[graft] def centroidScores(emb: DataFrame, idCol: String,
                                     vecCol: String,
-                                    labelCol: String): DataFrame = {
-    val cents = centroidLiterals(emb, vecCol, labelCol)
+                                    labelCol: String): DataFrame =
+    scoreWith(emb, idCol, vecCol, labelCol,
+      centroidLiterals(emb, vecCol, labelCol))
+
+  /** Scoring against a PRE-COMPUTED centroid table — the seam the
+    * streaming monitor uses to pin reference centroids at deploy time
+    * while batches stream through the same projection. */
+  private[graft] def scoreWith(emb: DataFrame, idCol: String,
+                               vecCol: String, labelCol: String,
+                               cents: Seq[(Long, Array[Double])]): DataFrame =
     emb.select(col(idCol), col(labelCol).cast("long").as("_gold"),
         explode(array(cents.map { case (lbl, c) =>
           struct(lit(lbl).as("_cls"),
@@ -60,7 +68,6 @@ object Eval {
         }: _*)).as("_cs"))
       .select(col(idCol), col("_gold"),
         col("_cs._cls").as("class"), col("_cs._s").as("score"))
-  }
 
   /** One-vs-rest ROC AUC per class of centroid-cosine as the ranking
     * score: "how well does similarity-to-the-class-mean retrieve the
@@ -72,14 +79,20 @@ object Eval {
     * half, the exact Mann-Whitney statistic. The window partitions by
     * class over the bounded distinct-score table. */
   def centroidAuc(emb: DataFrame, idCol: String, vecCol: String,
-                  labelCol: String): DataFrame = {
-    val g = centroidScores(emb, idCol, vecCol, labelCol)
+                  labelCol: String): DataFrame =
+    aucFold(centroidScores(emb, idCol, vecCol, labelCol)
       .groupBy(col("class"), col("score"))
       .agg(sum(when(col("_gold") === col("class"), 1L).otherwise(0L)).as("_np"),
-        sum(when(col("_gold") === col("class"), 0L).otherwise(1L)).as("_nn"))
-    val w = Window.partitionBy(col("class")).orderBy(col("score"))
+        sum(when(col("_gold") === col("class"), 0L).otherwise(1L)).as("_nn")),
+      "score")
+
+  /** The Mann-Whitney read-time fold over a pre-counted
+    * (class, order, _np, _nn) table — shared by the batch AUC and the
+    * streaming monitor, whose maintained count state IS such a table. */
+  private[graft] def aucFold(counts: DataFrame, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col("class")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("_cum", coalesce(sum(col("_nn")).over(w), lit(0L)))
+    counts.withColumn("_cum", coalesce(sum(col("_nn")).over(w), lit(0L)))
       .groupBy(col("class"))
       .agg(sum(col("_np")).cast("long").as("n_pos"),
         sum(col("_nn")).cast("long").as("n_neg"),

@@ -5038,7 +5038,43 @@ object Registry {
         |CAST(CASE WHEN cap.cap IS NULL THEN c.tokens
         |ELSE least(c.tokens, cap.cap) END AS BIGINT) AS allocated,
         |(cap.cap IS NOT NULL AND c.tokens > cap.cap) AS capped
-        |FROM c, cap ORDER BY source""".stripMargin.replace("\n", " ")))
+        |FROM c, cap ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("s23_stream_auc",
+      // X104 under streaming (streaming/Streaming.runStreamAuc): the
+      // embedding-drift monitor — vectors scored against frozen reference
+      // centroids, state = the (class, milli-score) pos/neg count table
+      // (bounded at |classes|·2001 rows forever), additive upserts,
+      // Mann-Whitney folded at read time. Oracle = the one-shot batch AUC
+      // at the monitor's 3 dp score grain.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s23")
+        graft.streaming.Streaming.runStreamAuc(s, dir, base + "/auc")
+          .orderBy(col("class"))
+      },
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT label AS cls, list(m ORDER BY pos) AS cent
+        |FROM c GROUP BY 1),
+        |d AS (SELECT e.label AS gold, cl.cls,
+        |CAST(round(round(${cosSql("e.embedding", "cl.cent")}, 6) * 1000, 0)
+        |AS INT) AS sm
+        |FROM embeddings e CROSS JOIN cl),
+        |g AS (SELECT cls, sm,
+        |CAST(sum(CASE WHEN gold = cls THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |CAST(sum(CASE WHEN gold = cls THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |FROM d GROUP BY 1, 2),
+        |w AS (SELECT cls, np, nn, coalesce(sum(nn) OVER (PARTITION BY cls
+        |ORDER BY sm ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |FROM g)
+        |SELECT CAST(cls AS BIGINT) AS class, CAST(sum(np) AS BIGINT) AS n_pos,
+        |CAST(sum(nn) AS BIGINT) AS n_neg,
+        |round(sum(np * (cum + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
+        |FROM w GROUP BY 1 ORDER BY class""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -1341,6 +1341,28 @@ object Streaming {
   private val stagedSliceDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Embeddings staged as `slices` single-file micro-batches (vec_id
+    * modulus split) — the [[stagedEventSlices]] discipline for the
+    * vector-stream monitors. */
+  private def stagedEmbSlices(spark: SparkSession, dir: String,
+                              slices: Int): String =
+    stagedSliceDirs.computeIfAbsent(s"$dir#emb#$slices", _ => {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-embslices").toString
+      val em = graft.Tables.embeddings(spark, dir)
+      val f = FileSystem.get(new java.net.URI(landing),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until slices).foreach { i =>
+        val stage = s"$landing/stage$i"
+        em.where(col("vec_id") % slices === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$landing/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      landing
+    })
+
   private def stagedEventSlices(spark: SparkSession, dir: String,
                                 slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#$slices", _ => {
@@ -1494,6 +1516,54 @@ object Streaming {
         round(col("n") / col("_tot"), 4).as("observed_p"),
         round(log(lit(1.0) + lit(1.0) / col("fd")) / log(lit(10.0)), 4)
           .as("benford_p"))
+  }
+
+  /** X104's retrieval-AUC under streaming — the embedding-drift monitor:
+    * incoming vectors are scored against REFERENCE centroids pinned when
+    * the monitor deploys (computed once from the corpus and inlined as
+    * literals — the monitor's question is "is the space drifting against
+    * the frozen reference?"), and the streaming state is the
+    * (class, milli-score) positive/negative count table — bounded at
+    * |classes|·2001 rows FOREVER (3 dp quantization is what bounds it; the
+    * batch x104 ranks exact 6 dp scores), no watermark needed. Per-batch
+    * partial counts ADD through the upsert (batch markers ⇒ exactly-once
+    * under replay), and the Mann-Whitney fold happens at read time via
+    * the same [[graft.operators.Eval.aucFold]] as batch — so the streamed
+    * AUC equals the one-shot AUC at the monitor's score grain for any
+    * slicing of the input. */
+  def runStreamAuc(spark: SparkSession, dir: String,
+                   base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("class", "score_mil"), Seq("np", "nn"), additive = true)
+    val landing = stagedEmbSlices(spark, dir, 3)
+    val cents = graft.operators.Eval.centroidLiterals(
+      graft.Tables.embeddings(spark, dir), "embedding", "label")
+    val q = spark.readStream
+      .schema(Schemas.embeddings)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(
+          graft.operators.Eval.scoreWith(b, "vec_id", "embedding",
+              "label", cents)
+            .withColumn("score_mil",
+              round(col("score") * 1000, 0).cast("int"))
+            .groupBy(col("class"), col("score_mil"))
+            .agg(sum(when(col("_gold") === col("class"), 1L).otherwise(0L))
+              .as("np"),
+              sum(when(col("_gold") === col("class"), 0L).otherwise(1L))
+                .as("nn")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val st = sink.state(spark).get
+    graft.operators.Eval.aucFold(
+      st.select(col("class"), col("score_mil"),
+        col("np").cast("long").as("_np"), col("nn").cast("long").as("_nn")),
+      "score_mil")
   }
 
   /** X99's four-moment profile under streaming — the textbook mergeable-

@@ -784,4 +784,26 @@ class StreamingParitySpec extends SparkSpec {
       batch.select(col("user_id"), col("step0_ms"), col("step1_ms"),
         col("step2_ms"), col("converted")))
   }
+
+  test("streaming AUC equals the one-shot batch AUC at the monitor's 3 dp grain; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s23")
+    val streamed = Streaming.runStreamAuc(spark, dir, base + "/auc")
+    // Batch twin at the SAME quantization: score the full table against
+    // its own centroids, quantize to milli-scores, fold.
+    val emb = Tables.embeddings(spark, dir)
+    val counts = graft.operators.Eval.centroidScores(
+        emb, "vec_id", "embedding", "label")
+      .withColumn("score_mil", round(col("score") * 1000, 0).cast("int"))
+      .groupBy(col("class"), col("score_mil"))
+      .agg(sum(when(col("_gold") === col("class"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_gold") === col("class"), 0L).otherwise(1L)).as("_nn"))
+    val batch = graft.operators.Eval.aucFold(counts, "score_mil")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a re-applied partial count would shift the
+    // rank sums — the additive sink's batch markers must skip it.
+    rollbackLastCommit(base + "/auc/ckpt")
+    val second = Streaming.runStreamAuc(spark, dir, base + "/auc")
+    assertSameRows(second, batch)
+  }
 }
