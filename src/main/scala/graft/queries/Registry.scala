@@ -5074,7 +5074,31 @@ object Registry {
         |SELECT CAST(cls AS BIGINT) AS class, CAST(sum(np) AS BIGINT) AS n_pos,
         |CAST(sum(nn) AS BIGINT) AS n_neg,
         |round(sum(np * (cum + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
-        |FROM w GROUP BY 1 ORDER BY class""".stripMargin.replace("\n", " ")))
+        |FROM w GROUP BY 1 ORDER BY class""".stripMargin.replace("\n", " "))),
+
+    ("x108_quantile_normalize",
+      // Cross-source comparability (operators/Sampling.quantileNormalize):
+      // within-source percent-rank of doc length mapped through the
+      // GLOBAL equi-spaced quantile table (one broadcast scalar row —
+      // never a global sort), so one threshold can gate heterogeneous
+      // sources. The quantile probe list is generated once and
+      // interpolated into BOTH engines' SQL verbatim.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.quantileNormalize(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", "source", "n_chars", 100)
+          .orderBy(col("doc_id")),
+      Some {
+        val ps = (0 to 100).map(_.toDouble / 100).mkString(", ")
+        s"""WITH e AS (SELECT quantile_cont(n_chars, [$ps]) AS edges
+        |FROM documents),
+        |r AS (SELECT doc_id, source, n_chars, percent_rank() OVER
+        |(PARTITION BY source ORDER BY n_chars, doc_id) AS p FROM documents)
+        |SELECT doc_id, source, n_chars, round(p, 6) AS pct_rank,
+        |round(e.edges[CAST(round(p * 100, 0) AS INT) + 1], 4) AS normalized
+        |FROM r, e ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      })
   )
 
   def queries: Map[String, Q] =
