@@ -375,6 +375,42 @@ object Similarity {
       .orderBy(col("knn_sim").asc, col(idCol).asc)
       .limit(bottomN)
 
+  /** Label-noise estimation by neighborhood agreement: for every vector,
+    * the fraction of its k nearest neighbors (shared-IVF probe, same path
+    * as [[knnJoin]]) that carry ITS label, rolled up per class — a class
+    * whose members' neighborhoods disagree with them is mislabeled or
+    * genuinely entangled, and `1 − consistency_rate` is the standard
+    * cheap noisy-label-rate estimate run before training on the labels.
+    *
+    * `n_consistent` counts members whose neighborhood STRICT-majority
+    * agrees (2·same > k, on the realized neighbor count so truncated
+    * probe lists don't bias the vote); `purity` is the mean same/k
+    * fraction. Scale shape: the all-corpus self-kNN rides knnJoin's
+    * equi-join fallback (corpus never broadcast), labels join at qid /
+    * neighbor grain, and everything after is two bounded aggs. */
+  def knnLabelConsistency(embeddings: DataFrame, idCol: String,
+                          vecCol: String, labelCol: String, k: Int,
+                          nCentroids: Int, nProbe: Int): DataFrame = {
+    val nn = knnJoin(embeddings, idCol, vecCol, lit(true), k, nCentroids,
+      nProbe)
+    val gold = embeddings.select(col(idCol).as("qid"),
+      col(labelCol).as("_gold"))
+    val nlab = embeddings.select(col(idCol), col(labelCol).as("_nl"))
+    val per = nn.join(gold, Seq("qid")).join(nlab, Seq(idCol))
+      .groupBy(col("qid"), col("_gold"))
+      .agg(count(lit(1)).as("_k"),
+        sum(when(col("_nl") === col("_gold"), 1L).otherwise(0L)).as("_same"))
+    per.groupBy(col("_gold").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("_same") * 2 > col("_k"), 1L).otherwise(0L))
+          .cast("long").as("n_consistent"),
+        round(avg(col("_same").cast("double") / col("_k")), 4).as("purity"))
+      .select(col("label"), col("n"), col("n_consistent"),
+        round(col("n_consistent").cast("double") / col("n"), 4)
+          .as("consistency_rate"),
+        col("purity"))
+  }
+
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
     * each anchor vector, the top-`k` most-similar corpus vectors whose
     * cosine lies in `[lo, hi)` — similar enough to be informative

@@ -565,6 +565,48 @@ object Registry {
        |SELECT qid AS vec_id, sim AS knn_sim FROM r WHERE knn_rank = 10
        |ORDER BY knn_sim ASC, vec_id LIMIT 25""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.knnLabelConsistency]] (all queries,
+    * 16 centroids, 4 probes, k=10). The kNN core is the knnJoin oracle's
+    * CTE chain; labels join at query / neighbor grain and roll up per
+    * class with the strict-majority vote on the REALIZED neighbor count. */
+  private def knnConsistencyOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS (SELECT p.qid, a.vec_id,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN (SELECT qid, qv, cid FROM pr WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS knn_rank
+       |  FROM cand),
+       |knn AS (SELECT qid, vec_id FROM r WHERE knn_rank <= 10),
+       |j AS (SELECT k.qid, gq.label AS gold, gn.label AS nl FROM knn k
+       |  JOIN embeddings gq ON k.qid = gq.vec_id
+       |  JOIN embeddings gn ON k.vec_id = gn.vec_id),
+       |per AS (SELECT qid, any_value(gold) AS gold,
+       |  CAST(count(*) AS BIGINT) AS kk,
+       |  CAST(sum(CASE WHEN nl = gold THEN 1 ELSE 0 END) AS BIGINT) AS same
+       |  FROM j GROUP BY 1),
+       |g AS (SELECT CAST(gold AS BIGINT) AS label,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN same * 2 > kk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_consistent,
+       |  round(avg(CAST(same AS DOUBLE) / kk), 4) AS purity
+       |  FROM per GROUP BY 1)
+       |SELECT label, n, n_consistent,
+       |round(CAST(n_consistent AS DOUBLE) / n, 4) AS consistency_rate, purity
+       |FROM g ORDER BY label""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Similarity.randomProjection]] (16×64, salt "rp") —
     * the ±1 matrix is generated from the SAME [[Similarity.rpSigns]]
     * constants, and every fold runs left-to-right over the index order on
@@ -5098,7 +5140,39 @@ object Registry {
         |SELECT doc_id, source, n_chars, round(p, 6) AS pct_rank,
         |round(e.edges[CAST(round(p * 100, 0) AS INT) + 1], 4) AS normalized
         |FROM r, e ORDER BY doc_id""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    ("x109_knn_label_consistency",
+      // Label-noise estimate (Similarity.knnLabelConsistency): per class,
+      // how often a member's 10-NN strict-majority agrees with its label —
+      // 1 - consistency_rate is the cheap noisy-label rate read before
+      // training on the labels. Rides knnJoin's shared-IVF self-kNN
+      // (corpus never broadcast); vote on the realized neighbor count.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnLabelConsistency(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", 10, 16, 4)
+          .orderBy(col("label")),
+      Some(knnConsistencyOracleSql)),
+
+    ("s24_stream_histogram",
+      // X80 under streaming (streaming/Streaming.runStreamHistogram):
+      // bin ranges frozen at deploy (the s23 frozen-reference
+      // discipline), state = the (type, bin) count table bounded at
+      // |types|·bins forever, additive upserts exactly-once; x80's
+      // oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s24")
+        graft.streaming.Streaming.runStreamHistogram(s, dir, base + "/hg", 20)
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some("""WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1),
+        |h AS (SELECT e.event_type,
+        |CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT) AS bin
+        |FROM events e JOIN b USING (event_type))
+        |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY event_type, bin"""
+        .stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

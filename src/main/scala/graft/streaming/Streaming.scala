@@ -1518,6 +1518,54 @@ object Streaming {
           .as("benford_p"))
   }
 
+  /** X80's equal-width histogram under streaming — the dataset-card
+    * distribution profile in always-on shape: bin RANGES are frozen per
+    * group when the monitor deploys (min/max collected once from the
+    * corpus — the s23 frozen-reference discipline; a live range would
+    * re-bin history on every new extremum, which no streaming state can
+    * express), the state is the (group, bin) count table — bounded at
+    * |groups|·bins forever — and per-batch partial counts ADD through the
+    * upsert's batch markers. Oracle = x80's one-shot SQL verbatim. */
+  def runStreamHistogram(spark: SparkSession, dir: String, base: String,
+                         bins: Int): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "bin"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    // Frozen per-type ranges: bounded driver metadata (|types| rows).
+    val ranges = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val loMap = map(ranges.flatMap { case (t, lo, _) =>
+      Seq(lit(t), lit(lo)) }: _*)
+    val hiMap = map(ranges.flatMap { case (t, _, hi) =>
+      Seq(lit(t), lit(hi)) }: _*)
+    val lo = element_at(loMap, col("event_type"))
+    val hi = element_at(hiMap, col("event_type"))
+    val bin = when(hi === lo, lit(0L))
+      .otherwise(least(floor((col("value") - lo) / ((hi - lo) / bins)),
+        lit((bins - 1).toLong)))
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), bin.cast("bigint").as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    sink.state(spark).get
+      .select(col("event_type"), col("bin").cast("bigint").as("bin"),
+        col("n").cast("bigint").as("n"))
+  }
+
   /** X104's retrieval-AUC under streaming — the embedding-drift monitor:
     * incoming vectors are scored against REFERENCE centroids pinned when
     * the monitor deploys (computed once from the corpus and inlined as

@@ -352,4 +352,25 @@ class SimilaritySpec extends SparkSpec {
     // var of {5,5,-5,-5} (sample, n-1) = 100/3 ≈ 33.3333
     assert(math.abs(out(0)._2 - 100.0 / 3) < 0.02, s"eigenvalue ${out(0)._2}")
   }
+
+  test("knnLabelConsistency: minority-label vector is inconsistent, cluster members vote with it") {
+    import spark.implicits._
+    // Three label-0 vectors cluster near (1,0); one label-1 sits at (0,1).
+    // Full kNN (4 centroids cover the corpus): each label-0 member's
+    // neighbors are 2 same + 1 different -> strict majority agrees
+    // (purity 2/3); the label-1 vector's neighbors are all label-0.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0),
+      (4L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelConsistency(
+        emb, "vec_id", "embedding", "label", 10, 16, 4)
+      .orderBy($"label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 3L, 1.0, 0.6667),
+      (1L, 1L, 0L, 0.0, 0.0)))
+  }
 }

@@ -806,4 +806,17 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamAuc(spark, dir, base + "/auc")
     assertSameRows(second, batch)
   }
+
+  test("streaming histogram equals the one-shot batch histogram; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s24")
+    val streamed = Streaming.runStreamHistogram(spark, dir, base + "/hg", 20)
+    val batch = graft.operators.Maintenance.histogram(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), "value", 20)
+    assertSameRows(streamed, batch)
+    rollbackLastCommit(base + "/hg/ckpt")
+    val second = Streaming.runStreamHistogram(spark, dir, base + "/hg", 20)
+    assertSameRows(second, batch)
+  }
 }
