@@ -122,6 +122,41 @@ object Eval {
           .as("frac_pos"))
   }
 
+  /** NDCG@k of BM25 lexical retrieval against graded term-coverage
+    * relevance (rel = how many DISTINCT query terms the doc contains) —
+    * the ranking-quality read completing the retrieval-eval family (x73
+    * grades the ANN candidate set, this grades the ORDER a ranker puts
+    * results in). DCG folds (2^rel − 1)/log2(rank+1) over the system's
+    * top-k; IDCG over the corpus's ideal ordering (rel desc, id asc);
+    * both discounts written as ln(rank+1)/ln(2) so the engines evaluate
+    * the identical op sequence.
+    *
+    * Scale shape: relevance is one tokenize projection; both top-k cuts
+    * are TakeOrdered; ranks come from the bounded-k zipWithIndex path
+    * (never a single-partition window); the two DCGs are scalar
+    * aggregates cross-joined as broadcast one-row frames. */
+  def bm25Ndcg(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val rel = docs.select(col(idCol),
+      queryTerms.map(t => when(array_contains(toks, t), 1L).otherwise(0L))
+        .reduce(_ + _).as("_rel"))
+    val gain = pow(lit(2.0), col("_rel")) - lit(1.0)
+    val disc = log(col("rank").cast("double") + lit(1.0)) / log(lit(2.0))
+    val dcg = graft.queries.Serving.ranked(
+        TextAnalysis.bm25Search(docs, idCol, textCol, queryTerms, k),
+        "bm25", idCol)
+      .join(rel, Seq(idCol))
+      .agg(sum(gain / disc).as("_dcg"))
+    val idcg = graft.queries.Serving.ranked(
+        rel.orderBy(col("_rel").desc, col(idCol).asc).limit(k), "_rel", idCol)
+      .agg(sum(gain / disc).as("_idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k.toLong).as("k"), round(col("_dcg"), 6).as("dcg"),
+        round(col("_idcg"), 6).as("idcg"),
+        round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
+  }
+
   /** Cohen's kappa between two categorical labelings — chance-corrected
     * agreement (e.g. a heuristic classifier vs gold labels, or two
     * annotation passes). po = observed agreement, pe = Σ marginal products

@@ -49,4 +49,41 @@ object Funnel {
       .withColumn("converted",
         col(s"step${steps.size - 1}_ms").isNotNull.cast("int"))
   }
+
+  /** Wilson 95%-style score intervals over a [[funnel]] result: per step,
+    * the reached count, the from-start conversion rate, and the interval
+    * the observed rate could wander in by cohort-size luck alone — the
+    * "is this week's funnel REALLY worse" read (a normal-approximation CI
+    * misbehaves exactly where funnels live, at small p; Wilson doesn't).
+    *
+    * Scale shape: ONE scalar aggregate over the funnel frame (per-step
+    * indicator sums), then a |steps|-branch literal explode — bounded
+    * rows, no shuffle after the agg. z and z² are computed once in Scala
+    * and interpolated into both engines' arithmetic verbatim, and every
+    * CI term is written in the same operation order, so the doubles match
+    * bitwise before the 6 dp round. */
+  def funnelWilson(funnelDf: DataFrame, steps: Seq[String],
+                   z: Double): DataFrame = {
+    val aggs = steps.indices.map(i =>
+      sum(when(col(s"step${i}_ms").isNotNull, 1L).otherwise(0L)).as(s"_n$i"))
+    val counts = funnelDf.agg(aggs.head, aggs.tail: _*)
+    val rows = counts.select(explode(array(steps.indices.map { i =>
+        struct(lit(i).as("_step"), lit(steps(i)).as("_name"),
+          col(s"_n$i").as("_k"), col("_n0").as("_b"))
+      }: _*)).as("_s"))
+      .select(col("_s._step").as("_step"), col("_s._name").as("_name"),
+        col("_s._k").as("_k"), col("_s._b").as("_b"))
+    val n = col("_b").cast("double")
+    val p = col("_k").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / denom
+    rows.select(col("_step").cast("long").as("step"),
+      col("_name").as("step_name"), col("_k").cast("long").as("n_reached"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
 }

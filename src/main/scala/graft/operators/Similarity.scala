@@ -311,6 +311,46 @@ object Similarity {
         col("sim"), col("knn_rank"))
   }
 
+  /** k-center greedy (farthest-point) coreset: pick the smallest-id seed,
+    * then k−1 times the vector FARTHEST (cosine distance, 6 dp) from the
+    * already-selected set — the classic 2-approximation to the k-center
+    * cover, used to pull a maximally-DIVERSE subset for annotation or
+    * eval (where mmrRerank diversifies a k-candidate serving block, this
+    * sweeps the whole corpus). Emitted `dist` is each pick's distance to
+    * the prior set — the coverage radius trajectory, monotone down.
+    *
+    * Scale shape: every round is ONE full scan + TakeOrderedAndProject(1)
+    * — the selected centers ride along as bounded literals (≤ k vectors),
+    * so the min-distance is a codegen fold with no join and no shuffle;
+    * k scans total, the per-round collect is a single row. The oracle
+    * unrolls the same greedy as chained 1-row CTEs (mmr discipline) and
+    * both engines round each round's distances to 6 dp before the argmax,
+    * so the trajectories match exactly. */
+  def kCenterCoreset(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(k >= 1, "k must be positive")
+    val seed = embeddings.orderBy(col(idCol).asc)
+      .select(col(idCol), col(vecCol)).head()
+    var centers = Vector(
+      seed.getSeq[Float](1).map(_.toDouble).toArray)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seed.getLong(0), 0.0))
+    (2 to k).foreach { r =>
+      val minDist = centers
+        .map(c => round(lit(1.0) - cosineFold(col(vecCol), lit(c)), 6))
+        .reduce(least(_, _))
+      val far = embeddings
+        .select(col(idCol), col(vecCol), minDist.as("_d"))
+        .orderBy(col("_d").desc, col(idCol).asc)
+        .limit(1).head()
+      centers :+= far.getSeq[Float](1).map(_.toDouble).toArray
+      picks += ((r.toLong, far.getLong(0), far.getDouble(2)))
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rnk", "vec_id", "dist")
+  }
+
   /** Deterministic ±1 sign matrix for [[randomProjection]]: entry (j, i)
     * is the parity of md5("salt:j:i") — reproducible on any engine or
     * cluster size with no RNG state (the repo's hash-not-rand

@@ -197,6 +197,45 @@ object TimeSeries {
     * key broadcasts the aggregated series; the median is a per-key rank
     * window over the bounded pair table — never a global sort.
     */
+  /** OLS trend per key from MERGEABLE power sums — [[theilSen]]'s
+    * parametric twin (run both: a large robust-vs-OLS slope gap names the
+    * outlier days). The shuffle carries six sufficient statistics per key
+    * (n, Σx, Σy, Σxy, Σx², Σy²), never the series — the same mergeable-
+    * aggregate discipline as the moment profile, so the operator is one
+    * map-side-combined agg at any scale and the same sums accrue
+    * additively under streaming.
+    *
+    * Exactness: x is shifted by the GLOBAL min (one broadcast scalar) so
+    * every cross product stays small enough that the normal-equation
+    * numerators a = n·Σxy − Σx·Σy, b = n·Σx² − (Σx)², c = n·Σy² − (Σy)²
+    * are EXACT integers on both engines; slope a/b, intercept
+    * (Σy·b − a·Σx)/(n·b) and r² = a²/(b·c) are then single double
+    * divisions — bit-identical before the 6 dp round. */
+  def olsTrend(series: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val x0 = series.agg(min(col(xCol)).as("_x0"))
+    val g = series.crossJoin(broadcast(x0))
+      .select(col(keyCol), (col(xCol) - col("_x0")).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    g.select(col(keyCol), col("_n").cast("long").as("n_points"),
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")).as("_a"),
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx")).as("_b"),
+        (col("_n") * col("_syy") - col("_sy") * col("_sy")).as("_c"),
+        col("_sx"), col("_sy"))
+      .select(col(keyCol), col("n_points"),
+        round(col("_a").cast("double") / col("_b"), 6).as("slope"),
+        round((col("_sy") * col("_b") - col("_a") * col("_sx"))
+          .cast("double") / (col("n_points") * col("_b")), 6).as("intercept"),
+        round(when(col("_c") === 0L, lit(0.0)) // flat y: define r² = 0
+          .otherwise(col("_a").cast("double") * col("_a") /
+            (col("_b") * col("_c"))), 6).as("r2"))
+  }
+
   def theilSen(series: DataFrame, keyCol: String, xCol: String,
                yCol: String): DataFrame = {
     val a = series.select(col(keyCol).as("_k"),

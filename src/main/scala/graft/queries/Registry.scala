@@ -607,6 +607,30 @@ object Registry {
        |round(CAST(n_consistent AS DOUBLE) / n, 4) AS consistency_rate, purity
        |FROM g ORDER BY label""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.kCenterCoreset]]: the same greedy
+    * farthest-point sweep unrolled as chained 1-row CTEs (the mmr
+    * fixed-point discipline) — each round's cosine distances round to
+    * 6 dp BEFORE the argmax on both engines, so the pick trajectories
+    * are identical. */
+  private def kCenterOracle(k: Int): String = {
+    def dst(a: String, b: String) = s"round(1 - ${cosSql(a, b)}, 6)"
+    val head = "p1 AS MATERIALIZED (SELECT vec_id, embedding, 0.0 AS d " +
+      "FROM embeddings ORDER BY vec_id LIMIT 1)"
+    val rounds = (2 to k).map { r =>
+      val ds = (1 until r).map(i => dst("e.embedding", s"p$i.embedding"))
+      val mins = if (ds.size == 1) ds.head
+                 else ds.mkString("least(", ", ", ")")
+      val froms = (1 until r).map(i => s"p$i").mkString(", ")
+      s"p$r AS MATERIALIZED (SELECT e.vec_id, e.embedding, $mins AS d " +
+        s"FROM embeddings e, $froms ORDER BY d DESC, e.vec_id LIMIT 1)"
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, d AS dist FROM p$i")
+      .mkString(" UNION ALL ")
+    ("WITH " + (head +: rounds).mkString(", ") +
+      s" SELECT rnk, vec_id, dist FROM ($sel) ORDER BY rnk")
+  }
+
   /** DuckDB twin of [[Similarity.randomProjection]] (16×64, salt "rp") —
     * the ±1 matrix is generated from the SAME [[Similarity.rpSigns]]
     * constants, and every fold runs left-to-right over the index order on
@@ -5172,7 +5196,172 @@ object Registry {
         |FROM events e JOIN b USING (event_type))
         |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
         |FROM h GROUP BY 1, 2 ORDER BY event_type, bin"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " "))),
+
+    ("x110_kcenter_coreset",
+      // Diversity coreset (Similarity.kCenterCoreset): greedy farthest-
+      // point 6-pick over the corpus — the 2-approx k-center cover used
+      // to pull a maximally-diverse annotation/eval subset. Each round is
+      // one scan + TakeOrdered(1) with the selected centers as bounded
+      // literals; dist is the coverage-radius trajectory.
+      (s: SparkSession, dir: String) =>
+        Similarity.kCenterCoreset(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 6)
+          .orderBy(col("rnk")),
+      Some(kCenterOracle(6))),
+
+    ("j32_ols_trend",
+      // Parametric trend per type (operators/TimeSeries.olsTrend) over
+      // j31's daily series: slope/intercept/r² from six mergeable power
+      // sums — a big robust-vs-OLS gap names the outlier days. x shifted
+      // by the global min day so the normal-equation numerators are exact
+      // integers on both engines; one double division each at the end.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.olsTrend(
+          Tables.events(s, dir)
+            .groupBy(col("event_type"),
+              (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
+                .cast("long").as("_day"))
+            .agg(count(lit(1)).cast("long").as("_n")),
+          "event_type", "_day", "_n")
+          .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT event_type,
+        |epoch_ms(date_trunc('day', ts)) // 86400000 AS x,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT min(x) AS x0 FROM d),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(x - x0.x0) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |CAST(sum((x - x0.x0) * y) AS BIGINT) AS sxy,
+        |CAST(sum((x - x0.x0) * (x - x0.x0)) AS BIGINT) AS sxx,
+        |CAST(sum(y * y) AS BIGINT) AS syy FROM d, x0 GROUP BY 1),
+        |q AS (SELECT event_type, n, sx, sy,
+        |CAST(n * sxy - sx * sy AS BIGINT) AS a,
+        |CAST(n * sxx - sx * sx AS BIGINT) AS b,
+        |CAST(n * syy - sy * sy AS BIGINT) AS c FROM s)
+        |SELECT event_type, n AS n_points,
+        |round(CAST(a AS DOUBLE) / b, 6) AS slope,
+        |round(CAST(sy * b - a * sx AS DOUBLE) / (n * b), 6) AS intercept,
+        |round(CASE WHEN c = 0 THEN 0.0
+        |ELSE CAST(a AS DOUBLE) * a / (b * c) END, 6) AS r2
+        |FROM q ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("s25_stream_ols",
+      // J32 under streaming (streaming/Streaming.runStreamOls): the
+      // volume-drift monitor — day-grain count state (counts ARE
+      // additive; power sums of partial days are not, so they fold at
+      // read time), bounded at |types|·|days|; j32's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s25")
+        graft.streaming.Streaming.runStreamOls(s, dir, base + "/ols")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |epoch_ms(date_trunc('day', ts)) // 86400000 AS x,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT min(x) AS x0 FROM d),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(x - x0.x0) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |CAST(sum((x - x0.x0) * y) AS BIGINT) AS sxy,
+        |CAST(sum((x - x0.x0) * (x - x0.x0)) AS BIGINT) AS sxx,
+        |CAST(sum(y * y) AS BIGINT) AS syy FROM d, x0 GROUP BY 1),
+        |q AS (SELECT event_type, n, sx, sy,
+        |CAST(n * sxy - sx * sy AS BIGINT) AS a,
+        |CAST(n * sxx - sx * sx AS BIGINT) AS b,
+        |CAST(n * syy - sy * sy AS BIGINT) AS c FROM s)
+        |SELECT event_type, n AS n_points,
+        |round(CAST(a AS DOUBLE) / b, 6) AS slope,
+        |round(CAST(sy * b - a * sx AS DOUBLE) / (n * b), 6) AS intercept,
+        |round(CASE WHEN c = 0 THEN 0.0
+        |ELSE CAST(a AS DOUBLE) * a / (b * c) END, 6) AS r2
+        |FROM q ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    ("x111_ndcg",
+      // Ranking-quality eval (operators/Eval.bm25Ndcg): NDCG@10 of x45's
+      // BM25 ranking against graded term-coverage relevance — x73 grades
+      // the candidate SET, this grades the ORDER. Discounts written as
+      // ln(rank+1)/ln(2) on both engines; ranks via the bounded
+      // zipWithIndex path, never a single-partition window.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.bm25Ndcg(Tables.documents(s, dir), "doc_id",
+          "text", Seq("hash", "join", "scan"), 10),
+      Some("""WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(len(t)) AS BIGINT) AS total_len,
+        |CAST(sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |CAST(sum(CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |FROM toks),
+        |sc AS (SELECT doc_id,
+        |len(list_filter(t, x -> x = 'hash')) AS tf0,
+        |len(list_filter(t, x -> x = 'join')) AS tf1,
+        |len(list_filter(t, x -> x = 'scan')) AS tf2,
+        |len(t) AS dl, n_docs, total_len, df0, df1, df2 FROM toks, stats),
+        |s2 AS (SELECT doc_id,
+        |ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE)))
+        |+ ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE))) AS score,
+        |tf0 + tf1 + tf2 AS ntf FROM sc),
+        |top AS (SELECT doc_id, round(score, 4) AS bm25 FROM s2 WHERE ntf > 0
+        |ORDER BY round(score, 4) DESC, doc_id LIMIT 10),
+        |rk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM top),
+        |rel AS MATERIALIZED (SELECT doc_id,
+        |CAST((CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END)
+        |+ (CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END)
+        |+ (CASE WHEN list_contains(t, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS rel
+        |FROM toks),
+        |dcg AS (SELECT sum((pow(2.0, rel) - 1) / (ln(rank + 1.0) / ln(2.0))) AS v
+        |FROM rk JOIN rel USING (doc_id)),
+        |itop AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+        |irk AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank FROM itop),
+        |idcg AS (SELECT sum((pow(2.0, rel) - 1) / (ln(rank + 1.0) / ln(2.0))) AS v
+        |FROM irk)
+        |SELECT CAST(10 AS BIGINT) AS k, round(dcg.v, 6) AS dcg,
+        |round(idcg.v, 6) AS idcg, round(dcg.v / idcg.v, 6) AS ndcg
+        |FROM dcg, idcg""".stripMargin.replace("\n", " "))),
+
+    ("j33_funnel_ci",
+      // Funnel step rates with Wilson score intervals (operators/Funnel.
+      // funnelWilson): the "really worse, or cohort-size luck?" read over
+      // q24's funnel — z/z² computed once and interpolated into BOTH
+      // engines' arithmetic verbatim, every CI term in the same op order.
+      (s: SparkSession, dir: String) =>
+        Funnel.funnelWilson(
+          Funnel.funnel(
+            Tables.events(s, dir).select(col("user_id"), col("event_type"),
+              unix_millis(col("ts")).as("ms")),
+            "user_id", "event_type", "ms", Seq("view", "click", "purchase")),
+          Seq("view", "click", "purchase"), 1.96)
+          .orderBy(col("step")),
+      Some {
+        val z = 1.96
+        val z2 = z * z
+        s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS view_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS click_ms FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > v.view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ms) AS purchase_ms FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > c.click_ms GROUP BY 1),
+        |f AS (SELECT v.user_id, view_ms, click_ms, purchase_ms
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |CAST(sum(CASE WHEN click_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |CAST(sum(CASE WHEN purchase_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |FROM f),
+        |st AS (SELECT 0 AS step, 'view' AS step_name, n0 AS k, n0 AS b FROM cnt
+        |UNION ALL SELECT 1, 'click', n1, n0 FROM cnt
+        |UNION ALL SELECT 2, 'purchase', n2, n0 FROM cnt),
+        |w AS (SELECT step, step_name, k,
+        |CAST(k AS DOUBLE) / CAST(b AS DOUBLE) AS pp, CAST(b AS DOUBLE) AS n FROM st)
+        |SELECT CAST(step AS BIGINT) AS step, step_name,
+        |CAST(k AS BIGINT) AS n_reached, round(pp, 6) AS rate,
+        |round((pp + $z2 / (2.0 * n)) / (1.0 + $z2 / n) -
+        |$z * sqrt(pp * (1.0 - pp) / n + $z2 / (4.0 * n * n)) / (1.0 + $z2 / n), 6) AS ci_lo,
+        |round((pp + $z2 / (2.0 * n)) / (1.0 + $z2 / n) +
+        |$z * sqrt(pp * (1.0 - pp) / n + $z2 / (4.0 * n * n)) / (1.0 + $z2 / n), 6) AS ci_hi
+        |FROM w ORDER BY step""".stripMargin.replace("\n", " ")
+      })
   )
 
   def queries: Map[String, Q] =

@@ -1518,6 +1518,50 @@ object Streaming {
           .as("benford_p"))
   }
 
+  /** J32's OLS trend under streaming — the volume-drift monitor in
+    * mergeable-sufficient-statistic shape: per-type state is the six
+    * normal-equation power sums (n, Σx, Σy, Σxy, Σx², Σy²) over the
+    * (type, day) count series, accrued ADDITIVELY across micro-batches
+    * (batch markers ⇒ exactly-once). Slope/intercept/r² assemble at read
+    * time via the same exact-integer closed form as batch, so the
+    * streamed trend equals the one-shot j32 answer for any slicing.
+    *
+    * One subtlety the additive state absorbs: a day sliced across
+    * micro-batches contributes per-slice PARTIAL counts, so folding power
+    * sums per batch would square partials wrongly (Σy² is not additive
+    * in slices of y) — the runner therefore maintains the DAY-GRAIN count
+    * table as its state (counts ARE additive) and folds the power sums at
+    * read time from the converged day counts, x-shift included. State
+    * stays bounded at |types|·|days| — the series grain, tiny by
+    * construction. */
+  def runStreamOls(spark: SparkSession, dir: String,
+                   base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val day = (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
+      .cast("long")
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), day.as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val series = sink.state(spark).get
+      .select(col("event_type"), col("day").cast("long").as("_day"),
+        col("n").cast("long").as("_n"))
+    graft.operators.TimeSeries.olsTrend(series, "event_type", "_day", "_n")
+  }
+
   /** X80's equal-width histogram under streaming — the dataset-card
     * distribution profile in always-on shape: bin RANGES are frozen per
     * group when the monitor deploys (min/max collected once from the

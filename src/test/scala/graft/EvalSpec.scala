@@ -62,4 +62,18 @@ class EvalSpec extends SparkSpec {
     val flipped = Seq(("a", "b"), ("b", "a")).toDF("p", "g")
     assert(Eval.cohensKappa(flipped, "p", "g").collect().head.getDouble(3) === -1.0)
   }
+
+  test("bm25Ndcg: a ranking that matches the ideal order scores ndcg = 1") {
+    import spark.implicits._
+    // d1 contains both terms (rel 2), d2 one (rel 1), d3 none (rel 0):
+    // BM25 ranks d1 > d2, exactly the ideal order -> ndcg 1.
+    // dcg = (2^2-1)/log2(2) + (2^1-1)/log2(3) = 3 + 0.630930 = 3.630930.
+    val docs = Seq((1L, "a b"), (2L, "a x"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Eval.bm25Ndcg(docs, "doc_id", "text",
+      Seq("a", "b"), 2).collect().head
+    assert(out.getLong(0) === 2L)
+    assert(out.getDouble(1) === 3.63093)
+    assert(out.getDouble(3) === 1.0)
+  }
 }

@@ -49,4 +49,31 @@ class FunnelSpec extends SparkSpec {
         s"funnel must shuffle once, got ${shuffles.size}:\n$stripped")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("funnelWilson: rates are exact and Wilson bounds bracket them inside [0, 1]") {
+    import spark.implicits._
+    // 4 viewers, 2 click after viewing, 1 purchases after clicking.
+    val e = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "click", 15L),
+      (3L, "view", 10L), (4L, "view", 10L))
+      .toDF("user_id", "event_type", "ms")
+    val steps = Seq("view", "click", "purchase")
+    val out = Funnel.funnelWilson(
+        Funnel.funnel(e, "user_id", "event_type", "ms", steps), steps, 1.96)
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(x => (x._1, x._2, x._3, x._4)).toSeq === Seq(
+      (0L, "view", 4L, 1.0), (1L, "click", 2L, 0.5), (2L, "purchase", 1L, 0.25)))
+    // Wilson bounds: inside [0,1], bracketing the rate (strictly for
+    // interior rates), and wider than zero.
+    out.foreach { case (_, _, _, rate, lo, hi) =>
+      assert(lo >= 0.0 && hi <= 1.0 && lo < hi)
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9)
+    }
+    // p = 0.5, n = 4, z = 1.96: the Wilson center is exactly 0.5.
+    val mid = out(1)
+    assert(math.abs((mid._5 + mid._6) / 2 - 0.5) < 1e-9)
+  }
 }

@@ -373,4 +373,20 @@ class SimilaritySpec extends SparkSpec {
       (0L, 3L, 3L, 1.0, 0.6667),
       (1L, 1L, 0L, 0.0, 0.0)))
   }
+
+  test("kCenterCoreset: greedy picks the farthest corner each round") {
+    import spark.implicits._
+    // Seed = smallest id (1, at (1,0)). Farthest from it is (0,1) or
+    // (-1,0)? d(v2=(0,1)) = 1; d(v4=(-1,0)) = 2 -> picks v4. Round 3:
+    // min-dist to {v1,v4}: v2 (0,1): min(1,1)=1; v3 (.7,.7): min(1-.7071,
+    // 1+.7071)=.2929 -> picks v2. dist trajectory [0, 2, 1].
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(emb, "vec_id", "embedding", 3)
+      .orderBy($"rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 1L, 0.0), (2L, 4L, 2.0), (3L, 2L, 1.0)))
+  }
 }

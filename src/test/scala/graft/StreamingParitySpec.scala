@@ -819,4 +819,23 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamHistogram(spark, dir, base + "/hg", 20)
     assertSameRows(second, batch)
   }
+
+  test("streaming OLS trend equals the one-shot batch trend; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s25")
+    val streamed = Streaming.runStreamOls(spark, dir, base + "/ols")
+    val batch = graft.operators.TimeSeries.olsTrend(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
+            .cast("long").as("_day"))
+        .agg(count(lit(1)).cast("long").as("_n")),
+      "event_type", "_day", "_n")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a re-applied partial day count would bend
+    // the slope — the additive sink's batch markers must skip it.
+    rollbackLastCommit(base + "/ols/ckpt")
+    val second = Streaming.runStreamOls(spark, dir, base + "/ols")
+    assertSameRows(second, batch)
+  }
 }

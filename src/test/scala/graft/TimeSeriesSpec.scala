@@ -148,4 +148,22 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq(("a", 3L, 1.5), ("b", 3L, -2.0)))
   }
+
+  test("olsTrend: exact line recovers slope/intercept with r2 = 1; flat series r2 = 0") {
+    import spark.implicits._
+    // y = 3x + 2 on x in 10..13 (shift by the global min makes the sums
+    // small-exact); a flat second key has zero slope and zero explained
+    // variance.
+    val sp = Seq(("a", 10L, 32L), ("a", 11L, 35L), ("a", 12L, 38L),
+      ("a", 13L, 41L), ("b", 10L, 7L), ("b", 11L, 7L), ("b", 12L, 7L))
+      .toDF("k", "x", "y")
+    val out = TimeSeries.olsTrend(sp, "k", "x", "y")
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // Key a: slope 3, intercept at the SHIFTED origin (x0 = 10) is 32.
+    assert(out(0) === (("a", 4L, 3.0, 32.0, 1.0)))
+    assert(out(1)._3 === 0.0)  // flat slope
+    assert(out(1)._5 === 0.0)  // flat y: c = 0 -> r2 defined as 0
+  }
 }
