@@ -163,9 +163,14 @@ object Eval {
     * / n²; kappa folds to (agree·n − Σrc·cc)/(n² − Σrc·cc) so every input
     * to the one division is an exact integer. */
   def cohensKappa(df: DataFrame, predCol: String,
-                  goldCol: String): DataFrame = {
-    val o = df.groupBy(col(predCol).as("_p"), col(goldCol).as("_g"))
-      .agg(count(lit(1)).as("_c"))
+                  goldCol: String): DataFrame =
+    kappaFromCounts(df.groupBy(col(predCol).as("_p"), col(goldCol).as("_g"))
+      .agg(count(lit(1)).as("_c")))
+
+  /** The kappa fold over a pre-counted (_p, _g, _c) confusion matrix —
+    * shared by the batch operator and the streaming monitor, whose
+    * maintained count state IS such a matrix. */
+  private[graft] def kappaFromCounts(o: DataFrame): DataFrame = {
     val tot = o.agg(sum(col("_c")).as("_n"),
       sum(when(col("_p") === col("_g"), col("_c")).otherwise(0L)).as("_agree"))
     val pe = o.groupBy(col("_p")).agg(sum(col("_c")).as("_rc"))

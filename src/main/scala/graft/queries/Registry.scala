@@ -5361,7 +5361,33 @@ object Registry {
         |round((pp + $z2 / (2.0 * n)) / (1.0 + $z2 / n) +
         |$z * sqrt(pp * (1.0 - pp) / n + $z2 / (4.0 * n * n)) / (1.0 + $z2 / n), 6) AS ci_hi
         |FROM w ORDER BY step""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    ("s26_stream_kappa",
+      // X106 under streaming (streaming/Streaming.runStreamKappa): live
+      // classifier-agreement monitoring — state = the (pred, gold)
+      // confusion matrix, bounded at |classes|² forever, additive upserts
+      // exactly-once, exact-integer kappa folded at read; x106's oracle
+      // verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s26")
+        graft.streaming.Streaming.runStreamKappa(s, dir, base + "/kp")
+      },
+      Some(s"""WITH pr AS MATERIALIZED (SELECT doc_id, pred_lang
+        |FROM ($langIdOracleSql) t),
+        |j AS (SELECT pr.pred_lang AS p, d.lang AS g
+        |FROM pr JOIN documents d USING (doc_id)),
+        |o AS (SELECT p, g, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |CAST(sum(CASE WHEN p = g THEN c ELSE 0 END) AS BIGINT) AS agree FROM o),
+        |rt AS (SELECT p, CAST(sum(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |ct AS (SELECT g, CAST(sum(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |pp AS (SELECT coalesce(CAST(sum(rt.rc * ct.cc) AS BIGINT), 0) AS x
+        |FROM rt JOIN ct ON rt.p = ct.g)
+        |SELECT t.n, round(t.agree / CAST(t.n AS DOUBLE), 4) AS po,
+        |round(pp.x / CAST(t.n * t.n AS DOUBLE), 4) AS pe,
+        |round(CAST(t.agree * t.n - pp.x AS DOUBLE) / (t.n * t.n - pp.x), 4)
+        |AS kappa FROM t, pp""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

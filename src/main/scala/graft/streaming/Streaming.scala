@@ -1518,6 +1518,57 @@ object Streaming {
           .as("benford_p"))
   }
 
+  /** X106's Cohen's kappa under streaming — live agreement monitoring
+    * between the deployed heuristic classifier and arriving gold labels
+    * (the "is the cheap router degrading" alarm): per-batch langId
+    * predictions join the batch's own gold column, and the streaming
+    * state is the (pred, gold) CONFUSION MATRIX — counts are additive and
+    * the table is bounded at |classes|² forever, no watermark — accrued
+    * through the upsert's batch markers (exactly-once under replay). The
+    * exact-integer kappa fold happens at read time, so the streamed
+    * statistic equals the one-shot x106 answer for any slicing. */
+  def runStreamKappa(spark: SparkSession, dir: String,
+                     base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("pred_lang", "lang"), Seq("c"), additive = true)
+    val landing = stagedSliceDirs.computeIfAbsent(s"$dir#kap#3", _ => {
+      val l = java.nio.file.Files
+        .createTempDirectory("graft-kapslices").toString
+      val docs = graft.Tables.documents(spark, dir)
+      val f = FileSystem.get(new java.net.URI(l),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until 3).foreach { i =>
+        val stage = s"$l/stage$i"
+        docs.where(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$l/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      l
+    })
+    val q = spark.readStream
+      .schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(
+          graft.operators.TextAnalysis.langId(b)
+            .join(b.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .groupBy(col("pred_lang"), col("lang"))
+            .agg(count(lit(1)).as("c")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Eval.kappaFromCounts(
+      sink.state(spark).get
+        .select(col("pred_lang").as("_p"), col("lang").as("_g"),
+          col("c").cast("long").as("_c")))
+  }
+
   /** J32's OLS trend under streaming — the volume-drift monitor in
     * mergeable-sufficient-statistic shape: per-type state is the six
     * normal-equation power sums (n, Σx, Σy, Σxy, Σx², Σy²) over the

@@ -838,4 +838,20 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamOls(spark, dir, base + "/ols")
     assertSameRows(second, batch)
   }
+
+  test("streaming kappa equals the one-shot batch kappa; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s26")
+    val streamed = Streaming.runStreamKappa(spark, dir, base + "/kp")
+    val docs = Tables.documents(spark, dir)
+    val batch = graft.operators.Eval.cohensKappa(
+      graft.operators.TextAnalysis.langId(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "pred_lang", "lang")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a re-added confusion cell would move po/pe.
+    rollbackLastCommit(base + "/kp/ckpt")
+    val second = Streaming.runStreamKappa(spark, dir, base + "/kp")
+    assertSameRows(second, batch)
+  }
 }
