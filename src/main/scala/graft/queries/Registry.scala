@@ -5387,7 +5387,52 @@ object Registry {
         |SELECT t.n, round(t.agree / CAST(t.n AS DOUBLE), 4) AS po,
         |round(pp.x / CAST(t.n * t.n AS DOUBLE), 4) AS pe,
         |round(CAST(t.agree * t.n - pp.x AS DOUBLE) / (t.n * t.n - pp.x), 4)
-        |AS kappa FROM t, pp""".stripMargin.replace("\n", " ")))
+        |AS kappa FROM t, pp""".stripMargin.replace("\n", " "))),
+
+    ("j34_kaplan_meier",
+      // Kaplan-Meier time-to-purchase after each signup, administratively
+      // right-censored at 24 h (operators/Survival) — the unbiased
+      // complement of q28's converters-only latency percentiles. The
+      // product-limit fold is two bounded literal-grid roll-ups (the
+      // vocabCoverage discipline), never a global window.
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"), unix_millis(col("ts")).as("_ms"))
+        graft.operators.Survival.kaplanMeier(
+          graft.operators.Survival.timeToEvent(e, "event_id", "user_id",
+            "event_type", "_ms", "signup", "purchase", 24, 3600000L), 24)
+          .orderBy(col("t"))
+      },
+      Some("""WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS sms
+        |FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS pms FROM events
+        |WHERE event_type = 'purchase'),
+        |subj0 AS (SELECT s.event_id, min(p.pms - s.sms) AS diff
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.pms > s.sms
+        |AND p.pms - s.sms <= 86400000 GROUP BY s.event_id),
+        |subj AS (SELECT CASE WHEN diff IS NULL THEN 24
+        |ELSE CAST(floor(diff / 3600000.0) AS BIGINT) END AS t,
+        |CASE WHEN diff IS NULL THEN 0 ELSE 1 END AS d FROM subj0),
+        |byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS dd,
+        |CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM subj),
+        |grid AS (SELECT CAST(range AS BIGINT) AS tt FROM range(0, 25)),
+        |ar AS (SELECT g.tt,
+        |CAST(sum(CASE WHEN b.t = g.tt THEN b.dd ELSE 0 END) AS BIGINT) AS d,
+        |CAST(max(n.nn) - sum(CASE WHEN b.t < g.tt THEN b.c ELSE 0 END)
+        |AS BIGINT) AS n_risk
+        |FROM grid g CROSS JOIN byt b CROSS JOIN n GROUP BY g.tt),
+        |km AS (SELECT g2.tt AS t,
+        |max(CASE WHEN a.tt = g2.tt THEN a.d END) AS d,
+        |max(CASE WHEN a.tt = g2.tt THEN a.n_risk END) AS n_risk,
+        |sum(CASE WHEN a.tt <= g2.tt AND a.d > 0 AND a.d < a.n_risk
+        |THEN ln(1.0 - CAST(a.d AS DOUBLE) / a.n_risk) ELSE 0.0 END) AS logs,
+        |max(CASE WHEN a.tt <= g2.tt AND a.d > 0 AND a.d = a.n_risk
+        |THEN 1 ELSE 0 END) AS dead
+        |FROM grid g2 CROSS JOIN ar a GROUP BY g2.tt)
+        |SELECT t, d, n_risk, CASE WHEN dead = 1 THEN 0.0
+        |ELSE round(exp(logs), 6) END AS survival
+        |FROM km WHERE d > 0 ORDER BY t""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =
