@@ -272,4 +272,48 @@ object Graph {
       .groupBy(col("vertex"))
       .agg(count(lit(1)).cast("long").as("triangles"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * degrees at the two ends of an edge — positive means hubs link to
+    * hubs (social-network shape), negative means hubs fan out to leaves
+    * (dependency/star shape). The one-number topology read that says
+    * whether co-occurrence clusters (x25's input) will be balanced or
+    * hub-dominated before running them.
+    *
+    * Both orientations of every undirected edge enter the sum, so the
+    * correlation is symmetric by construction and the usual
+    * excess-degree formula collapses to plain Pearson over the doubled
+    * edge list: r = (Σjk/2m − (Σj/2m)²) / (Σj²/2m − (Σj/2m)²). Every
+    * numerator/denominator input is an exact BIGINT sum — the single
+    * division happens once at the end, on both engines.
+    *
+    * Scale shape: one V-grain degree agg, two degree joins back onto the
+    * doubled edge list (node-key equi-joins at dimension grain), one
+    * scalar aggregate. Nothing quadratic, no windows. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val bi = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    val deg = bi.groupBy(col("u").as("n"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    val ek = bi
+      .join(deg.select(col("n").as("u"), col("k").as("ku")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("k").as("kv")), Seq("v"))
+    // A degree-regular graph has zero degree variance: the correlation is
+    // undefined and ANSI division would throw — emit NULL instead.
+    ek.agg(count(lit(1)).cast("long").as("_m2"),
+        sum(col("ku") * col("kv")).cast("long").as("_sjk"),
+        sum(col("ku")).cast("long").as("_sj"),
+        sum(col("ku") * col("ku")).cast("long").as("_sj2"))
+      .select(col("_m2"), col("_sjk"),
+        (col("_sjk").cast("double") / col("_m2") -
+          (col("_sj").cast("double") / col("_m2")) *
+            (col("_sj").cast("double") / col("_m2"))).as("_num"),
+        (col("_sj2").cast("double") / col("_m2") -
+          (col("_sj").cast("double") / col("_m2")) *
+            (col("_sj").cast("double") / col("_m2"))).as("_den"))
+      .select((col("_m2") / 2).cast("long").as("n_edges"),
+        when(col("_den") =!= 0.0, round(col("_num") / col("_den"), 6))
+          .as("assortativity"))
+  }
 }

@@ -5432,7 +5432,50 @@ object Registry {
         |FROM grid g2 CROSS JOIN ar a GROUP BY g2.tt)
         |SELECT t, d, n_risk, CASE WHEN dead = 1 THEN 0.0
         |ELSE round(exp(logs), 6) END AS survival
-        |FROM km WHERE d > 0 ORDER BY t""".stripMargin.replace("\n", " ")))
+        |FROM km WHERE d > 0 ORDER BY t""".stripMargin.replace("\n", " "))),
+
+    ("j35_assortativity",
+      // Degree assortativity of the urgent-order co-purchase graph
+      // (operators/Graph.assortativity) — j24's edge derivation, Newman's
+      // Pearson-of-end-degrees; exact-integer sums up to one division.
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .distinct()
+        graft.operators.Graph.assortativity(pairs, "pa", "pb")
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |AND a.l_partkey < b.l_partkey),
+        |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS k
+        |FROM bi GROUP BY 1),
+        |ek AS (SELECT du.k AS ku, dv.k AS kv FROM bi
+        |JOIN deg du ON du.n = bi.u JOIN deg dv ON dv.n = bi.v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |CAST(sum(ku * kv) AS BIGINT) AS sjk,
+        |CAST(sum(ku) AS BIGINT) AS sj,
+        |CAST(sum(ku * ku) AS BIGINT) AS sj2 FROM ek),
+        |f AS (SELECT m2,
+        |CAST(sjk AS DOUBLE) / m2
+        |- (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2) AS num,
+        |CAST(sj2 AS DOUBLE) / m2
+        |- (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2) AS den
+        |FROM m)
+        |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+        |CASE WHEN den <> 0.0 THEN round(num / den, 6) END
+        |AS assortativity FROM f""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -102,4 +102,27 @@ class GraphSpec extends SparkSpec {
       .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
+
+  test("assortativity: a star is exactly -1, a barbell of stars is positive-correlated only at the bridge") {
+    import spark.implicits._
+    // Star K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r1 = Graph.assortativity(star, "u", "v").collect().head
+    assert(r1.getLong(0) === 3L)
+    assert(math.abs(r1.getDouble(1) - (-1.0)) < 1e-9)
+    // Two hubs bridged hub-to-hub: the bridge edge joins the two
+    // high-degree ends, pulling r above the pure-star -1.
+    val barbell = (Seq((0L, 10L)) ++ (1L to 3L).map(i => (0L, i)) ++
+      (11L to 13L).map(i => (10L, i))).toDF("u", "v")
+    val r2 = Graph.assortativity(barbell, "u", "v").collect().head
+    assert(r2.getLong(0) === 7L)
+    assert(r2.getDouble(1) > -1.0 && r2.getDouble(1) < 0.0)
+  }
+
+  test("assortativity: a degree-regular graph has zero degree variance → NULL, not an ANSI divide error") {
+    import spark.implicits._
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val r = Graph.assortativity(triangle, "u", "v").collect().head
+    assert(r.isNullAt(1))
+  }
 }
