@@ -257,4 +257,48 @@ object TimeSeries {
       .agg(first(col("_m")).cast("long").as("n_pairs"),
         round(avg(col("_s")), 6).as("slope"))
   }
+
+  /** Lead–lag cross-correlation between two integer-valued series x and y
+    * sharing a bucket axis: Pearson corr(x(t), y(t+lag)) for every lag in
+    * [-maxLag, maxLag] — the "does a click surge FORESHADOW a purchase
+    * surge, and by how many days" read that turns two monitoring curves
+    * into a causal-direction hint (the peak's sign of lag says which
+    * series leads).
+    *
+    * The lag axis is a LITERAL explode on the x side (never a cross
+    * join), so the whole sweep is ONE equi-join on the shifted bucket —
+    * at series grain, already tiny — and one (lag)-grain aggregate of
+    * exact BIGINT power sums; the single division (and two sqrts) happen
+    * once per lag at the end, identically on both engines.
+    *
+    * Output: (lag, n overlap buckets, xcorr 6dp), ordered by the caller.
+    */
+  def leadLagCorr(x: DataFrame, y: DataFrame, bucketCol: String,
+                  xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    val lags = typedLit((-maxLag to maxLag).map(_.toLong))
+    val xl = x.select(col(bucketCol).as("_bx"),
+        col(xCol).cast("long").as("_x"), explode(lags).as("lag"))
+    val pairs = xl.join(
+      y.select(col(bucketCol).as("_by"), col(yCol).cast("long").as("_y")),
+      col("_by") === col("_bx") + col("lag"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_x")).cast("long").as("_sx"),
+        sum(col("_y")).cast("long").as("_sy"),
+        sum(col("_x") * col("_y")).cast("long").as("_sxy"),
+        sum(col("_x") * col("_x")).cast("long").as("_sx2"),
+        sum(col("_y") * col("_y")).cast("long").as("_sy2"))
+      .select(col("lag"), col("n"),
+        (sqrt((col("n") * col("_sx2") - col("_sx") * col("_sx"))
+          .cast("double")) *
+          sqrt((col("n") * col("_sy2") - col("_sy") * col("_sy"))
+            .cast("double"))).as("_den"),
+        (col("n") * col("_sxy") - col("_sx") * col("_sy"))
+          .cast("double").as("_num"))
+      // A constant series in the overlap has zero variance: the
+      // correlation is undefined and ANSI division would throw → NULL.
+      .select(col("lag"), col("n"),
+        when(col("_den") =!= 0.0, round(col("_num") / col("_den"), 6))
+          .as("xcorr"))
+  }
 }

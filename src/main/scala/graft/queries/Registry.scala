@@ -5475,7 +5475,43 @@ object Registry {
         |FROM m)
         |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
         |CASE WHEN den <> 0.0 THEN round(num / den, 6) END
-        |AS assortativity FROM f""".stripMargin.replace("\n", " ")))
+        |AS assortativity FROM f""".stripMargin.replace("\n", " "))),
+
+    ("j36_leadlag_xcorr",
+      // Lead-lag cross-correlation of the click vs purchase daily volume
+      // curves (operators/TimeSeries.leadLagCorr): which curve LEADS and
+      // by how many days — literal lag explode, one shifted-bucket
+      // equi-join at series grain, exact BIGINT power sums per lag.
+      (s: SparkSession, dir: String) => {
+        val d = Tables.events(s, dir).select(
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+            .as("day"), col("event_type"))
+        def daily(t: String) = d.where(col("event_type") === t)
+          .groupBy(col("day")).agg(count(lit(1)).cast("long").as("c"))
+        graft.operators.TimeSeries.leadLagCorr(
+            daily("click"), daily("purchase"), "day", "c", "c", 3)
+          .orderBy(col("lag"))
+      },
+      Some("""WITH d AS (SELECT CAST(floor(epoch_ms(ts) / 86400000.0)
+        |AS BIGINT) AS day, event_type FROM events),
+        |x AS (SELECT day, CAST(count(*) AS BIGINT) AS xc FROM d
+        |WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT day, CAST(count(*) AS BIGINT) AS yc FROM d
+        |WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT CAST(range AS BIGINT) - 3 AS lag FROM range(0, 7)),
+        |p AS (SELECT l.lag, x.xc, y.yc FROM lags l
+        |JOIN x ON TRUE JOIN y ON y.day = x.day + l.lag),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+        |CAST(sum(xc * yc) AS BIGINT) AS sxy,
+        |CAST(sum(xc * xc) AS BIGINT) AS sx2,
+        |CAST(sum(yc * yc) AS BIGINT) AS sy2 FROM p GROUP BY 1),
+        |f AS (SELECT lag, n,
+        |CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+        |* sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) AS den FROM s)
+        |SELECT lag, n, CASE WHEN den <> 0.0 THEN round(num / den, 6) END
+        |AS xcorr FROM f ORDER BY lag""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

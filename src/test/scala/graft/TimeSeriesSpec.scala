@@ -166,4 +166,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1)._3 === 0.0)  // flat slope
     assert(out(1)._5 === 0.0)  // flat y: c = 0 -> r2 defined as 0
   }
+
+  test("leadLagCorr: a shifted copy correlates perfectly at exactly its shift") {
+    import spark.implicits._
+    // y is x delayed by 2 buckets: corr must be +1 at lag 2 and weaker
+    // elsewhere; overlap n shrinks by |lag - 2| relative to the peak.
+    val xs = Seq(3L, 9L, 4L, 12L, 5L, 11L, 2L, 8L, 6L, 10L)
+    val x = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("b", "v")
+    val y = xs.zipWithIndex.map { case (v, i) => (i + 2L, v) }.toDF("b", "v")
+    val out = TimeSeries.leadLagCorr(x, y, "b", "v", "v", 3)
+      .orderBy($"lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
+    val atPeak = out.find(_._1 == 2L).get
+    assert(atPeak._2 === 10L && atPeak._3 === 1.0)
+    assert(out.filter(_._1 != 2L).forall(_._3 < 1.0))
+  }
+
+  test("leadLagCorr: constant overlap yields NULL, not an ANSI divide error") {
+    import spark.implicits._
+    val x = (0L to 5L).map((_, 7L)).toDF("b", "v")
+    val y = (0L to 5L).map(i => (i, i * 2L)).toDF("b", "v")
+    val out = TimeSeries.leadLagCorr(x, y, "b", "v", "v", 1)
+      .orderBy($"lag").collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(2)))
+  }
 }
