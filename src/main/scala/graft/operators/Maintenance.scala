@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators. A 100 TB lake accretes small files — every
@@ -283,6 +284,62 @@ object Maintenance {
       .select(quasiIds.map(col) ++
         Seq(col("group_size"), col("l_distinct"), col("risky")): _*)
       .orderBy(col("l_distinct").asc +: quasiIds.map(col(_).asc): _*)
+
+  /** t-closeness audit (Li et al. 2007) — the distributional member of
+    * the privacy family (k-anonymity bounds group SIZE, l-diversity
+    * bounds sensitive-value COUNT, t-closeness bounds how much a group's
+    * sensitive-value DISTRIBUTION leaks vs the global one): per
+    * quasi-identifier group, the Earth-Mover's Distance between the
+    * group's distribution over an ORDERED sensitive attribute (fixed-
+    * width buckets of `sensitiveCol`, capped at `nBuckets`) and the
+    * whole table's — EMD for ordered values = mean |running cumulative
+    * difference| over the internal boundaries. Groups with emd > t leak.
+    *
+    * Scale shape: two bucket-grain aggs (group×bucket, global×bucket),
+    * densified on a LITERAL bucket grid (explode, never a cross join of
+    * frames), one group-partitioned running window at grid grain
+    * (|groups|·nBuckets rows — dictionary grain, not data grain), one
+    * group-grain fold. The global distribution is a broadcast
+    * nBuckets-row frame. */
+  def tClosenessAudit(df: DataFrame, quasiId: String, sensitiveCol: String,
+                      bucketWidth: Double, nBuckets: Int): DataFrame = {
+    val bucket = least(floor(col(sensitiveCol) / lit(bucketWidth)),
+      lit(nBuckets - 1L)).cast("long").as("bucket")
+    val b = df.select(col(quasiId).as("_q"), bucket)
+    val grid = typedLit((0 until nBuckets).map(_.toLong))
+    // Aggregate SPARSE counts at data grain first (map-side combine does
+    // the heavy lifting), then densify by exploding the literal grid over
+    // the already-tiny dictionary-grain frame — zero-count buckets
+    // survive into the running sum without ever fanning out raw rows.
+    val sparseG = b.groupBy(col("_q"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val g = sparseG
+      .select(col("_q"), col("bucket"), col("_c"), explode(grid).as("gb"))
+      .groupBy(col("_q"), col("gb"))
+      .agg(sum(when(col("bucket") === col("gb"), col("_c")).otherwise(0L))
+        .cast("long").as("c"))
+    val tot = sparseG.groupBy(col("_q"))
+      .agg(sum(col("_c")).cast("long").as("tot"))
+    val sparseD = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val gd = sparseD
+      .select(col("bucket"), col("_c"), explode(grid).as("gb"))
+      .groupBy(col("gb"))
+      .agg(sum(when(col("bucket") === col("gb"), col("_c")).otherwise(0L))
+        .cast("long").as("gc"))
+    val n = b.agg(count(lit(1)).cast("long").as("nn"))
+    val w = Window.partitionBy(col("_q")).orderBy(col("gb"))
+    g.join(tot, Seq("_q"))
+      .join(broadcast(gd.crossJoin(broadcast(n))), Seq("gb"))
+      .select(col("_q"), col("gb"),
+        (col("c").cast("double") / col("tot") -
+          col("gc").cast("double") / col("nn")).as("_diff"))
+      .withColumn("_cd", sum(col("_diff")).over(w))
+      .where(col("gb") < nBuckets - 1)
+      .groupBy(col("_q"))
+      .agg(round(sum(abs(col("_cd"))) / lit(nBuckets - 1.0), 6).as("emd"))
+      .withColumnRenamed("_q", quasiId)
+  }
 
   /** User-contribution capping — the differential-privacy preprocessing
     * step (and heavy-poster guard): each user's row count toward any

@@ -5511,7 +5511,44 @@ object Registry {
         |sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
         |* sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)) AS den FROM s)
         |SELECT lag, n, CASE WHEN den <> 0.0 THEN round(num / den, 6) END
-        |AS xcorr FROM f ORDER BY lag""".stripMargin.replace("\n", " ")))
+        |AS xcorr FROM f ORDER BY lag""".stripMargin.replace("\n", " "))),
+
+    ("x112_t_closeness",
+      // t-closeness audit per source over the document-length distribution
+      // (operators/Maintenance.tClosenessAudit): ordered-attribute EMD
+      // between each group's bucket distribution and the global one —
+      // completes the x53 k-anonymity / x77 l-diversity privacy family.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.tClosenessAudit(
+            Tables.documents(s, dir), "source", "n_chars", 50.0, 10)
+          .orderBy(col("source")),
+      Some("""WITH b AS (SELECT source,
+        |least(CAST(floor(n_chars / 50.0) AS BIGINT), 9) AS bucket
+        |FROM documents),
+        |g AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1, 2),
+        |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+        |FROM g GROUP BY 1),
+        |gd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS gc
+        |FROM b GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+        |grid AS (SELECT s.source, gr.bucket
+        |FROM (SELECT DISTINCT source FROM b) s
+        |CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket
+        |FROM range(0, 10)) gr),
+        |p AS (SELECT grid.source, grid.bucket,
+        |coalesce(g.c, 0) / CAST(gt.tot AS DOUBLE) AS pg,
+        |coalesce(gd.gc, 0) / CAST(n.nn AS DOUBLE) AS pq
+        |FROM grid LEFT JOIN g ON g.source = grid.source
+        |AND g.bucket = grid.bucket
+        |JOIN gt ON gt.source = grid.source
+        |LEFT JOIN gd ON gd.bucket = grid.bucket CROSS JOIN n),
+        |cum AS (SELECT source, bucket,
+        |sum(pg - pq) OVER (PARTITION BY source ORDER BY bucket) AS cd
+        |FROM p)
+        |SELECT source, round(sum(abs(cd)) / 9.0, 6) AS emd
+        |FROM cum WHERE bucket < 9 GROUP BY source
+        |ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

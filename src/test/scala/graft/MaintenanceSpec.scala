@@ -310,4 +310,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.getAs[Long]("orphan_rows") === 0L)
     assert(out.getAs[Long]("parents_referenced") === 2L)
   }
+
+  test("tClosenessAudit: opposite-extreme groups score the hand EMD, a global-shaped group scores 0") {
+    import spark.implicits._
+    // Groups a/b sit at opposite ends of a 2-bucket axis (global 50/50):
+    // each is EMD 0.5 from the global. Group c mirrors the global mix
+    // exactly -> 0. Widths/caps: bucket = min(floor(v/10), 1).
+    val df = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("b", 15L)) ++
+      Seq(("c", 0L), ("c", 15L), ("c", 3L), ("c", 12L)))
+      .toDF("q", "v")
+    val out = Maintenance.tClosenessAudit(df, "q", "v", 10.0, 2)
+      .orderBy($"q").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq === Seq(("a", 0.5), ("b", 0.5), ("c", 0.0)))
+  }
+
+  test("tClosenessAudit: zero-count buckets still drag the running cumulative (gap group)") {
+    import spark.implicits._
+    // 3 buckets; group g = (1/2, 0, 1/2), global = (3/8, 2/8, 3/8):
+    // cum diffs at boundaries 0,1 are +1/8 and -1/8 ->
+    // EMD = (1/8 + 1/8) / 2 = 1/8 — only correct if bucket 1's zero
+    // count actually enters the cumulative.
+    val df = (Seq(("g", 0L), ("g", 25L)) ++
+      Seq(("h", 0L), ("h", 15L), ("h", 25L), ("h", 5L), ("h", 12L), ("h", 22L)))
+      .toDF("q", "v")
+    val out = Maintenance.tClosenessAudit(df, "q", "v", 10.0, 3)
+      .where($"q" === "g").collect().head
+    assert(math.abs(out.getDouble(1) - 0.125) < 1e-6)
+  }
 }
