@@ -185,4 +185,43 @@ object Eval {
         round((col("_agree") * col("_n") - col("_pece")).cast("double") /
           (col("_n") * col("_n") - col("_pece")), 4).as("kappa"))
   }
+
+  /** Fleiss' kappa — Cohen's (x106) generalized past two raters: the
+    * chance-corrected agreement of n raters categorically labeling the
+    * same N items. The labeling-ops read: do the CHEAP quality signals
+    * (length / token count / vocabulary richness) even agree with each
+    * other, before x65 ensembles them or a crowd pipeline trusts its
+    * annotators?
+    *
+    * `ratings` holds one row per (item, rater's category); every item
+    * must carry exactly `nRaters` rows. With n_ij = raters putting item
+    * i in category j: P̄ = (Σ n_ij² − N·n)/(N·n·(n−1)) and
+    * P_e = Σ_j (c_j/(N·n))² — both folded from exact BIGINT sums, the
+    * doubles appearing only in the final three divisions (identically
+    * on both engines). All ratings in one category → P_e = 1 → NULL
+    * kappa, not an ANSI divide error.
+    *
+    * Scale shape: one (item, cat) hash agg, one scalar agg over it, one
+    * |categories|-grain agg joined back as a broadcast 1-row frame. */
+  def fleissKappa(ratings: DataFrame, itemCol: String, catCol: String,
+                  nRaters: Int): DataFrame = {
+    val m = ratings.groupBy(col(itemCol).as("_i"), col(catCol).as("_j"))
+      .agg(count(lit(1)).cast("long").as("_nij"))
+    val s = m.agg(sum(col("_nij") * col("_nij")).cast("long").as("_s2"),
+      countDistinct(col("_i")).cast("long").as("_ni"))
+    val sc = m.groupBy(col("_j")).agg(sum(col("_nij")).cast("long").as("_c"))
+      .agg(sum(col("_c") * col("_c")).cast("long").as("_sc2"))
+    val n = lit(nRaters.toLong)
+    s.crossJoin(broadcast(sc))
+      .select(col("_ni").as("n_items"),
+        ((col("_s2") - col("_ni") * n).cast("double") /
+          (col("_ni") * n * (n - 1L)).cast("double")).as("_pbar"),
+        (col("_sc2").cast("double") /
+          ((col("_ni") * n) * (col("_ni") * n)).cast("double")).as("_pe"))
+      .select(col("n_items"), round(col("_pbar"), 6).as("p_bar"),
+        round(col("_pe"), 6).as("p_e"),
+        when(col("_pe") =!= 1.0,
+          round((col("_pbar") - col("_pe")) / (lit(1.0) - col("_pe")), 6))
+          .as("kappa"))
+  }
 }

@@ -5548,7 +5548,54 @@ object Registry {
         |FROM p)
         |SELECT source, round(sum(abs(cd)) / 9.0, 6) AS emd
         |FROM cum WHERE bucket < 9 GROUP BY source
-        |ORDER BY source""".stripMargin.replace("\n", " ")))
+        |ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("x113_fleiss_kappa",
+      // Fleiss' kappa of three cheap quality "raters" (length class,
+      // token-count class, vocabulary-richness class at corpus-tercile
+      // literal cuts) over every document (operators/Eval.fleissKappa) —
+      // the do-our-signals-even-agree gate before x65's ensemble.
+      (s: SparkSession, dir: String) => {
+        import graft.operators.TextAnalysis
+        val f = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).as("_wt"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))).as("_dt"))
+        def cls(c: org.apache.spark.sql.Column, t1: Int, t2: Int) =
+          when(c < t1, 0).when(c < t2, 1).otherwise(2)
+        val ratings = f.select(col("doc_id"),
+            cls(col("n_chars"), 216, 372).as("cat"))
+          .unionByName(f.select(col("doc_id"),
+            cls(col("_wt"), 39, 68).as("cat")))
+          .unionByName(f.select(col("doc_id"),
+            cls(col("_dt"), 22, 27).as("cat")))
+        graft.operators.Eval.fleissKappa(ratings, "doc_id", "cat", 3)
+      },
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+        |len(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> '')) AS wt,
+        |len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> ''))) AS dt FROM documents),
+        |r AS (SELECT doc_id, CASE WHEN n_chars < 216 THEN 0
+        |WHEN n_chars < 372 THEN 1 ELSE 2 END AS cat FROM f
+        |UNION ALL SELECT doc_id, CASE WHEN wt < 39 THEN 0
+        |WHEN wt < 68 THEN 1 ELSE 2 END FROM f
+        |UNION ALL SELECT doc_id, CASE WHEN dt < 22 THEN 0
+        |WHEN dt < 27 THEN 1 ELSE 2 END FROM f),
+        |m AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+        |FROM r GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS s2,
+        |CAST(count(DISTINCT doc_id) AS BIGINT) AS ni FROM m),
+        |cj AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS c FROM m GROUP BY 1),
+        |sc AS (SELECT CAST(sum(c * c) AS BIGINT) AS sc2 FROM cj),
+        |k AS (SELECT ni,
+        |CAST(s2 - ni * 3 AS DOUBLE) / CAST(ni * 3 * 2 AS DOUBLE) AS pbar,
+        |CAST(sc2 AS DOUBLE) / CAST((ni * 3) * (ni * 3) AS DOUBLE) AS pe
+        |FROM s CROSS JOIN sc)
+        |SELECT ni AS n_items, round(pbar, 6) AS p_bar,
+        |round(pe, 6) AS p_e,
+        |CASE WHEN pe <> 1.0 THEN round((pbar - pe) / (1.0 - pe), 6) END
+        |AS kappa FROM k""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -76,4 +76,29 @@ class EvalSpec extends SparkSpec {
     assert(out.getDouble(1) === 3.63093)
     assert(out.getDouble(3) === 1.0)
   }
+
+  test("fleissKappa: hand-computed 3-rater/4-item case; perfect agreement = 1; one-category = NULL") {
+    import spark.implicits._
+    // Items: (0,0,0), (0,0,1), (1,1,2), (2,2,2):
+    // S2 = 9+5+5+9 = 28 -> P̄ = (28-12)/24 = 2/3; c = (5,3,4) ->
+    // P_e = 50/144; kappa = (2/3 - 25/72)/(1 - 25/72) = 23/47.
+    val r = Seq((1, 0), (1, 0), (1, 0), (2, 0), (2, 0), (2, 1),
+      (3, 1), (3, 1), (3, 2), (4, 2), (4, 2), (4, 2)).toDF("item", "cat")
+    val out = graft.operators.Eval.fleissKappa(r, "item", "cat", 3)
+      .collect().head
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === 0.666667)
+    assert(out.getDouble(2) === 0.347222)
+    assert(out.getDouble(3) === 0.489362)
+
+    val perfect = Seq((1, 0), (1, 0), (2, 1), (2, 1)).toDF("item", "cat")
+    val p = graft.operators.Eval.fleissKappa(perfect, "item", "cat", 2)
+      .collect().head
+    assert(p.getDouble(3) === 1.0)
+
+    val degenerate = Seq((1, 0), (1, 0), (2, 0), (2, 0)).toDF("item", "cat")
+    val d = graft.operators.Eval.fleissKappa(degenerate, "item", "cat", 2)
+      .collect().head
+    assert(d.isNullAt(3))
+  }
 }
