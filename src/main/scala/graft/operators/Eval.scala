@@ -224,4 +224,52 @@ object Eval {
           round((col("_pbar") - col("_pe")) / (lit(1.0) - col("_pe")), 6))
           .as("kappa"))
   }
+
+  /** ROUGE-N with CLIPPED (multiset) counts over a candidate pair list —
+    * the real summarization/contamination metric, not the distinct-set
+    * Dice that x6/x41 already cover: overlap = Σ_g min(count_a(g),
+    * count_b(g)) over word n-grams WITH multiplicity, so a doc that
+    * repeats a reference bigram five times only gets credit for the
+    * copies the reference actually has. P = i/|b|, R = i/|a|, and the
+    * clipped F1 collapses algebraically to 2i/(|a|+|b|) — one exact
+    * integer ratio, no 0/0 guard needed beyond empty gram bags.
+    *
+    * Scale shape: pair-driven — the corpus-grain frames are (id, gram,
+    * count) and (id, total); the intersection is `pairs ⋈ grams_a ⋈
+    * grams_b` on (id, gram) equi-keys, so cost is Σ_pairs |grams(a)|,
+    * never corpus². Pairs come from any bounded candidate generator
+    * (x6's lossless prefix filter in the registry entry). */
+  def rougeN(docs: DataFrame, pairs: DataFrame, idCol: String,
+             textCol: String, n: Int): DataFrame = {
+    val t = col("_toks")
+    val grams = docs.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
+      .select(col(idCol), explode(when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).as("_g"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val sizes = grams.groupBy(col(idCol))
+      .agg(sum(col("_c")).cast("long").as("_n"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inter = p
+      .join(grams.select(col(idCol).as("id_a"), col("_g"),
+        col("_c").as("_ca")), Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("_g"),
+        col("_c").as("_cb")), Seq("id_b", "_g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as("_i"))
+    p.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("_i"))
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("_i").as("overlap"),
+        round(col("_i").cast("double") / col("_nb"), 6).as("rouge_p"),
+        round(col("_i").cast("double") / col("_na"), 6).as("rouge_r"),
+        round((lit(2L) * col("_i")).cast("double") /
+          (col("_na") + col("_nb")), 6).as("rouge_f1"))
+  }
 }

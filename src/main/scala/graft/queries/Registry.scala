@@ -5595,7 +5595,56 @@ object Registry {
         |SELECT ni AS n_items, round(pbar, 6) AS p_bar,
         |round(pe, 6) AS p_e,
         |CASE WHEN pe <> 1.0 THEN round((pbar - pe) / (1.0 - pe), 6) END
-        |AS kappa FROM k""".stripMargin.replace("\n", " ")))
+        |AS kappa FROM k""".stripMargin.replace("\n", " "))),
+
+    ("x114_rouge_pairs",
+      // Clipped-count ROUGE-2 over x6's exact-Jaccard candidate pairs at
+      // 0.5 (operators/Eval.rougeN): the multiset metric distinct-set
+      // Dice can't express — repeated bigrams only score up to the other
+      // side's copy count. Oracle re-derives the pair set unpruned.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Eval.rougeN(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            "doc_id", "text", 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |bg0 AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END AS bl FROM toks),
+        |bg AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |FROM (SELECT doc_id, unnest(bl) AS g FROM bg0) GROUP BY 1, 2),
+        |bsz AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |FROM bg GROUP BY 1),
+        |bi AS (SELECT p.id_a, p.id_b,
+        |CAST(sum(least(a.c, b.c)) AS BIGINT) AS i FROM prs p
+        |JOIN bg a ON a.doc_id = p.id_a
+        |JOIN bg b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, coalesce(bi.i, 0) AS overlap,
+        |round(coalesce(bi.i, 0) / CAST(sb.n AS DOUBLE), 6) AS rouge_p,
+        |round(coalesce(bi.i, 0) / CAST(sa.n AS DOUBLE), 6) AS rouge_r,
+        |round(2 * coalesce(bi.i, 0) / CAST(sa.n + sb.n AS DOUBLE), 6)
+        |AS rouge_f1 FROM prs p
+        |LEFT JOIN bi ON bi.id_a = p.id_a AND bi.id_b = p.id_b
+        |JOIN bsz sa ON sa.doc_id = p.id_a
+        |JOIN bsz sb ON sb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -101,4 +101,20 @@ class EvalSpec extends SparkSpec {
       .collect().head
     assert(d.isNullAt(3))
   }
+
+  test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x y"), (2L, "x y y"),
+      (3L, "x x x"), (4L, "x x x x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.operators.Eval.rougeN(docs, pairs, "doc_id", "text", 2)
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // (1,2): a = {xx:2, xy:1} (n=3), b = {xy:1, yy:1} (n=2): clipped
+    // overlap 1 -> P=1/2, R=1/3, F1=2/5 (distinct Dice would say 0.5).
+    assert(out(0) === ((1L, 2L, 1L, 0.5, 0.333333, 0.4)))
+    // (3,4): a = {xx:2}, b = {xx:3}: overlap clips at 2, not 3.
+    assert(out(1) === ((3L, 4L, 2L, 0.666667, 1.0, 0.8)))
+  }
 }
