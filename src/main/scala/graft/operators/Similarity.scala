@@ -855,4 +855,79 @@ object Similarity {
       .select(col(idCol), col(labelCol), col("sim"), col("out_rank"))
       .orderBy(col(labelCol), col("out_rank"))
   }
+
+  /** Product quantization (Jégou et al. 2011): split each vector into `m`
+    * contiguous subvectors, train an independent k-centroid L2 codebook
+    * per subspace (Lloyd, `iters` rounds, init = first k vectors by id),
+    * and encode every vector as its per-subspace nearest-centroid ids —
+    * the memory-compression leg of the ANN stack that [[ivfTopK]]'s
+    * coarse quantizer doesn't cover (IVF prunes WHERE to look, PQ shrinks
+    * WHAT is stored: m bytes replace d floats, k^m virtual cells from
+    * m·k stored centroids).
+    *
+    * Determinism contract (the kMeansTrain discipline, L2 flavor):
+    * squared distances are sequential left-folds in double — bitwise
+    * engine-portable — so argmin needs no rounding; ties break to the
+    * lowest cid (array_position returns the FIRST minimum); centroid
+    * means round 6 dp + quantize to float per round; empty clusters keep
+    * their previous centroid. Output rows: (id, code_0..code_{m-1},
+    * err = √(Σ_s d²_s) rounded 6 dp) — err is the reconstruction
+    * distance to the concatenated codebook entry.
+    *
+    * Scale shape per round and subspace: ONE projection assigns every
+    * subvector against k centroid literals and the update is one
+    * map-side-combined (cid, pos)-grain mean agg collected as k·(d/m)
+    * bounded driver rows — the corpus never shuffles row-wise (at 100 TB
+    * the HOF fold becomes a native codegen expression and the update
+    * mini-batches, both documented knobs; the plan shape stands). */
+  def pqTrainEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int): DataFrame = {
+    val probe = embeddings.select(size(col(vecCol)).as("_d")).head.getInt(0)
+    require(probe % m == 0, s"dim $probe not divisible by m=$m")
+    val sub = probe / m
+    def sqDist(a: Column, c: Seq[Float]): Column =
+      aggregate(zip_with(a, typedlit(c),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val init: Seq[Seq[Float]] = embeddings.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    // Train each subspace's codebook independently.
+    val codebooks: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      var cvecs: Seq[Seq[Float]] = init.map(_.slice(s * sub, (s + 1) * sub))
+      (1 to iters).foreach { _ =>
+        val dists = array(cvecs.map(c => sqDist(sv, c)): _*)
+        val means = embeddings
+          .withColumn("_ds", dists)
+          .withColumn("_cid",
+            array_position(col("_ds"), array_min(col("_ds"))).cast("int"))
+          .select(col("_cid"), posexplode(sv).as(Seq("_pos", "_x")))
+          .groupBy(col("_cid"), col("_pos"))
+          .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_m"))
+          .collect() // bounded driver metadata: k x (d/m) rows
+        val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toIndexedSeq
+        }
+        cvecs = cvecs.zipWithIndex.map { case (prev, i) =>
+          byCid.getOrElse(i + 1, prev)
+        }
+      }
+      cvecs
+    }
+    // Encode: per subspace, argmin cid + its squared distance.
+    val encoded = (0 until m).foldLeft(embeddings) { (df, s) =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      val dists = array(codebooks(s).map(c => sqDist(sv, c)): _*)
+      df.withColumn(s"_ds$s", dists)
+        .withColumn(s"code_$s",
+          array_position(col(s"_ds$s"), array_min(col(s"_ds$s")))
+            .cast("long"))
+        .withColumn(s"_d2$s", array_min(col(s"_ds$s")))
+    }
+    encoded.select(col(idCol) +:
+      (0 until m).map(s => col(s"code_$s")) :+
+      round(sqrt((0 until m).map(s => col(s"_d2$s")).reduce(_ + _)), 6)
+        .as("err"): _*)
+  }
 }

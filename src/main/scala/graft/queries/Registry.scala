@@ -484,6 +484,59 @@ object Registry {
       "(PARTITION BY cluster_id ORDER BY hv, vec_id) AS rn FROM h) " +
       "SELECT vec_id, cluster_id FROM r WHERE rn <= 40 ORDER BY vec_id"
 
+  /** SQL fragment: sequential-left-fold double squared-L2 of two list
+    * columns (same arithmetic order as pqTrainEncode's HOF fold). */
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x,y) -> x + y)"
+
+  /** DuckDB twin of [[Similarity.pqTrainEncode]] (m=2 subspaces of 32,
+    * k=4, 2 Lloyd rounds): per-subspace codebooks unrolled as chained
+    * CTEs with the kMeans fixed-point discipline — 6-dp-rounded
+    * float-quantized means per round so trajectories stay bit-identical;
+    * argmin needs no rounding because the L2 fold is order-identical. */
+  private lazy val pqOracleSql = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val ctes = Seq(
+        s"es$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS sv " +
+          "FROM embeddings)",
+        s"cs${s}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) " +
+          s"AS cid, CAST(sv AS FLOAT[]) AS cv FROM (SELECT vec_id, " +
+          s"embedding[$lo:$hi] AS sv FROM embeddings ORDER BY vec_id LIMIT $k))") ++
+        (1 to iters).flatMap { i =>
+          Seq(
+            s"ds$s$i AS (SELECT e.vec_id, c.cid, ${l2Sql("e.sv", "c.cv")} " +
+              s"AS d FROM es$s e, cs$s${i - 1} c)",
+            s"as$s$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+              "row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) " +
+              s"AS rn FROM ds$s$i) WHERE rn = 1)",
+            s"ms$s$i AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) " +
+              s"AS mv FROM as$s$i a JOIN (SELECT vec_id, " +
+              "CAST(unnest(sv) AS DOUBLE) AS x, " +
+              s"unnest(range(1, len(sv)+1)) AS pos FROM es$s) d " +
+              "USING (vec_id) GROUP BY 1, 2)",
+            s"ns$s$i AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM ms$s$i " +
+              "GROUP BY cid)",
+            s"cs$s$i AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv " +
+              s"FROM cs$s${i - 1} p LEFT JOIN ns$s$i n USING (cid))")
+        } ++ Seq(
+          s"df$s AS (SELECT e.vec_id, c.cid, ${l2Sql("e.sv", "c.cv")} AS d " +
+            s"FROM es$s e, cs$s$iters c)",
+          s"af$s AS (SELECT vec_id, cid, d FROM (SELECT vec_id, cid, d, " +
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) " +
+            s"AS rn FROM df$s) WHERE rn = 1)")
+      ctes.mkString(", ")
+    }.mkString(", ")
+    s"WITH $perSub SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
+      "CAST(af1.cid AS BIGINT) AS code_1, " +
+      "round(sqrt(af0.d + af1.d), 6) AS err " +
+      "FROM af0 JOIN af1 USING (vec_id) ORDER BY vec_id"
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -5644,7 +5697,19 @@ object Registry {
         |LEFT JOIN bi ON bi.id_a = p.id_a AND bi.id_b = p.id_b
         |JOIN bsz sa ON sa.doc_id = p.id_a
         |JOIN bsz sb ON sb.doc_id = p.id_b
-        |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " ")))
+        |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " "))),
+
+    ("x115_pq_encode",
+      // Product quantization (Similarity.pqTrainEncode): 2 subspaces x 4
+      // L2 centroids, 2 Lloyd rounds, every vector encoded as its
+      // per-subspace nearest codewords + reconstruction distance — the
+      // memory-compression leg of the ANN stack (IVF prunes WHERE to
+      // look, PQ shrinks WHAT is stored).
+      (s: SparkSession, dir: String) =>
+        Similarity.pqTrainEncode(Tables.embeddings(s, dir),
+            "vec_id", "embedding", 2, 4, 2)
+          .orderBy(col("vec_id")),
+      Some(pqOracleSql))
   )
 
   def queries: Map[String, Q] =

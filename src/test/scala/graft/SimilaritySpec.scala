@@ -389,4 +389,35 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq((1L, 1L, 0.0), (2L, 4L, 2.0), (3L, 2L, 1.0)))
   }
+
+  test("pqTrainEncode: separable clusters converge to zero reconstruction error, shared codes per cluster") {
+    import spark.implicits._
+    // 2 subspaces of dim 2; the first 4 vectors are the 4 distinct points
+    // (so init = one centroid per cluster) and every later vector repeats
+    // one of them: Lloyd is already at the fixed point -> err = 0 and
+    // cluster members share both codes.
+    val pts = Seq(
+      Array(1f, 0f, 0f, 1f), Array(0f, 1f, 1f, 0f),
+      Array(5f, 5f, 5f, 5f), Array(-5f, 0f, 0f, -5f))
+    val emb = (0 until 12).map(i => (i.toLong, pts(i % 4)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTrainEncode(emb, "vec_id", "embedding", 2, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.forall(_._4 === 0.0))
+    val byCluster = out.groupBy(_._1 % 4).values
+    assert(byCluster.forall(g => g.map(t => (t._2, t._3)).distinct.size == 1))
+    // 4 distinct points -> 4 distinct full codes.
+    assert(out.map(t => (t._2, t._3)).distinct.length === 4)
+  }
+
+  test("pqTrainEncode: codes stay in 1..k and err is the concatenated-codeword L2 on sf0.001") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.pqTrainEncode(emb, "vec_id", "embedding", 2, 4, 2)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4 &&
+      r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    assert(out.forall(_.getDouble(3) >= 0.0))
+  }
 }
