@@ -263,6 +263,45 @@ object Maintenance {
       .withColumn("delta", col("v_new") - col("v_old"))
   }
 
+  /** Population Stability Index (the credit-scoring drift scalar; see e.g.
+    * Yurdakul 2018) of each group's value distribution against the whole
+    * table's: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over FIXED literal bin
+    * edges, with +0.5 Laplace smoothing per bin so an empty bin on either
+    * side contributes a finite term instead of ±∞ (the x101 KL smoothing
+    * discipline). Completes the drift trio — x91's KS is a sup-norm test,
+    * x101's KL is asymmetric; PSI is the symmetric-in-spirit industry
+    * scalar with the conventional 0.1 / 0.25 watch/act thresholds.
+    *
+    * Scale shape: one bin projection, one (group, bin) hash agg, the
+    * reference distribution is a broadcast |bins|-row frame; the grid is
+    * densified by exploding a LITERAL bin sequence against the bounded
+    * group-total frame (never a frame×frame cross join). */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    val nBins = edges.size + 1
+    val bin = edges.map(e =>
+      when(col(valueCol) >= e, 1L).otherwise(0L)).reduce(_ + _)
+    val b = df.select(col(groupCol), bin.as("_bin"))
+    val sb = b.groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val st = sb.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
+    val cb = sb.groupBy(col("_bin")).agg(sum(col("_c")).as("_ct"))
+    val ct = cb.agg(sum(col("_ct")).as("_nt"))
+    val half = lit(0.5 * nBins)
+    st.select(col(groupCol), col("_n"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("_bin"))
+      .join(sb, Seq(groupCol, "_bin"), "left").na.fill(0L, Seq("_c"))
+      .join(broadcast(cb), Seq("_bin"), "left").na.fill(0L, Seq("_ct"))
+      .crossJoin(broadcast(ct))
+      .select(col(groupCol),
+        ((col("_c") + 0.5d) / (col("_n") + half)).as("_p"),
+        ((col("_ct") + 0.5d) / (col("_nt") + half)).as("_q"))
+      .groupBy(col(groupCol))
+      .agg(round(sum((col("_p") - col("_q")) * log(col("_p") / col("_q"))),
+        6).as("psi"))
+  }
+
   /** l-diversity audit — k-anonymity's companion gate (Machanavajjhala et
     * al. 2007): a quasi-identifier group can be large (k-anonymous) yet
     * still leak if every row shares the same SENSITIVE value. Emits the

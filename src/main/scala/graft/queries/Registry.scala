@@ -5709,7 +5709,125 @@ object Registry {
         Similarity.pqTrainEncode(Tables.embeddings(s, dir),
             "vec_id", "embedding", 2, 4, 2)
           .orderBy(col("vec_id")),
-      Some(pqOracleSql))
+      Some(pqOracleSql)),
+
+    ("x116_psi",
+      // Population Stability Index of each source's document-length
+      // distribution against the corpus (operators/Maintenance.psi):
+      // fixed literal bin edges, +0.5-smoothed proportions. The third
+      // leg of the drift family — x91 tests (KS), x101 fingerprints
+      // (KL), PSI scores against the 0.1/0.25 action thresholds.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.psi(Tables.documents(s, dir),
+            "source", "n_chars", Seq(120d, 200d, 280d, 360d, 440d))
+          .orderBy(col("source")),
+      Some("""WITH b AS (SELECT source,
+        |CASE WHEN n_chars < 120 THEN 0 WHEN n_chars < 200 THEN 1
+        |WHEN n_chars < 280 THEN 2 WHEN n_chars < 360 THEN 3
+        |WHEN n_chars < 440 THEN 4 ELSE 5 END AS bin FROM documents),
+        |sb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |FROM sb GROUP BY 1),
+        |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1),
+        |ct AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cb),
+        |grid AS (SELECT st.source, st.n, g.bin FROM st
+        |CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g),
+        |p AS (SELECT grid.source, grid.bin,
+        |(coalesce(sb.c, 0) + 0.5) / (grid.n + 3.0) AS p,
+        |(coalesce(cb.c, 0) + 0.5) / (ct.n + 3.0) AS q
+        |FROM grid LEFT JOIN sb ON sb.source = grid.source
+        |AND sb.bin = grid.bin
+        |LEFT JOIN cb ON cb.bin = grid.bin CROSS JOIN ct)
+        |SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin
+        .replace("\n", " "))),
+
+    ("j37_adamic_adar",
+      // Adamic-Adar link prediction on the urgent-order co-purchase graph
+      // (operators/Graph.adamicAdar): top-20 NOT-yet-connected part pairs
+      // by Σ 1/ln(deg) over common neighbors — j24's clique read turned
+      // into a recommendation. The oracle enumerates the same wedges from
+      // the bidirectional edge list.
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        graft.operators.Graph.adamicAdar(pairs, "pa", "pb", 20)
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+        |b.l_partkey AS v FROM li a
+        |JOIN li b ON a.l_orderkey = b.l_orderkey
+        |AND a.l_partkey < b.l_partkey),
+        |und AS MATERIALIZED (SELECT u, v FROM e
+        |UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS d
+        |FROM und GROUP BY 1),
+        |wedge AS (SELECT a.u AS x, b.u AS y, a.v AS w FROM und a
+        |JOIN und b ON a.v = b.v AND a.u < b.u),
+        |aa AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |round(sum(1.0 / ln(deg.d)), 6) AS aa_score
+        |FROM wedge JOIN deg ON deg.w = wedge.w GROUP BY 1, 2),
+        |nonadj AS (SELECT aa.* FROM aa
+        |LEFT JOIN e ON e.u = aa.x AND e.v = aa.y WHERE e.u IS NULL)
+        |SELECT x AS part_a, y AS part_b, common_neighbors, aa_score
+        |FROM nonadj ORDER BY aa_score DESC, part_a, part_b LIMIT 20"""
+        .stripMargin.replace("\n", " "))),
+
+    ("j38_local_clustering",
+      // Local clustering coefficient (operators/Graph.localClustering)
+      // on the same co-purchase graph: 2T(v)/(d(v)(d(v)-1)) per part —
+      // j24's triangle counts normalized into the clique-membership
+      // scalar; degree-1 parts emit NULL, not a divide error.
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        graft.operators.Graph.localClustering(pairs, "pa", "pb")
+          .orderBy(col("lcc").desc_nulls_last, col("vertex").asc)
+          .limit(30)
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+        |b.l_partkey AS v FROM li a
+        |JOIN li b ON a.l_orderkey = b.l_orderkey
+        |AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri
+        |UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT vertex AS tv, CAST(count(*) AS BIGINT) AS triangles
+        |FROM pv GROUP BY 1),
+        |deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree FROM
+        |(SELECT u AS vertex FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT deg.vertex, deg.degree,
+        |coalesce(tc.triangles, 0) AS triangles,
+        |CASE WHEN deg.degree > 1 THEN round(2.0 * coalesce(tc.triangles, 0)
+        |/ (deg.degree * (deg.degree - 1)), 6) END AS lcc
+        |FROM deg LEFT JOIN tc ON tc.tv = deg.vertex
+        |ORDER BY lcc DESC NULLS LAST, deg.vertex LIMIT 30""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

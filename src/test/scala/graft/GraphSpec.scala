@@ -103,6 +103,42 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("adamicAdar: square graph scores both diagonals, connected pairs excluded") {
+    import spark.implicits._
+    // Cycle 1-2-3-4-1: the only non-adjacent pairs are the diagonals
+    // (1,3) and (2,4), each sharing two degree-2 neighbors →
+    // score 2/ln 2 = 2.885390. No adjacent pair may appear.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val out = Graph.adamicAdar(e, "a", "b", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 2.88539), (2L, 4L, 2L, 2.88539)))
+  }
+
+  test("adamicAdar: rare shared neighbor outscores a shared hub") {
+    import spark.implicits._
+    // Pair (1,2) shares only hub 0 (degree 6); pair (10,11) shares only
+    // degree-2 vertex 20 → 1/ln 2 > 1/ln 6.
+    val e = ((1L to 6L).map(i => (0L, i)) ++
+      Seq((10L, 20L), (11L, 20L))).toDF("a", "b")
+    val out = Graph.adamicAdar(e, "a", "b", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.head === ((10L, 11L, 1.442695)))
+    assert(out.forall(_._3 <= 1.442695))
+  }
+
+  test("localClustering: triangle with a pendant — hub fraction, clique 1.0, degree-1 NULL") {
+    import spark.implicits._
+    // Triangle {1,2,3}, pendant 4 on 1: lcc(1) = 2·1/(3·2) = 1/3,
+    // lcc(2) = lcc(3) = 1, lcc(4) undefined (degree 1) → NULL.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.localClustering(e, "a", "b").orderBy($"vertex")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, Some(0.333333)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 2L, 1L, Some(1.0)), (4L, 1L, 0L, None)))
+  }
+
   test("assortativity: a star is exactly -1, a barbell of stars is positive-correlated only at the bridge") {
     import spark.implicits._
     // Star K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly.

@@ -179,6 +179,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.toSeq === Seq((0.5, 50L, 60L, 10L), (0.9, 90L, 100L, 10L)))
   }
 
+  test("psi: symmetric mirrored groups, smoothing keeps empty bins finite") {
+    import spark.implicits._
+    // Two mirrored groups around one edge: a = 3 low / 1 high, b = 1 low /
+    // 3 high. Global is 4/4, so both PSIs equal the same hand-computed
+    // value: (0.7-0.5)ln(1.4) + (0.3-0.5)ln(0.6) = 0.169460 (6 dp).
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 11.0),
+      ("b", 1.0), ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val out = Maintenance.psi(df, "g", "v", Seq(10.0))
+      .orderBy($"g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq === Seq(("a", 0.16946), ("b", 0.16946)))
+    // A bin empty in one group AND in the global tail stays finite.
+    val sparse = Seq(("a", 1.0), ("a", 2.0), ("b", 15.0), ("b", 25.0))
+      .toDF("g", "v")
+    val s = Maintenance.psi(sparse, "g", "v", Seq(10.0, 20.0))
+      .collect().map(_.getDouble(1))
+    assert(s.length === 2 && s.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
