@@ -157,6 +157,33 @@ object Eval {
         round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
   }
 
+  /** Mean Reciprocal Rank per class of the centroid classifier — the
+    * "how far down the ranking does the right answer sit" read between
+    * x104's AUC (pairwise ranking quality) and x111's NDCG (graded list
+    * order): each vector ranks ALL class centroids by cosine (ties broken
+    * by class id so both engines rank identically on the 6 dp-rounded
+    * scores), and the gold class's reciprocal rank averages per class.
+    * hits_at_1 is the exact-classification count the MRR interpolates.
+    *
+    * Scale shape: scoring is the same no-join literal projection as
+    * centroidScores; the rank window partitions by ITEM (|classes| rows
+    * each — massively parallel, never a global sort); one class-grain
+    * agg finishes. */
+  def centroidMrr(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("class").asc)
+    centroidScores(emb, idCol, vecCol, labelCol)
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_gold") === col("class"))
+      .groupBy(col("_gold").as("class"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("_rk") === 1, 1L).otherwise(0L)).cast("long")
+          .as("hits_at_1"),
+        round(avg(lit(1.0) / col("_rk")), 6).as("mrr"))
+  }
+
   /** Cohen's kappa between two categorical labelings — chance-corrected
     * agreement (e.g. a heuristic classifier vs gold labels, or two
     * annotation passes). po = observed agreement, pe = Σ marginal products

@@ -882,14 +882,41 @@ object Similarity {
     * mini-batches, both documented knobs; the plan shape stands). */
   def pqTrainEncode(embeddings: DataFrame, idCol: String, vecCol: String,
                     m: Int, k: Int, iters: Int): DataFrame = {
+    val (sub, codebooks) = pqCodebooks(embeddings, idCol, vecCol, m, k, iters)
+    // Encode: per subspace, argmin cid + its squared distance.
+    val encoded = (0 until m).foldLeft(embeddings) { (df, s) =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      val dists = array(codebooks(s).map(c => sqDist(sv, c)): _*)
+      df.withColumn(s"_ds$s", dists)
+        .withColumn(s"code_$s",
+          array_position(col(s"_ds$s"), array_min(col(s"_ds$s")))
+            .cast("long"))
+        .withColumn(s"_d2$s", array_min(col(s"_ds$s")))
+    }
+    encoded.select(col(idCol) +:
+      (0 until m).map(s => col(s"code_$s")) :+
+      round(sqrt((0 until m).map(s => col(s"_d2$s")).reduce(_ + _)), 6)
+        .as("err"): _*)
+  }
+
+  /** Sequential-left-fold double squared L2 distance of a vector column
+    * against a codeword literal — bitwise engine-portable (the
+    * pqTrainEncode determinism contract). */
+  private def sqDist(a: Column, c: Seq[Float]): Column =
+    aggregate(zip_with(a, typedlit(c),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codebook training (the Lloyd loop of [[pqTrainEncode]], shared
+    * with [[pqAdcTopK]]): returns (subspace width, per-subspace codeword
+    * lists). Bounded driver metadata — m·k·(d/m) floats. */
+  private[graft] def pqCodebooks(embeddings: DataFrame, idCol: String,
+                                 vecCol: String, m: Int, k: Int,
+                                 iters: Int): (Int, Seq[Seq[Seq[Float]]]) = {
     val probe = embeddings.select(size(col(vecCol)).as("_d")).head.getInt(0)
     require(probe % m == 0, s"dim $probe not divisible by m=$m")
     val sub = probe / m
-    def sqDist(a: Column, c: Seq[Float]): Column =
-      aggregate(zip_with(a, typedlit(c),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
     val init: Seq[Seq[Float]] = embeddings.orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq
     // Train each subspace's codebook independently.
@@ -915,19 +942,54 @@ object Similarity {
       }
       cvecs
     }
-    // Encode: per subspace, argmin cid + its squared distance.
+    (sub, codebooks)
+  }
+
+  /** PQ asymmetric-distance search (Jégou et al. 2011 §IV): the query
+    * stays a FULL vector while the corpus stays codes — per subspace, a
+    * k-entry lookup table of exact query-to-codeword distances is built
+    * once, and every encoded vector's approximate distance is just m
+    * table lookups summed: ADC(q, x) = Σ_s lut_s[code_s(x)]. The read
+    * leg completing the PQ pair (x115 compresses, this searches the
+    * compressed corpus without decompressing it).
+    *
+    * Determinism: LUT entries are driver-side sequential left-folds in
+    * double over the float slices — the same fold order as [[sqDist]]
+    * and the oracle's list_reduce, so they agree bitwise; the per-vector
+    * sum is m additions in subspace order; ties on the 6 dp-rounded ADC
+    * break by id. The query's own row stays in the corpus (it is its own
+    * reconstruction-nearest, a useful sanity row).
+    *
+    * Scale shape: encoding is the same per-subspace literal projection
+    * as pqTrainEncode (no joins); the LUT rides into the plan as m
+    * k-double literals (pure codegen arithmetic, no broadcast even); the
+    * top-k cut is a TakeOrdered. At 100 TB the corpus would be
+    * pre-encoded once (x115's output table) and this becomes LUT-build +
+    * one scan of the code table. */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int, iters: Int, queryId: Long,
+                topK: Int): DataFrame = {
+    val (sub, codebooks) = pqCodebooks(embeddings, idCol, vecCol, m, k, iters)
+    val q: Seq[Float] = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol)).head.getSeq[Float](0)
+    val luts: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qs = q.slice(s * sub, (s + 1) * sub)
+      codebooks(s).map(c => qs.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      })
+    }
     val encoded = (0 until m).foldLeft(embeddings) { (df, s) =>
       val sv = slice(col(vecCol), s * sub + 1, sub)
       val dists = array(codebooks(s).map(c => sqDist(sv, c)): _*)
-      df.withColumn(s"_ds$s", dists)
-        .withColumn(s"code_$s",
-          array_position(col(s"_ds$s"), array_min(col(s"_ds$s")))
-            .cast("long"))
-        .withColumn(s"_d2$s", array_min(col(s"_ds$s")))
+      df.withColumn(s"code_$s",
+        array_position(dists, array_min(dists)).cast("long"))
     }
     encoded.select(col(idCol) +:
       (0 until m).map(s => col(s"code_$s")) :+
-      round(sqrt((0 until m).map(s => col(s"_d2$s")).reduce(_ + _)), 6)
-        .as("err"): _*)
+      round((0 until m).map(s =>
+          element_at(typedlit(luts(s)), col(s"code_$s").cast("int")))
+        .reduce(_ + _), 6).as("adc_d2"): _*)
+      .orderBy(col("adc_d2").asc, col(idCol).asc)
+      .limit(topK)
   }
 }

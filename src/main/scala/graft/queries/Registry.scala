@@ -496,9 +496,11 @@ object Registry {
     * CTEs with the kMeans fixed-point discipline — 6-dp-rounded
     * float-quantized means per round so trajectories stay bit-identical;
     * argmin needs no rounding because the L2 fold is order-identical. */
-  private lazy val pqOracleSql = {
-    val (m, sub, k, iters) = (2, 32, 4, 2)
-    val perSub = (0 until m).map { s =>
+  /** Shared CTE chain of the PQ oracles (train + encode, per subspace;
+    * see [[pqOracleSql]] for the contract): yields es/cs/af CTEs for
+    * subspaces 0..m-1; `af$s` holds (vec_id, cid, d) final assignments. */
+  private def pqCtes(m: Int, sub: Int, k: Int, iters: Int): String =
+    (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
       val ctes = Seq(
@@ -531,10 +533,35 @@ object Registry {
             s"AS rn FROM df$s) WHERE rn = 1)")
       ctes.mkString(", ")
     }.mkString(", ")
-    s"WITH $perSub SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
+
+  private lazy val pqOracleSql = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    s"WITH ${pqCtes(m, sub, k, iters)} " +
+      "SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
       "CAST(af1.cid AS BIGINT) AS code_1, " +
       "round(sqrt(af0.d + af1.d), 6) AS err " +
       "FROM af0 JOIN af1 USING (vec_id) ORDER BY vec_id"
+  }
+
+  /** DuckDB twin of [[Similarity.pqAdcTopK]]: same training trajectory,
+    * then per-subspace query-to-codeword LUTs and the m-lookup ADC sum. */
+  private def pqAdcOracleSql(queryId: Long, topK: Int): String = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"qs$s AS (SELECT embedding[$lo:$hi] AS sv FROM embeddings " +
+        s"WHERE vec_id = $queryId), " +
+        s"lut$s AS (SELECT c.cid, ${l2Sql("q.sv", "c.cv")} AS d " +
+        s"FROM qs$s q, cs$s$iters c)"
+    }.mkString(", ")
+    s"WITH ${pqCtes(m, sub, k, iters)}, $luts " +
+      "SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
+      "CAST(af1.cid AS BIGINT) AS code_1, " +
+      "round(l0.d + l1.d, 6) AS adc_d2 " +
+      "FROM af0 JOIN af1 USING (vec_id) " +
+      "JOIN lut0 l0 ON l0.cid = af0.cid JOIN lut1 l1 ON l1.cid = af1.cid " +
+      s"ORDER BY adc_d2, vec_id LIMIT $topK"
   }
 
   /** SQL fragment: sequential-left-fold double cosine of two list columns
@@ -5827,7 +5854,47 @@ object Registry {
         |/ (deg.degree * (deg.degree - 1)), 6) END AS lcc
         |FROM deg LEFT JOIN tc ON tc.tv = deg.vertex
         |ORDER BY lcc DESC NULLS LAST, deg.vertex LIMIT 30""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("x117_mrr",
+      // Per-class Mean Reciprocal Rank of the centroid classifier
+      // (operators/Eval.centroidMrr): each vector ranks all ten class
+      // centroids by 6 dp cosine with class-id tie-breaks; the gold
+      // class's 1/rank averages per class. The between-AUC-and-NDCG
+      // ranking read; hits_at_1 is plain accuracy.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.centroidMrr(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label")
+          .orderBy(col("class")),
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT label AS cls, list(m ORDER BY pos) AS cent
+        |FROM c GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label AS gold, cl.cls,
+        |round(${cosSql("e.embedding", "cl.cent")}, 6) AS score
+        |FROM embeddings e CROSS JOIN cl),
+        |r AS (SELECT vec_id, gold, cls,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cls) AS rk
+        |FROM d)
+        |SELECT CAST(gold AS BIGINT) AS class, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+        |round(avg(1.0 / rk), 6) AS mrr
+        |FROM r WHERE gold = cls GROUP BY 1 ORDER BY class""".stripMargin
+        .replace("\n", " "))),
+
+    ("x118_pq_adc",
+      // PQ asymmetric-distance search (Similarity.pqAdcTopK): x115's
+      // codebooks + per-subspace query LUTs; every encoded vector costs
+      // m table lookups, the corpus is never decompressed. Top-15
+      // neighbors of vec_id=7 by 6 dp ADC with id tie-breaks.
+      (s: SparkSession, dir: String) =>
+        Similarity.pqAdcTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 2, 4, 2, 7L, 15),
+      Some(pqAdcOracleSql(7L, 15)))
   )
 
   def queries: Map[String, Q] =

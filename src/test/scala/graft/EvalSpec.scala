@@ -102,6 +102,21 @@ class EvalSpec extends SparkSpec {
     assert(d.isNullAt(3))
   }
 
+  test("centroidMrr: separable classes score 1.0, a confusable vector drops to 1/rank") {
+    import spark.implicits._
+    // Class 0 = two [1,0] plus one stray [0,1]; class 1 = two [0,1].
+    // Centroid 0 = [2/3, 1/3], centroid 1 = [0,1]. The stray's gold sits
+    // at rank 2 (cos .447 vs 1.0) → class 0 mrr = (1+1+.5)/3 = .833333;
+    // class 1 stays perfect.
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), (5L, Seq(0f, 1f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Eval.centroidMrr(emb, "vec_id", "embedding", "label")
+      .orderBy($"class").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 3L, 2L, 0.833333), (1L, 2L, 2L, 1.0)))
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),

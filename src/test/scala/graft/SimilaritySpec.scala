@@ -420,4 +420,24 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(2) >= 1 && r.getLong(2) <= 4))
     assert(out.forall(_.getDouble(3) >= 0.0))
   }
+
+  test("pqAdcTopK: cluster mates of the query share its code cell at ADC 0; ranking is monotone") {
+    import spark.implicits._
+    // Same separable fixture as the encode test: the query (vec_id 0)
+    // and its repeats sit at ADC = 0 (query == its codeword); every
+    // other cell scores strictly higher; ids break ties.
+    val pts = Seq(
+      Array(1f, 0f, 0f, 1f), Array(0f, 1f, 1f, 0f),
+      Array(5f, 5f, 5f, 5f), Array(-5f, 0f, 0f, -5f))
+    val emb = (0 until 12).map(i => (i.toLong, pts(i % 4)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(emb, "vec_id", "embedding", 2, 4, 2, 0L, 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.length === 12)
+    // First three rows: the query's cluster {0, 4, 8} at distance 0.
+    assert(out.take(3).map(_._1).toSeq === Seq(0L, 4L, 8L))
+    assert(out.take(3).forall(_._2 === 0.0))
+    // ADC never decreases down the ranking.
+    assert(out.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+  }
 }
