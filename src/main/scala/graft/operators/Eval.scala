@@ -252,6 +252,64 @@ object Eval {
           .as("kappa"))
   }
 
+  /** BLEU-2 over a candidate pair list (Papineni et al. 2002) — the
+    * precision-oriented twin of [[rougeN]]'s recall: for each (id_a as
+    * candidate, id_b as reference), clipped unigram and bigram precisions
+    * p_1, p_2, brevity penalty BP = min(1, e^(1−r/c)), and
+    * bleu = BP · √(p_1·p_2) (uniform-weight geometric mean written as
+    * exp of the half-sum of logs on BOTH engines). A zero p_n floors the
+    * score at 0 — the standard unsmoothed convention — instead of a
+    * log(0) error.
+    *
+    * Scale shape: rougeN's pair-driven discipline twice — (id, gram,
+    * count) frames at n = 1 and 2, intersections as pairs ⋈ grams_a ⋈
+    * grams_b equi-joins, so cost is Σ_pairs |grams|, never corpus²;
+    * lengths ride the unigram totals. */
+  def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val t = col("_toks")
+    def grams(n: Int) = docs.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
+      .select(col(idCol), explode(when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).as("_g"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    def stats(n: Int, iOut: String, cOut: String, rOut: String) = {
+      val g = grams(n)
+      val sizes = g.groupBy(col(idCol))
+        .agg(sum(col("_c")).cast("long").as("_n"))
+      val inter = p
+        .join(g.select(col(idCol).as("id_a"), col("_g"),
+          col("_c").as("_ca")), Seq("id_a"))
+        .join(g.select(col(idCol).as("id_b"), col("_g"),
+          col("_c").as("_cb")), Seq("id_b", "_g"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as(iOut))
+      p.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq(iOut))
+        .join(sizes.select(col(idCol).as("id_a"), col("_n").as(cOut)),
+          Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("_n").as(rOut)),
+          Seq("id_b"))
+    }
+    val s1 = stats(1, "_i1", "_c1", "_r1")
+    val s2 = stats(2, "_i2", "_c2", "_r2")
+    val p1 = col("_i1").cast("double") / col("_c1")
+    val p2 = col("_i2").cast("double") / col("_c2")
+    val bp = least(lit(1.0),
+      exp(lit(1.0) - col("_r1").cast("double") / col("_c1")))
+    s1.join(s2, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("_c1").as("cand_len"), col("_r1").as("ref_len"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round(bp, 6).as("bp"),
+        round(when(col("_i1") > 0L && col("_i2") > 0L,
+            bp * exp((log(p1) + log(p2)) / lit(2.0)))
+          .otherwise(lit(0.0)), 6).as("bleu"))
+  }
+
   /** ROUGE-N with CLIPPED (multiset) counts over a candidate pair list —
     * the real summarization/contamination metric, not the distinct-set
     * Dice that x6/x41 already cover: overlap = Σ_g min(count_a(g),

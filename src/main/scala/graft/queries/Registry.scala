@@ -5894,7 +5894,71 @@ object Registry {
       (s: SparkSession, dir: String) =>
         Similarity.pqAdcTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", 2, 4, 2, 7L, 15),
-      Some(pqAdcOracleSql(7L, 15)))
+      Some(pqAdcOracleSql(7L, 15))),
+
+    ("x119_bleu_pairs",
+      // BLEU-2 with brevity penalty over x6's exact-Jaccard candidate
+      // pairs at 0.5 (operators/Eval.bleuPairs): the precision twin of
+      // x114's ROUGE — clipped unigram+bigram precisions, geometric mean
+      // as exp-of-half-log-sum identically on both engines, zero p_n
+      // floors at 0 instead of a log(0) error.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Eval.bleuPairs(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |g1 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+        |n1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g1
+        |GROUP BY 1),
+        |bg0 AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END AS bl FROM toks),
+        |g2 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |FROM (SELECT doc_id, unnest(bl) AS g FROM bg0) GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g2
+        |GROUP BY 1),
+        |i1 AS (SELECT p.id_a, p.id_b,
+        |CAST(sum(least(a.c, b.c)) AS BIGINT) AS i FROM prs p
+        |JOIN g1 a ON a.doc_id = p.id_a
+        |JOIN g1 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        |i2 AS (SELECT p.id_a, p.id_b,
+        |CAST(sum(least(a.c, b.c)) AS BIGINT) AS i FROM prs p
+        |JOIN g2 a ON a.doc_id = p.id_a
+        |JOIN g2 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        |f AS (SELECT p.id_a, p.id_b, ca.n AS cand_len, ra.n AS ref_len,
+        |coalesce(i1.i, 0) AS v1, coalesce(i2.i, 0) AS v2,
+        |coalesce(i1.i, 0) / CAST(ca.n AS DOUBLE) AS p1,
+        |coalesce(i2.i, 0) / CAST(cb2.n AS DOUBLE) AS p2,
+        |least(1.0, exp(1.0 - CAST(ra.n AS DOUBLE) / ca.n)) AS bp
+        |FROM prs p
+        |LEFT JOIN i1 ON i1.id_a = p.id_a AND i1.id_b = p.id_b
+        |LEFT JOIN i2 ON i2.id_a = p.id_a AND i2.id_b = p.id_b
+        |JOIN n1 ca ON ca.doc_id = p.id_a JOIN n1 ra ON ra.doc_id = p.id_b
+        |JOIN n2 cb2 ON cb2.doc_id = p.id_a)
+        |SELECT id_a, id_b, cand_len, ref_len, round(p1, 6) AS p1,
+        |round(p2, 6) AS p2, round(bp, 6) AS bp,
+        |round(CASE WHEN v1 > 0 AND v2 > 0
+        |THEN bp * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 6) AS bleu
+        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -117,6 +117,22 @@ class EvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 3L, 2L, 0.833333), (1L, 2L, 2L, 1.0)))
   }
 
+  test("bleuPairs: hand-computed precisions and geometric mean; zero bigram overlap floors at 0") {
+    import spark.implicits._
+    // (1,2): p1 = 2/3, p2 = 1/2, BP = 1 (equal lengths) →
+    // bleu = √(1/3) = 0.57735. (3,4): unigrams identical but NO shared
+    // bigram → p2 = 0 → bleu = 0, not a log error.
+    val docs = Seq((1L, "a b c"), (2L, "a b d"),
+      (3L, "a b"), (4L, "b a")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.operators.Eval.bleuPairs(docs, pairs, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out(0) === ((1L, 2L, 3L, 3L, 0.666667, 0.5, 1.0, 0.57735)))
+    assert(out(1) === ((3L, 4L, 2L, 2L, 1.0, 0.0, 1.0, 0.0)))
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),
