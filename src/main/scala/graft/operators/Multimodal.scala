@@ -151,6 +151,72 @@ object Multimodal {
       col("chunk_hash"), col("media_id"), maxMediaPerChunk)
       .filter(col("n_shared") >= minShared)
 
+  /** M6: perceptual-hash near-dup pairs — the SIMILARITY member of the
+    * binary-dedup family (m1's content_hash is exact-only, m4's chunk
+    * sharing needs long shared spans; a perceptual hash matches payloads
+    * whose CONTENT STATISTICS agree even when no byte span does). This is
+    * average-hash (aHash) semantics applied to the payload stream: split
+    * into 64 equal windows, bit i = [window-i mean > global mean] — for
+    * images the windows would be 8×8 luma blocks after [[decodeStub]];
+    * here they are utf-8 char windows, exercising the identical plumbing.
+    * The mean compare is written as the integer cross-product
+    * `winsum·64 > total` so no division or float enters the bits.
+    *
+    * Pairing is the MinHash-LSH discipline, not all-pairs: the 64 bits
+    * split into `bands` exact-match bands (band value = the bit substring)
+    * joined as equi-keys; by pigeonhole any pair within Hamming distance
+    * `bands − 1` shares ≥ 1 exact band, so with maxHamming < bands the
+    * candidate join is LOSSLESS for the reported set. Candidates then
+    * verify exactly via one zip_with fold over the two bit vectors.
+    *
+    * Scale shape: bits compute array-locally (one interpreted-HOF pass
+    * over the payload — the winnowing-documented trap; a native
+    * Expression is the 100 TB knob); the shuffle carries (band, 8-char
+    * key) — never payloads; verify joins the 64-int bit vectors only for
+    * candidates. Payloads shorter than 64 units are dropped (no window). */
+  def perceptualHashPairs(media: DataFrame, bands: Int,
+                          maxHamming: Int): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs < bands=$bands for lossless banding")
+    val bw = 64 / bands
+    val txt = decode(col("media"), "UTF-8")
+    val n = length(txt).cast("long")
+    val wd = col("_wd")
+    val winsums = transform(sequence(lit(0L), lit(63L)), i =>
+      aggregate(sequence(i * wd + 1L, (i + 1L) * wd), lit(0L),
+        (acc, j) => acc + ascii(col("_txt").substr(j.cast("int"), lit(1)))))
+    val bits = media
+      .select(col("media_id"), txt.as("_txt"), n.as("_n"))
+      .filter(col("_n") >= 64L)
+      .withColumn("_wd", expr("_n div 64"))
+      .select(col("media_id"), winsums.as("_ws"))
+      .select(col("media_id"),
+        transform(col("_ws"),
+          s => when(s * 64L > aggregate(col("_ws"), lit(0L), _ + _), 1)
+            .otherwise(0)).as("bits"))
+      .localCheckpoint(eager = true) // referenced by banding AND both verify sides
+    val bandRows = bits.select(col("media_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("", transform(slice(col("bits"), b * bw + 1, lit(bw)),
+          x => x.cast("string"))))).as(Seq("_bnd", "_bv")))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a._bnd") === col("b._bnd") && col("a._bv") === col("b._bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(bits.select(col("media_id").as("id_a"), col("bits").as("_ba")),
+        Seq("id_a"))
+      .join(bits.select(col("media_id").as("id_b"), col("bits").as("_bb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("_ba"), col("_bb"),
+            (x, y) => abs(x - y).cast("long")),
+          lit(0L), _ + _).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
     media
       .select(col("media_id"), col("media"),

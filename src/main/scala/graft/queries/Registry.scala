@@ -5958,7 +5958,44 @@ object Registry {
         |round(p2, 6) AS p2, round(bp, 6) AS bp,
         |round(CASE WHEN v1 > 0 AND v2 > 0
         |THEN bp * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 6) AS bleu
-        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("m6_phash_pairs",
+      // Perceptual-hash (aHash) near-dup pairs over media payloads
+      // (operators/Multimodal.perceptualHashPairs): 64 window-mean bits,
+      // 8-band LSH candidates (lossless for Hamming <= 7 by pigeonhole),
+      // exact zip_with verify. The statistics member of the binary-dedup
+      // family — m1 is exact, m4 needs shared spans.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.perceptualHashPairs(
+            graft.operators.Multimodal.mediaFromDocuments(
+              Tables.documents(s, dir)), 8, 7)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text, len(text) AS n
+        |FROM documents WHERE len(text) >= 64),
+        |w AS (SELECT media_id, n // 64 AS wd,
+        |list_transform(generate_series(0, 63), i ->
+        |list_reduce(list_transform(
+        |generate_series(i * (n // 64) + 1, (i + 1) * (n // 64)),
+        |j -> ord(text[j])), (x, y) -> x + y)) AS ws FROM m),
+        |b AS MATERIALIZED (SELECT media_id,
+        |list_transform(ws, s -> CASE WHEN s * 64 >
+        |list_reduce(ws, (x, y) -> x + y) THEN 1 ELSE 0 END) AS bits
+        |FROM w),
+        |bands AS (SELECT media_id, bnd,
+        |list_aggregate(bits[bnd*8+1 : bnd*8+8], 'string_agg', '') AS bv
+        |FROM b, (SELECT unnest(generate_series(0, 7)) AS bnd)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+        |FROM bands a JOIN bands c ON a.bnd = c.bnd AND a.bv = c.bv
+        |AND a.media_id < c.media_id),
+        |ver AS (SELECT id_a, id_b,
+        |list_reduce(list_transform(generate_series(1, 64),
+        |i -> abs(x.bits[i] - y.bits[i])), (p, q) -> p + q) AS hamming
+        |FROM cand JOIN b x ON x.media_id = cand.id_a
+        |JOIN b y ON y.media_id = cand.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ver
+        |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -96,4 +96,21 @@ class MultimodalSpec extends SparkSpec {
     // With the cap at 1, every shared chunk is "boilerplate" → no pairs.
     assert(Multimodal.chunkNearDupPairs(df, 8, "0", 1, 1L).count() === 0L)
   }
+
+  test("perceptualHashPairs: window-mean bits pair near-identical payloads; far payloads verify out; short drop") {
+    // 64-char payloads, window width 1. Docs 1-3 share the a*32/b*32 bit
+    // pattern (doc 3's trailing 'c' stays above the mean → same bits);
+    // doc 5 flips exactly window 31 → Hamming 1; doc 4 (all 'a', bits all
+    // 0) shares zero-bands with doc 1 as a CANDIDATE but verifies out at
+    // Hamming 32; doc 6 is under 64 chars and never appears.
+    val df = media(
+      1L -> ("a" * 32 + "b" * 32), 2L -> ("a" * 32 + "b" * 32),
+      3L -> ("a" * 32 + "b" * 31 + "c"), 4L -> ("a" * 64),
+      5L -> ("a" * 31 + "b" * 33), 6L -> "short")
+    val out = Multimodal.perceptualHashPairs(df, 8, 7)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0L), (1L, 3L, 0L), (1L, 5L, 1L),
+      (2L, 3L, 0L), (2L, 5L, 1L), (3L, 5L, 1L)))
+  }
 }
