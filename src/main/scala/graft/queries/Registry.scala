@@ -5995,6 +5995,28 @@ object Registry {
         |JOIN b y ON y.media_id = cand.id_b)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ver
         |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+        .replace("\n", " "))),
+
+    ("s27_stream_cusum",
+      // X90 under streaming (streaming/Streaming.runStreamCusum): CUSUM
+      // needs the FULL series mean/sd, so state is the additive day-grain
+      // count table and the standardize-accumulate-argmax folds at read
+      // time from the converged counts; x90's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s27")
+        graft.streaming.Streaming.runStreamCusum(s, dir, base + "/cusum")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, round(sum((d.n - st.mu) / st.sd)
+        |OVER (PARTITION BY d.event_type ORDER BY d.day), 4) AS cusum
+        |FROM d JOIN st USING (event_type)),
+        |r AS (SELECT event_type, day, cusum, row_number() OVER
+        |(PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS change_point, cusum AS max_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
         .replace("\n", " ")))
   )
 

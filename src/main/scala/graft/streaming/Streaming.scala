@@ -1613,6 +1613,46 @@ object Streaming {
     graft.operators.TimeSeries.olsTrend(series, "event_type", "_day", "_n")
   }
 
+  /** X90's CUSUM change-point locator under streaming — drift monitoring
+    * with a DETECTION twist the other monitors lack: CUSUM standardizes
+    * by the FULL series mean/sd, which no per-batch state can carry
+    * (partial-day running sums mis-standardize exactly like s25's
+    * partial-day power sums mis-square). Same resolution: state is the
+    * additive (event_type, day) count table — bounded at |types|·|days|,
+    * exactly-once under replay through the sink's batch markers — and
+    * the whole standardize-accumulate-argmax fold runs at READ time on
+    * the converged day grain, so the streamed answer equals the batch
+    * x90 answer bit-for-bit (its oracle verbatim). */
+  def runStreamCusum(spark: SparkSession, dir: String,
+                     base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val day = (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
+      .cast("long")
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), day.as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    val series = sink.state(spark).get
+      .select(col("event_type"),
+        (col("day").cast("long") * 86400000L).as("day"),
+        col("n").cast("long").as("n"))
+    graft.operators.TimeSeries.cusumChangepoint(
+      series, Seq("event_type"), "day", "n")
+  }
+
   /** X80's equal-width histogram under streaming — the dataset-card
     * distribution profile in always-on shape: bin RANGES are frozen per
     * group when the monitor deploys (min/max collected once from the

@@ -839,6 +839,24 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming CUSUM equals the one-shot batch change-point; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s27")
+    val streamed = Streaming.runStreamCusum(spark, dir, base + "/cu")
+    val batch = graft.operators.TimeSeries.cusumChangepoint(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).cast("long").as("n")),
+      Seq("event_type"), "day", "n")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a double-added partial day shifts the mean
+    // and every standardized term — the batch markers must skip it.
+    rollbackLastCommit(base + "/cu/ckpt")
+    val second = Streaming.runStreamCusum(spark, dir, base + "/cu")
+    assertSameRows(second, batch)
+  }
+
   test("streaming kappa equals the one-shot batch kappa; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s26")
