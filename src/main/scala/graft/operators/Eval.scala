@@ -157,6 +157,25 @@ object Eval {
         round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
   }
 
+  /** Expected Calibration Error per class — x105's reliability diagram
+    * folded to the scalar the gating decision actually reads:
+    * ECE = Σ_bins (n_b/N)·|frac_pos_b − avg_score_b| (Naeini et al.
+    * 2015), the bin-weighted gap between claimed confidence and realized
+    * accuracy. Folds from [[calibrationBins]]'s 4 dp-rounded bin columns
+    * so the scalar is bit-derivable from the audited diagram on both
+    * engines.
+    *
+    * Scale shape: calibrationBins' projection + (class, bin) agg, then
+    * one class-grain agg over ≤ classes·nBins rows. */
+  def expectedCalibrationError(emb: DataFrame, idCol: String,
+                               vecCol: String, labelCol: String,
+                               nBins: Int): DataFrame =
+    calibrationBins(emb, idCol, vecCol, labelCol, nBins)
+      .groupBy(col("class"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        round(sum(col("n") * abs(col("frac_pos") - col("avg_score"))) /
+          sum(col("n")), 6).as("ece"))
+
   /** Mean Reciprocal Rank per class of the centroid classifier — the
     * "how far down the ranking does the right answer sit" read between
     * x104's AUC (pairwise ranking quality) and x111's NDCG (graded list

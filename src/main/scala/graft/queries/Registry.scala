@@ -6017,6 +6017,38 @@ object Registry {
         |(PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn FROM c)
         |SELECT event_type, day AS change_point, cusum AS max_cusum
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+        .replace("\n", " "))),
+
+    ("x120_ece",
+      // Expected Calibration Error (operators/Eval
+      // .expectedCalibrationError): x105's reliability diagram folded to
+      // the bin-weighted |confidence - accuracy| scalar per class — the
+      // single number a score-gating decision reads; folds from the
+      // 4 dp-rounded bin columns so it is bit-derivable from the diagram.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.expectedCalibrationError(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label", 10)
+          .orderBy(col("class")),
+      Some(s"""WITH x AS (SELECT label, vec_id,
+        |unnest(list_transform(generate_series(1, len(embedding)),
+        |i -> struct_pack(p := i, v := CAST(embedding[i] AS DOUBLE)))) AS s
+        |FROM embeddings),
+        |p AS (SELECT label, vec_id, s.p AS pos, s.v AS v FROM x),
+        |c AS (SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT label AS cls, list(m ORDER BY pos) AS cent
+        |FROM c GROUP BY 1),
+        |d AS (SELECT e.label AS gold, cl.cls,
+        |round(${cosSql("e.embedding", "cl.cent")}, 6) AS score
+        |FROM embeddings e CROSS JOIN cl),
+        |b AS (SELECT cls, CAST(greatest(0, least(floor((score + 1.0) * 5.0), 9))
+        |AS INT) AS bin, score,
+        |CASE WHEN gold = cls THEN 1.0 ELSE 0.0 END AS y FROM d),
+        |bins AS (SELECT cls, bin, CAST(count(*) AS BIGINT) AS n,
+        |round(avg(score), 4) AS avg_score, round(avg(y), 4) AS frac_pos
+        |FROM b GROUP BY 1, 2)
+        |SELECT CAST(cls AS BIGINT) AS class, CAST(sum(n) AS BIGINT) AS n,
+        |round(sum(n * abs(frac_pos - avg_score)) / sum(n), 6) AS ece
+        |FROM bins GROUP BY 1 ORDER BY class""".stripMargin
         .replace("\n", " ")))
   )
 

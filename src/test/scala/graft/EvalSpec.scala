@@ -102,6 +102,21 @@ class EvalSpec extends SparkSpec {
     assert(d.isNullAt(3))
   }
 
+  test("expectedCalibrationError: hand-computed bin-weighted gaps; mislabeled mass inflates ECE") {
+    import spark.implicits._
+    // v4 is mislabeled into class 1, dragging centroid 1 to [.5,.5]: with
+    // 2 bins everything lands in bin 1; class 0 reads avg_score .75 vs
+    // frac_pos .5 → ECE .25; class 1 reads .7071 vs .5 → ECE .2071.
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Eval.expectedCalibrationError(
+        emb, "vec_id", "embedding", "label", 2)
+      .orderBy($"class").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 4L, 0.25), (1L, 4L, 0.2071)))
+  }
+
   test("centroidMrr: separable classes score 1.0, a confusable vector drops to 1/rank") {
     import spark.implicits._
     // Class 0 = two [1,0] plus one stray [0,1]; class 1 = two [0,1].
