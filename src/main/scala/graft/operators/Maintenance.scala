@@ -279,12 +279,19 @@ object Maintenance {
   def psi(df: DataFrame, groupCol: String, valueCol: String,
           edges: Seq[Double]): DataFrame = {
     require(edges.nonEmpty, "need at least one bin edge")
-    val nBins = edges.size + 1
     val bin = edges.map(e =>
       when(col(valueCol) >= e, 1L).otherwise(0L)).reduce(_ + _)
-    val b = df.select(col(groupCol), bin.as("_bin"))
-    val sb = b.groupBy(col(groupCol), col("_bin"))
-      .agg(count(lit(1)).cast("long").as("_c"))
+    psiFromCounts(df.select(col(groupCol), bin.as("_bin"))
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).cast("long").as("_c")),
+      groupCol, edges.size + 1)
+  }
+
+  /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
+    * the batch operator and the streaming monitor, whose maintained
+    * additive count state IS such a table. */
+  private[graft] def psiFromCounts(sb: DataFrame, groupCol: String,
+                                   nBins: Int): DataFrame = {
     val st = sb.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
     val cb = sb.groupBy(col("_bin")).agg(sum(col("_c")).as("_ct"))
     val ct = cb.agg(sum(col("_ct")).as("_nt"))

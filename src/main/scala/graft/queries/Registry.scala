@@ -6049,6 +6049,40 @@ object Registry {
         |SELECT CAST(cls AS BIGINT) AS class, CAST(sum(n) AS BIGINT) AS n,
         |round(sum(n * abs(frac_pos - avg_score)) / sum(n), 6) AS ece
         |FROM bins GROUP BY 1 ORDER BY class""".stripMargin
+        .replace("\n", " "))),
+
+    ("s28_stream_psi",
+      // X116 under streaming (streaming/Streaming.runStreamPsi): the
+      // ingest-drift monitor — additive (source, bin) count state at
+      // fixed literal edges, smoothed PSI folded at read time via the
+      // shared psiFromCounts; x116's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s28")
+        graft.streaming.Streaming.runStreamPsi(s, dir, base + "/psi",
+            Seq(120d, 200d, 280d, 360d, 440d))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source,
+        |CASE WHEN n_chars < 120 THEN 0 WHEN n_chars < 200 THEN 1
+        |WHEN n_chars < 280 THEN 2 WHEN n_chars < 360 THEN 3
+        |WHEN n_chars < 440 THEN 4 ELSE 5 END AS bin FROM documents),
+        |sb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |FROM sb GROUP BY 1),
+        |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1),
+        |ct AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cb),
+        |grid AS (SELECT st.source, st.n, g.bin FROM st
+        |CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g),
+        |p AS (SELECT grid.source, grid.bin,
+        |(coalesce(sb.c, 0) + 0.5) / (grid.n + 3.0) AS p,
+        |(coalesce(cb.c, 0) + 0.5) / (ct.n + 3.0) AS q
+        |FROM grid LEFT JOIN sb ON sb.source = grid.source
+        |AND sb.bin = grid.bin
+        |LEFT JOIN cb ON cb.bin = grid.bin CROSS JOIN ct)
+        |SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin
         .replace("\n", " ")))
   )
 

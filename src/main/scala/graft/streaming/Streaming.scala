@@ -1363,6 +1363,25 @@ object Streaming {
       landing
     })
 
+  private def stagedDocSlices(spark: SparkSession, dir: String,
+                              slices: Int): String =
+    stagedSliceDirs.computeIfAbsent(s"$dir#doc#$slices", _ => {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-docslices").toString
+      val docs = graft.Tables.documents(spark, dir)
+      val f = FileSystem.get(new java.net.URI(landing),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until slices).foreach { i =>
+        val stage = s"$landing/stage$i"
+        docs.where(col("doc_id") % slices === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$landing/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      landing
+    })
+
   private def stagedEventSlices(spark: SparkSession, dir: String,
                                 slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#$slices", _ => {
@@ -1611,6 +1630,45 @@ object Streaming {
       .select(col("event_type"), col("day").cast("long").as("_day"),
         col("n").cast("long").as("_n"))
     graft.operators.TimeSeries.olsTrend(series, "event_type", "_day", "_n")
+  }
+
+  /** X116's Population Stability Index under streaming — the ingest-drift
+    * monitor in always-on shape: per micro-batch the documents slice
+    * bins by the FIXED literal edges and its (source, bin) counts ADD
+    * into the state table (bounded at |sources|·bins forever,
+    * exactly-once through batch markers); the smoothed-proportion PSI
+    * fold runs at read time on the converged counts via the shared
+    * Maintenance.psiFromCounts, so the streamed answer equals batch x116
+    * bit-for-bit (its oracle verbatim). The reference side is the
+    * SAME converged corpus — the monitor's "is this source drifting from
+    * the whole" read; freezing a deploy-time reference instead is one
+    * constant table away (the s23/s24 frozen-reference discipline). */
+  def runStreamPsi(spark: SparkSession, dir: String, base: String,
+                   edges: Seq[Double]): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("source", "bin"), Seq("n"), additive = true)
+    val landing = stagedDocSlices(spark, dir, 3)
+    val bin = edges.map(e =>
+      when(col("n_chars") >= e, 1L).otherwise(0L)).reduce(_ + _)
+    val q = spark.readStream
+      .schema(graft.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("source"), bin.as("bin"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Maintenance.psiFromCounts(
+      sink.state(spark).get
+        .select(col("source"), col("bin").cast("long").as("_bin"),
+          col("n").cast("long").as("_c")),
+      "source", edges.size + 1)
   }
 
   /** X90's CUSUM change-point locator under streaming — drift monitoring

@@ -839,6 +839,21 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming PSI equals the one-shot batch PSI; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s28")
+    val edges = Seq(120d, 200d, 280d, 360d, 440d)
+    val streamed = Streaming.runStreamPsi(spark, dir, base + "/psi", edges)
+    val batch = graft.operators.Maintenance.psi(
+      Tables.documents(spark, dir), "source", "n_chars", edges)
+    assertSameRows(streamed, batch)
+    // Replay the final batch: double-added bin counts shift every smoothed
+    // proportion — the batch markers must skip the re-applied slice.
+    rollbackLastCommit(base + "/psi/ckpt")
+    val second = Streaming.runStreamPsi(spark, dir, base + "/psi", edges)
+    assertSameRows(second, batch)
+  }
+
   test("streaming CUSUM equals the one-shot batch change-point; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s27")
