@@ -351,6 +351,49 @@ object Graph {
           .as("lcc"))
   }
 
+  /** Bounded-round k-core peeling (Seidman 1983; the distributed
+    * formulation of Montresor et al. 2013 runs exactly this round-limited
+    * cascade): each round drops every vertex whose CURRENT degree is
+    * below k, then the edges touching it — removing a weak vertex can
+    * demote its neighbors, so the peel cascades. After `rounds` rounds
+    * the surviving subgraph's degree table is returned; with enough
+    * rounds that is the k-core, and the FIXED round budget is the
+    * determinism contract (the pageRank discipline — the trajectory, not
+    * a data-dependent fixed point, is what both engines replay; the
+    * oracle unrolls the same rounds as chained CTEs). The dense-cohesion
+    * read one notch stronger than j38's local coefficient: a high-lcc
+    * vertex can still sit in a sparse fringe, a k-core member cannot.
+    *
+    * Scale shape per round: ONE V-grain degree agg + two semi-joins of
+    * the edge list against the (broadcast-when-small) survivor set;
+    * per-round localCheckpoint truncates the growing lineage exactly as
+    * pageRank's loop does. Cost is O(rounds · E) worst case. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val vSide: DataFrame => DataFrame =
+      if (e.count() <= 2500000L) broadcast _ else identity
+    (1 to rounds).foreach { _ =>
+      val keep = e.select(col("u").as("w"))
+        .unionByName(e.select(col("v").as("w")))
+        .groupBy(col("w")).agg(count(lit(1)).as("_deg"))
+        .where(col("_deg") >= k).select(col("w"))
+      e = e
+        .join(vSide(keep.select(col("w").as("u"))), Seq("u"), "left_semi")
+        .join(vSide(keep.select(col("w").as("v"))), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    e.select(col("u").as("vertex"))
+      .unionByName(e.select(col("v").as("vertex")))
+      .groupBy(col("vertex"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
     * degrees at the two ends of an edge — positive means hubs link to
     * hubs (social-network shape), negative means hubs fan out to leaves

@@ -763,6 +763,34 @@ object Registry {
     * `iters` normalize(C·v) rounds from the 1/√64 start, sign fix by the
     * largest-|component|, 6 dp-rounded final axis, per-label projection
     * stats + the Rayleigh eigenvalue. */
+  /** DuckDB twin of [[graft.operators.Graph.kCore]] on the urgent-order
+    * co-purchase graph: the peel rounds unrolled as chained CTEs (the
+    * fixed-point-iteration oracle discipline). */
+  private def kcoreOracle(k: Int, rounds: Int, limit: Int): String = {
+    val head = Seq(
+      "li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderpriority = '1-URGENT')",
+      "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, " +
+        "b.l_partkey AS v FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey)")
+    val peels = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"d$r AS (SELECT w, count(*) AS deg FROM (SELECT u AS w FROM e$p " +
+          s"UNION ALL SELECT v FROM e$p) GROUP BY 1)",
+        s"v$r AS (SELECT w FROM d$r WHERE deg >= $k)",
+        s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e$p e " +
+          s"JOIN v$r a ON a.w = e.u JOIN v$r b ON b.w = e.v)")
+    }
+    s"WITH ${(head ++ peels).mkString(", ")}, " +
+      s"fd AS (SELECT w AS vertex, CAST(count(*) AS BIGINT) AS core_degree " +
+      s"FROM (SELECT u AS w FROM e$rounds UNION ALL SELECT v FROM e$rounds) " +
+      "GROUP BY 1) SELECT vertex, core_degree FROM fd " +
+      s"ORDER BY core_degree DESC, vertex LIMIT $limit"
+  }
+
   private def pcaPowerOracle(iters: Int): String = {
     val head = Seq(
       """u AS MATERIALIZED (SELECT vec_id, label, g.i - 1 AS i,
@@ -6083,7 +6111,30 @@ object Registry {
         |LEFT JOIN cb ON cb.bin = grid.bin CROSS JOIN ct)
         |SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi
         |FROM p GROUP BY 1 ORDER BY source""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("j39_kcore",
+      // Bounded-round k-core peeling (operators/Graph.kCore, k=15, 4
+      // rounds) on the urgent-order co-purchase graph: the cascading
+      // weak-vertex peel whose fixed round budget IS the determinism
+      // contract; top-30 survivors by in-core degree. One notch stronger
+      // than j38's lcc — a clique fringe peels, core members don't.
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        graft.operators.Graph.kCore(pairs, "pa", "pb", 15, 4)
+          .orderBy(col("core_degree").desc, col("vertex").asc)
+          .limit(30)
+      },
+      Some(kcoreOracle(15, 4, 30)))
   )
 
   def queries: Map[String, Q] =

@@ -139,6 +139,20 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 1L, Some(1.0)), (4L, 1L, 0L, None)))
   }
 
+  test("kCore: the peel cascades — a tail vertex's removal demotes its neighbor next round") {
+    import spark.implicits._
+    // K4 {1,2,3,4} plus tail 4-5-6. k=2: round 1 peels only 6 (deg 1);
+    // that demotes 5 to deg 1, so round 2 peels 5. The 2-core is K4.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val after1 = Graph.kCore(e, "a", "b", 2, 1)
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after1.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L), (5L, 1L)))
+    val after2 = Graph.kCore(e, "a", "b", 2, 2)
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after2.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("assortativity: a star is exactly -1, a barbell of stars is positive-correlated only at the bridge") {
     import spark.implicits._
     // Star K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly.
