@@ -271,6 +271,63 @@ object TextAnalysis {
         round(col("covered") * lit(1.0) / col("_t"), 4).as("coverage"))
   }
 
+  /** Heaps' law fit (Heaps 1978): the vocabulary-growth exponent β in
+    * V(n) ≈ K·n^β, estimated by log-log OLS over the cumulative
+    * (tokens seen, distinct types seen) curve — the statistic that
+    * PREDICTS how much new vocabulary the next 10× of corpus will bring
+    * (x84 reads the frequency curve of the corpus you have; this
+    * extrapolates the one you don't yet). β near 0.5 is classic natural
+    * text; β near 1 means vocabulary is still exploding (ids, hashes —
+    * a tokenizer-sizing red flag).
+    *
+    * The curve is built WITHOUT a global-order window (the no-single-
+    * partition convention): docs bucket by id into ≤ nBuckets ranges
+    * (width from one collected max-id scalar — the x80 frozen-range
+    * discipline), per-bucket token totals and FIRST-bucket-per-type
+    * counts aggregate at bucket/vocab grain, and the prefix sums
+    * densify by each bucket row exploding its own suffix grid
+    * `sequence(b, nBuckets−1)` — a generator, not a join. The fit is
+    * one scalar agg over ≤ nBuckets exact-integer points; doubles enter
+    * only at the final ln/divide (β, ln K rounded 4 dp — the x101
+    * double-sum grain).
+    *
+    * Output (1 row): n_points, total_tokens, vocab, beta, ln_k. */
+  def heapsFit(docs: DataFrame, idCol: String, typesCol: Column,
+               nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least two curve points")
+    val maxId = docs.agg(max(col(idCol)).cast("long")).head.getLong(0)
+    val width = maxId / nBuckets + 1
+    val toks = docs.select(expr(s"$idCol div $width").as("_b"),
+      explode(typesCol).as("_tok"))
+    val suffix = explode(sequence(col("_b"), lit(nBuckets - 1L))).as("_gb")
+    val cumTok = toks.groupBy(col("_b"))
+      .agg(count(lit(1)).cast("long").as("_nt"))
+      .select(suffix, col("_nt"))
+      .groupBy(col("_gb")).agg(sum(col("_nt")).cast("long").as("_ct"))
+    val cumTyp = toks.groupBy(col("_tok")).agg(min(col("_b")).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).cast("long").as("_nv"))
+      .select(suffix, col("_nv"))
+      .groupBy(col("_gb")).agg(sum(col("_nv")).cast("long").as("_cv"))
+    cumTok.join(cumTyp, Seq("_gb"))
+      .select(log(col("_ct").cast("double")).as("_x"),
+        log(col("_cv").cast("double")).as("_y"),
+        col("_ct"), col("_cv"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        max(col("_ct")).as("total_tokens"), max(col("_cv")).as("vocab"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col("n_points"), col("total_tokens"), col("vocab"),
+        ((col("n_points") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("n_points") * col("_sxx") - col("_sx") * col("_sx")))
+          .as("_beta"),
+        col("_sx"), col("_sy"))
+      .select(col("n_points"), col("total_tokens"), col("vocab"),
+        round(col("_beta"), 4).as("beta"),
+        round((col("_sy") - col("_beta") * col("_sx")) / col("n_points"), 4)
+          .as("ln_k"))
+  }
+
   /** Corpus-driven stopword discovery: tokens whose DOCUMENT frequency
     * exceeds `minDocFrac` of the corpus — the data-dependent stoplist a
     * retrieval/TF-IDF pipeline builds before indexing (vs x52's fixed

@@ -6134,7 +6134,55 @@ object Registry {
           .orderBy(col("core_degree").desc, col("vertex").asc)
           .limit(30)
       },
-      Some(kcoreOracle(15, 4, 30)))
+      Some(kcoreOracle(15, 4, 30))),
+
+    ("x121_heaps",
+      // Heaps'-law vocabulary-growth fit (operators/TextAnalysis
+      // .heapsFit) on word-BIGRAM types (the corpus's unigram vocabulary
+      // is a deliberately tiny 31 — bigrams give a real growth curve):
+      // log-log OLS over a 50-point cumulative curve built windowless
+      // via suffix-grid explode. beta near 0 = saturating vocabulary.
+      (s: SparkSession, dir: String) => {
+        import graft.operators.TextAnalysis
+        val t = TextAnalysis.tokens(lower(col("text")))
+        val bigrams = when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id",
+          bigrams, 50)
+      },
+      Some("""WITH wd AS (SELECT (max(doc_id) // 50) + 1 AS w
+        |FROM documents),
+        |tk AS (SELECT doc_id, list_filter(
+        |regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |toks AS (SELECT doc_id // wd.w AS b,
+        |unnest(CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS tok FROM tk, wd),
+        |bt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
+        |FROM toks GROUP BY 1),
+        |ct AS (SELECT gb, CAST(sum(nt) AS BIGINT) AS ctok FROM
+        |(SELECT unnest(generate_series(b, 49)) AS gb, nt FROM bt)
+        |GROUP BY 1),
+        |fb AS (SELECT tok, min(b) AS b FROM toks GROUP BY 1),
+        |nv0 AS (SELECT b, CAST(count(*) AS BIGINT) AS nv
+        |FROM fb GROUP BY 1),
+        |cv AS (SELECT gb, CAST(sum(nv) AS BIGINT) AS cvoc FROM
+        |(SELECT unnest(generate_series(b, 49)) AS gb, nv FROM nv0)
+        |GROUP BY 1),
+        |pts AS (SELECT ln(CAST(ctok AS DOUBLE)) AS x,
+        |ln(CAST(cvoc AS DOUBLE)) AS y, ctok, cvoc
+        |FROM ct JOIN cv USING (gb)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |max(ctok) AS total_tokens, max(cvoc) AS vocab,
+        |sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |FROM pts)
+        |SELECT n AS n_points, total_tokens, vocab,
+        |round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS beta,
+        |round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 4) AS ln_k
+        |FROM s""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

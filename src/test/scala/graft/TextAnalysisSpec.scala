@@ -407,4 +407,21 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("chi2_contrib")).toMap
     assert(zd("a") === 10.0 && zd("b") === 10.0)
   }
+
+  test("heapsFit: all-new types fit beta=1 exactly; a one-type corpus fits beta=0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // Every token new → V(n) = n: the log-log points sit ON y = x, so the
+    // OLS is exact (beta 1, ln_k 0) with no tolerance needed.
+    val fresh = (0L to 3L).map(i => (i, s"t${i}a t${i}b")).toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(fresh, "doc_id",
+      TextAnalysis.tokens(col("text")), 4).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2),
+      f.getDouble(3), f.getDouble(4)) === ((4L, 8L, 8L, 1.0, 0.0)))
+    // One type repeated forever → V(n) = 1: slope exactly 0, K = 1.
+    val flat = (0L to 3L).map(i => (i, "t t")).toDF("doc_id", "text")
+    val g = TextAnalysis.heapsFit(flat, "doc_id",
+      TextAnalysis.tokens(col("text")), 4).collect().head
+    assert((g.getLong(2), g.getDouble(3), g.getDouble(4)) === ((1L, 0.0, 0.0)))
+  }
 }
