@@ -271,6 +271,64 @@ object TextAnalysis {
         round(col("covered") * lit(1.0) / col("_t"), 4).as("coverage"))
   }
 
+  /** Pairwise Jensen–Shannon divergence matrix between the sources'
+    * unigram distributions — the SYMMETRIC, bounded [0, ln 2] companion
+    * of x101's one-vs-corpus KL: which pairs of sources are
+    * interchangeable and which are different corpora wearing one schema.
+    * The clustering read before x51 reweights or x23 fits mixtures.
+    *
+    * Computed via the entropy decomposition JSD = H(m) − (H(p)+H(q))/2
+    * with m = (p+q)/2, which needs NO per-pair full-outer join: tokens
+    * in both supports contribute through ONE (token)-grain equi-self-join
+    * (automatically enumerating every source pair that shares a token);
+    * tokens in only one support contribute (p_t/2)ln(1/2)-style terms
+    * that fold into per-source scalars minus the shared part —
+    * Σ_{a-only}(p/2)ln(p/2) = hh_a − Σ_{both}(p/2)ln(p/2). So the plan
+    * is: one (source, token) count agg, one broadcast totals join, one
+    * token-keyed self-join at Σ_t df(t)² pair-rows, two source-grain
+    * scalar joins. Cost is dictionary-grain throughout — |S|²·overlap,
+    * never corpus².
+    *
+    * Exactness: p = c/n is one BIGINT-to-double division per row on both
+    * engines; the ln-weighted sums carry summation-order noise → 4 dp
+    * (the x101 grain). Pairs sharing zero tokens are definitionally
+    * absent (their JSD is exactly ln 2; the fixture's sources all
+    * overlap). Output: (src_a, src_b, n_shared_types, jsd). */
+  def jsdMatrix(docs: DataFrame, sourceCol: String,
+                textCol: String): DataFrame = {
+    val st = docs.select(col(sourceCol).as("_s"),
+        explode(tokens(lower(col(textCol)))).as("_t"))
+      .groupBy(col("_s"), col("_t"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val ns = st.groupBy(col("_s")).agg(sum(col("_c")).as("_n"))
+    val p = st.join(broadcast(ns), Seq("_s"))
+      .select(col("_s"), col("_t"),
+        (col("_c").cast("double") / col("_n")).as("_p"))
+    // Per-source scalars: hh = Σ (p/2)ln(p/2) over the full support;
+    // hp = Σ p·ln p (so H(p) = −hp). |S| rows, broadcast into the pairs.
+    val scal = p.groupBy(col("_s"))
+      .agg(sum((col("_p") / 2) * log(col("_p") / 2)).as("_hh"),
+        sum(col("_p") * log(col("_p"))).as("_hp"))
+    val both = p.as("a").join(p.as("b"),
+        col("a._t") === col("b._t") && col("a._s") < col("b._s"))
+      .groupBy(col("a._s").as("src_a"), col("b._s").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared_types"),
+        sum(((col("a._p") + col("b._p")) / 2) *
+          log((col("a._p") + col("b._p")) / 2)).as("_mB"),
+        sum((col("a._p") / 2) * log(col("a._p") / 2)).as("_aB"),
+        sum((col("b._p") / 2) * log(col("b._p") / 2)).as("_bB"))
+    both
+      .join(broadcast(scal.select(col("_s").as("src_a"),
+        col("_hh").as("_hha"), col("_hp").as("_hpa"))), Seq("src_a"))
+      .join(broadcast(scal.select(col("_s").as("src_b"),
+        col("_hh").as("_hhb"), col("_hp").as("_hpb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_types"),
+        // H(m) = −(mB + (hh_a − aB) + (hh_b − bB)); JSD = H(m) − (H(p)+H(q))/2
+        round(-(col("_mB") + (col("_hha") - col("_aB")) +
+            (col("_hhb") - col("_bB"))) +
+          (col("_hpa") + col("_hpb")) / 2, 4).as("jsd"))
+  }
+
   /** Heaps' law fit (Heaps 1978): the vocabulary-growth exponent β in
     * V(n) ≈ K·n^β, estimated by log-log OLS over the cumulative
     * (tokens seen, distinct types seen) curve — the statistic that

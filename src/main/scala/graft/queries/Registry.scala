@@ -6182,7 +6182,40 @@ object Registry {
         |SELECT n AS n_points, total_tokens, vocab,
         |round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS beta,
         |round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 4) AS ln_k
-        |FROM s""".stripMargin.replace("\n", " ")))
+        |FROM s""".stripMargin.replace("\n", " "))),
+
+    ("x122_jsd_matrix",
+      // Pairwise Jensen-Shannon divergence between source unigram
+      // distributions (operators/TextAnalysis.jsdMatrix): the symmetric
+      // bounded companion of x101's KL, via the entropy decomposition
+      // H(m) - (H(p)+H(q))/2 so one token-keyed equi-self-join covers
+      // every pair - no per-pair full-outer join anywhere.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TextAnalysis.jsdMatrix(
+            Tables.documents(s, dir), "source", "text")
+          .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH st AS (SELECT source AS s,
+        |unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |t -> t <> '')) AS t FROM documents),
+        |c AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c
+        |FROM st GROUP BY 1, 2),
+        |ns AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |p AS MATERIALIZED (SELECT c.s, c.t, CAST(c.c AS DOUBLE) / ns.n AS p
+        |FROM c JOIN ns USING (s)),
+        |scal AS (SELECT s, sum((p/2) * ln(p/2)) AS hh,
+        |sum(p * ln(p)) AS hp FROM p GROUP BY 1),
+        |pr AS (SELECT a.s AS src_a, b.s AS src_b,
+        |CAST(count(*) AS BIGINT) AS n_shared_types,
+        |sum(((a.p + b.p)/2) * ln((a.p + b.p)/2)) AS mb,
+        |sum((a.p/2) * ln(a.p/2)) AS ab,
+        |sum((b.p/2) * ln(b.p/2)) AS bb
+        |FROM p a JOIN p b ON a.t = b.t AND a.s < b.s GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared_types,
+        |round(-(mb + (sa.hh - ab) + (sb.hh - bb)) + (sa.hp + sb.hp)/2, 4)
+        |AS jsd
+        |FROM pr JOIN scal sa ON sa.s = src_a
+        |JOIN scal sb ON sb.s = src_b
+        |ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

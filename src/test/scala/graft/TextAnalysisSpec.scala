@@ -408,6 +408,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(zd("a") === 10.0 && zd("b") === 10.0)
   }
 
+  test("jsdMatrix: hand-computed mirrored pair; zero-overlap pairs are absent") {
+    import spark.implicits._
+    // a = {x:2/3, y:1/3}, b mirrored → m = {1/2, 1/2}:
+    // JSD = ln2 − H(2/3,1/3) = 0.693147 − 0.636514 = 0.0566 (4 dp).
+    // c shares no token with either → no (a,c)/(b,c) row.
+    val docs = Seq(("a", "x x y"), ("b", "x y y"), ("c", "z z"))
+      .toDF("source", "text")
+    val out = graft.operators.TextAnalysis.jsdMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", "b", 2L, 0.0566)))
+  }
+
   test("heapsFit: all-new types fit beta=1 exactly; a one-type corpus fits beta=0") {
     import spark.implicits._
     import graft.operators.TextAnalysis
