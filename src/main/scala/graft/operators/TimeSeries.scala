@@ -132,6 +132,54 @@ object TimeSeries {
         col("cusum").as("max_cusum"): _*)
   }
 
+  /** Holt double-exponential smoothing (Holt 1957) per key — the
+    * level+trend forecast the volume-monitoring family was missing: x86's
+    * EWMA tracks level only (a steady ramp lags it forever); Holt carries
+    * an explicit trend state, so ŷ(T+h) = level + h·trend extrapolates
+    * the ramp. The capacity-planning read over daily ingest curves.
+    *
+    * Recurrence (α = level gain, β = trend gain), classic init
+    * l₁ = y₁, b₁ = y₂ − y₁, then for t ≥ 2:
+    * l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t − l_{t−1}) +
+    * (1−β)b_{t−1} — inherently sequential, so it folds ARRAY-LOCALLY
+    * over each key's day-sorted series (the same per-key collect
+    * discipline as the seasonal decompose; |days| is the bounded series
+    * grain, not the corpus), with every l/b rounded 6 dp PER STEP so the
+    * trajectory is engine-portable (the fixed-point oracle discipline —
+    * the oracle unrolls the same steps as chained CTEs). Keys with a
+    * single observation emit NULLs (no trend is definable).
+    *
+    * Scale shape: one (key, bucket) agg upstream, one collect_list hash
+    * agg at key grain, one array fold per key — no windows, no joins. */
+  def holtForecast(series: DataFrame, keys: Seq[String], orderCol: String,
+                   valueCol: String, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    val ys = transform(
+      array_sort(collect_list(struct(col(orderCol), col(valueCol)))),
+      s => s.getField(valueCol).cast("double"))
+    val l = (c: Column) => c.getField("l")
+    val b = (c: Column) => c.getField("b")
+    val fold = aggregate(
+      slice(col("_ys"), lit(2), greatest(size(col("_ys")) - 1, lit(0))),
+      struct(element_at(col("_ys"), 1).as("l"),
+        (element_at(col("_ys"), 2) - element_at(col("_ys"), 1)).as("b")),
+      (acc, y) => {
+        val lNew = round(lit(alpha) * y +
+          lit(1.0 - alpha) * (l(acc) + b(acc)), 6)
+        struct(lNew.as("l"),
+          round(lit(beta) * (lNew - l(acc)) +
+            lit(1.0 - beta) * b(acc), 6).as("b"))
+      })
+    series.groupBy(keys.map(col): _*)
+      .agg(ys.as("_ys"))
+      .select(keys.map(col) :+ size(col("_ys")).cast("long").as("n_obs") :+
+        fold.as("_h"): _*)
+      .select(keys.map(col) :+ col("n_obs") :+
+        col("_h.l").as("level") :+ col("_h.b").as("trend") :+
+        round(col("_h.l") + lit(horizon) * col("_h.b"), 6)
+          .as(s"forecast_$horizon"): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance per key: D = max over the
     * pooled sample of |ecdf_a − ecdf_b| between the rows flagged 0 and 1
     * by `sideCol` — the drift gate that sees SHAPE changes (x81's

@@ -763,6 +763,41 @@ object Registry {
     * `iters` normalize(C·v) rounds from the 1/√64 start, sign fix by the
     * largest-|component|, 6 dp-rounded final axis, per-label projection
     * stats + the Rayleigh eigenvalue. */
+  /** DuckDB twin of [[graft.operators.TimeSeries.holtForecast]] on the
+    * daily event-type series: the recurrence unrolled as two chained CTEs
+    * per step (fixed-point discipline). Coefficients interpolate the
+    * SCALA-computed doubles (1.0−β ≠ the SQL literal 0.7 in IEEE; the
+    * round-trip decimal keeps both engines on the identical constant). */
+  private def holtOracle(alpha: Double, beta: Double, horizon: Int,
+                         steps: Int): String = {
+    val (a, oa, bg, ob) =
+      (alpha.toString, (1.0 - alpha).toString,
+        beta.toString, (1.0 - beta).toString)
+    val head = Seq(
+      "d AS MATERIALIZED (SELECT event_type, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn, " +
+        "y FROM (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2))",
+      "h1 AS (SELECT a.event_type, a.y AS l, b.y - a.y AS b FROM d a " +
+        "JOIN d b ON b.event_type = a.event_type " +
+        "AND a.rn = 1 AND b.rn = 2)")
+    val stepCtes = (2 to steps).flatMap { t =>
+      Seq(
+        s"l$t AS (SELECT h.event_type, " +
+          s"round($a * s.y + $oa * (h.l + h.b), 6) AS ln_, " +
+          s"h.l AS lp, h.b AS bp FROM h${t - 1} h " +
+          s"JOIN d s ON s.event_type = h.event_type AND s.rn = $t)",
+        s"h$t AS (SELECT event_type, ln_ AS l, " +
+          s"round($bg * (ln_ - lp) + $ob * bp, 6) AS b FROM l$t)")
+    }
+    s"WITH ${(head ++ stepCtes).mkString(", ")}, " +
+      "nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs " +
+      "FROM d GROUP BY 1) " +
+      s"SELECT h.event_type, nn.n_obs, h.l AS level, h.b AS trend, " +
+      s"round(h.l + $horizon * h.b, 6) AS forecast_$horizon " +
+      s"FROM h$steps h JOIN nn USING (event_type) ORDER BY event_type"
+  }
+
   /** DuckDB twin of [[graft.operators.Graph.kCore]] on the urgent-order
     * co-purchase graph: the peel rounds unrolled as chained CTEs (the
     * fixed-point-iteration oracle discipline). */
@@ -6215,7 +6250,26 @@ object Registry {
         |AS jsd
         |FROM pr JOIN scal sa ON sa.s = src_a
         |JOIN scal sb ON sb.s = src_b
-        |ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")))
+        |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))),
+
+    ("j40_holt",
+      // Holt double-exponential level+trend forecast (operators/
+      // TimeSeries.holtForecast, alpha .45, beta .35, 7-day horizon; the
+      // non-dyadic gains keep per-step 6 dp rounds off the exact .5e-6
+      // boundaries a .5 gain manufactures from integer counts) over
+      // each event type's daily volume: the capacity-planning read x86's
+      // level-only EWMA lags on ramps; sequential recurrence folds
+      // array-locally per key, 6 dp per step, oracle unrolled.
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.holtForecast(
+            daily, Seq("event_type"), "day", "n", 0.45, 0.35, 7)
+          .orderBy(col("event_type"))
+      },
+      Some(holtOracle(0.45, 0.35, 7, 30)))
   )
 
   def queries: Map[String, Q] =

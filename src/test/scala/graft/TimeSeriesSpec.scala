@@ -191,4 +191,24 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy($"lag").collect()
     assert(out.nonEmpty && out.forall(_.isNullAt(2)))
   }
+
+  test("holtForecast: a perfect ramp is a fixed point; a level shift splits into level and trend") {
+    import spark.implicits._
+    // Linear series 10,12,14,16: l stays on the line, b stays 2 ->
+    // forecast_2 = 16 + 2*2 = 20 with zero smoothing error.
+    val ramp = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L), ("a", 4L, 16L))
+      .toDF("k", "day", "n")
+    val r = graft.operators.TimeSeries.holtForecast(
+      ramp, Seq("k"), "day", "n", 0.45, 0.35, 2).collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ===
+      ((4L, 16.0, 2.0, 20.0)))
+    // Flat 10,10,10 then a jump to 20 (alpha .45, beta .35):
+    // l4 = .45*20 + .55*10 = 14.5, b4 = .35*4.5 = 1.575 ->
+    // forecast_2 = 14.5 + 3.15 = 17.65.
+    val shift = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 20L))
+      .toDF("k", "day", "n")
+    val s = graft.operators.TimeSeries.holtForecast(
+      shift, Seq("k"), "day", "n", 0.45, 0.35, 2).collect().head
+    assert((s.getDouble(2), s.getDouble(3), s.getDouble(4)) === ((14.5, 1.575, 17.65)))
+  }
 }
