@@ -856,6 +856,32 @@ object Similarity {
       .orderBy(col(labelCol), col("out_rank"))
   }
 
+  /** Mutual nearest-neighbor matches — the high-precision pairing rule of
+    * record linkage and bitext mining: emit (a, b) only when b is a's
+    * top-1 neighbor AND a is b's: one-directional nearest-neighbor lists
+    * are asymmetric (a hub is many vectors' top-1 without reciprocating),
+    * and requiring reciprocity is the classic cheap filter that kills
+    * hub-induced false matches before an expensive verify.
+    *
+    * Rides [[knnJoin]]'s shared-IVF self-kNN path (every vector queries,
+    * k = 1, corpus never broadcast) — the approximation contract is the
+    * probe trajectory, pinned by the same centroid/probe/rank tie-breaks
+    * the x40 oracle replays. The mutual filter is ONE self-equi-join of
+    * the |V|-row top-1 list on the reversed pair. cosine(a,b) ==
+    * cosine(b,a) bitwise (same fold, same order), so one sim column
+    * suffices. Output: (id_a, id_b, sim) with id_a < id_b. */
+  def mutualNnMatches(embeddings: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, nProbe: Int): DataFrame = {
+    val t1 = knnJoin(embeddings, idCol, vecCol, lit(true), 1,
+        nCentroids, nProbe)
+      .select(col("qid"), col(idCol).as("_nn"), col("sim"))
+    t1.as("a").join(t1.as("b"),
+        col("a._nn") === col("b.qid") && col("b._nn") === col("a.qid") &&
+          col("a.qid") < col("b.qid"))
+      .select(col("a.qid").as("id_a"), col("b.qid").as("id_b"),
+        col("a.sim").as("sim"))
+  }
+
   /** Product quantization (Jégou et al. 2011): split each vector into `m`
     * contiguous subvectors, train an independent k-centroid L2 codebook
     * per subspace (Lloyd, `iters` rounds, init = first k vectors by id),

@@ -763,6 +763,33 @@ object Registry {
     * `iters` normalize(C·v) rounds from the 1/√64 start, sign fix by the
     * largest-|component|, 6 dp-rounded final axis, per-label projection
     * stats + the Rayleigh eigenvalue. */
+  /** DuckDB twin of [[Similarity.mutualNnMatches]] (all queries, 16
+    * centroids, 4 probes): the knnJoin oracle at k=1 plus the reciprocal
+    * self-join. */
+  private def mutualNnOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS (SELECT p.qid, a.vec_id,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN (SELECT qid, qv, cid FROM pr WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |t1 AS (SELECT qid, vec_id AS nn, sim FROM (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+       |    AS rn FROM cand) WHERE rn = 1)
+       |SELECT a.qid AS id_a, b.qid AS id_b, a.sim FROM t1 a
+       |JOIN t1 b ON a.nn = b.qid AND b.nn = a.qid AND a.qid < b.qid
+       |ORDER BY id_a""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[graft.operators.TimeSeries.holtForecast]] on the
     * daily event-type series: the recurrence unrolled as two chained CTEs
     * per step (fixed-point discipline). Coefficients interpolate the
@@ -6269,7 +6296,19 @@ object Registry {
             daily, Seq("event_type"), "day", "n", 0.45, 0.35, 7)
           .orderBy(col("event_type"))
       },
-      Some(holtOracle(0.45, 0.35, 7, 30)))
+      Some(holtOracle(0.45, 0.35, 7, 30))),
+
+    ("x123_mutual_nn",
+      // Mutual nearest-neighbor matches (Similarity.mutualNnMatches):
+      // reciprocal top-1 pairs through the shared-IVF self-kNN —
+      // the record-linkage precision filter that kills hub-induced
+      // one-directional matches; x40's probe trajectory at k=1 plus one
+      // reversed-pair self-join.
+      (s: SparkSession, dir: String) =>
+        Similarity.mutualNnMatches(Tables.embeddings(s, dir),
+            "vec_id", "embedding", 16, 4)
+          .orderBy(col("id_a")),
+      Some(mutualNnOracleSql))
   )
 
   def queries: Map[String, Q] =

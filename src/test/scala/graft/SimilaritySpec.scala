@@ -421,6 +421,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) >= 0.0))
   }
 
+  test("mutualNnMatches: reciprocal pairs survive, a hub's one-directional match does not") {
+    import spark.implicits._
+    // Two tight pairs (1,2) and (3,4) on the axes plus diagonal hub 5:
+    // 5's top-1 is 2, but 2's top-1 is 1 — no reciprocity, so only the
+    // two genuine pairs emerge. nProbe = nCentroids → exact kNN.
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(2f, 0.1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0.1f, 2f)),
+      (5L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mutualNnMatches(emb, "vec_id", "embedding", 2, 2)
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L), (3L, 4L)))
+    assert(out.forall(_._3 > 0.99))
+  }
+
   test("pqAdcTopK: cluster mates of the query share its code cell at ADC 0; ranking is monotone") {
     import spark.implicits._
     // Same separable fixture as the encode test: the query (vec_id 0)
