@@ -6308,7 +6308,20 @@ object Registry {
         Similarity.mutualNnMatches(Tables.embeddings(s, dir),
             "vec_id", "embedding", 16, 4)
           .orderBy(col("id_a")),
-      Some(mutualNnOracleSql))
+      Some(mutualNnOracleSql)),
+
+    ("s29_stream_holt",
+      // J40 under streaming (streaming/Streaming.runStreamHolt): the
+      // sequential recurrence cannot absorb partial-day state, so state
+      // is the additive day-grain count table and the whole Holt fold
+      // runs at read time on converged counts; j40's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s29")
+        graft.streaming.Streaming.runStreamHolt(s, dir, base + "/holt",
+            0.45, 0.35, 7)
+          .orderBy(col("event_type"))
+      },
+      Some(holtOracle(0.45, 0.35, 7, 30)))
   )
 
   def queries: Map[String, Q] =

@@ -1671,6 +1671,42 @@ object Streaming {
       "source", edges.size + 1)
   }
 
+  /** J40's Holt level+trend forecast under streaming — the capacity
+    * monitor always-on. Same state resolution as the CUSUM/OLS family:
+    * the recurrence walks the series START to END (partial-day counts
+    * would corrupt every later step), so state is the additive
+    * (event_type, day) count table and the whole fold runs at read time
+    * on converged counts — streamed forecast equals batch j40
+    * bit-for-bit (its oracle verbatim). */
+  def runStreamHolt(spark: SparkSession, dir: String, base: String,
+                    alpha: Double, beta: Double,
+                    horizon: Int): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val day = unix_millis(date_trunc("DAY", col("ts")))
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), day.as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TimeSeries.holtForecast(
+      sink.state(spark).get
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("n").cast("long").as("n")),
+      Seq("event_type"), "day", "n", alpha, beta, horizon)
+  }
+
   /** X90's CUSUM change-point locator under streaming — drift monitoring
     * with a DETECTION twist the other monitors lack: CUSUM standardizes
     * by the FULL series mean/sd, which no per-batch state can carry

@@ -839,6 +839,26 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s29")
+    val streamed = Streaming.runStreamHolt(spark, dir, base + "/holt",
+      0.45, 0.35, 7)
+    val batch = graft.operators.TimeSeries.holtForecast(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          unix_millis(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n")),
+      Seq("event_type"), "day", "n", 0.45, 0.35, 7)
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a double-added day bends every later step
+    // of the recurrence — the batch markers must skip it.
+    rollbackLastCommit(base + "/holt/ckpt")
+    val second = Streaming.runStreamHolt(spark, dir, base + "/holt",
+      0.45, 0.35, 7)
+    assertSameRows(second, batch)
+  }
+
   test("streaming PSI equals the one-shot batch PSI; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s28")
