@@ -113,6 +113,52 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Shard-rebalance audit: when a layout grows from `oldShards` to
+    * `newShards`, what fraction of keys MOVE — under the naive modulo
+    * assignment x30 uses (cheap, but growth remaps nearly everything:
+    * a key stays only when hv mod old == hv mod new) versus rendezvous /
+    * highest-random-weight hashing (Thaler & Ravishankar 1998: shard =
+    * argmax_s h(key, s); adding shards only steals the keys the NEW
+    * shards win, ≈ (new−old)/new). The operator quantifies exactly what
+    * a resharding of a 100 TB corpus will recopy — the number that
+    * decides between "mod + full rewrite" and "HRW + incremental".
+    *
+    * Both hashes ride [[Dedup.shingleHash]]'s md5 contract (engine-
+    * portable); HRW's argmax takes the FIRST maximum (lowest shard id),
+    * matching the oracle's `ORDER BY h DESC, s` tie-break. One narrow
+    * projection (old+new assignments under both schemes), one scalar
+    * agg, exploded to a 2-row strategy table — no shuffle beyond the
+    * final fold. */
+  def rebalanceAudit(df: DataFrame, idCol: String, salt: String,
+                     oldShards: Int, newShards: Int): DataFrame = {
+    require(oldShards > 0 && newShards > 0, "shard counts must be positive")
+    val hv = Dedup.shingleHash(concat(lit(salt + ":"), col(idCol).cast("string")))
+    def hrw(n: Int) = {
+      val hs = array((0 until n).map(s =>
+        Dedup.shingleHash(concat(col(idCol).cast("string"), lit("#" + s)))): _*)
+      (array_position(hs, array_max(hs)) - 1).cast("int")
+    }
+    df.select(
+        (hv % oldShards).cast("int").as("_mo"),
+        (hv % newShards).cast("int").as("_mn"),
+        hrw(oldShards).as("_ho"), hrw(newShards).as("_hn"))
+      .agg(count(lit(1)).cast("long").as("_n"),
+        sum(when(col("_mo") =!= col("_mn"), 1L).otherwise(0L)).cast("long")
+          .as("_mm"),
+        sum(when(col("_ho") =!= col("_hn"), 1L).otherwise(0L)).cast("long")
+          .as("_hm"))
+      .select(explode(array(
+        struct(lit("mod").as("strategy"), col("_n").as("n_keys"),
+          col("_mm").as("n_moved"),
+          round(col("_mm").cast("double") / col("_n"), 4).as("move_frac")),
+        struct(lit("rendezvous").as("strategy"), col("_n").as("n_keys"),
+          col("_hm").as("n_moved"),
+          round(col("_hm").cast("double") / col("_n"), 4).as("move_frac"))))
+        .as("_r"))
+      .select(col("_r.strategy").as("strategy"), col("_r.n_keys").as("n_keys"),
+        col("_r.n_moved").as("n_moved"), col("_r.move_frac").as("move_frac"))
+  }
+
   /** Deterministic sequence packing — assign documents to fixed
     * token-budget training sequences: within each shard (the partition
     * key, e.g. language or a hash shard), documents are ordered by

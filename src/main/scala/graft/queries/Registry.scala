@@ -6321,7 +6321,42 @@ object Registry {
             0.45, 0.35, 7)
           .orderBy(col("event_type"))
       },
-      Some(holtOracle(0.45, 0.35, 7, 30)))
+      Some(holtOracle(0.45, 0.35, 7, 30))),
+
+    ("x124_rebalance",
+      // Shard-rebalance audit (operators/Sampling.rebalanceAudit,
+      // 8 -> 12): what fraction of keys MOVE under x30's modulo layout
+      // (stay prob = old/lcm ≈ 1/3) vs rendezvous hashing (move ≈
+      // (new-old)/new = 1/3 MOVED, i.e. 2x fewer) — the recopy-cost
+      // number that decides a 100 TB resharding strategy.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.rebalanceAudit(
+            Tables.documents(s, dir).select(col("doc_id")),
+            "doc_id", "shard", 8, 12)
+          .orderBy(col("strategy")),
+      Some("""WITH h AS (SELECT doc_id,
+        |('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |FROM documents),
+        |hrw AS (SELECT doc_id, s,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || s), 1, 8))::BIGINT AS hw
+        |FROM documents, (SELECT unnest(generate_series(0, 11)) AS s)),
+        |ho AS (SELECT doc_id, s AS so FROM (SELECT doc_id, s,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rn
+        |FROM hrw WHERE s < 8) WHERE rn = 1),
+        |hn AS (SELECT doc_id, s AS sn FROM (SELECT doc_id, s,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY hw DESC, s) AS rn
+        |FROM hrw) WHERE rn = 1),
+        |a AS (SELECT h.doc_id, hv % 8 AS mo, hv % 12 AS mn, ho.so, hn.sn
+        |FROM h JOIN ho USING (doc_id) JOIN hn USING (doc_id)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CASE WHEN mo <> mn THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+        |CAST(sum(CASE WHEN so <> sn THEN 1 ELSE 0 END) AS BIGINT) AS hm
+        |FROM a)
+        |SELECT 'mod' AS strategy, n AS n_keys, mm AS n_moved,
+        |round(CAST(mm AS DOUBLE)/n, 4) AS move_frac FROM t
+        |UNION ALL SELECT 'rendezvous', n, hm,
+        |round(CAST(hm AS DOUBLE)/n, 4) FROM t
+        |ORDER BY strategy""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -249,4 +249,22 @@ class SamplingSpec extends SparkSpec {
       (1L, 0.0, 1.0), (2L, 0.5, 6.5), (3L, 1.0, 30.0),
       (4L, 0.0, 1.0), (5L, 0.5, 6.5), (6L, 1.0, 30.0)))
   }
+
+  test("rebalanceAudit: rendezvous moves far fewer keys than modulo; identical counts move none") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("id")
+    val out = graft.operators.Sampling.rebalanceAudit(ids, "id", "s", 4, 6)
+      .orderBy($"strategy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq("mod", "rendezvous"))
+    assert(out.forall(_._2 === 400L))
+    val (modMoved, hrwMoved) = (out(0)._3, out(1)._3)
+    // Theory: mod moves ≈ 1 − 4/12 = 2/3; rendezvous ≈ (6−4)/6 = 1/3.
+    assert(hrwMoved < modMoved)
+    assert(out(1)._4 > 0.2 && out(1)._4 < 0.47)
+    // Same shard count on both sides: nothing may move under either scheme.
+    val same = graft.operators.Sampling.rebalanceAudit(ids, "id", "s", 6, 6)
+      .collect().map(_.getLong(2))
+    assert(same.toSeq === Seq(0L, 0L))
+  }
 }
