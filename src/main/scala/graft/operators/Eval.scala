@@ -329,6 +329,47 @@ object Eval {
           .otherwise(lit(0.0)), 6).as("bleu"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    * agreement member that survives MISSING ratings: Cohen (x106) needs
+    * exactly two raters, Fleiss (x113) a constant rater count per item;
+    * alpha weighs each unit by its own m_u, so a crowd pipeline where
+    * annotators skip items still gets one chance-corrected number.
+    *
+    * Within-unit disagreement needs NO value-pair join: for nominal
+    * data Σ_{c≠k} n_uc·n_uk = m_u² − Σ_c n_uc², so
+    * alpha = 1 − (n−1)·Σ_u[(m_u² − Σ_c n_uc²)/(m_u−1)] / (n² − Σ_c n_c²)
+    * over units with m_u ≥ 2 (singletons are unpairable and drop), with
+    * n = Σ m_u and n_c the value margins. Every input to the single
+    * division is an exact BIGINT or an exact sum of 1/(m_u−1)-rationals;
+    * all ratings one value → denominator 0 → NULL, not a divide error.
+    *
+    * Scale shape: one (item, value) hash agg, one item-grain agg, one
+    * value-grain agg, three broadcast scalar folds. No joins beyond the
+    * 1-row cross. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val m = ratings.groupBy(col(itemCol).as("_i"), col(catCol).as("_c"))
+      .agg(count(lit(1)).cast("long").as("_nuc"))
+    val items = m.groupBy(col("_i"))
+      .agg(sum(col("_nuc")).cast("long").as("_mu"),
+        sum(col("_nuc") * col("_nuc")).cast("long").as("_s2"))
+      .where(col("_mu") >= 2L)
+      .localCheckpoint(eager = true) // referenced by the scalar fold AND the margins
+    val scal = items.agg(count(lit(1)).cast("long").as("n_items"),
+      sum(col("_mu")).cast("long").as("_n"),
+      sum((col("_mu") * col("_mu") - col("_s2")).cast("double") /
+        (col("_mu") - 1L)).as("_du"))
+    val margins = m.join(items.select(col("_i")), Seq("_i"), "left_semi")
+      .groupBy(col("_c")).agg(sum(col("_nuc")).cast("long").as("_nc"))
+      .agg(coalesce(sum(col("_nc") * col("_nc")), lit(0L)).as("_snc2"))
+    scal.crossJoin(broadcast(margins))
+      .select(col("n_items"), col("_n").as("n_ratings"),
+        when(col("_n") * col("_n") =!= col("_snc2"),
+          round(lit(1.0) - ((col("_n") - 1L) * col("_du")) /
+            (col("_n") * col("_n") - col("_snc2")).cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** ROUGE-N with CLIPPED (multiset) counts over a candidate pair list —
     * the real summarization/contamination metric, not the distinct-set
     * Dice that x6/x41 already cover: overlap = Σ_g min(count_a(g),

@@ -6356,7 +6356,56 @@ object Registry {
         |round(CAST(mm AS DOUBLE)/n, 4) AS move_frac FROM t
         |UNION ALL SELECT 'rendezvous', n, hm,
         |round(CAST(hm AS DOUBLE)/n, 4) FROM t
-        |ORDER BY strategy""".stripMargin.replace("\n", " ")))
+        |ORDER BY strategy""".stripMargin.replace("\n", " "))),
+
+    ("x125_kripp_alpha",
+      // Krippendorff's alpha (operators/Eval.krippendorffAlpha) over
+      // x113's three quality raters with the third DELIBERATELY partial
+      // (vocabulary richness only rated where n_chars >= 150) — the
+      // missing-ratings agreement read Fleiss structurally cannot give;
+      // per-unit disagreement folds without any value-pair join.
+      (s: SparkSession, dir: String) => {
+        import graft.operators.TextAnalysis
+        val f = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).as("_wt"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))).as("_dt"))
+        def cls(c: org.apache.spark.sql.Column, t1: Int, t2: Int) =
+          when(c < t1, 0).when(c < t2, 1).otherwise(2)
+        val ratings = f.select(col("doc_id"),
+            cls(col("n_chars"), 216, 372).as("cat"))
+          .unionByName(f.select(col("doc_id"),
+            cls(col("_wt"), 39, 68).as("cat")))
+          .unionByName(f.where(col("n_chars") >= 150).select(col("doc_id"),
+            cls(col("_dt"), 22, 27).as("cat")))
+        graft.operators.Eval.krippendorffAlpha(ratings, "doc_id", "cat")
+      },
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+        |len(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> '')) AS wt,
+        |len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> ''))) AS dt FROM documents),
+        |r AS (SELECT doc_id, CASE WHEN n_chars < 216 THEN 0
+        |WHEN n_chars < 372 THEN 1 ELSE 2 END AS cat FROM f
+        |UNION ALL SELECT doc_id, CASE WHEN wt < 39 THEN 0
+        |WHEN wt < 68 THEN 1 ELSE 2 END FROM f
+        |UNION ALL SELECT doc_id, CASE WHEN dt < 22 THEN 0
+        |WHEN dt < 27 THEN 1 ELSE 2 END FROM f WHERE n_chars >= 150),
+        |m AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nuc
+        |FROM r GROUP BY 1, 2),
+        |it AS (SELECT doc_id, CAST(sum(nuc) AS BIGINT) AS mu,
+        |CAST(sum(nuc * nuc) AS BIGINT) AS s2 FROM m GROUP BY 1),
+        |pi AS (SELECT * FROM it WHERE mu >= 2),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |CAST(sum(mu) AS BIGINT) AS n,
+        |sum(CAST(mu * mu - s2 AS DOUBLE) / (mu - 1)) AS du FROM pi),
+        |mg AS (SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS snc2
+        |FROM (SELECT m.cat, CAST(sum(m.nuc) AS BIGINT) AS nc FROM m
+        |JOIN pi ON pi.doc_id = m.doc_id GROUP BY 1))
+        |SELECT n_items, n AS n_ratings,
+        |CASE WHEN n * n <> snc2 THEN
+        |round(1.0 - ((n - 1) * du) / CAST(n * n - snc2 AS DOUBLE), 6) END
+        |AS alpha FROM sc CROSS JOIN mg""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

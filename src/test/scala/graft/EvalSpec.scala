@@ -132,6 +132,26 @@ class EvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 3L, 2L, 0.833333), (1L, 2L, 2L, 1.0)))
   }
 
+  test("krippendorffAlpha: hand value with a missing rating; singletons drop; degenerate NULL") {
+    import spark.implicits._
+    // u1 unanimous (a,a,a), u2 split with a MISSING third rating (a,b),
+    // u3 unanimous (b,b): n=7, Σdu=2, margins a=4 b=3 →
+    // alpha = 1 − 6·2/(49−25) = 0.5. A singleton unit must not shift it.
+    val r = Seq((1, "a"), (1, "a"), (1, "a"), (2, "a"), (2, "b"),
+      (3, "b"), (3, "b")).toDF("item", "cat")
+    val out = graft.operators.Eval.krippendorffAlpha(r, "item", "cat")
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2)) === ((3L, 7L, 0.5)))
+    val withSingleton = r.unionByName(Seq((4, "a")).toDF("item", "cat"))
+    val out2 = graft.operators.Eval.krippendorffAlpha(
+      withSingleton, "item", "cat").collect().head
+    assert((out2.getLong(0), out2.getLong(1), out2.getDouble(2)) === ((3L, 7L, 0.5)))
+    // Every rating one value → zero variance → NULL, not a divide error.
+    val flat = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a")).toDF("item", "cat")
+    assert(graft.operators.Eval.krippendorffAlpha(flat, "item", "cat")
+      .collect().head.isNullAt(2))
+  }
+
   test("bleuPairs: hand-computed precisions and geometric mean; zero bigram overlap floors at 0") {
     import spark.implicits._
     // (1,2): p1 = 2/3, p2 = 1/2, BP = 1 (equal lengths) →
