@@ -106,6 +106,71 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003): [[pageRank]] with the
+    * teleport concentrated on a SEED set instead of uniform — rank mass
+    * always restarts at the seeds, so scores measure proximity TO the
+    * seeds, not global importance. The "more like these" recommender read
+    * on a co-interaction graph (seed = one user's items; rank = what to
+    * suggest), and the seed-expansion primitive of community detection.
+    *
+    * Same numerical contract (per-round `scaleDp` rounding, oracle
+    * unrolls the identical trajectory) and the same per-round plan shape
+    * as pageRank — one rank⋈edge equi-join, one destination agg, one
+    * node-set left join, localCheckpoint. Dangling mass returns to the
+    * SEEDS (the PPR-correct restart), folded as the same broadcast 1-row
+    * scalar. The seed set is bounded driver metadata inlined as an
+    * `isin` literal; seeds absent from the graph are simply never
+    * ranked (their teleport share deterministically leaks — both engines
+    * replay it identically). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: Seq[Long],
+                           iterations: Int, damping: Double = 0.85,
+                           scaleDp: Int = 6): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("double").as("_w"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    val bcastV = nodes.count() <= 2000000
+    def vSide(df: DataFrame): DataFrame = if (bcastV) broadcast(df) else df
+    val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
+      .localCheckpoint(eager = true)
+    val danglingNodes = nodes.join(vSide(outW.select(col("_src"))),
+      nodes("node") === col("_src"), "left_anti")
+      .localCheckpoint(eager = true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
+    val isSeed = col("node").isin(seeds: _*)
+    val seedShare = 1.0 / seeds.size
+    val teleport = (1.0 - damping) * seedShare
+    var ranks = nodes.withColumn("rank",
+      when(isSeed, lit(seedShare)).otherwise(lit(0.0)))
+    (1 to iterations).foreach { _ =>
+      val contribs = e
+        .join(vSide(ranks.withColumnRenamed("node", "_src")), Seq("_src"))
+        .join(vSide(outW), Seq("_src"))
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(col("rank") / col("_ow") * col("_w")).as("_c"))
+      val joined = nodes.join(vSide(contribs), Seq("node"), "left_outer")
+      val withDang =
+        if (!hasDangling) joined.withColumn("_dm", lit(0.0))
+        else {
+          val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+          joined.crossJoin(broadcast(dang))
+        }
+      ranks = withDang
+        .select(col("node"), round(
+          when(isSeed, lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("_c"), lit(0.0)) +
+              col("_dm") * when(isSeed, lit(seedShare)).otherwise(lit(0.0))),
+          scaleDp).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Item-item co-occurrence with PMI — the "related items" projection of
     * a (user, item) bipartite interaction log: for every unordered item
     * pair sharing >= `minCount` distinct users, the shared-user count and

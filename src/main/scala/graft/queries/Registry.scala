@@ -421,6 +421,37 @@ object Registry {
       "ORDER BY rank DESC, node LIMIT 20"
   }
 
+  /** DuckDB twin of [[graft.operators.Graph.personalizedPageRank]] on
+    * j11's bidirectional transaction graph (no dangling nodes there, so
+    * the restart term is teleport-only): the same unrolled trajectory
+    * with the teleport CASE'd onto the seed set; constants interpolate
+    * the Scala-computed doubles (the holtOracle discipline). */
+  private lazy val pprOracleSql = {
+    val (d, iters) = (0.85, 5)
+    val seeds = "1, 2, 3"
+    val share = (1.0 / 3).toString
+    val tele = ((1.0 - d) * (1.0 / 3)).toString
+    val itCtes = (1 to iters).map { i =>
+      s"r$i AS (SELECT n.node, round(CASE WHEN n.node IN ($seeds) " +
+        s"THEN $tele ELSE 0.0 END + " +
+        s"$d * COALESCE(c.contrib, 0.0), 6) AS rank FROM n LEFT JOIN " +
+        s"(SELECT e.dst AS node, sum(r${i - 1}.rank / o.ow * e.w) AS contrib " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+        s"JOIN o ON e.src = o.src GROUP BY 1) c ON n.node = c.node)"
+    }.mkString(", ")
+    "WITH base AS (SELECT o_custkey AS c, l_suppkey AS s, " +
+      "CAST(count(*) AS DOUBLE) AS w FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+      "e AS (SELECT c AS src, -s AS dst, w FROM base " +
+      "UNION ALL SELECT -s AS src, c AS dst, w FROM base), " +
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "o AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1), " +
+      s"r0 AS (SELECT node, CASE WHEN node IN ($seeds) THEN $share " +
+      "ELSE 0.0 END AS rank FROM n), " +
+      s"$itCtes SELECT node, rank FROM r$iters " +
+      "ORDER BY rank DESC, node LIMIT 20"
+  }
+
   /** DuckDB twin of [[Similarity.kMeansTrain]] (k=8, 3 Lloyd rounds,
     * cosine objective): the iteration unrolled into generated CTEs from
     * the same constants — init = first k vectors, per-round means rounded
@@ -2781,6 +2812,29 @@ object Registry {
           .orderBy(col("rank").desc, col("node").asc).limit(20)
       },
       Some(pageRankOracleSql)),
+
+    ("j41_ppr",
+      // Personalized PageRank (operators/Graph.personalizedPageRank,
+      // seeds = customers 1-3, 5 iterations) on j11's transaction graph:
+      // teleport concentrated on the seeds turns global importance into
+      // proximity-to-the-seeds — the "more like these" recommender /
+      // seed-expansion read. Top-20 by rank.
+      (s: SparkSession, dir: String) => {
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val e = base.select(col("c").as("src"), (-col("s")).as("dst"), col("w"))
+          .unionByName(
+            base.select((-col("s")).as("src"), col("c").as("dst"), col("w")))
+        graft.operators.Graph.personalizedPageRank(
+            e, "src", "dst", "w", Seq(1L, 2L, 3L), 5)
+          .orderBy(col("rank").desc, col("node").asc).limit(20)
+      },
+      Some(pprOracleSql)),
 
     ("x69_kmeans",
       // Lloyd k-means training (k=8, 3 rounds, cosine) — trains the

@@ -139,6 +139,29 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 1L, Some(1.0)), (4L, 1L, 0L, None)))
   }
 
+  test("personalizedPageRank: dangling mass restarts at the seed; hand-computed 3-round path values") {
+    import spark.implicits._
+    // Path 1→2→3, seed {1}: round 3 sees the dangling tail's mass return
+    // to the seed — node1 = .15 + .85·(0 + .7225) = .764125,
+    // node2 = .85·.15 = .1275, node3 = .85·.1275 = .108375; Σ = 1.
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val out = Graph.personalizedPageRank(e, "src", "dst", "w", Seq(1L), 3)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 0.764125), (2L, 0.1275), (3L, 0.108375)))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("personalizedPageRank: non-seed components get rank only via reachability") {
+    import spark.implicits._
+    // Two disjoint cycles; seeding only {1,2} leaves {10,11} at zero.
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (10L, 11L, 1.0), (11L, 10L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = Graph.personalizedPageRank(e, "src", "dst", "w", Seq(1L, 2L), 4)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.filter(_._1 >= 10L).forall(_._2 === 0.0))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("kCore: the peel cascades — a tail vertex's removal demotes its neighbor next round") {
     import spark.implicits._
     // K4 {1,2,3,4} plus tail 4-5-6. k=2: round 1 peels only 6 (deg 1);
