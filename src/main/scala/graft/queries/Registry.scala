@@ -6459,7 +6459,41 @@ object Registry {
         |SELECT n_items, n AS n_ratings,
         |CASE WHEN n * n <> snc2 THEN
         |round(1.0 - ((n - 1) * du) / CAST(n * n - snc2 AS DOUBLE), 6) END
-        |AS alpha FROM sc CROSS JOIN mg""".stripMargin.replace("\n", " ")))
+        |AS alpha FROM sc CROSS JOIN mg""".stripMargin.replace("\n", " "))),
+
+    ("x126_cluster_split",
+      // Cluster-grain train/val/test split — the FIX x71's leakage audit
+      // prescribes: hash the near-dup CLUSTER label (x25's components),
+      // not the doc id, so every near-dup family lands in one split
+      // atomically and cross-split memorization pairs are structurally
+      // zero (spec-pinned). Composition: x25 clustering -> x13's hash
+      // split keyed on cluster_id.
+      (s: SparkSession, dir: String) => {
+        val lab = Dedup.nearDupClusters(Tables.documents(s, dir),
+            "doc_id", "text", 3, 0.8)
+          .select(col("doc_id"), col("cluster_id"))
+        graft.operators.Sampling.split(lab, "cluster_id", "csplit", 80, 10)
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minHashPairsCtes,
+        |p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |UNION SELECT id_b, id_a FROM p),
+        |reach(n, r) AS (
+        |SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM e)
+        |UNION
+        |SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+        |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1),
+        |lab AS (SELECT d.doc_id, coalesce(c.root, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+        |h AS (SELECT doc_id, cluster_id,
+        |('0x' || substr(md5('csplit:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |FROM lab)
+        |SELECT doc_id, cluster_id,
+        |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

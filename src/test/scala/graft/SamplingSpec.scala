@@ -250,6 +250,22 @@ class SamplingSpec extends SparkSpec {
       (4L, 0.0, 1.0), (5L, 0.5, 6.5), (6L, 1.0, 30.0)))
   }
 
+  test("cluster-grain split: every cluster lands atomically, so cross-split near-dup pairs are zero") {
+    import spark.implicits._
+    // 60 docs in 20 clusters of 3: id-grain splitting WOULD scatter some
+    // cluster (80/10/10 over 3 members); cluster-grain cannot.
+    val lab = (1L to 60L).map(i => (i, (i - 1) / 3)).toDF("doc_id", "cluster_id")
+    val out = graft.operators.Sampling.split(lab, "cluster_id", "csplit", 80, 10)
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("ns")).collect()
+    assert(perCluster.forall(_.getLong(1) === 1L))
+    // Within-cluster pairs (the near-dup pair analog) never cross splits.
+    val pairs = (1L to 60L by 3).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val leaks = graft.operators.Sampling.crossSplitPairs(
+      pairs, "id_a", "id_b", out.select($"doc_id", $"split"), "doc_id", "split")
+    assert(leaks.count() === 0L)
+  }
+
   test("rebalanceAudit: rendezvous moves far fewer keys than modulo; identical counts move none") {
     import spark.implicits._
     val ids = (1L to 400L).toDF("id")
