@@ -6493,7 +6493,38 @@ object Registry {
         |SELECT doc_id, cluster_id,
         |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |ELSE 'test' END AS split
-        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("x127_threshold_sweep",
+      // Dedup-yield curve: pair and affected-doc counts at each Jaccard
+      // threshold 0.5..0.9, from ONE run of the x2 pipeline at the
+      // loosest base (banding is threshold-independent, the exact jac
+      // verifies once, the sweep is a literal explode + one agg) — the
+      // evidence a threshold choice is made on, instead of folklore.
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.minHashNearDup(Tables.documents(s, dir),
+          "doc_id", "text", 3, 0.5)
+        pairs
+          .select(explode(typedLit(Seq(0.5, 0.6, 0.7, 0.8, 0.9)))
+            .as("threshold"), col("jaccard"), col("id_a"), col("id_b"))
+          .where(col("jaccard") >= col("threshold"))
+          .select(col("threshold"),
+            explode(array(col("id_a"), col("id_b"))).as("_id"))
+          .groupBy(col("threshold"))
+          .agg((count(lit(1)) / lit(2)).cast("long").as("n_pairs"),
+            countDistinct(col("_id")).cast("long").as("n_docs"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""WITH $minHashPairsCtes,
+        |p AS (SELECT round(jac, 4) AS jr, id_a, id_b FROM j
+        |WHERE jac >= 0.5),
+        |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |f AS (SELECT t.threshold, unnest([p.id_a, p.id_b]) AS id
+        |FROM p JOIN t ON p.jr >= t.threshold)
+        |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+        |CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1 ORDER BY threshold""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =
