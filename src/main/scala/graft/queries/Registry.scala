@@ -6524,6 +6524,62 @@ object Registry {
         |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
         |CAST(count(DISTINCT id) AS BIGINT) AS n_docs
         |FROM f GROUP BY 1 ORDER BY threshold""".stripMargin
+        .replace("\n", " "))),
+
+    ("j42_sole_late_supplier",
+      // TPC-H Q21's correlated-EXISTS shape (suppliers who kept orders
+      // waiting, Q21 per SURVEY's relational-pattern coverage): per
+      // finished multi-supplier order, the supplier who shipped late
+      // (> 60 days past order date) while EVERY co-supplier shipped on
+      // time — one (order, supplier)-grain agg, then a LEFT SEMI (has a
+      // co-supplier) and a LEFT ANTI (no late co-supplier) against the
+      // same frame, broadcast supplier dim, TakeOrdered(20).
+      (s: SparkSession, dir: String) => {
+        val g = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+              .cast("int").as("_late"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("_late")).as("_late"))
+          .localCheckpoint(eager = true) // probed three ways below
+        val others = g.select(col("l_orderkey").as("_ok"),
+          col("l_suppkey").as("_os"), col("_late").as("_ol"))
+        val sole = g.where(col("_late") === 1)
+          .join(others,
+            col("l_orderkey") === col("_ok") &&
+              col("_os") =!= col("l_suppkey"), "left_semi")
+          .join(others.where(col("_ol") === 1),
+            col("l_orderkey") === col("_ok") &&
+              col("_os") =!= col("l_suppkey"), "left_anti")
+        sole
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).cast("long").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_suppkey,
+        |CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'),
+        |g AS (SELECT l_orderkey, l_suppkey, max(late) AS late
+        |FROM l GROUP BY 1, 2),
+        |f AS (SELECT a.l_orderkey, a.l_suppkey FROM g a
+        |WHERE a.late = 1
+        |AND EXISTS (SELECT 1 FROM g b WHERE b.l_orderkey = a.l_orderkey
+        |AND b.l_suppkey <> a.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM g c WHERE c.l_orderkey = a.l_orderkey
+        |AND c.l_suppkey <> a.l_suppkey AND c.late = 1))
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM f JOIN supplier s ON s.s_suppkey = f.l_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
         .replace("\n", " ")))
   )
 
