@@ -783,6 +783,26 @@ object Registry {
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB twin of the x128 declared-vs-predicted confusion matrix:
+    * the langId CTEs joined back to the documents' lang column. */
+  private def langConsistencyOracleSql: String = {
+    val branches = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$lang' AS cand_lang, " +
+        s"CAST(len(list_filter(t, x -> list_contains($lst, x))) AS INT) AS score FROM toks"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sc AS ($branches),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM sc)
+       |SELECT d.lang, r.cand_lang AS pred_lang,
+       |CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+       |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+      .replace("\n", " ")
+  }
+
   // =========================================================================
   // Pipeline aggregations (SURVEY §2.3 A4-A9, §2.2 T1/T3)
   // =========================================================================
@@ -6580,7 +6600,24 @@ object Registry {
         |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM f JOIN supplier s ON s.s_suppkey = f.l_suppkey
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("x128_lang_consistency",
+      // Declared-vs-predicted language confusion matrix: x8's marker
+      // langId joined back to the documents' own `lang` column — the
+      // metadata-trust audit run before filtering BY declared language
+      // (a mislabeled source silently empties a language bucket). One
+      // doc-key equi-join of two projections, one dictionary-grain agg.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.langId(docs)
+            .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(langConsistencyOracleSql))
   )
 
   def queries: Map[String, Q] =
