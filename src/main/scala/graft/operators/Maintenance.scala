@@ -287,6 +287,49 @@ object Maintenance {
       groupCol, edges.size + 1)
   }
 
+  /** Welch's unequal-variance t-test of each group's mean against the
+    * REST of the table (Welch 1947): the "is this source's length/quality
+    * distribution actually different, or n-of-25 luck" read that turns
+    * x99's per-group moments into a decision statistic — with the
+    * Welch–Satterthwaite df so a small source never borrows the big
+    * pool's certainty. No p-value (no portable CDF in either engine);
+    * the consumer compares |t| against the t-table at df.
+    *
+    * One-pass shape: per-group exact BIGINT power sums (n, Σx, Σx²), the
+    * complement's sums derived by SUBTRACTION from one broadcast global
+    * row — never a second scan, never a group×group join. Every double
+    * derives from exact integer sums, so there is NO summation-order
+    * noise anywhere; 4 dp rounding is pure presentation. Groups (or
+    * complements) with fewer than 2 rows or zero pooled variance emit
+    * NULL statistics, not a divide error. */
+  def welchTTest(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val s = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("_n"),
+        sum(col(valueCol)).cast("long").as("_sx"),
+        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx"))
+    val g = s.agg(sum(col("_n")).as("_gn"), sum(col("_sx")).as("_gsx"),
+      sum(col("_sxx")).as("_gsxx"))
+    val m = col("_gn") - col("_n")
+    val mean1 = col("_sx").cast("double") / col("_n")
+    val mean2 = (col("_gsx") - col("_sx")).cast("double") / m
+    val v1 = (col("_sxx") - col("_sx").cast("double") * col("_sx") /
+      col("_n")) / (col("_n") - 1L)
+    val v2 = ((col("_gsxx") - col("_sxx")) -
+      (col("_gsx") - col("_sx")).cast("double") *
+        (col("_gsx") - col("_sx")) / m) / (m - 1L)
+    val a = v1 / col("_n")
+    val b = v2 / m
+    s.crossJoin(broadcast(g))
+      .select(col(groupCol), col("_n").as("n"),
+        round(mean1, 4).as("mean_src"), round(mean2, 4).as("mean_rest"),
+        when(col("_n") >= 2L && m >= 2L && a + b > 0.0,
+          round((mean1 - mean2) / sqrt(a + b), 4)).as("t_stat"),
+        when(col("_n") >= 2L && m >= 2L && a + b > 0.0,
+          round((a + b) * (a + b) /
+            (a * a / (col("_n") - 1L) + b * b / (m - 1L)), 4)).as("df"))
+  }
+
   /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
     * the batch operator and the streaming monitor, whose maintained
     * additive count state IS such a table. */

@@ -6617,7 +6617,42 @@ object Registry {
           .agg(count(lit(1)).cast("long").as("n_docs"))
           .orderBy(col("lang"), col("pred_lang"))
       },
-      Some(langConsistencyOracleSql))
+      Some(langConsistencyOracleSql)),
+
+    ("x129_welch_t",
+      // Welch's t of each source's mean length vs the REST
+      // (operators/Maintenance.welchTTest): x99's moments turned into a
+      // decision statistic with the Welch-Satterthwaite df; complement
+      // sums by subtraction from one broadcast global row — one pass,
+      // zero summation-order noise (all inputs exact BIGINT sums).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.welchTTest(
+            Tables.documents(s, dir), "source", "n_chars")
+          .orderBy(col("source")),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(n_chars) AS BIGINT) AS sx,
+        |CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+        |CAST(sum(sx) AS BIGINT) AS gsx,
+        |CAST(sum(sxx) AS BIGINT) AS gsxx FROM s),
+        |w AS (SELECT s.source, s.n, g.gn - s.n AS m,
+        |CAST(s.sx AS DOUBLE) / s.n AS mean1,
+        |CAST(g.gsx - s.sx AS DOUBLE) / (g.gn - s.n) AS mean2,
+        |(s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n) / (s.n - 1) AS v1,
+        |((g.gsxx - s.sxx) - CAST(g.gsx - s.sx AS DOUBLE) * (g.gsx - s.sx)
+        |/ (g.gn - s.n)) / (g.gn - s.n - 1) AS v2
+        |FROM s CROSS JOIN g),
+        |f AS (SELECT source, n, m, mean1, mean2, v1 / n AS a, v2 / m AS b
+        |FROM w)
+        |SELECT source, n, round(mean1, 4) AS mean_src,
+        |round(mean2, 4) AS mean_rest,
+        |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
+        |round((mean1 - mean2) / sqrt(a + b), 4) END AS t_stat,
+        |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
+        |round((a + b) * (a + b) / (a * a / (n - 1) + b * b / (m - 1)), 4)
+        |END AS df
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -197,6 +197,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(s.length === 2 && s.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("welchTTest: hand-computed symmetric two-group case; tiny groups emit NULL") {
+    import spark.implicits._
+    // a = {1,2,3} vs rest b = {11,12,13}: t = −10/√(2/3) = −12.2474,
+    // df = (2/3)²/((1/9)/2·2) = 4. Group b mirrors with +t.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "v")
+    val out = graft.operators.Maintenance.welchTTest(df, "g", "v")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(("a", 3L, -12.2474, 4.0), ("b", 3L, 12.2474, 4.0)))
+    // A 1-row group (or 1-row complement) has no variance → NULL stats.
+    val tiny = Seq(("c", 5L), ("d", 6L), ("d", 7L)).toDF("g", "v")
+    val t2 = graft.operators.Maintenance.welchTTest(tiny, "g", "v")
+      .orderBy($"g").collect()
+    assert(t2.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
