@@ -330,6 +330,47 @@ object Maintenance {
             (a * a / (col("_n") - 1L) + b * b / (m - 1L)), 4)).as("df"))
   }
 
+  /** Mann–Whitney U of each group against the REST (Mann & Whitney
+    * 1947) — [[welchTTest]]'s nonparametric twin: rank-based, so a
+    * heavy-tailed or skewed length distribution can't fake (or mask) a
+    * shift the way it can with means. Ties credit half (the exact
+    * Mann–Whitney convention — the same rank-sum fold as the AUC family:
+    * U = Σ_v np_v·(cum_nn + nn_v/2) at (group, distinct-value) grain);
+    * z uses the no-ties normal approximation, documented as such.
+    *
+    * Scale shape: one (group, value) agg, one value-grain agg; the dense
+    * (group × value) frame comes from each VALUE row exploding the
+    * collected group dictionary (bounded driver metadata, the x80
+    * collect discipline) — a generator + equi-join, never a cross join
+    * of frames; the running window partitions per GROUP. */
+  def mannWhitneyU(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).as("_v"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(eager = true) // value-grain + group-dictionary reads
+    val gv = g.groupBy(col("_v")).agg(sum(col("_c")).cast("long").as("_ct"))
+    val groups: Seq[String] = g.select(col("_g")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val sv = gv.select(explode(typedlit(groups)).as("_g"), col("_v"),
+        col("_ct"))
+      .join(g, Seq("_g", "_v"), "left").na.fill(0L, Seq("_c"))
+      .select(col("_g"), col("_v"), col("_c").as("_np"),
+        (col("_ct") - col("_c")).as("_nn"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sv.withColumn("_cum", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .groupBy(col("_g"))
+      .agg(sum(col("_np")).cast("long").as("_n1"),
+        sum(col("_nn")).cast("long").as("_n2"),
+        sum(col("_np") * (col("_cum") + col("_nn") / lit(2.0))).as("_u"))
+      .select(col("_g").as(groupCol), col("_n1").as("n1"),
+        round(col("_u"), 1).as("u_stat"),
+        round((col("_u") - col("_n1") * col("_n2") / lit(2.0)) /
+          sqrt(col("_n1") * col("_n2") *
+            (col("_n1") + col("_n2") + lit(1.0)) / lit(12.0)), 4).as("z"))
+  }
+
   /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
     * the batch operator and the streaming monitor, whose maintained
     * additive count state IS such a table. */

@@ -6652,7 +6652,36 @@ object Registry {
         |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
         |round((a + b) * (a + b) / (a * a / (n - 1) + b * b / (m - 1)), 4)
         |END AS df
-        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("j43_mann_whitney",
+      // Mann-Whitney U per source vs rest (operators/Maintenance
+      // .mannWhitneyU) on document lengths: x129's nonparametric twin —
+      // rank-based, tie-credited-half via the AUC family's rank-sum
+      // fold; z by the no-ties normal approximation.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.mannWhitneyU(
+            Tables.documents(s, dir), "source", "n_chars")
+          .orderBy(col("source")),
+      Some("""WITH g AS (SELECT source, n_chars AS v,
+        |CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+        |sv AS (SELECT s.source, gv.v,
+        |coalesce(g.c, 0) AS np, gv.ct - coalesce(g.c, 0) AS nn
+        |FROM (SELECT DISTINCT source FROM g) s
+        |CROSS JOIN gv
+        |LEFT JOIN g ON g.source = s.source AND g.v = gv.v),
+        |w AS (SELECT source, v, np, nn,
+        |coalesce(sum(nn) OVER (PARTITION BY source ORDER BY v
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |FROM sv),
+        |u AS (SELECT source, CAST(sum(np) AS BIGINT) AS n1,
+        |CAST(sum(nn) AS BIGINT) AS n2,
+        |sum(np * (cum + nn / 2.0)) AS uu FROM w GROUP BY 1)
+        |SELECT source, n1, round(uu, 1) AS u_stat,
+        |round((uu - n1 * n2 / 2.0) /
+        |sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
+        |FROM u ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -214,6 +214,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(t2.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  test("mannWhitneyU: full separation gives extreme U; an exact tie credits half and zeroes z") {
+    import spark.implicits._
+    // a = {1,2,3} entirely below b = {4,5,6}: U_a = 0, U_b = 9,
+    // z = ∓4.5/√5.25 = ∓1.964.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val out = graft.operators.Maintenance.mannWhitneyU(df, "g", "v")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", 3L, 0.0, -1.964), ("b", 3L, 9.0, 1.964)))
+    // One tied value on each side: U = 0.5 each (half credit), z = 0.
+    val tie = Seq(("a", 1L), ("b", 1L)).toDF("g", "v")
+    val t = graft.operators.Maintenance.mannWhitneyU(tie, "g", "v")
+      .orderBy($"g").collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(t.toSeq === Seq((0.5, 0.0), (0.5, 0.0)))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
