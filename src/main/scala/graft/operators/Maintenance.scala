@@ -303,11 +303,18 @@ object Maintenance {
     * complements) with fewer than 2 rows or zero pooled variance emit
     * NULL statistics, not a divide error. */
   def welchTTest(df: DataFrame, groupCol: String,
-                 valueCol: String): DataFrame = {
-    val s = df.groupBy(col(groupCol))
+                 valueCol: String): DataFrame =
+    welchFromSums(df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("_n"),
         sum(col(valueCol)).cast("long").as("_sx"),
-        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx"))
+        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx")),
+      groupCol)
+
+  /** The Welch fold over a pre-aggregated (group, _n, _sx, _sxx)
+    * power-sum table — shared by the batch operator and the streaming
+    * monitor, whose maintained additive state IS such a table. */
+  private[graft] def welchFromSums(s: DataFrame,
+                                   groupCol: String): DataFrame = {
     val g = s.agg(sum(col("_n")).as("_gn"), sum(col("_sx")).as("_gsx"),
       sum(col("_sxx")).as("_gsxx"))
     val m = col("_gn") - col("_n")

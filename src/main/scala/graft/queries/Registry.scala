@@ -6681,7 +6681,43 @@ object Registry {
         |SELECT source, n1, round(uu, 1) AS u_stat,
         |round((uu - n1 * n2 / 2.0) /
         |sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
-        |FROM u ORDER BY source""".stripMargin.replace("\n", " ")))
+        |FROM u ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("s30_stream_welch",
+      // X129 under streaming (streaming/Streaming.runStreamWelch):
+      // power sums are GENUINELY additive, so the source-grain state
+      // absorbs partial sums directly — no day-grain detour — and the
+      // read-time Welch fold equals batch x129 exactly; its oracle
+      // verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s30")
+        graft.streaming.Streaming.runStreamWelch(s, dir, base + "/welch")
+          .orderBy(col("source"))
+      },
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(n_chars) AS BIGINT) AS sx,
+        |CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+        |CAST(sum(sx) AS BIGINT) AS gsx,
+        |CAST(sum(sxx) AS BIGINT) AS gsxx FROM s),
+        |w AS (SELECT s.source, s.n, g.gn - s.n AS m,
+        |CAST(s.sx AS DOUBLE) / s.n AS mean1,
+        |CAST(g.gsx - s.sx AS DOUBLE) / (g.gn - s.n) AS mean2,
+        |(s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n) / (s.n - 1) AS v1,
+        |((g.gsxx - s.sxx) - CAST(g.gsx - s.sx AS DOUBLE) * (g.gsx - s.sx)
+        |/ (g.gn - s.n)) / (g.gn - s.n - 1) AS v2
+        |FROM s CROSS JOIN g),
+        |f AS (SELECT source, n, m, mean1, mean2, v1 / n AS a, v2 / m AS b
+        |FROM w)
+        |SELECT source, n, round(mean1, 4) AS mean_src,
+        |round(mean2, 4) AS mean_rest,
+        |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
+        |round((mean1 - mean2) / sqrt(a + b), 4) END AS t_stat,
+        |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
+        |round((a + b) * (a + b) / (a * a / (n - 1) + b * b / (m - 1)), 4)
+        |END AS df
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

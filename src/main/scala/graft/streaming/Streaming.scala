@@ -1632,6 +1632,42 @@ object Streaming {
     graft.operators.TimeSeries.olsTrend(series, "event_type", "_day", "_n")
   }
 
+  /** X129's Welch t-test under streaming — the cleanest state story in
+    * the monitor family: power sums (n, Σx, Σx²) are GENUINELY additive,
+    * so the state table at source grain absorbs each micro-batch's
+    * partial sums directly (no day-grain detour like s25/s27/s29) and
+    * the Welch fold at read time equals batch x129 bit-for-bit (its
+    * oracle verbatim; all state is exact BIGINT, so replay-idempotence
+    * is integer-exact too). */
+  def runStreamWelch(spark: SparkSession, dir: String,
+                     base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("source"), Seq("n", "sx", "sxx"), additive = true)
+    val landing = stagedDocSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema(graft.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("sx"),
+            sum(col("n_chars") * col("n_chars")).cast("long").as("sxx")),
+          id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Maintenance.welchFromSums(
+      sink.state(spark).get
+        .select(col("source"), col("n").cast("long").as("_n"),
+          col("sx").cast("long").as("_sx"),
+          col("sxx").cast("long").as("_sxx")),
+      "source")
+  }
+
   /** X116's Population Stability Index under streaming — the ingest-drift
     * monitor in always-on shape: per micro-batch the documents slice
     * bins by the FIXED literal edges and its (source, bin) counts ADD

@@ -839,6 +839,20 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming Welch equals the one-shot batch test; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s30")
+    val streamed = Streaming.runStreamWelch(spark, dir, base + "/welch")
+    val batch = graft.operators.Maintenance.welchTTest(
+      Tables.documents(spark, dir), "source", "n_chars")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: double-added power sums shift every mean
+    // and variance — the batch markers must skip the re-applied slice.
+    rollbackLastCommit(base + "/welch/ckpt")
+    val second = Streaming.runStreamWelch(spark, dir, base + "/welch")
+    assertSameRows(second, batch)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
