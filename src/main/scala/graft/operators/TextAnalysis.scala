@@ -271,6 +271,67 @@ object TextAnalysis {
         round(col("covered") * lit(1.0) / col("_t"), 4).as("coverage"))
   }
 
+  /** Byte-Pair Encoding merge training (Sennrich et al. 2016) — the
+    * actual tokenizer-training loop, not just x55's one-shot pair count:
+    * starting from characters (+ the `</w>` end-of-word marker), each
+    * round counts corpus-weighted adjacent symbol pairs, takes the most
+    * frequent (ties to the lexicographically smallest), and merges EVERY
+    * occurrence greedily left-to-right. Output: the ordered merge table
+    * (step, lhs, rhs, merged, n) — the artifact a BPE tokenizer ships.
+    *
+    * The merge is pure string algebra, identical on both engines: words
+    * are kept as DOUBLE-space-joined symbol strings padded with a double
+    * space, and merging (A,B) is `replace(s, " A  B ", " AB ")` — the
+    * pattern consumes one space of each outer double, the replacement
+    * restores it, so back-to-back occurrences still match (a single-
+    * space encoding breaks here: the first match eats the next match's
+    * leading separator) and a pattern can never match inside a longer
+    * symbol (symbol edges always carry ≥ 2 spaces). Plain left-to-right
+    * non-overlapping replace IS BPE's greedy merge order. Everything is
+    * exact integer counting — no doubles anywhere.
+    *
+    * Scale shape per round: the state is the WORD-FREQUENCY table
+    * (vocabulary grain — BPE classically trains on it, never the
+    * corpus); one array-local pair explode + one map-side-combined agg +
+    * one TakeOrdered(1) collect (bounded: a single row per round — the
+    * kMeans loop discipline) + one replace projection; localCheckpoint
+    * truncates the per-round lineage. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("_cnt"))
+      .select(concat(lit("  "),
+        array_join(concat(split(col("_w"), ""), array(lit("</w>"))), "  "),
+        lit("  ")).as("_s"), col("_cnt"))
+      .localCheckpoint(eager = true)
+    val out = (1 to merges).map { step =>
+      val syms = filter(split(col("_s"), "  "), x => length(x) > 0)
+      val top = words
+        .select(col("_cnt"), explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("_l"),
+                element_at(syms, i + 1).as("_r"))))
+          .otherwise(array().cast("array<struct<_l:string,_r:string>>")))
+          .as("_p"))
+        .groupBy(col("_p._l").as("_l"), col("_p._r").as("_r"))
+        .agg(sum(col("_cnt")).cast("long").as("_n"))
+        .orderBy(col("_n").desc, col("_l").asc, col("_r").asc)
+        .limit(1).collect().head
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      words = words
+        .select(replace(col("_s"), lit(s" $l  $r "), lit(s" $l$r "))
+          .as("_s"), col("_cnt"))
+        .localCheckpoint(eager = true)
+      (step, l, r, l + r, n)
+    }
+    out.toDF("step", "lhs", "rhs", "merged", "n")
+      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
+        col("merged"), col("n").cast("long").as("n"))
+  }
+
   /** Pairwise Jensen–Shannon divergence matrix between the sources'
     * unigram distributions — the SYMMETRIC, bounded [0, ln 2] companion
     * of x101's one-vs-corpus KL: which pairs of sources are

@@ -783,6 +783,44 @@ object Registry {
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB twin of [[TextAnalysis.bpeTrain]]: the merge loop unrolled as
+    * chained CTEs (fixed-point discipline) over the same double-space
+    * symbol-string algebra — plain `replace` IS the greedy merge on both
+    * engines. Pure integer counting, no rounding anywhere. */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val head =
+      """w0 AS MATERIALIZED (SELECT '  ' ||
+        | array_to_string(list_append(str_split(w, ''), '</w>'), '  ')
+        | || '  ' AS s, CAST(count(*) AS BIGINT) AS cnt FROM
+        | (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        | t -> t <> '')) AS w FROM documents) GROUP BY 1)"""
+        .stripMargin.replace("\n", "")
+    val rounds = (1 to merges).flatMap { i =>
+      val p = i - 1
+      Seq(
+        s"sy$i AS (SELECT cnt, list_filter(str_split(s, '  '), " +
+          s"x -> x <> '') AS sm FROM w$p)",
+        s"p$i AS (SELECT pr.l AS lhs, pr.r AS rhs, " +
+          "CAST(sum(cnt) AS BIGINT) AS n FROM (SELECT cnt, " +
+          "unnest(CASE WHEN len(sm) >= 2 THEN " +
+          "list_transform(generate_series(1, len(sm) - 1), " +
+          "j -> struct_pack(l := sm[j], r := sm[j+1])) ELSE [] END) AS pr " +
+          s"FROM sy$i) GROUP BY 1, 2)",
+        s"t$i AS (SELECT lhs, rhs, n FROM p$i " +
+          "ORDER BY n DESC, lhs, rhs LIMIT 1)",
+        s"w$i AS MATERIALIZED (SELECT replace(w.s, " +
+          "' ' || t.lhs || '  ' || t.rhs || ' ', " +
+          "' ' || t.lhs || t.rhs || ' ') AS s, w.cnt " +
+          s"FROM w$p w, t$i t)")
+    }
+    val finals = (1 to merges).map(i =>
+      s"SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, n FROM t$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${(head +: rounds).mkString(", ")} " +
+      s"SELECT CAST(step AS INT) AS step, lhs, rhs, merged, n " +
+      s"FROM ($finals) ORDER BY step"
+  }
+
   /** DuckDB twin of the x128 declared-vs-predicted confusion matrix:
     * the langId CTEs joined back to the documents' lang column. */
   private def langConsistencyOracleSql: String = {
@@ -6717,7 +6755,18 @@ object Registry {
         |CASE WHEN n >= 2 AND m >= 2 AND a + b > 0 THEN
         |round((a + b) * (a + b) / (a * a / (n - 1) + b * b / (m - 1)), 4)
         |END AS df
-        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("x130_bpe_train",
+      // Full BPE merge training (operators/TextAnalysis.bpeTrain, 8
+      // merges): the actual tokenizer-training loop x55's one-shot pair
+      // count stops short of — per round a corpus-weighted pair count on
+      // the word-frequency table, lexicographic-tie top-1, and a greedy
+      // left-to-right merge via double-space string algebra; pure
+      // integer counting, oracle unrolled.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", 8),
+      Some(bpeTrainOracleSql(8)))
   )
 
   def queries: Map[String, Q] =

@@ -408,6 +408,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(zd("a") === 10.0 && zd("b") === 10.0)
   }
 
+  test("bpeTrain: hand-traced merges — lexicographic tie-break, then the merged symbol pairs on") {
+    import spark.implicits._
+    // Corpus "aa aa ab": round 1 ties (a,a) with (a,</w>) at 2 — '<' sorts
+    // before 'a', so (a,</w>) wins; round 2 merges (a, a</w>) from the
+    // rewritten words, proving merged symbols participate atomically.
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeTrain(docs, "text", 2)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1, "a", "</w>", "a</w>", 2L), (2, "a", "a</w>", "aa</w>", 2L)))
+  }
+
   test("jsdMatrix: hand-computed mirrored pair; zero-overlap pairs are absent") {
     import spark.implicits._
     // a = {x:2/3, y:1/3}, b mirrored → m = {1/2, 1/2}:
