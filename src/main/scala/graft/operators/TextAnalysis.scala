@@ -300,14 +300,30 @@ object TextAnalysis {
                merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMerges(docs, textCol, merges)
+      .toDF("step", "lhs", "rhs", "merged", "n")
+      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
+        col("merged"), col("n").cast("long").as("n"))
+  }
+
+  /** The double-space symbol-string encoding of a word column (see
+    * [[bpeTrain]] for the algebra). */
+  private def symString(wordCol: Column): Column =
+    concat(lit("  "),
+      array_join(concat(split(wordCol, ""), array(lit("</w>"))), "  "),
+      lit("  "))
+
+  /** The training loop proper — returns the ordered merge list as
+    * bounded driver metadata, shared by [[bpeTrain]] (which tabulates
+    * it) and [[bpeEncode]] (which replays it over new text). */
+  private[graft] def bpeMerges(docs: DataFrame, textCol: String,
+                               merges: Int): Seq[(Int, String, String, String, Long)] = {
     var words = docs
       .select(explode(tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("_cnt"))
-      .select(concat(lit("  "),
-        array_join(concat(split(col("_w"), ""), array(lit("</w>"))), "  "),
-        lit("  ")).as("_s"), col("_cnt"))
+      .select(symString(col("_w")).as("_s"), col("_cnt"))
       .localCheckpoint(eager = true)
-    val out = (1 to merges).map { step =>
+    (1 to merges).map { step =>
       val syms = filter(split(col("_s"), "  "), x => length(x) > 0)
       val top = words
         .select(col("_cnt"), explode(when(size(syms) >= 2,
@@ -327,9 +343,39 @@ object TextAnalysis {
         .localCheckpoint(eager = true)
       (step, l, r, l + r, n)
     }
-    out.toDF("step", "lhs", "rhs", "merged", "n")
-      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
-        col("merged"), col("n").cast("long").as("n"))
+  }
+
+  /** BPE encoding pass — [[bpeTrain]]'s read leg (the pq train/encode
+    * pairing): replay the ordered merge list over text and count the
+    * resulting SUBWORD tokens per document, the real sequence-length
+    * number x10's whitespace proxy stands in for (what packing, pricing
+    * and context-window budgeting actually consume).
+    *
+    * Scale shape: merges apply to the DISTINCT-word table (vocabulary
+    * grain — the same chain of `merges` replace projections as
+    * training, never per-occurrence), and per-doc totals come from one
+    * (doc, word)-grain count joined against that bounded dictionary —
+    * broadcast when small. Integer-exact end to end. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                trainMerges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    val docWords = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val encoded = trainMerges.foldLeft(
+        docWords.select(col("_w")).distinct()
+          .withColumn("_s", symString(col("_w")))) {
+        case (df, (_, l, r, _, _)) =>
+          df.withColumn("_s",
+            replace(col("_s"), lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+      .select(col("_w"),
+        size(filter(split(col("_s"), "  "), x => length(x) > 0))
+          .cast("long").as("_nsym"))
+    docWords.join(broadcast(encoded), Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).cast("long").as("n_ws_tokens"),
+        sum(col("_c") * col("_nsym")).cast("long").as("n_bpe_tokens"))
   }
 
   /** Pairwise Jensen–Shannon divergence matrix between the sources'

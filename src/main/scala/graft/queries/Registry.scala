@@ -821,6 +821,35 @@ object Registry {
       s"FROM ($finals) ORDER BY step"
   }
 
+  /** DuckDB twin of [[TextAnalysis.bpeEncode]] after an in-oracle train:
+    * the x130 CTE chain, then the merge list replayed over the DISTINCT
+    * word dictionary (the same vocabulary-grain replace chain the engine
+    * runs) and per-doc subword totals from the (doc, word) counts. */
+  private def bpeEncodeOracleSql(merges: Int): String = {
+    val trainSql = bpeTrainOracleSql(merges)
+    val ctes = trainSql.substring("WITH ".length,
+      trainSql.indexOf(" SELECT CAST(step"))
+    val encodeRounds = (1 to merges).map { i =>
+      s"v$i AS (SELECT v.w, replace(v.s, " +
+        "' ' || t.lhs || '  ' || t.rhs || ' ', " +
+        s"' ' || t.lhs || t.rhs || ' ') AS s FROM v${i - 1} v, t$i t)"
+    }.mkString(", ")
+    s"WITH $ctes, " +
+      "dw AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c " +
+      "FROM (SELECT doc_id, " +
+      """unnest(list_filter(regexp_split_to_array(text, '\s+'), """ +
+      "t -> t <> '')) AS w FROM documents) GROUP BY 1, 2), " +
+      "v0 AS (SELECT DISTINCT w, '  ' || " +
+      "array_to_string(list_append(str_split(w, ''), '</w>'), '  ') " +
+      "|| '  ' AS s FROM dw), " +
+      s"$encodeRounds, " +
+      s"enc AS (SELECT w, CAST(len(list_filter(str_split(s, '  '), " +
+      s"x -> x <> '')) AS BIGINT) AS nsym FROM v$merges) " +
+      "SELECT dw.doc_id, CAST(sum(dw.c) AS BIGINT) AS n_ws_tokens, " +
+      "CAST(sum(dw.c * enc.nsym) AS BIGINT) AS n_bpe_tokens " +
+      "FROM dw JOIN enc USING (w) GROUP BY 1 ORDER BY doc_id"
+  }
+
   /** DuckDB twin of the x128 declared-vs-predicted confusion matrix:
     * the langId CTEs joined back to the documents' lang column. */
   private def langConsistencyOracleSql: String = {
@@ -6766,7 +6795,21 @@ object Registry {
       // integer counting, oracle unrolled.
       (s: SparkSession, dir: String) =>
         TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", 8),
-      Some(bpeTrainOracleSql(8)))
+      Some(bpeTrainOracleSql(8))),
+
+    ("x131_bpe_encode",
+      // BPE encode (operators/TextAnalysis.bpeEncode): x130's trained
+      // merge list replayed over the corpus — per-doc REAL subword
+      // counts, the sequence-length number x10's whitespace proxy stands
+      // in for; merges apply once to the distinct-word dictionary, never
+      // per occurrence.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bpeEncode(docs, "doc_id", "text",
+            TextAnalysis.bpeMerges(docs, "text", 8))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql(8)))
   )
 
   def queries: Map[String, Q] =

@@ -422,6 +422,18 @@ class TextAnalysisSpec extends SparkSpec {
       (1, "a", "</w>", "a</w>", 2L), (2, "a", "a</w>", "aa</w>", 2L)))
   }
 
+  test("bpeEncode: trained merges collapse frequent words to single tokens, rare words stay split") {
+    import spark.implicits._
+    // With x130's 2 hand-traced merges, "aa" encodes to the single token
+    // aa</w> while "ab" stays [a, b, </w>]: doc total 1+1+3 = 5 subwords
+    // over 3 whitespace tokens.
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", 2)
+    val out = graft.operators.TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", merges).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((1L, 3L, 5L)))
+  }
+
   test("jsdMatrix: hand-computed mirrored pair; zero-overlap pairs are absent") {
     import spark.implicits._
     // a = {x:2/3, y:1/3}, b mirrored → m = {1/2, 1/2}:
