@@ -378,6 +378,54 @@ object Maintenance {
             (col("_n1") + col("_n2") + lit(1.0)) / lit(12.0)), 4).as("z"))
   }
 
+  /** Spearman rank correlation per group (Spearman 1904), tie-corrected:
+    * Pearson over AVERAGE ranks, the exact convention every stats
+    * package uses — monotone association that a heavy tail can't
+    * inflate the way it inflates Pearson on raw values. The natural
+    * companion read to [[mannWhitneyU]]: same rank machinery, but
+    * between two COLUMNS rather than one column across two groups.
+    *
+    * Scale shape: collapse to the joint (group, x, y) value grid FIRST
+    * (one hash agg — the only pass over the data), then derive each
+    * marginal's average ranks from grid-grain running sums
+    * (rank(v) = count-below + (ties+1)/2) and join them back at grid
+    * grain. Windows and joins all run at dictionary-product grain,
+    * never row grain. Ranks are exact halves and every power sum stays
+    * under 2^51, so the double arithmetic is EXACT — no summation-order
+    * noise; 4 dp rounding is presentation. Degenerate groups (a
+    * constant column ⇒ zero rank variance) emit NULL rho, not NaN. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val cell = df.groupBy(col(groupCol).as("_g"), col(xCol).as("_x"),
+        col(yCol).as("_y"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(eager = true) // joint grid + two marginal reads
+    def ranks(vCol: String, cnt: String, rk: String): DataFrame = {
+      val w = Window.partitionBy(col("_g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cell.groupBy(col("_g"), col(vCol))
+        .agg(sum(col("_c")).cast("long").as(cnt))
+        .withColumn(rk, coalesce(sum(col(cnt)).over(w), lit(0L)) +
+          (col(cnt) + 1L) / lit(2.0))
+        .drop(cnt)
+    }
+    val n = col("_n").cast("double")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val den = sqrt(n * col("_sxx") - col("_sx") * col("_sx")) *
+      sqrt(n * col("_syy") - col("_sy") * col("_sy"))
+    cell.join(broadcast(ranks("_x", "_cx", "_rx")), Seq("_g", "_x"))
+      .join(broadcast(ranks("_y", "_cy", "_ry")), Seq("_g", "_y"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).cast("long").as("_n"),
+        sum(col("_c") * col("_rx")).as("_sx"),
+        sum(col("_c") * col("_ry")).as("_sy"),
+        sum(col("_c") * col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_c") * col("_ry") * col("_ry")).as("_syy"),
+        sum(col("_c") * col("_rx") * col("_ry")).as("_sxy"))
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        when(den > 0.0, round(num / den, 4)).as("rho"))
+  }
+
   /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
     * the batch operator and the streaming monitor, whose maintained
     * additive count state IS such a table. */

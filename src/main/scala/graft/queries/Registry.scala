@@ -6809,7 +6809,40 @@ object Registry {
             TextAnalysis.bpeMerges(docs, "text", 8))
           .orderBy(col("doc_id"))
       },
-      Some(bpeEncodeOracleSql(8)))
+      Some(bpeEncodeOracleSql(8))),
+
+    ("j44_spearman",
+      // Spearman rank correlation per return flag between quantity and
+      // discount (operators/Maintenance.spearman): tie-corrected
+      // (Pearson over average ranks), computed entirely at the joint
+      // value-grid grain — the monotone-association read Pearson on raw
+      // values can't give under heavy tails.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.spearman(
+            Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
+            "l_discount")
+          .orderBy(col("l_returnflag")),
+      Some("""WITH cell AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |l_discount AS y, CAST(count(*) AS BIGINT) AS c
+        |FROM lineitem GROUP BY 1, 2, 3),
+        |rx AS (SELECT g, x, coalesce(sum(cx) OVER (PARTITION BY g
+        |ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |+ (cx + 1) / 2.0 AS rx FROM (SELECT g, x,
+        |CAST(sum(c) AS BIGINT) AS cx FROM cell GROUP BY 1, 2)),
+        |ry AS (SELECT g, y, coalesce(sum(cy) OVER (PARTITION BY g
+        |ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |+ (cy + 1) / 2.0 AS ry FROM (SELECT g, y,
+        |CAST(sum(c) AS BIGINT) AS cy FROM cell GROUP BY 1, 2)),
+        |s AS (SELECT cell.g, CAST(sum(c) AS BIGINT) AS n,
+        |sum(c * rx) AS sx, sum(c * ry) AS sy, sum(c * rx * rx) AS sxx,
+        |sum(c * ry * ry) AS syy, sum(c * rx * ry) AS sxy
+        |FROM cell JOIN rx ON cell.g = rx.g AND cell.x = rx.x
+        |JOIN ry ON cell.g = ry.g AND cell.y = ry.y GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+        |THEN round((n * sxy - sx * sy) /
+        |(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) END AS rho
+        |FROM s ORDER BY l_returnflag""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -231,6 +231,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toSeq === Seq((0.5, 0.0), (0.5, 0.0)))
   }
 
+  test("spearman: perfect monotone gives ±1; ties use average ranks; constants emit NULL") {
+    import spark.implicits._
+    // Group a: y strictly increases with x → rho = 1 exactly (monotone
+    // but NONLINEAR: Pearson on raw values would be < 1). Group b: y
+    // strictly decreases → −1.
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 10.0), ("a", 3L, 100.0),
+      ("b", 1L, 3.0), ("b", 2L, 2.0), ("b", 3L, 1.0)).toDF("g", "x", "y")
+    val out = graft.operators.Maintenance.spearman(df, "g", "x", "y")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 3L, 1.0), ("b", 3L, -1.0)))
+    // Hand-computed tied case (the MaintenanceSpec x=[1,2,2,3],
+    // y=[.1,.1,.2,.3] classic): average ranks rx=[1,2.5,2.5,4],
+    // ry=[1.5,1.5,3,4] → rho = 0.8333.
+    val tied = Seq(("t", 1L, 0.1), ("t", 2L, 0.1), ("t", 2L, 0.2),
+      ("t", 3L, 0.3)).toDF("g", "x", "y")
+    val r = graft.operators.Maintenance.spearman(tied, "g", "x", "y")
+      .collect().head
+    assert(r.getLong(1) === 4L && r.getDouble(2) === 0.8333)
+    // A constant column has zero rank variance → NULL, not NaN.
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0)).toDF("g", "x", "y")
+    val c = graft.operators.Maintenance.spearman(const, "g", "x", "y")
+      .collect().head
+    assert(c.isNullAt(2))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
