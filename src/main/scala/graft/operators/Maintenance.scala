@@ -426,6 +426,42 @@ object Maintenance {
         when(den > 0.0, round(num / den, 4)).as("rho"))
   }
 
+  /** One-way ANOVA F across ALL groups (Fisher 1925) — [[welchTTest]]'s
+    * k-group generalization: one scalar answering "do the group means
+    * differ at all", read before the per-group one-vs-rest drill-down.
+    * Emits the full decomposition (SS_between, SS_within, F, η²) so the
+    * effect SIZE (η² = SS_b / SS_total) travels with the test statistic
+    * — a huge-N pipeline trips significance on trivial differences, and
+    * η² is the guard against acting on those.
+    *
+    * Scale shape: one hash agg to (group, n, Σx, Σx²) power sums —
+    * exact BIGINTs, the [[welchTTest]] discipline — then a scalar agg
+    * over the k group rows. The only doubles are the k per-group
+    * Σx²/n terms; with k bounded (sources, langs) the summation is
+    * effectively exact at the 2–4 dp presentation rounding. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val s = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("_n"),
+        sum(col(valueCol)).cast("long").as("_sx"),
+        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx"))
+    val ssb = col("_sgm") - col("_gsx").cast("double") * col("_gsx") /
+      col("_n")
+    val ssw = col("_gsxx") - col("_sgm")
+    val sst = col("_gsxx") - col("_gsx").cast("double") * col("_gsx") /
+      col("_n")
+    s.agg(count(lit(1)).cast("long").as("_k"),
+        sum(col("_n")).cast("long").as("_n"),
+        sum(col("_sx")).cast("long").as("_gsx"),
+        sum(col("_sxx")).cast("long").as("_gsxx"),
+        sum(col("_sx").cast("double") * col("_sx") / col("_n")).as("_sgm"))
+      .select(col("_k").as("k"), col("_n").as("n"),
+        round(ssb, 2).as("ss_between"), round(ssw, 2).as("ss_within"),
+        when(col("_k") > 1L && col("_n") > col("_k") && ssw > 0.0,
+          round((ssb / (col("_k") - 1L)) /
+            (ssw / (col("_n") - col("_k"))), 4)).as("f_stat"),
+        when(sst > 0.0, round(ssb / sst, 6)).as("eta_sq"))
+  }
+
   /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
     * the batch operator and the streaming monitor, whose maintained
     * additive count state IS such a table. */

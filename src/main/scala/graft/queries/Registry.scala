@@ -6842,7 +6842,34 @@ object Registry {
         |CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
         |THEN round((n * sxy - sx * sy) /
         |(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) END AS rho
-        |FROM s ORDER BY l_returnflag""".stripMargin.replace("\n", " ")))
+        |FROM s ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    ("j45_anova",
+      // One-way ANOVA F of document length across sources
+      // (operators/Maintenance.anovaF): x129's k-group generalization —
+      // the single "do the means differ at all" scalar with its effect
+      // size (eta^2), read before any per-source one-vs-rest test.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.anovaF(
+          Tables.documents(s, dir), "source", "n_chars"),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(n_chars) AS BIGINT) AS sx,
+        |CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS gsx,
+        |CAST(sum(sxx) AS BIGINT) AS gsxx,
+        |sum(CAST(sx AS DOUBLE) * sx / n) AS sgm FROM s)
+        |SELECT k, n,
+        |round(sgm - CAST(gsx AS DOUBLE) * gsx / n, 2) AS ss_between,
+        |round(gsxx - sgm, 2) AS ss_within,
+        |CASE WHEN k > 1 AND n > k AND gsxx - sgm > 0 THEN
+        |round(((sgm - CAST(gsx AS DOUBLE) * gsx / n) / (k - 1)) /
+        |((gsxx - sgm) / (n - k)), 4) END AS f_stat,
+        |CASE WHEN gsxx - CAST(gsx AS DOUBLE) * gsx / n > 0 THEN
+        |round((sgm - CAST(gsx AS DOUBLE) * gsx / n) /
+        |(gsxx - CAST(gsx AS DOUBLE) * gsx / n), 6) END AS eta_sq
+        |FROM g""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

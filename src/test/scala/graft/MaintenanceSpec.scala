@@ -257,6 +257,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(c.isNullAt(2))
   }
 
+  test("anovaF: hand-computed three-group case; equal means give F=0; constant table NULLs") {
+    import spark.implicits._
+    // Groups {1,2,3}, {2,3,4}, {3,4,5}: grand mean 3, SSB = 3·(1+0+1) = 6,
+    // SSW = 2+2+2 = 6 → F = (6/2)/(6/6) = 3, eta² = 0.5.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 3L), ("c", 4L), ("c", 5L)).toDF("g", "v")
+    val r = graft.operators.Maintenance.anovaF(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5)) === (3L, 9L, 6.0, 6.0, 3.0, 0.5))
+    // Identical groups: SSB = 0 → F = 0, eta² = 0.
+    val eq = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    val e = graft.operators.Maintenance.anovaF(eq, "g", "v").collect().head
+    assert(e.getDouble(4) === 0.0 && e.getDouble(5) === 0.0)
+    // All-constant table: zero within AND total variance → NULL F and eta².
+    val const = Seq(("a", 7L), ("b", 7L)).toDF("g", "v")
+    val c = graft.operators.Maintenance.anovaF(const, "g", "v").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
