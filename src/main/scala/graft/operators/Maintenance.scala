@@ -462,6 +462,53 @@ object Maintenance {
         when(sst > 0.0, round(ssb / sst, 6)).as("eta_sq"))
   }
 
+  /** Kendall τ-b per group (Kendall 1938, tie-adjusted): concordant
+    * minus discordant pair probability — [[spearman]]'s companion with
+    * a direct "probability a random pair agrees in direction" reading
+    * and better behavior under many ties (τ-b normalizes BOTH tie
+    * margins out of the denominator).
+    *
+    * Scale shape: the naive statistic is O(n²) over ROWS; collapsing to
+    * the joint (group, x, y) value grid first makes it O(grid²) per
+    * group — the dictionary product, independent of row count. C−D
+    * comes from one broadcast self-join of the grid on (group, x<x');
+    * tie corrections n1/n2 from the two marginals; everything stays
+    * exact integer arithmetic until the final normalization. */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cell = df.groupBy(col(groupCol).as("_g"), col(xCol).as("_x"),
+        col(yCol).as("_y"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(eager = true) // self-join + marginals + totals
+    val a = cell.select(col("_g").as("_ga"), col("_x").as("_xa"),
+      col("_y").as("_ya"), col("_c").as("_ca"))
+    val b = cell.select(col("_g").as("_gb"), col("_x").as("_xb"),
+      col("_y").as("_yb"), col("_c").as("_cb"))
+    val cd = a.join(broadcast(b),
+        col("_ga") === col("_gb") && col("_xa") < col("_xb"), "inner")
+      .groupBy(col("_ga").as("_g2"))
+      .agg(sum(col("_ca") * col("_cb") *
+        when(col("_yb") > col("_ya"), 1L)
+          .when(col("_yb") < col("_ya"), -1L).otherwise(0L)).as("_s"))
+    def tiePairs(vCol: String, out: String): DataFrame =
+      cell.groupBy(col("_g"), col(vCol))
+        .agg(sum(col("_c")).cast("long").as("_t"))
+        .groupBy(col("_g"))
+        .agg(sum(col("_t") * (col("_t") - 1L) / lit(2)).as(out))
+    val n0 = col("_n") * (col("_n") - 1L) / lit(2)
+    // A group whose x never varies yields NO x<x' pairs at all — left
+    // join so it still surfaces (with NULL tau via the tie guard).
+    cell.groupBy(col("_g")).agg(sum(col("_c")).cast("long").as("_n"))
+      .join(broadcast(cd), col("_g") === col("_g2"), "left")
+      .na.fill(0L, Seq("_s"))
+      .join(broadcast(tiePairs("_x", "_n1")), Seq("_g"))
+      .join(broadcast(tiePairs("_y", "_n2")), Seq("_g"))
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        when(n0 > col("_n1") && n0 > col("_n2"),
+          round(col("_s") / (sqrt(n0 - col("_n1")) * sqrt(n0 - col("_n2"))),
+            4)).as("tau_b"))
+  }
+
   /** The PSI fold over a pre-counted (group, _bin, _c) table — shared by
     * the batch operator and the streaming monitor, whose maintained
     * additive count state IS such a table. */

@@ -6869,7 +6869,36 @@ object Registry {
         |CASE WHEN gsxx - CAST(gsx AS DOUBLE) * gsx / n > 0 THEN
         |round((sgm - CAST(gsx AS DOUBLE) * gsx / n) /
         |(gsxx - CAST(gsx AS DOUBLE) * gsx / n), 6) END AS eta_sq
-        |FROM g""".stripMargin.replace("\n", " ")))
+        |FROM g""".stripMargin.replace("\n", " "))),
+
+    ("j46_kendall_tau",
+      // Kendall tau-b per return flag between quantity and discount
+      // (operators/Maintenance.kendallTauB): j44's pair-probability
+      // twin — O(grid^2) via the joint value-grid collapse, never
+      // O(rows^2); ties normalized out of both margins.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.kendallTauB(
+            Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
+            "l_discount")
+          .orderBy(col("l_returnflag")),
+      Some("""WITH cell AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |l_discount AS y, CAST(count(*) AS BIGINT) AS c
+        |FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g, sum(a.c * b.c * CASE WHEN b.y > a.y THEN 1
+        |WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+        |FROM cell a JOIN cell b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+        |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+        |tx AS (SELECT g, sum(t * (t - 1) / 2) AS n1 FROM (SELECT g, x,
+        |CAST(sum(c) AS BIGINT) AS t FROM cell GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT g, sum(t * (t - 1) / 2) AS n2 FROM (SELECT g, y,
+        |CAST(sum(c) AS BIGINT) AS t FROM cell GROUP BY 1, 2) GROUP BY 1)
+        |SELECT n.g AS l_returnflag, n.n,
+        |CASE WHEN n.n * (n.n - 1) / 2 > n1 AND n.n * (n.n - 1) / 2 > n2
+        |THEN round(coalesce(s, 0) / (sqrt(n.n * (n.n - 1) / 2 - n1) *
+        |sqrt(n.n * (n.n - 1) / 2 - n2)), 4) END AS tau_b
+        |FROM n LEFT JOIN cd ON n.g = cd.g JOIN tx ON n.g = tx.g
+        |JOIN ty ON n.g = ty.g
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

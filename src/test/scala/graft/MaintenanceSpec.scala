@@ -276,6 +276,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(c.isNullAt(4) && c.isNullAt(5))
   }
 
+  test("kendallTauB: known small cases with and without ties; all-tied emits NULL") {
+    import spark.implicits._
+    // x=[1,2,3], y=[1,3,2]: C=2, D=1, no ties → tau = 1/3 = 0.3333.
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 2.0))
+      .toDF("g", "x", "y")
+    val r = graft.operators.Maintenance.kendallTauB(df, "g", "x", "y")
+      .collect().head
+    assert(r.getLong(1) === 3L && r.getDouble(2) === 0.3333)
+    // Tied case x=[1,1,2,2], y=[1,2,1,2]: C=2 (cross pairs agreeing),
+    // D=1... hand-check: pairs with x1<x2: (1,1)-(2,1) y: 1→1 tie? values
+    // y=1 vs 1 tie → 0; (1,1)-(2,2): +1; (1,2)-(2,1): −1; (1,2)-(2,2) y
+    // 2→2 → 0. S = 0. n0 = 6, n1 = 2 (two x-tie pairs), n2 = 2 →
+    // tau_b = 0/4 = 0.
+    val tied = Seq(("t", 1L, 1.0), ("t", 1L, 2.0), ("t", 2L, 1.0),
+      ("t", 2L, 2.0)).toDF("g", "x", "y")
+    val t = graft.operators.Maintenance.kendallTauB(tied, "g", "x", "y")
+      .collect().head
+    assert(t.getDouble(2) === 0.0)
+    // A constant x column ties EVERY pair on x → denominator 0 → NULL.
+    val const = Seq(("c", 1L, 1.0), ("c", 1L, 2.0)).toDF("g", "x", "y")
+    val c = graft.operators.Maintenance.kendallTauB(const, "g", "x", "y")
+      .collect().head
+    assert(c.isNullAt(2))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
