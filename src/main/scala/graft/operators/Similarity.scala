@@ -451,6 +451,48 @@ object Similarity {
         col("purity"))
   }
 
+  /** Mean Average Precision at k of label-mates in the self-kNN list —
+    * the position-sensitive retrieval read [[knnLabelConsistency]]'s
+    * order-blind purity can't give: a list whose same-label neighbors
+    * sit at ranks 1–3 and one whose mates sit at 8–10 have the same
+    * purity but very different MAP. AP@k per query follows the standard
+    * IR convention — Σ rel_i·P@i over the ranked list, normalized by
+    * min(R, k) where R = corpus mates of the gold label (count−1, the
+    * query itself excluded) — then averages per class.
+    *
+    * Scale shape: rides knnJoin's shared-IVF self-kNN (corpus never
+    * broadcast); the running P@i is one window over the k-row
+    * neighborhood keyed by qid; R joins from the broadcast label-count
+    * table. Everything after the kNN is bounded at n·k rows. */
+  def knnMeanAveragePrecision(embeddings: DataFrame, idCol: String,
+                              vecCol: String, labelCol: String, k: Int,
+                              nCentroids: Int, nProbe: Int): DataFrame = {
+    val nn = knnJoin(embeddings, idCol, vecCol, lit(true), k, nCentroids,
+      nProbe)
+    val gold = embeddings.select(col(idCol).as("qid"),
+      col(labelCol).as("_gold"))
+    val nlab = embeddings.select(col(idCol), col(labelCol).as("_nl"))
+    val rTbl = embeddings.groupBy(col(labelCol).as("_gold"))
+      .agg((count(lit(1)) - 1L).cast("long").as("_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("knn_rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    nn.join(gold, Seq("qid")).join(nlab, Seq(idCol))
+      .withColumn("_rel", when(col("_nl") === col("_gold"), 1L)
+        .otherwise(0L))
+      .withColumn("_cum", sum(col("_rel")).over(w))
+      .groupBy(col("qid"), col("_gold"))
+      .agg(sum(col("_rel") * col("_cum").cast("double") /
+        col("knn_rank")).as("_apnum"))
+      .join(broadcast(rTbl), Seq("_gold"))
+      .select(col("_gold"), (col("_apnum") /
+        least(col("_r"), lit(k.toLong))).as("_ap"))
+      .groupBy(col("_gold").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(col("_ap")), 4).as("map_at_k"))
+  }
+
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
     * each anchor vector, the top-`k` most-similar corpus vectors whose
     * cosine lies in `[lo, hi)` — similar enough to be informative

@@ -718,6 +718,50 @@ object Registry {
        |round(CAST(n_consistent AS DOUBLE) / n, 4) AS consistency_rate, purity
        |FROM g ORDER BY label""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.knnMeanAveragePrecision]] (all queries,
+    * 16 centroids, 4 probes, k=10). The kNN core is the knnJoin oracle's
+    * CTE chain; AP@k per query is the standard Σ rel·P@i over the ranked
+    * list normalized by min(R, k), R = label count − 1. */
+  private def knnMapOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS (SELECT p.qid, a.vec_id,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN (SELECT qid, qv, cid FROM pr WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS knn_rank
+       |  FROM cand),
+       |knn AS (SELECT qid, vec_id, knn_rank FROM r WHERE knn_rank <= 10),
+       |j AS (SELECT k.qid, k.knn_rank, gq.label AS gold,
+       |  CASE WHEN gn.label = gq.label THEN 1 ELSE 0 END AS rel
+       |  FROM knn k JOIN embeddings gq ON k.qid = gq.vec_id
+       |  JOIN embeddings gn ON k.vec_id = gn.vec_id),
+       |c AS (SELECT qid, gold, rel, knn_rank,
+       |  sum(rel) OVER (PARTITION BY qid ORDER BY knn_rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j),
+       |rt AS (SELECT label, CAST(count(*) - 1 AS BIGINT) AS r
+       |  FROM embeddings GROUP BY 1),
+       |apn AS (SELECT qid, gold,
+       |  sum(rel * CAST(cum AS DOUBLE) / knn_rank) AS apnum
+       |  FROM c GROUP BY 1, 2),
+       |ap AS (SELECT apn.qid, apn.gold,
+       |  apnum / least(rt.r, 10) AS ap FROM apn
+       |  JOIN rt ON apn.gold = rt.label)
+       |SELECT CAST(gold AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       |round(avg(ap), 4) AS map_at_k FROM ap GROUP BY 1 ORDER BY label"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Similarity.kCenterCoreset]]: the same greedy
     * farthest-point sweep unrolled as chained 1-row CTEs (the mmr
     * fixed-point discipline) — each round's cosine distances round to
@@ -6898,7 +6942,19 @@ object Registry {
         |sqrt(n.n * (n.n - 1) / 2 - n2)), 4) END AS tau_b
         |FROM n LEFT JOIN cd ON n.g = cd.g JOIN tx ON n.g = tx.g
         |JOIN ty ON n.g = ty.g
-        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")))
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    ("x132_knn_map",
+      // Mean Average Precision at 10 of label-mates in the self-kNN
+      // (Similarity.knnMeanAveragePrecision): the position-sensitive
+      // retrieval read x109's order-blind purity can't give — AP@k per
+      // query normalized by min(R, k), averaged per class. Completes
+      // the eval ladder AUC (x104) → MRR (x117) → NDCG (x111) → MAP.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnMeanAveragePrecision(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", 10, 16, 4)
+          .orderBy(col("label")),
+      Some(knnMapOracleSql))
   )
 
   def queries: Map[String, Q] =

@@ -374,6 +374,37 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1L, 0L, 0.0, 0.0)))
   }
 
+  test("knnMeanAveragePrecision: perfect clusters score 1; late-ranked mates score by position") {
+    import spark.implicits._
+    // Two tight clusters of 3: each member's 2 label-mates outrank both
+    // cross-cluster vectors at every k ≥ 2 → AP@k = 1 for everyone.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0.01f, 0.99f), 1),
+      (6L, Array(0.02f, 0.98f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnMeanAveragePrecision(
+        emb, "vec_id", "embedding", "label", 2, 6, 6)
+      .orderBy($"label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 3L, 1.0), (1L, 3L, 1.0)))
+    // Positional case: both label-0 queries see their single mate rank
+    // LAST of the 3 neighbors (k=3).
+    val pos = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.5f, 0.866f), 0), // mate, but farther than both others
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(0.95f, 0.05f), 1)).toDF("vec_id", "embedding", "label")
+    val p = Similarity.knnMeanAveragePrecision(
+        pos, "vec_id", "embedding", "label", 3, 4, 4)
+      .orderBy($"label").collect().head
+    // query 1 (at 0°): neighbors by angle are 4 (3°), 3 (6.3°), 2 (60°)
+    // → the mate ranks 3rd, AP = (1·(1/3))/min(1,3) = 1/3. query 2
+    // (at 60°): neighbors 3 (53.7°), 4 (57°), 1 (60°) → mate ranks 3rd
+    // too, AP = 1/3. Class MAP = 0.3333.
+    assert(p.getLong(0) === 0L && p.getDouble(2) === 0.3333)
+  }
+
   test("kCenterCoreset: greedy picks the farthest corner each round") {
     import spark.implicits._
     // Seed = smallest id (1, at (1,0)). Farthest from it is (0,1) or
