@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,6 +284,61 @@ object Eval {
     * count) frames at n = 1 and 2, intersections as pairs ⋈ grams_a ⋈
     * grams_b equi-joins, so cost is Σ_pairs |grams|, never corpus²;
     * lengths ride the unigram totals. */
+  /** chrF over candidate pairs (Popović 2015, the character-level member
+    * of the pair-scoring family): clipped CHARACTER n-gram overlap for
+    * n = 1, 2 on whitespace-stripped text, per-n precision AND recall
+    * folded into F_β with β = 2 (recall weighted double — chrF's
+    * defining choice, vs BLEU's precision-only view), averaged over n.
+    * Character grams make it robust to tokenization and morphology
+    * differences that whiff word-level ROUGE/BLEU entirely.
+    *
+    * Scale shape: identical to [[bleuPairs]] — per-doc gram-count tables
+    * (alphabet-bounded for n=1, alphabet² for n=2), pair overlap via two
+    * equi-joins at (pair, gram) grain, never a text×text comparison.
+    * Zero overlap at either n floors that n's F at 0. */
+  def chrfPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val stripped = regexp_replace(col(textCol), "\\s+", "")
+    def grams(n: Int) = docs.select(col(idCol), stripped.as("_s"))
+      .select(col(idCol), explode(when(length(col("_s")) >= n,
+          transform(sequence(lit(1), length(col("_s")) - (n - 1)),
+            i => col("_s").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))).as("_g"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    def stats(n: Int, iOut: String, cOut: String, rOut: String) = {
+      val g = grams(n)
+      val sizes = g.groupBy(col(idCol))
+        .agg(sum(col("_c")).cast("long").as("_n"))
+      val inter = p
+        .join(g.select(col(idCol).as("id_a"), col("_g"),
+          col("_c").as("_ca")), Seq("id_a"))
+        .join(g.select(col(idCol).as("id_b"), col("_g"),
+          col("_c").as("_cb")), Seq("id_b", "_g"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as(iOut))
+      p.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq(iOut))
+        .join(sizes.select(col(idCol).as("id_a"), col("_n").as(cOut)),
+          Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("_n").as(rOut)),
+          Seq("id_b"))
+    }
+    def fBeta(i: String, c: String, r: String): Column = {
+      val pr = col(i).cast("double") / col(c)
+      val rc = col(i).cast("double") / col(r)
+      when(col(i) > 0L, lit(5.0) * pr * rc / (lit(4.0) * pr + rc))
+        .otherwise(lit(0.0))
+    }
+    val f1 = fBeta("_i1", "_c1", "_r1")
+    val f2 = fBeta("_i2", "_c2", "_r2")
+    stats(1, "_i1", "_c1", "_r1")
+      .join(stats(2, "_i2", "_c2", "_r2"), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(f1, 6).as("f1_char"), round(f2, 6).as("f2_char"),
+        round((f1 + f2) / 2.0, 6).as("chrf"))
+  }
+
   def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
     val t = col("_toks")

@@ -6954,7 +6954,81 @@ object Registry {
         Similarity.knnMeanAveragePrecision(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", 10, 16, 4)
           .orderBy(col("label")),
-      Some(knnMapOracleSql))
+      Some(knnMapOracleSql)),
+
+    ("x133_chrf_pairs",
+      // chrF over x6's exact-Jaccard candidate pairs at 0.5
+      // (operators/Eval.chrfPairs): the character-level member of the
+      // pair-scoring family — clipped char 1/2-gram overlap,
+      // recall-weighted F_2 per n (chrF's defining beta), averaged.
+      // Catches morphology/tokenization near-matches that word-level
+      // ROUGE (x114) and BLEU (x119) miss entirely.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Eval.chrfPairs(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |st AS MATERIALIZED (SELECT doc_id,
+        |regexp_replace(text, '\s+', '', 'g') AS s FROM documents),
+        |g1 AS MATERIALIZED (SELECT doc_id, g,
+        |CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id,
+        |unnest(CASE WHEN len(s) >= 1 THEN
+        |list_transform(generate_series(1, len(s)), i -> substr(s, i, 1))
+        |ELSE [] END) AS g FROM st) GROUP BY 1, 2),
+        |n1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g1
+        |GROUP BY 1),
+        |g2 AS MATERIALIZED (SELECT doc_id, g,
+        |CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id,
+        |unnest(CASE WHEN len(s) >= 2 THEN
+        |list_transform(generate_series(1, len(s) - 1), i -> substr(s, i, 2))
+        |ELSE [] END) AS g FROM st) GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g2
+        |GROUP BY 1),
+        |i1 AS (SELECT p.id_a, p.id_b,
+        |CAST(sum(least(a.c, b.c)) AS BIGINT) AS i FROM prs p
+        |JOIN g1 a ON a.doc_id = p.id_a
+        |JOIN g1 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        |i2 AS (SELECT p.id_a, p.id_b,
+        |CAST(sum(least(a.c, b.c)) AS BIGINT) AS i FROM prs p
+        |JOIN g2 a ON a.doc_id = p.id_a
+        |JOIN g2 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        |f AS (SELECT p.id_a, p.id_b,
+        |CASE WHEN coalesce(i1.i, 0) > 0 THEN
+        |5.0 * (i1.i / CAST(ca1.n AS DOUBLE)) * (i1.i / CAST(cb1.n AS DOUBLE))
+        |/ (4.0 * (i1.i / CAST(ca1.n AS DOUBLE)) +
+        |(i1.i / CAST(cb1.n AS DOUBLE))) ELSE 0.0 END AS f1,
+        |CASE WHEN coalesce(i2.i, 0) > 0 THEN
+        |5.0 * (i2.i / CAST(ca2.n AS DOUBLE)) * (i2.i / CAST(cb2.n AS DOUBLE))
+        |/ (4.0 * (i2.i / CAST(ca2.n AS DOUBLE)) +
+        |(i2.i / CAST(cb2.n AS DOUBLE))) ELSE 0.0 END AS f2
+        |FROM prs p
+        |LEFT JOIN i1 ON i1.id_a = p.id_a AND i1.id_b = p.id_b
+        |LEFT JOIN i2 ON i2.id_a = p.id_a AND i2.id_b = p.id_b
+        |JOIN n1 ca1 ON ca1.doc_id = p.id_a
+        |JOIN n1 cb1 ON cb1.doc_id = p.id_b
+        |JOIN n2 ca2 ON ca2.doc_id = p.id_a
+        |JOIN n2 cb2 ON cb2.doc_id = p.id_b)
+        |SELECT id_a, id_b, round(f1, 6) AS f1_char,
+        |round(f2, 6) AS f2_char, round((f1 + f2) / 2.0, 6) AS chrf
+        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

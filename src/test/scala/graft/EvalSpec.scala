@@ -168,6 +168,25 @@ class EvalSpec extends SparkSpec {
     assert(out(1) === ((3L, 4L, 2L, 2L, 1.0, 0.0, 1.0, 0.0)))
   }
 
+  test("chrfPairs: hand-computed char F2 with whitespace stripped; no shared bigram floors f2") {
+    import spark.implicits._
+    // (1,2): stripped "abab" vs "ab". 1-grams {a:2,b:2} vs {a:1,b:1}:
+    // overlap 2, P=2/4, R=2/2 → F2 = 5·.5·1/(4·.5+1) = 0.833333.
+    // 2-grams {ab:2,ba:1} vs {ab:1}: overlap 1, P=1/3, R=1 →
+    // F2 = (5/3)/(7/3) = 0.714286. chrf = 0.77381.
+    // (3,4): "ab" vs "ba" share both chars but NO bigram → f2 = 0
+    // exactly (no divide error); f1 = 5·1·1/5 = 1. chrf = 0.5.
+    val docs = Seq((1L, "ab ab"), (2L, "ab"),
+      (3L, "ab"), (4L, "ba")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.operators.Eval.chrfPairs(docs, pairs, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out(0) === ((1L, 2L, 0.833333, 0.714286, 0.77381)))
+    assert(out(1) === ((3L, 4L, 1.0, 0.0, 0.5)))
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),
