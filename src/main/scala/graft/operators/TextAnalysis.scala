@@ -163,6 +163,32 @@ object TextAnalysis {
     docs.select(tokens(col("text")).as("_toks"))
       .select(explode(gramArray(col("_toks"), n)).as("ngram"))
 
+  /** Distinct-n diversity per group (Li et al. 2016's distinct-1/-2):
+    * unique n-grams over total n-gram occurrences, the standard
+    * mode-collapse / templated-text read for a GENERATED corpus — a
+    * source whose distinct-2 craters is emitting the same phrasings over
+    * and over, which per-doc repetition (x16) can't see because each
+    * individual doc looks fine.
+    *
+    * Scale shape: one explode per n into a (group, gram) two-phase
+    * distinct-aggregate — grain bounded by group×vocabulary, the same
+    * shape as the corpus LM tables (x36/x61). No joins until the final
+    * k-row zip of the two n levels. */
+  def distinctN(docs: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    def stats(n: Int, tot: String, dst: String) =
+      docs.select(col(groupCol), tokens(col(textCol)).as("_toks"))
+        .select(col(groupCol), explode(gramArray(col("_toks"), n)).as("_g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).cast("long").as(tot),
+          countDistinct(col("_g")).cast("long").as(dst))
+    stats(1, "_t1", "_d1").join(stats(2, "_t2", "_d2"), Seq(groupCol))
+      .select(col(groupCol), col("_t1").as("n_unigrams"),
+        round(col("_d1").cast("double") / col("_t1"), 6).as("distinct_1"),
+        col("_t2").as("n_bigrams"),
+        round(col("_d2").cast("double") / col("_t2"), 6).as("distinct_2"))
+  }
+
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
     corpusGrams(docs, n)
       .groupBy(col("ngram"))

@@ -7028,7 +7028,33 @@ object Registry {
         |JOIN n2 cb2 ON cb2.doc_id = p.id_b)
         |SELECT id_a, id_b, round(f1, 6) AS f1_char,
         |round(f2, 6) AS f2_char, round((f1 + f2) / 2.0, 6) AS chrf
-        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("x134_distinct_n",
+      // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
+      // the mode-collapse read for generated corpora — a source whose
+      // distinct-2 craters is recycling phrasings even when every
+      // individual doc passes x16's per-doc repetition gate.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.distinctN(Tables.documents(s, dir), "source", "text")
+          .orderBy(col("source")),
+      Some("""WITH toks AS MATERIALIZED (SELECT source,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |u AS (SELECT source, CAST(count(*) AS BIGINT) AS t1,
+        |CAST(count(DISTINCT g) AS BIGINT) AS d1
+        |FROM (SELECT source, unnest(t) AS g FROM toks) GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS t2,
+        |CAST(count(DISTINCT g) AS BIGINT) AS d2
+        |FROM (SELECT source, unnest(CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM toks)
+        |GROUP BY 1)
+        |SELECT u.source, t1 AS n_unigrams,
+        |round(CAST(d1 AS DOUBLE) / t1, 6) AS distinct_1,
+        |t2 AS n_bigrams, round(CAST(d2 AS DOUBLE) / t2, 6) AS distinct_2
+        |FROM u JOIN b ON u.source = b.source
+        |ORDER BY u.source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

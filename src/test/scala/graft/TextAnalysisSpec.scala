@@ -463,4 +463,19 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.tokens(col("text")), 4).collect().head
     assert((g.getLong(2), g.getDouble(3), g.getDouble(4)) === ((1L, 0.0, 0.0)))
   }
+
+  test("distinctN: repeated phrasing craters distinct-2 while distinct-1 holds") {
+    import spark.implicits._
+    // Source rep: "a b a b" + "a b" → 6 unigrams, 2 distinct
+    // (d1 = 0.3333); bigrams {ab, ba, ab} + {ab} = 4 total, 2 distinct
+    // (d2 = 0.5). Source div: "a b" + "c d" → d1 = 1, d2 = 1.
+    val docs = Seq(("rep", "a b a b"), ("rep", "a b"),
+      ("div", "a b"), ("div", "c d")).toDF("source", "text")
+    val out = TextAnalysis.distinctN(docs, "source", "text")
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(("div", 4L, 1.0, 2L, 1.0),
+      ("rep", 6L, 0.333333, 4L, 0.5)))
+  }
 }
