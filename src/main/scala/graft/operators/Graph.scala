@@ -476,6 +476,48 @@ object Graph {
     * Scale shape: one V-grain degree agg, two degree joins back onto the
     * doubled edge list (node-key equi-joins at dimension grain), one
     * scalar aggregate. Nothing quadratic, no windows. */
+  /** Modularity of a GIVEN vertex partition (Newman & Girvan 2004):
+    * per community c, q_c = e_c/m − (d_c/2m)², summing to the familiar
+    * Q — how much denser the within-community edges are than a degree-
+    * preserving random rewiring. The audit read for any clustering this
+    * engine produces (label-prop dedup clusters, k-means cohorts, or an
+    * external taxonomy): Q ≈ 0 means the labels don't explain the graph.
+    * Emitted per community so the blame is localized, not just scalar.
+    *
+    * Scale shape: the edge list is materialized once (localCheckpoint —
+    * it feeds m, within-edges, and degrees); community labels join
+    * BROADCAST (a dimension); m is a broadcast scalar row. Everything
+    * aggregates to community grain before any join. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, vCol: String,
+                 labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .localCheckpoint(eager = true) // read 3x: m, within-edges, degrees
+    val lab = labels.select(col(vCol).as("_v"), col(labelCol).as("_c"))
+    val m = e.agg(count(lit(1)).cast("long").as("_m"))
+    val ec = e
+      .join(broadcast(lab.select(col("_v").as("_a"), col("_c").as("_ca"))),
+        Seq("_a"))
+      .join(broadcast(lab.select(col("_v").as("_b"), col("_c").as("_cb"))),
+        Seq("_b"))
+      .where(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_cc"))
+      .agg(count(lit(1)).cast("long").as("_ein"))
+    val dc = e.select(col("_a").as("_v"))
+      .unionByName(e.select(col("_b").as("_v")))
+      .groupBy(col("_v")).agg(count(lit(1)).cast("long").as("_d"))
+      .join(broadcast(lab), Seq("_v"))
+      .groupBy(col("_c")).agg(sum(col("_d")).cast("long").as("_dsum"))
+    val half = col("_dsum").cast("double") / (lit(2L) * col("_m"))
+    dc.join(broadcast(ec), col("_c") === col("_cc"), "left")
+      .na.fill(0L, Seq("_ein"))
+      .crossJoin(broadcast(m))
+      .select(col("_c").as("community"), col("_ein").as("edges_within"),
+        col("_dsum").as("degree_sum"),
+        round(col("_ein").cast("double") / col("_m") - half * half, 6)
+          .as("q_c"))
+  }
+
   def assortativity(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val bi = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))

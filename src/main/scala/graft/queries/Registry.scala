@@ -7054,7 +7054,51 @@ object Registry {
         |round(CAST(d1 AS DOUBLE) / t1, 6) AS distinct_1,
         |t2 AS n_bigrams, round(CAST(d2 AS DOUBLE) / t2, 6) AS distinct_2
         |FROM u JOIN b ON u.source = b.source
-        |ORDER BY u.source""".stripMargin.replace("\n", " ")))
+        |ORDER BY u.source""".stripMargin.replace("\n", " "))),
+
+    ("j47_modularity",
+      // Modularity of the brand partition over the urgent-order
+      // co-purchase graph (operators/Graph.modularity): per-community
+      // q_c = e_c/m - (d_c/2m)^2 — the audit read for whether a given
+      // labeling explains the graph at all (brands shouldn't: Q ~ 0).
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .distinct()
+        graft.operators.Graph.modularity(pairs, "pa", "pb",
+            Tables.part(s, dir), "p_partkey", "p_brand")
+          .orderBy(col("community"))
+      },
+      Some("""WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa,
+        |b.l_partkey AS pb FROM li a JOIN li b
+        |ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |ec AS (SELECT ca.p_brand AS brand, CAST(count(*) AS BIGINT) AS e_in
+        |FROM e JOIN part ca ON e.pa = ca.p_partkey
+        |JOIN part cb ON e.pb = cb.p_partkey
+        |WHERE ca.p_brand = cb.p_brand GROUP BY 1),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |(SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+        |GROUP BY 1),
+        |dc AS (SELECT p.p_brand AS brand, CAST(sum(d) AS BIGINT) AS d_sum
+        |FROM deg JOIN part p ON deg.v = p.p_partkey GROUP BY 1)
+        |SELECT dc.brand AS community, coalesce(e_in, 0) AS edges_within,
+        |d_sum AS degree_sum, round(coalesce(e_in, 0) / CAST(m.m AS DOUBLE)
+        |- (CAST(d_sum AS DOUBLE) / (2 * m.m)) *
+        |(CAST(d_sum AS DOUBLE) / (2 * m.m)), 6) AS q_c
+        |FROM dc LEFT JOIN ec ON dc.brand = ec.brand CROSS JOIN m
+        |ORDER BY community""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

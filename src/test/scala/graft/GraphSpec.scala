@@ -176,6 +176,32 @@ class GraphSpec extends SparkSpec {
     assert(after2.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("modularity: two bridged triangles under their natural split; shuffled labels score ~0") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} plus bridge 3–4: m = 7. Natural
+    // split: e_c = 3 each, d_c = 7 each → q_c = 3/7 − (7/14)² =
+    // 0.178571 per side (Q = 0.357143).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val good = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("v", "c")
+    val g = graft.operators.Graph.modularity(edges, "a", "b", good, "v", "c")
+      .orderBy($"community").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(g.toSeq === Seq(("A", 3L, 7L, 0.178571), ("B", 3L, 7L, 0.178571)))
+    // A cross-cutting split (odd/even ids) captures almost nothing:
+    // within-edges only {2-... none in A? odd = {1,3,5}: edges 1-3 and
+    // 5-... 5-6 crosses; within = {1-3}; even = {2,4,6}: within = {4-6}.
+    // e_c = 1 each, d_odd = 2+3+2 = 7, d_even = 7 →
+    // q_c = 1/7 − 0.25 = −0.107143 each (Q < 0: worse than random).
+    val bad = Seq((1L, "O"), (3L, "O"), (5L, "O"), (2L, "E"), (4L, "E"),
+      (6L, "E")).toDF("v", "c")
+    val b = graft.operators.Graph.modularity(edges, "a", "b", bad, "v", "c")
+      .orderBy($"community").collect().map(r => (r.getString(0),
+        r.getLong(1), r.getDouble(3)))
+    assert(b.toSeq === Seq(("E", 1L, -0.107143), ("O", 1L, -0.107143)))
+  }
+
   test("assortativity: a star is exactly -1, a barbell of stars is positive-correlated only at the bridge") {
     import spark.implicits._
     // Star K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly.
