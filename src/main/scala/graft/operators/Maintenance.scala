@@ -439,11 +439,17 @@ object Maintenance {
     * over the k group rows. The only doubles are the k per-group
     * Σx²/n terms; with k bounded (sources, langs) the summation is
     * effectively exact at the 2–4 dp presentation rounding. */
-  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val s = df.groupBy(col(groupCol))
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    anovaFromSums(df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("_n"),
         sum(col(valueCol)).cast("long").as("_sx"),
-        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx"))
+        sum(col(valueCol) * col(valueCol)).cast("long").as("_sxx")))
+
+  /** The ANOVA fold over a pre-aggregated (group, _n, _sx, _sxx)
+    * power-sum table — shared by the batch operator and the streaming
+    * monitor, whose maintained additive state IS such a table (the
+    * [[welchFromSums]] discipline). */
+  private[graft] def anovaFromSums(s: DataFrame): DataFrame = {
     val ssb = col("_sgm") - col("_gsx").cast("double") * col("_gsx") /
       col("_n")
     val ssw = col("_gsxx") - col("_sgm")

@@ -7098,7 +7098,36 @@ object Registry {
         |- (CAST(d_sum AS DOUBLE) / (2 * m.m)) *
         |(CAST(d_sum AS DOUBLE) / (2 * m.m)), 6) AS q_c
         |FROM dc LEFT JOIN ec ON dc.brand = ec.brand CROSS JOIN m
-        |ORDER BY community""".stripMargin.replace("\n", " ")))
+        |ORDER BY community""".stripMargin.replace("\n", " "))),
+
+    ("s31_stream_anova",
+      // J45 under streaming (streaming/Streaming.runStreamAnova):
+      // power sums are genuinely additive, so the source-grain state
+      // absorbs partial (n, sum x, sum x^2) directly — the s30 Welch
+      // discipline — and the read-time scalar fold equals batch j45
+      // exactly; its oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s31")
+        graft.streaming.Streaming.runStreamAnova(s, dir, base + "/anova")
+      },
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(n_chars) AS BIGINT) AS sx,
+        |CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS gsx,
+        |CAST(sum(sxx) AS BIGINT) AS gsxx,
+        |sum(CAST(sx AS DOUBLE) * sx / n) AS sgm FROM s)
+        |SELECT k, n,
+        |round(sgm - CAST(gsx AS DOUBLE) * gsx / n, 2) AS ss_between,
+        |round(gsxx - sgm, 2) AS ss_within,
+        |CASE WHEN k > 1 AND n > k AND gsxx - sgm > 0 THEN
+        |round(((sgm - CAST(gsx AS DOUBLE) * gsx / n) / (k - 1)) /
+        |((gsxx - sgm) / (n - k)), 4) END AS f_stat,
+        |CASE WHEN gsxx - CAST(gsx AS DOUBLE) * gsx / n > 0 THEN
+        |round((sgm - CAST(gsx AS DOUBLE) * gsx / n) /
+        |(gsxx - CAST(gsx AS DOUBLE) * gsx / n), 6) END AS eta_sq
+        |FROM g""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -1668,6 +1668,41 @@ object Streaming {
       "source")
   }
 
+  /** J45's one-way ANOVA under streaming — the "did the sources
+    * diverge" monitor always-on. Power sums are genuinely additive
+    * (the s30 Welch discipline): the source-grain state absorbs each
+    * micro-batch's partial (n, Σx, Σx²) directly and the scalar ANOVA
+    * fold runs at read time via the shared Maintenance.anovaFromSums,
+    * so the streamed answer equals batch j45 bit-for-bit (its oracle
+    * verbatim). */
+  def runStreamAnova(spark: SparkSession, dir: String,
+                     base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("source"), Seq("n", "sx", "sxx"), additive = true)
+    val landing = stagedDocSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema(graft.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("n_chars")).cast("long").as("sx"),
+            sum(col("n_chars") * col("n_chars")).cast("long").as("sxx")),
+          id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Maintenance.anovaFromSums(
+      sink.state(spark).get
+        .select(col("n").cast("long").as("_n"),
+          col("sx").cast("long").as("_sx"),
+          col("sxx").cast("long").as("_sxx")))
+  }
+
   /** X116's Population Stability Index under streaming — the ingest-drift
     * monitor in always-on shape: per micro-batch the documents slice
     * bins by the FIXED literal edges and its (source, bin) counts ADD

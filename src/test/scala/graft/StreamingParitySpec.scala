@@ -853,6 +853,20 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming ANOVA equals the one-shot batch test; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s31")
+    val streamed = Streaming.runStreamAnova(spark, dir, base + "/anova")
+    val batch = graft.operators.Maintenance.anovaF(
+      Tables.documents(spark, dir), "source", "n_chars")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: double-added power sums inflate SS_within
+    // and n — the batch markers must skip the re-applied slice.
+    rollbackLastCommit(base + "/anova/ckpt")
+    val second = Streaming.runStreamAnova(spark, dir, base + "/anova")
+    assertSameRows(second, batch)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
