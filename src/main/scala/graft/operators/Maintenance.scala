@@ -378,6 +378,54 @@ object Maintenance {
             (col("_n1") + col("_n2") + lit(1.0)) / lit(12.0)), 4).as("z"))
   }
 
+  /** Kruskal–Wallis H across ALL groups (Kruskal & Wallis 1952) —
+    * [[anovaF]]'s nonparametric twin and [[mannWhitneyU]]'s k-group
+    * generalization: rank-based, so heavy tails can't fake or mask a
+    * location shift the way they can with means. Average ranks for
+    * ties, with the standard tie correction 1 − Σ(t³−t)/(N³−N) emitted
+    * alongside the raw H.
+    *
+    * Scale shape: [[mannWhitneyU]]'s exactly — one (group, value) agg,
+    * one value-grain agg, the dense (group × value) frame from each
+    * value row exploding the collected group dictionary (bounded driver
+    * metadata), and the running rank sum via a window PARTITIONED BY
+    * GROUP (never a global single-partition sort). Rank sums are exact
+    * halves; the only unordered double sums are k-bounded. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).as("_v"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(eager = true) // value-grain + group-dictionary reads
+    val gv = g.groupBy(col("_v")).agg(sum(col("_c")).cast("long").as("_ct"))
+    val groups: Seq[String] = g.select(col("_g")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rg = gv.select(explode(typedlit(groups)).as("_g"), col("_v"),
+        col("_ct"))
+      .join(g, Seq("_g", "_v"), "left").na.fill(0L, Seq("_c"))
+      .withColumn("_cum", coalesce(sum(col("_ct")).over(w), lit(0L)))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).cast("long").as("_n"),
+        sum(col("_c") * (col("_cum") + (col("_ct") + 1L) / lit(2.0)))
+          .as("_rsum"))
+    val tie = gv.agg(sum(col("_ct").cast("double") * col("_ct") *
+      col("_ct") - col("_ct")).as("_t"))
+    val nn = col("_nn").cast("double")
+    val h = lit(12.0) / (nn * (nn + 1.0)) * col("_s") -
+      lit(3.0) * (nn + 1.0)
+    val n3n = nn * nn * nn - nn
+    rg.agg(count(lit(1)).cast("long").as("_k"),
+        sum(col("_n")).cast("long").as("_nn"),
+        sum(col("_rsum") * col("_rsum") / col("_n")).as("_s"))
+      .crossJoin(broadcast(tie))
+      .select(col("_k").as("k"), col("_nn").as("n"),
+        round(h, 4).as("h"),
+        when(col("_t") < n3n, round(h / (lit(1.0) - col("_t") / n3n), 4))
+          .as("h_tie_corrected"))
+  }
+
   /** Spearman rank correlation per group (Spearman 1904), tie-corrected:
     * Pearson over AVERAGE ranks, the exact convention every stats
     * package uses — monotone association that a heavy tail can't

@@ -7127,7 +7127,36 @@ object Registry {
         |CASE WHEN gsxx - CAST(gsx AS DOUBLE) * gsx / n > 0 THEN
         |round((sgm - CAST(gsx AS DOUBLE) * gsx / n) /
         |(gsxx - CAST(gsx AS DOUBLE) * gsx / n), 6) END AS eta_sq
-        |FROM g""".stripMargin.replace("\n", " ")))
+        |FROM g""".stripMargin.replace("\n", " "))),
+
+    ("j48_kruskal_wallis",
+      // Kruskal-Wallis H of document length across sources
+      // (operators/Maintenance.kruskalWallis): j45's nonparametric twin
+      // and j43's k-group generalization — average ranks for ties, the
+      // standard tie correction emitted alongside raw H.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.kruskalWallis(
+          Tables.documents(s, dir), "source", "n_chars"),
+      Some("""WITH g AS MATERIALIZED (SELECT source AS grp, n_chars AS v,
+        |CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |gv AS MATERIALIZED (SELECT v, CAST(sum(c) AS BIGINT) AS ct
+        |FROM g GROUP BY 1),
+        |rk AS (SELECT a.v, a.ct, coalesce(sum(b.ct), 0)
+        |+ (a.ct + 1) / 2.0 AS r
+        |FROM gv a LEFT JOIN gv b ON b.v < a.v GROUP BY a.v, a.ct),
+        |rg AS (SELECT g.grp, CAST(sum(g.c) AS BIGINT) AS n,
+        |sum(g.c * rk.r) AS rsum
+        |FROM g JOIN rk ON g.v = rk.v GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |CAST(count(*) AS BIGINT) AS k, sum(rsum * rsum / n) AS s FROM rg),
+        |tie AS (SELECT sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS t FROM gv)
+        |SELECT k, nn AS n,
+        |round(12.0 / (nn * (nn + 1.0)) * s - 3 * (nn + 1), 4) AS h,
+        |CASE WHEN t < CAST(nn AS DOUBLE) * nn * nn - nn THEN
+        |round((12.0 / (nn * (nn + 1.0)) * s - 3 * (nn + 1)) /
+        |(1 - t / (CAST(nn AS DOUBLE) * nn * nn - nn)), 4) END
+        |AS h_tie_corrected
+        |FROM tot CROSS JOIN tie""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -301,6 +301,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(c.isNullAt(2))
   }
 
+  test("kruskalWallis: textbook no-tie case gives H=7.2; all-tied table NULLs the correction") {
+    import spark.implicits._
+    // Groups {1,2,3}, {4,5,6}, {7,8,9}: rank sums 6, 15, 24 →
+    // H = 12/90·(12+75+192) − 30 = 7.2; no ties so corrected == raw.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val r = graft.operators.Maintenance.kruskalWallis(df, "g", "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      === (3L, 9L, 7.2, 7.2))
+    // Every value identical: correction denominator hits zero → NULL
+    // h_tie_corrected (h itself is 0: all rank sums equal).
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val c = graft.operators.Maintenance.kruskalWallis(const, "g", "v")
+      .collect().head
+    assert(c.getDouble(2) === 0.0 && c.isNullAt(3))
+  }
+
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {
     import spark.implicits._
     // Group a: 3 rows, 3 distinct sources (diverse). Group b: 3 rows, all
