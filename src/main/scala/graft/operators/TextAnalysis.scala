@@ -1030,6 +1030,41 @@ object TextAnalysis {
     * bounded table and broadcast back — the corpus is scanned once; the
     * only doubles are the per-cell expected counts (exact-integer
     * marginal products over an exact total), rounded 4 dp at the end. */
+  /** Cramér's V — the EFFECT SIZE companion to
+    * [[chiSquareIndependence]]: V = √(χ²/(n·min(r−1, c−1))) ∈ [0, 1],
+    * comparable across tables of different size and shape, which raw χ²
+    * never is (at corpus n, χ² trips "significant" on associations too
+    * weak to act on; V is the guard). One scalar row with the full
+    * context (n, r, c, χ², V).
+    *
+    * Scale shape: [[chiSquareIndependence]]'s exactly — one contingency
+    * agg, dense grid from the broadcast marginal product (category-
+    * bounded, never the corpus), one scalar fold. Degenerate 1×c / r×1
+    * tables emit NULL V, not a divide error. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(eager = true) // marginals + grid read it thrice
+    val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("_o")).as("_rt"))
+    val colTot = obs.groupBy(col(colCol)).agg(sum(col("_o")).as("_ct"))
+    val tot = obs.agg(sum(col("_o")).cast("double").as("_n"))
+    val dmin = least(col("_r") - 1L, col("_c") - 1L)
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq(rowCol, colCol), "left_outer")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("_e", col("_rt") * col("_ct") / col("_n"))
+      .agg(max(col("_n")).cast("long").as("_nn"),
+        countDistinct(col(rowCol)).cast("long").as("_r"),
+        countDistinct(col(colCol)).cast("long").as("_c"),
+        sum((col("_o") - col("_e")) * (col("_o") - col("_e")) /
+          col("_e")).as("_chi2"))
+      .select(col("_nn").as("n"), col("_r").as("r"), col("_c").as("c"),
+        round(col("_chi2"), 4).as("chi2"),
+        when(dmin > 0L,
+          round(sqrt(col("_chi2") / (col("_nn") * dmin)), 6)).as("v"))
+  }
+
   def chiSquareIndependence(df: DataFrame, rowCol: String,
                             colCol: String): DataFrame = {
     val obs = df.groupBy(col(rowCol), col(colCol))

@@ -7156,7 +7156,37 @@ object Registry {
         |round((12.0 / (nn * (nn + 1.0)) * s - 3 * (nn + 1)) /
         |(1 - t / (CAST(nn AS DOUBLE) * nn * nn - nn)), 4) END
         |AS h_tie_corrected
-        |FROM tot CROSS JOIN tie""".stripMargin.replace("\n", " ")))
+        |FROM tot CROSS JOIN tie""".stripMargin.replace("\n", " "))),
+
+    ("x135_cramers_v",
+      // Cramér's V between language and source
+      // (TextAnalysis.cramersV): the EFFECT SIZE x93's raw chi-square
+      // can't give — at corpus n chi-square trips significance on
+      // associations too weak to act on; V in [0,1] is comparable
+      // across tables and the guard against that.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.cramersV(Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH obs AS MATERIALIZED (SELECT lang, source,
+        |CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs
+        |GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs
+        |GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+        |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct,
+        |coalesce(obs.o, 0) AS o, rt.rt * ct.ct / n.n AS e
+        |FROM rt CROSS JOIN ct
+        |LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+        |CROSS JOIN n),
+        |f AS (SELECT CAST(max(e0.n) AS BIGINT) AS n,
+        |CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |CAST(count(DISTINCT source) AS BIGINT) AS c,
+        |sum((o - e) * (o - e) / e) AS chi2
+        |FROM grid CROSS JOIN n e0)
+        |SELECT n, r, c, round(chi2, 4) AS chi2,
+        |CASE WHEN least(r - 1, c - 1) > 0 THEN
+        |round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) END AS v
+        |FROM f""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -464,6 +464,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert((g.getLong(2), g.getDouble(3), g.getDouble(4)) === ((1L, 0.0, 0.0)))
   }
 
+  test("cramersV: perfect association is 1, independence is 0, 1-column table NULLs") {
+    import spark.implicits._
+    // Perfect 2×2 diagonal: chi2 = n → V = √(n/(n·1)) = 1.
+    val diag = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val d = TextAnalysis.cramersV(diag, "r", "c").collect().head
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getDouble(3),
+      d.getDouble(4)) === (4L, 2L, 2L, 4.0, 1.0))
+    // Exactly independent 2×2 (all cells equal): chi2 = 0 → V = 0.
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val i = TextAnalysis.cramersV(ind, "r", "c").collect().head
+    assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0)
+    // A single column category: min(r−1, c−1) = 0 → NULL, not a divide.
+    val one = Seq(("a", "x"), ("b", "x")).toDF("r", "c")
+    assert(TextAnalysis.cramersV(one, "r", "c").collect().head.isNullAt(4))
+  }
+
   test("distinctN: repeated phrasing craters distinct-2 while distinct-1 holds") {
     import spark.implicits._
     // Source rep: "a b a b" + "a b" → 6 unigrams, 2 distinct
