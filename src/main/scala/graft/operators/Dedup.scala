@@ -998,6 +998,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Record-linkage blocking + Jaro–Winkler verify —
+    * [[blockedEditDistancePairs]]'s similarity-scored sibling: edit
+    * distance counts raw operations (so a transposed pair costs as much
+    * as two unrelated edits, and long strings absorb more edits for
+    * free), while Jaro–Winkler normalizes to [0, 1], half-credits
+    * transpositions, and boosts shared prefixes — the convention for
+    * NAME/TITLE matching. Scoring runs through the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression, never a UDF.
+    *
+    * Same scale contract: candidates ONLY within equal block keys — the
+    * join is an equi-join on the block, never all-pairs; the blocking
+    * key is part of the operator's contract. */
+  def blockedJaroWinklerPairs(entities: DataFrame, idCol: String,
+                              nameCol: String, blockKey: Column,
+                              minSim: Double): DataFrame = {
+    val e = entities.select(col(idCol).as("_id"), col(nameCol).as("_name"),
+      blockKey.as("_blk"))
+    e.as("a").join(e.as("b"),
+        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
+      .withColumn("jw", round(graft.functions.JaroWinkler(
+        col("a._name"), col("b._name")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("jw"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact duplicated-SPAN removal — the acting half of [[substringPairs]]'
     * detection (Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better" §4: dedup the repeated SPANS, not whole

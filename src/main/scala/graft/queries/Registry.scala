@@ -7186,7 +7186,28 @@ object Registry {
         |SELECT n, r, c, round(chi2, 4) AS chi2,
         |CASE WHEN least(r - 1, c - 1) > 0 THEN
         |round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) END AS v
-        |FROM f""".stripMargin.replace("\n", " ")))
+        |FROM f""".stripMargin.replace("\n", " "))),
+
+    ("x136_jaro_linkage",
+      // X50's blocking with Jaro-Winkler verify
+      // (Dedup.blockedJaroWinklerPairs): similarity-normalized name/
+      // title matching through the native codegen'd JaroWinkler
+      // expression (functions/JaroWinkler.scala) — DuckDB's
+      // jaro_winkler_similarity reproduces its conventions exactly
+      // (fuzz-pinned in JaroWinklerSpec).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Dedup.blockedJaroWinklerPairs(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
+          "doc_id", "title", substring(col("title"), 1, 4), 0.9),
+      Some("""WITH e AS (SELECT doc_id, substr(text, 1, 30) AS title
+        |FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |round(jaro_winkler_similarity(a.title, b.title), 6) AS jw
+        |FROM e a JOIN e b ON substr(a.title, 1, 4) = substr(b.title, 1, 4)
+        |AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jw FROM p WHERE jw >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =
