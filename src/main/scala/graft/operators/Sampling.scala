@@ -378,4 +378,50 @@ object Sampling {
       least(col("tokens"), lit(cap)).as("allocated"),
       (col("tokens") > lit(cap)).as("capped"))
   }
+
+  /** Deterministic half-sample replication CI for a group mean (the
+    * McCarthy 1969 / survey-bootstrap estimator, hash-seeded): replicate
+    * r keeps the rows whose id-hash hex digit r has its high bit set —
+    * an engine-portable stand-in for random resampling, so the SAME rows
+    * form the SAME replicates everywhere (the split/sample discipline) —
+    * and the spread of the replicate means around the full mean IS the
+    * standard error. The uncertainty read the plain per-group mean
+    * (x99 and friends) can't give: a source whose CI straddles another's
+    * isn't actually "longer-form" no matter what the point estimates say.
+    *
+    * Scale shape: ONE hash aggregation — the 2·R replicate sums are
+    * conditional aggregates folded in the same pass as n and Σx (no
+    * explode, no R× row multiplication, no second scan). Everything
+    * downstream is arithmetic on the group row. Replicate means divide
+    * exact integer sums, so the only cross-engine doubles are the final
+    * R-term fold. An empty replicate (tiny groups) yields NULL se/CI
+    * rather than a divide error. */
+  def halfSampleCi(df: DataFrame, groupCol: String, idCol: String,
+                   valueCol: String, reps: Int = 16): DataFrame = {
+    require(reps >= 2 && reps <= 32, "md5 hex has 32 digits")
+    val h = md5(col(idCol).cast("string"))
+    def s(r: Int) = s"_s$r"
+    def c(r: Int) = s"_c$r"
+    val repAggs = (1 to reps).flatMap { r =>
+      val in = substring(h, r, 1) >= "8"
+      Seq(sum(when(in, col(valueCol)).otherwise(lit(0L))).cast("long")
+          .as(s(r)),
+        sum(when(in, 1L).otherwise(0L)).cast("long").as(c(r)))
+    }
+    val allAggs = Seq(count(lit(1)).cast("long").as("_n"),
+      sum(col(valueCol)).cast("long").as("_sx")) ++ repAggs
+    val a = df.groupBy(col(groupCol)).agg(allAggs.head, allAggs.tail: _*)
+    val mean = col("_sx").cast("double") / col("_n")
+    val dev = (1 to reps).map { r =>
+      val mr = col(s(r)).cast("double") / col(c(r))
+      (mr - mean) * (mr - mean)
+    }.reduce(_ + _)
+    val minC = (1 to reps).map(r => col(c(r))).reduce(least(_, _))
+    val se = sqrt(dev / lit(reps.toDouble))
+    a.select(col(groupCol), col("_n").as("n"),
+      round(mean, 4).as("mean_val"),
+      when(minC > 0L, round(se, 4)).as("se_rep"),
+      when(minC > 0L, round(mean - lit(1.96) * se, 4)).as("ci_lo"),
+      when(minC > 0L, round(mean + lit(1.96) * se, 4)).as("ci_hi"))
+  }
 }

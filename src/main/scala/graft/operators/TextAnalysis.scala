@@ -1037,28 +1037,32 @@ object TextAnalysis {
     * weak to act on; V is the guard). One scalar row with the full
     * context (n, r, c, χ², V).
     *
-    * Scale shape: [[chiSquareIndependence]]'s exactly — one contingency
-    * agg, dense grid from the broadcast marginal product (category-
-    * bounded, never the corpus), one scalar fold. Degenerate 1×c / r×1
-    * tables emit NULL V, not a divide error. */
+    * Scale shape: SPARSER than [[chiSquareIndependence]]'s dense grid —
+    * the empty cells fold away analytically (each contributes exactly
+    * its expectation e, and Σ_all e = n), so the statistic needs one
+    * contingency agg, two broadcast marginal EQUI-joins and a scalar
+    * fold over observed cells only. Degenerate 1×c / r×1 tables emit
+    * NULL V, not a divide error. */
   def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val obs = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).as("_o"))
-      .localCheckpoint(eager = true) // marginals + grid read it thrice
+      .localCheckpoint(eager = true) // marginals + scalar fold read it
     val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("_o")).as("_rt"))
     val colTot = obs.groupBy(col(colCol)).agg(sum(col("_o")).as("_ct"))
     val tot = obs.agg(sum(col("_o")).cast("double").as("_n"))
+    val e = col("_rt") * col("_ct") / col("_n")
     val dmin = least(col("_r") - 1L, col("_c") - 1L)
-    rowTot.crossJoin(broadcast(colTot))
-      .join(obs, Seq(rowCol, colCol), "left_outer")
-      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+    // Empty cells contribute (0−e)²/e = e, and Σ_all e = n, so
+    // χ² = Σ_obs[(o−e)²/e − e] + n over OBSERVED cells only — no dense
+    // row×col grid, no marginal×marginal cross product.
+    obs.join(broadcast(rowTot), Seq(rowCol))
+      .join(broadcast(colTot), Seq(colCol))
       .crossJoin(broadcast(tot))
-      .withColumn("_e", col("_rt") * col("_ct") / col("_n"))
       .agg(max(col("_n")).cast("long").as("_nn"),
         countDistinct(col(rowCol)).cast("long").as("_r"),
         countDistinct(col(colCol)).cast("long").as("_c"),
-        sum((col("_o") - col("_e")) * (col("_o") - col("_e")) /
-          col("_e")).as("_chi2"))
+        (sum((col("_o") - e) * (col("_o") - e) / e - e) + max(col("_n")))
+          .as("_chi2"))
       .select(col("_nn").as("n"), col("_r").as("r"), col("_c").as("c"),
         round(col("_chi2"), 4).as("chi2"),
         when(dmin > 0L,

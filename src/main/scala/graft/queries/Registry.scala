@@ -762,6 +762,33 @@ object Registry {
        |round(avg(ap), 4) AS map_at_k FROM ap GROUP BY 1 ORDER BY label"""
       .stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Sampling.halfSampleCi]] (16 replicates on the
+    * documents table): the replicate membership is the same md5 hex
+    * digit test, the conditional sums the same single-pass fold. */
+  private def halfSampleOracleSql(reps: Int): String = {
+    val sums = (1 to reps).map { r =>
+      s"sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), $r, 1) >= '8' " +
+        s"THEN n_chars ELSE 0 END) AS s$r, " +
+        s"sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), $r, 1) >= '8' " +
+        s"THEN 1 ELSE 0 END) AS c$r"
+    }.mkString(", ")
+    val terms = (1 to reps).map(r =>
+      s"(CAST(s$r AS DOUBLE)/c$r - mean)*(CAST(s$r AS DOUBLE)/c$r - mean)")
+      .mkString(" + ")
+    val minc = (1 to reps).map("c" + _).mkString("least(", ", ", ")")
+    s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |CAST(sum(n_chars) AS BIGINT) AS sx, $sums
+       |FROM documents GROUP BY 1),
+       |m AS (SELECT *, CAST(sx AS DOUBLE)/n AS mean FROM a),
+       |f AS (SELECT source, n, mean, $minc AS mc,
+       |sqrt(($terms)/$reps.0) AS se FROM m)
+       |SELECT source, n, round(mean, 4) AS mean_val,
+       |CASE WHEN mc > 0 THEN round(se, 4) END AS se_rep,
+       |CASE WHEN mc > 0 THEN round(mean - 1.96*se, 4) END AS ci_lo,
+       |CASE WHEN mc > 0 THEN round(mean + 1.96*se, 4) END AS ci_hi
+       |FROM f ORDER BY source""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[Similarity.kCenterCoreset]]: the same greedy
     * farthest-point sweep unrolled as chained 1-row CTEs (the mmr
     * fixed-point discipline) — each round's cosine distances round to
@@ -7207,7 +7234,20 @@ object Registry {
         |FROM e a JOIN e b ON substr(a.title, 1, 4) = substr(b.title, 1, 4)
         |AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jw FROM p WHERE jw >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("x137_halfsample_ci",
+      // Hash-seeded half-sample replication CI for mean doc length per
+      // source (Sampling.halfSampleCi, 16 replicates): the survey-
+      // bootstrap standard error from ONE aggregation pass — the
+      // uncertainty read point estimates can't give, with replicate
+      // membership deterministic (engine-portable) by the md5 discipline
+      // every sampler here uses.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.halfSampleCi(Tables.documents(s, dir), "source",
+          "doc_id", "n_chars", 16)
+          .orderBy(col("source")),
+      Some(halfSampleOracleSql(16)))
   )
 
   def queries: Map[String, Q] =

@@ -283,4 +283,27 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(2))
     assert(same.toSeq === Seq(0L, 0L))
   }
+
+  test("halfSampleCi: constant values collapse the CI to the mean; tiny groups NULL; deterministic") {
+    import spark.implicits._
+    // Constant column: every replicate mean equals the full mean no
+    // matter which rows it holds → se = 0, CI degenerates to the mean.
+    val const = (1L to 40L).map(i => ("g", i, 7L)).toDF("grp", "id", "v")
+    val c = graft.operators.Sampling.halfSampleCi(const, "grp", "id", "v", 8)
+      .collect().head
+    assert((c.getLong(1), c.getDouble(2), c.getDouble(3), c.getDouble(4),
+      c.getDouble(5)) === (40L, 7.0, 0.0, 7.0, 7.0))
+    // A 1-row group: some replicate is empty → NULL se and CI, no error.
+    val tiny = Seq(("t", 1L, 5L)).toDF("grp", "id", "v")
+    val t = graft.operators.Sampling.halfSampleCi(tiny, "grp", "id", "v", 8)
+      .collect().head
+    assert(t.isNullAt(3) && t.isNullAt(4) && t.isNullAt(5))
+    // Hash-seeded ⇒ bit-identical across runs.
+    val varied = (1L to 40L).map(i => ("g", i, i)).toDF("grp", "id", "v")
+    val a = graft.operators.Sampling.halfSampleCi(varied, "grp", "id", "v", 8)
+      .collect().head
+    val b = graft.operators.Sampling.halfSampleCi(varied, "grp", "id", "v", 8)
+      .collect().head
+    assert(a === b && !a.isNullAt(3) && a.getDouble(3) > 0.0)
+  }
 }
