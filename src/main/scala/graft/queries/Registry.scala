@@ -7247,7 +7247,37 @@ object Registry {
         graft.operators.Sampling.halfSampleCi(Tables.documents(s, dir), "source",
           "doc_id", "n_chars", 16)
           .orderBy(col("source")),
-      Some(halfSampleOracleSql(16)))
+      Some(halfSampleOracleSql(16))),
+
+    ("j49_unpivot",
+      // The melt surface, j6's pivot inverse (Dataset.unpivot — Spark's
+      // native wide-to-long, a generator projection with NO shuffle
+      // until the aggregate): lineitem's four measures unpivot to
+      // (measure, value) rows and aggregate per return flag — the
+      // "one metrics table instead of four queries" reshape.
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .groupBy(col("l_returnflag"), col("measure"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("value")), 2).as("total"))
+          .orderBy(col("l_returnflag"), col("measure")),
+      Some("""WITH m AS (
+        |SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+        |FROM lineitem UNION ALL
+        |SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        |FROM lineitem UNION ALL
+        |SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(value), 2) AS total
+        |FROM m GROUP BY 1, 2
+        |ORDER BY l_returnflag, measure""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

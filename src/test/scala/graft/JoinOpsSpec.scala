@@ -177,4 +177,20 @@ class JoinOpsSpec extends SparkSpec {
     assert(attributed.filter(col("n_msgs") =!= col("expected")).count() === 0L)
     assert(attributed.count() === 4L) // a: 2 sessions, b: 2 sessions
   }
+
+  test("unpivot: wide-to-long is an Expand projection — k rows per input, no pre-agg shuffle") {
+    import spark.implicits._
+    val df = Seq(("r", 1.0, 10.0), ("r", 2.0, 20.0)).toDF("k", "m1", "m2")
+    val long = df.unpivot(Array(col("k")),
+      Array(col("m1"), col("m2")), "measure", "value")
+    val rows = long.orderBy($"measure", $"value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(("r", "m1", 1.0), ("r", "m1", 2.0),
+      ("r", "m2", 10.0), ("r", "m2", 20.0)))
+    // The reshape itself must not shuffle: no Exchange below the melt.
+    val plan = long.queryExecution.executedPlan
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      plan.toString)
+  }
 }
