@@ -7277,7 +7277,48 @@ object Registry {
         |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
         |round(sum(value), 2) AS total
         |FROM m GROUP BY 1, 2
-        |ORDER BY l_returnflag, measure""".stripMargin.replace("\n", " ")))
+        |ORDER BY l_returnflag, measure""".stripMargin.replace("\n", " "))),
+
+    ("j50_rfm_segments",
+      // RFM segmentation at segment grain (queries/Serving.rfmSegments):
+      // the classic CRM cube — per-customer recency/frequency/monetary
+      // quintile scores from ONE broadcast exact-percentile row, scored
+      // as a projection (no ntile, no global sort); monetary rounds to
+      // cents before scoring so edges are engine-exact.
+      (s: SparkSession, dir: String) =>
+        graft.queries.Serving.rfmSegments(Tables.orders(s, dir),
+            "o_custkey", "o_orderdate", "o_totalprice")
+          .orderBy(col("r_score"), col("f_score"), col("m_score")),
+      Some("""WITH c AS MATERIALIZED (SELECT o_custkey,
+        |date_diff('day', max(o_orderdate),
+        |(SELECT max(o_orderdate) FROM orders)) AS rec,
+        |CAST(count(*) AS BIGINT) AS freq,
+        |round(sum(o_totalprice), 2) AS mon
+        |FROM orders GROUP BY 1),
+        |e AS (SELECT
+        |quantile_cont(rec, 0.2) AS r20, quantile_cont(rec, 0.4) AS r40,
+        |quantile_cont(rec, 0.6) AS r60, quantile_cont(rec, 0.8) AS r80,
+        |quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+        |quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+        |quantile_cont(mon, 0.2) AS m20, quantile_cont(mon, 0.4) AS m40,
+        |quantile_cont(mon, 0.6) AS m60, quantile_cont(mon, 0.8) AS m80
+        |FROM c),
+        |s AS (SELECT o_custkey,
+        |5 - CAST(rec > r20 AS INT) - CAST(rec > r40 AS INT)
+        |- CAST(rec > r60 AS INT) - CAST(rec > r80 AS INT) AS r_score,
+        |1 + CAST(freq > f20 AS INT) + CAST(freq > f40 AS INT)
+        |+ CAST(freq > f60 AS INT) + CAST(freq > f80 AS INT) AS f_score,
+        |1 + CAST(mon > m20 AS INT) + CAST(mon > m40 AS INT)
+        |+ CAST(mon > m60 AS INT) + CAST(mon > m80 AS INT) AS m_score,
+        |mon FROM c CROSS JOIN e)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |CAST(f_score AS BIGINT) AS f_score,
+        |CAST(m_score AS BIGINT) AS m_score,
+        |CAST(count(*) AS BIGINT) AS n_customers,
+        |round(sum(mon), 2) AS total_monetary
+        |FROM s GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

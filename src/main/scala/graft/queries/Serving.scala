@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -313,5 +313,47 @@ object Serving {
         (col(valueCol) === cv && col(idCol) > cid))
       .orderBy(col(valueCol).desc, col(idCol).asc)
       .limit(pageSize)
+  }
+
+  /** RFM segmentation (Hughes 1994, the classic CRM cube): per customer
+    * Recency (days since last order, anchored at the corpus max date so
+    * the result is deterministic), Frequency (order count), Monetary
+    * (lifetime spend, rounded to CENTS before scoring so quintile edges
+    * derive from engine-exact inputs — raw double sums would make
+    * boundary customers flip on summation order). Each metric scores
+    * 1–5 by its own quintile edges — recency REVERSED (recent = 5); a
+    * customer strictly above an edge outranks it. Output at segment
+    * grain (≤125 rows), not per customer.
+    *
+    * Scale shape: one agg to customer grain, ONE scalar exact-percentile
+    * row broadcast back (the x108 percentile discipline — at customer
+    * grain, not event grain), score assignment as a codegen projection,
+    * one bounded segment agg. No windows, no global sort, no ntile. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  priceCol: String): DataFrame = {
+    val anchor = orders.agg(max(col(dateCol)).as("_anchor"))
+    val c = orders.crossJoin(broadcast(anchor))
+      .groupBy(col(custCol))
+      .agg(min(datediff(col("_anchor"), col(dateCol))).cast("long")
+          .as("_rec"),
+        count(lit(1)).cast("long").as("_freq"),
+        round(sum(col(priceCol)), 2).as("_mon"))
+    def qs(c0: String) =
+      expr(s"percentile($c0, array(0.2, 0.4, 0.6, 0.8))")
+    val edges = c.agg(qs("_rec").as("_re"), qs("_freq").as("_fe"),
+      qs("_mon").as("_me"))
+    def score(v: String, e: String): Column =
+      (1 to 4).map(i => when(col(v) > element_at(col(e), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    c.crossJoin(broadcast(edges))
+      .select(col(custCol), col("_mon"),
+        (lit(5L) - score("_rec", "_re")).as("r_score"),
+        (lit(1L) + score("_freq", "_fe")).as("f_score"),
+        (lit(1L) + score("_mon", "_me")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        // A segment TOTAL stays on the cent grid (an avg of cent values
+        // lands on .xx5 ties that the two engines round differently).
+        round(sum(col("_mon")), 2).as("total_monetary"))
   }
 }

@@ -115,4 +115,24 @@ class ServingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(one.toSeq === Seq(2L))
   }
+
+  test("rfmSegments: five spread customers land in five distinct quintile cells") {
+    import spark.implicits._
+    // Customer i: last order 10·i days before the anchor, i orders of
+    // 100 each — recency scores run 5..1 while frequency and monetary
+    // run 1..5 together, each customer alone in its segment cell.
+    val day0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def daysAgo(d: Int) = new java.sql.Timestamp(day0.getTime - d * 86400000L)
+    val orders = (1 to 5).flatMap { i =>
+      (1 to i).map(_ => (i.toLong, daysAgo(10 * i), 100.0))
+    }.toDF("cust", "dt", "price")
+    val out = Serving.rfmSegments(orders, "cust", "dt", "price")
+      .orderBy($"r_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 5L, 1L, 500.0), (2L, 4L, 4L, 1L, 400.0),
+      (3L, 3L, 3L, 1L, 300.0), (4L, 2L, 2L, 1L, 200.0),
+      (5L, 1L, 1L, 1L, 100.0)))
+  }
 }
