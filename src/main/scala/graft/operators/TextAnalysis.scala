@@ -1043,9 +1043,16 @@ object TextAnalysis {
     * contingency agg, two broadcast marginal EQUI-joins and a scalar
     * fold over observed cells only. Degenerate 1×c / r×1 tables emit
     * NULL V, not a divide error. */
-  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
-    val obs = df.groupBy(col(rowCol), col(colCol))
-      .agg(count(lit(1)).as("_o"))
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    cramersVFromCounts(df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("_o")), rowCol, colCol)
+
+  /** The Cramér's V fold over a pre-counted (row, col, _o) contingency
+    * table — shared by the batch operator and the streaming monitor,
+    * whose maintained additive cell-count state IS such a table. */
+  private[graft] def cramersVFromCounts(cells: DataFrame, rowCol: String,
+                                        colCol: String): DataFrame = {
+    val obs = cells
       .localCheckpoint(eager = true) // marginals + scalar fold read it
     val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("_o")).as("_rt"))
     val colTot = obs.groupBy(col(colCol)).agg(sum(col("_o")).as("_ct"))

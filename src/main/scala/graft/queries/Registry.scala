@@ -7318,7 +7318,40 @@ object Registry {
         |round(sum(mon), 2) AS total_monetary
         |FROM s GROUP BY 1, 2, 3
         |ORDER BY r_score, f_score, m_score""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("s32_stream_cramers",
+      // X135 under streaming (streaming/Streaming.runStreamCramersV):
+      // contingency cell counts are genuinely additive — the s28 PSI
+      // discipline — so the (lang, source) count state absorbs each
+      // micro-batch directly and the read-time sparse-identity fold
+      // equals batch x135 exactly; its oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s32")
+        graft.streaming.Streaming.runStreamCramersV(s, dir,
+          base + "/cramers")
+      },
+      Some("""WITH obs AS MATERIALIZED (SELECT lang, source,
+        |CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs
+        |GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs
+        |GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+        |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct,
+        |coalesce(obs.o, 0) AS o, rt.rt * ct.ct / n.n AS e
+        |FROM rt CROSS JOIN ct
+        |LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+        |CROSS JOIN n),
+        |f AS (SELECT CAST(max(e0.n) AS BIGINT) AS n,
+        |CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |CAST(count(DISTINCT source) AS BIGINT) AS c,
+        |sum((o - e) * (o - e) / e) AS chi2
+        |FROM grid CROSS JOIN n e0)
+        |SELECT n, r, c, round(chi2, 4) AS chi2,
+        |CASE WHEN least(r - 1, c - 1) > 0 THEN
+        |round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) END AS v
+        |FROM f""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

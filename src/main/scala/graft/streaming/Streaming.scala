@@ -1703,6 +1703,37 @@ object Streaming {
           col("sxx").cast("long").as("_sxx")))
   }
 
+  /** X135's Cramér's V under streaming — the "are language and source
+    * still independent" association monitor always-on. Contingency cell
+    * counts are genuinely additive (the s28 PSI discipline): state is
+    * the (lang, source) count table, bounded at the category product
+    * forever, and the sparse-identity V fold runs at read time via the
+    * shared TextAnalysis.cramersVFromCounts — streamed answer equals
+    * batch x135 bit-for-bit (its oracle verbatim). */
+  def runStreamCramersV(spark: SparkSession, dir: String,
+                        base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("lang", "source"), Seq("o"), additive = true)
+    val landing = stagedDocSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema(graft.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("long").as("o")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TextAnalysis.cramersVFromCounts(
+      sink.state(spark).get
+        .select(col("lang"), col("source"), col("o").cast("long").as("_o")),
+      "lang", "source")
+  }
+
   /** X116's Population Stability Index under streaming — the ingest-drift
     * monitor in always-on shape: per micro-batch the documents slice
     * bins by the FIXED literal edges and its (source, bin) counts ADD

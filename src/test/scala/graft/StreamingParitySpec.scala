@@ -867,6 +867,20 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming Cramér's V equals the one-shot batch statistic; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s32")
+    val streamed = Streaming.runStreamCramersV(spark, dir, base + "/cv")
+    val batch = graft.operators.TextAnalysis.cramersV(
+      Tables.documents(spark, dir), "lang", "source")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: double-added cells skew every expectation —
+    // the batch markers must skip the re-applied slice.
+    rollbackLastCommit(base + "/cv/ckpt")
+    val second = Streaming.runStreamCramersV(spark, dir, base + "/cv")
+    assertSameRows(second, batch)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
