@@ -810,6 +810,67 @@ object TextAnalysis {
           count(lit(1)), 4).as("bi_score"))
   }
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the held-out upgrade of
+    * [[bigramLmScore]]: x61 trains on the corpus it scores, so every
+    * bigram is seen and no backoff ever fires; here the count tables
+    * train on the deterministic md5-half of the corpus (the split
+    * discipline) and score the OTHER half, so unseen trigrams genuinely
+    * cascade S(w₃|w₁w₂) = t/b₁₂ → 0.4·b₂₃/u₂ → 0.4²·(u₃+1)/(N+V) —
+    * the exact shape of scoring fresh crawl against yesterday's model.
+    * The base case is add-one smoothed so OOV words score finitely.
+    *
+    * Scale shape: gram generation is array-local; count tables carry the
+    * train-half VOCABULARY; scoring ships trigram instances against
+    * three vocabulary-grain tables (left joins, AQE-sized) — the x61
+    * join grain, one level deeper. N and V ride one broadcast scalar
+    * row. Output: (doc_id, n_trigrams, backoff_rate 4 dp, tri_score
+    * 4 dp) over score-half docs with ≥ 3 tokens. */
+  def trigramBackoffScore(docs: DataFrame): DataFrame = {
+    val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1) >= "8"
+    def grams(df: DataFrame, n: Int) =
+      df.select(col("doc_id"), tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("_t")) - n),
+            i => struct((1 to n).map(o =>
+              element_at(col("_t"), i + o).as(s"w$o")): _*))).as("_g"))
+        .select(col("doc_id") +: (1 to n).map(o => col(s"_g.w$o")): _*)
+    val train = docs.filter(isTrain)
+    val tc = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("long").as("_t3"))
+    val bc = grams(train, 2).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("_b"))
+    val uc = grams(train, 1).groupBy(col("w1"))
+      .agg(count(lit(1)).cast("long").as("_u"))
+    val nv = uc.agg(sum(col("_u")).cast("double").as("_N"),
+      count(lit(1)).cast("double").as("_V"))
+    val inst = grams(docs.filter(!isTrain), 3)
+    val s = inst
+      .join(tc, Seq("w1", "w2", "w3"), "left")
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(bc.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("_b").as("_b23")), Seq("w2", "w3"), "left")
+      .join(uc.select(col("w1").as("w2"), col("_u").as("_u2")), Seq("w2"),
+        "left")
+      .join(uc.select(col("w1").as("w3"), col("_u").as("_u3")), Seq("w3"),
+        "left")
+      .na.fill(0L, Seq("_t3", "_b", "_b23", "_u2", "_u3"))
+      .crossJoin(broadcast(nv))
+    val base = lit(0.4) * lit(0.4) *
+      (col("_u3") + 1L) / (col("_N") + col("_V"))
+    val score = when(col("_t3") > 0L,
+        col("_t3").cast("double") / col("_b"))
+      .when(col("_b23") > 0L,
+        lit(0.4) * col("_b23").cast("double") / col("_u2"))
+      .otherwise(base)
+    s.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(sum(when(col("_t3") > 0L, 0L).otherwise(1L)) /
+          count(lit(1)).cast("double"), 4).as("backoff_rate"),
+        round(sum(log(score)) / count(lit(1)), 4).as("tri_score"))
+  }
+
   /** Robust per-source length-outlier gate: docs outside the Tukey fence
     * [q1 − 1.5·IQR, q3 + 1.5·IQR] of their OWN source's n_chars
     * distribution — the robust-statistics complement of [[sourceQualityGate]]

@@ -7351,7 +7351,57 @@ object Registry {
         |SELECT n, r, c, round(chi2, 4) AS chi2,
         |CASE WHEN least(r - 1, c - 1) > 0 THEN
         |round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) END AS v
-        |FROM f""".stripMargin.replace("\n", " ")))
+        |FROM f""".stripMargin.replace("\n", " "))),
+
+    ("x138_trigram_backoff",
+      // Trigram stupid-backoff LM scoring
+      // (TextAnalysis.trigramBackoffScore): counts train on the md5-half
+      // of the corpus, the other half scores with the genuine Brants
+      // cascade trigram -> 0.4 bigram -> 0.16 add-one unigram — x61's
+      // held-out upgrade, the "score fresh crawl against yesterday's
+      // model" shape; backoff_rate is the novelty read alongside.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.trigramBackoffScore(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t,
+        |substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8' AS train
+        |FROM documents),
+        |tct AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS t3 FROM
+        |(SELECT unnest(t[1:len(t)-2]) AS w1, unnest(t[2:len(t)-1]) AS w2,
+        |unnest(t[3:len(t)]) AS w3 FROM tok WHERE train AND len(t) >= 3)
+        |GROUP BY 1, 2, 3),
+        |bct AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM
+        |(SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |FROM tok WHERE train AND len(t) >= 2) GROUP BY 1, 2),
+        |uct AS (SELECT w1, CAST(count(*) AS BIGINT) AS u FROM
+        |(SELECT unnest(t) AS w1 FROM tok WHERE train AND len(t) >= 1)
+        |GROUP BY 1),
+        |nv AS (SELECT CAST(sum(u) AS DOUBLE) AS nn,
+        |CAST(count(*) AS DOUBLE) AS vv FROM uct),
+        |inst AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
+        |unnest(t[2:len(t)-1]) AS w2, unnest(t[3:len(t)]) AS w3
+        |FROM tok WHERE NOT train AND len(t) >= 3),
+        |sc AS (SELECT i.doc_id, coalesce(tct.t3, 0) AS t3,
+        |CASE WHEN coalesce(tct.t3, 0) > 0
+        |THEN CAST(tct.t3 AS DOUBLE) / b12.b
+        |WHEN coalesce(b23.b, 0) > 0
+        |THEN 0.4 * CAST(b23.b AS DOUBLE) / u2.u
+        |ELSE 0.4 * 0.4 * (coalesce(u3.u, 0) + 1) / (nv.nn + nv.vv)
+        |END AS s
+        |FROM inst i
+        |LEFT JOIN tct ON i.w1 = tct.w1 AND i.w2 = tct.w2 AND i.w3 = tct.w3
+        |LEFT JOIN bct b12 ON i.w1 = b12.w1 AND i.w2 = b12.w2
+        |LEFT JOIN bct b23 ON i.w2 = b23.w1 AND i.w3 = b23.w2
+        |LEFT JOIN uct u2 ON i.w2 = u2.w1
+        |LEFT JOIN uct u3 ON i.w3 = u3.w1
+        |CROSS JOIN nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |round(sum(CASE WHEN t3 > 0 THEN 0 ELSE 1 END)
+        |/ CAST(count(*) AS DOUBLE), 4) AS backoff_rate,
+        |round(sum(ln(s)) / count(*), 4) AS tri_score
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

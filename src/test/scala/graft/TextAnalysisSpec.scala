@@ -464,6 +464,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert((g.getLong(2), g.getDouble(3), g.getDouble(4)) === ((1L, 0.0, 0.0)))
   }
 
+  test("trigramBackoffScore: each cascade level fires on the held-out half") {
+    import spark.implicits._
+    // md5 split: ids 1 and 9 hash to TRAIN ('c', '4'... wait '4' < '8'
+    // scores) — use 1 (train, 'c') and 6 (score, '1').
+    // Train "a b c a b c": tc {abc:2, bca:1, cab:1}; bc {ab:2, bc:2,
+    // ca:1}; uc {a:2, b:2, c:2} → N = 6, V = 3.
+    // Score "a b c a b d": (a,b,c) S = 2/2; (b,c,a) S = 1/2;
+    // (c,a,b) S = 1/1; (a,b,d) unseen trigram AND bigram bd AND word d
+    // → base 0.16·(0+1)/9. backoff_rate = 1/4.
+    val docs = Seq((1L, "a b c a b c"), (6L, "a b c a b d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.trigramBackoffScore(docs).collect()
+    assert(r.length === 1 && r.head.getLong(0) === 6L)
+    val want = BigDecimal((math.log(0.5) + math.log(0.16 / 9)) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.head.getLong(1), r.head.getDouble(2), r.head.getDouble(3))
+      === (4L, 0.25, want))
+  }
+
   test("cramersV: perfect association is 1, independence is 0, 1-column table NULLs") {
     import spark.implicits._
     // Perfect 2×2 diagonal: chi2 = n → V = √(n/(n·1)) = 1.
