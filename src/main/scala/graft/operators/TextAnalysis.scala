@@ -810,6 +810,36 @@ object TextAnalysis {
           count(lit(1)), 4).as("bi_score"))
   }
 
+  /** Good–Turing unseen mass + Chao1 richness per group, at n-gram grain
+    * (Good 1953; Chao 1984): the singleton fraction n₁/N estimates the
+    * probability the NEXT gram drawn is one never seen — "how much of
+    * this source's diversity is still unsampled" — and the
+    * bias-corrected Chao1 (V + n₁(n₁−1)/(2(n₂+1))) estimates the true
+    * vocabulary the sample is drawn from. The pair tells a curriculum
+    * whether more data from a source buys novelty or reruns; x138's
+    * backoff_rate measures realized novelty, this predicts it.
+    *
+    * Scale shape: one array-local gram explode into a (group, gram)
+    * count agg — the LM-table grain — then a group-grain fold of the
+    * frequency-of-frequencies. No joins, no windows. */
+  def unseenMassEstimate(docs: DataFrame, groupCol: String,
+                         textCol: String, n: Int): DataFrame =
+    docs.select(col(groupCol), tokens(col(textCol)).as("_t"))
+      .select(col(groupCol), explode(gramArray(col("_t"), n)).as("_g"))
+      .groupBy(col(groupCol), col("_g"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).cast("long").as("_n"),
+        count(lit(1)).cast("long").as("_v"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).cast("long").as("_n1"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).cast("long").as("_n2"))
+      .select(col(groupCol), col("_n").as("n_grams"), col("_v").as("vocab"),
+        col("_n1").as("n1"), col("_n2").as("n2"),
+        round(col("_n1").cast("double") / col("_n"), 6)
+          .as("gt_unseen_mass"),
+        round(col("_v") + col("_n1").cast("double") * (col("_n1") - 1L) /
+          (lit(2L) * (col("_n2") + 1L)), 2).as("chao1"))
+
   /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large Language
     * Models in Machine Translation") — the held-out upgrade of
     * [[bigramLmScore]]: x61 trains on the corpus it scores, so every

@@ -7401,7 +7401,37 @@ object Registry {
         |/ CAST(count(*) AS DOUBLE), 4) AS backoff_rate,
         |round(sum(ln(s)) / count(*), 4) AS tri_score
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("x139_unseen_mass",
+      // Good-Turing unseen mass + Chao1 richness per source at bigram
+      // grain (TextAnalysis.unseenMassEstimate): n1/N predicts the
+      // probability the next bigram drawn is novel, Chao1 estimates the
+      // true bigram vocabulary — "does more data from this source buy
+      // novelty or reruns", the predictive twin of x138's realized
+      // backoff_rate.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.unseenMassEstimate(Tables.documents(s, dir),
+          "source", "text", 2)
+          .orderBy(col("source")),
+      Some("""WITH tok AS (SELECT source, list_filter(
+        |regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |w AS (SELECT source, unnest(CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM tok),
+        |wc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |FROM w GROUP BY 1, 2),
+        |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |CAST(count(*) AS BIGINT) AS v,
+        |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |FROM wc GROUP BY 1)
+        |SELECT source, n AS n_grams, v AS vocab, n1, n2,
+        |round(CAST(n1 AS DOUBLE) / n, 6) AS gt_unseen_mass,
+        |round(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1)), 2)
+        |AS chao1
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =
