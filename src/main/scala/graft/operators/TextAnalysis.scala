@@ -126,7 +126,7 @@ object TextAnalysis {
     * array-local (no explode), shared by [[repetitionRatio]] /
     * [[topNgrams]] / [[Dedup.decontaminate]]. Empty array when the doc has
     * fewer than n tokens. */
-  private[operators] def gramArray(toks: Column, n: Int): Column =
+  private[graft] def gramArray(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
@@ -824,11 +824,19 @@ object TextAnalysis {
     * frequency-of-frequencies. No joins, no windows. */
   def unseenMassEstimate(docs: DataFrame, groupCol: String,
                          textCol: String, n: Int): DataFrame =
-    docs.select(col(groupCol), tokens(col(textCol)).as("_t"))
-      .select(col(groupCol), explode(gramArray(col("_t"), n)).as("_g"))
-      .groupBy(col(groupCol), col("_g"))
-      .agg(count(lit(1)).cast("long").as("_c"))
-      .groupBy(col(groupCol))
+    unseenMassFromCounts(
+      docs.select(col(groupCol), tokens(col(textCol)).as("_t"))
+        .select(col(groupCol), explode(gramArray(col("_t"), n)).as("_g"))
+        .groupBy(col(groupCol), col("_g"))
+        .agg(count(lit(1)).cast("long").as("_c")),
+      groupCol)
+
+  /** The Good–Turing/Chao1 fold over a pre-counted (group, gram, _c)
+    * table — shared by the batch operator and the streaming monitor,
+    * whose maintained additive gram-count state IS such a table. */
+  private[graft] def unseenMassFromCounts(counts: DataFrame,
+                                          groupCol: String): DataFrame =
+    counts.groupBy(col(groupCol))
       .agg(sum(col("_c")).cast("long").as("_n"),
         count(lit(1)).cast("long").as("_v"),
         sum(when(col("_c") === 1L, 1L).otherwise(0L)).cast("long").as("_n1"),

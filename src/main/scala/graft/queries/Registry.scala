@@ -7431,6 +7431,37 @@ object Registry {
         |round(CAST(n1 AS DOUBLE) / n, 6) AS gt_unseen_mass,
         |round(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1)), 2)
         |AS chao1
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("s33_stream_unseen_mass",
+      // X139 under streaming (streaming/Streaming.runStreamUnseenMass):
+      // gram counts add; SINGLETON counts don't (a gram seen once in two
+      // batches isn't a singleton), so state is the vocabulary-grain
+      // count table and the freq-of-freq fold runs at read time — equals
+      // batch x139 exactly; its oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s33")
+        graft.streaming.Streaming.runStreamUnseenMass(s, dir,
+            base + "/unseen")
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT source, list_filter(
+        |regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |w AS (SELECT source, unnest(CASE WHEN len(t) >= 2 THEN
+        |list_transform(generate_series(1, len(t) - 1),
+        |i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM tok),
+        |wc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |FROM w GROUP BY 1, 2),
+        |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |CAST(count(*) AS BIGINT) AS v,
+        |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |FROM wc GROUP BY 1)
+        |SELECT source, n AS n_grams, v AS vocab, n1, n2,
+        |round(CAST(n1 AS DOUBLE) / n, 6) AS gt_unseen_mass,
+        |round(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1)), 2)
+        |AS chao1
         |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 

@@ -1734,6 +1734,46 @@ object Streaming {
       "lang", "source")
   }
 
+  /** X139's Good–Turing unseen mass under streaming — the "is this
+    * source still producing novelty" monitor always-on. Gram counts are
+    * genuinely additive (the s32 discipline), so state is the (source,
+    * bigram) count table — vocabulary-grain, the LM-table bound — and
+    * the frequency-of-frequencies fold runs at read time via the shared
+    * TextAnalysis.unseenMassFromCounts: streamed answer equals batch
+    * x139 bit-for-bit (its oracle verbatim). NOTE singleton counts
+    * themselves are NOT additive (a gram seen once in two different
+    * batches is not a singleton) — which is exactly why the state must
+    * be the count table, not the f-o-f summary. */
+  def runStreamUnseenMass(spark: SparkSession, dir: String,
+                          base: String): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("source", "g"), Seq("c"), additive = true)
+    val landing = stagedDocSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema(graft.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        import graft.operators.TextAnalysis
+        sink.upsert(b.select(col("source"),
+            TextAnalysis.tokens(col("text")).as("_t"))
+          .select(col("source"),
+            explode(TextAnalysis.gramArray(col("_t"), 2)).as("g"))
+          .groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).cast("long").as("c")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TextAnalysis.unseenMassFromCounts(
+      sink.state(spark).get
+        .select(col("source"), col("g").as("_g"),
+          col("c").cast("long").as("_c")),
+      "source")
+  }
+
   /** X116's Population Stability Index under streaming — the ingest-drift
     * monitor in always-on shape: per micro-batch the documents slice
     * bins by the FIXED literal edges and its (source, bin) counts ADD

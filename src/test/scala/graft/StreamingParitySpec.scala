@@ -881,6 +881,20 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming unseen-mass equals the one-shot batch estimate; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s33")
+    val streamed = Streaming.runStreamUnseenMass(spark, dir, base + "/um")
+    val batch = graft.operators.TextAnalysis.unseenMassEstimate(
+      Tables.documents(spark, dir), "source", "text", 2)
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a double-added slice turns singletons into
+    // doubletons — the batch markers must skip it.
+    rollbackLastCommit(base + "/um/ckpt")
+    val second = Streaming.runStreamUnseenMass(spark, dir, base + "/um")
+    assertSameRows(second, batch)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
