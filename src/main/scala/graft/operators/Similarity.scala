@@ -493,6 +493,43 @@ object Similarity {
         round(avg(col("_ap")), 4).as("map_at_k"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022, MRL): how
+    * much of the FULL-dimension kNN structure survives when vectors are
+    * truncated to their leading d dimensions — recall@k of the truncated
+    * self-kNN against the full one, per truncation level. The sizing
+    * read before shipping truncated embeddings to a cheaper index tier:
+    * if recall@10 holds at d/4, the ANN fleet shrinks 4× for free.
+    *
+    * Scale shape: one full-dim self-kNN (the shared-IVF knnJoin path),
+    * checkpointed and reused as the reference against EACH truncated
+    * run; truncation itself is an array-local `slice` projection — the
+    * truncated index is built exactly like the full one, centroids and
+    * all. Per-level recall is an equi-join on (query, neighbor) at n·k
+    * grain, then one scalar row per level. */
+  def truncationRecall(embeddings: DataFrame, idCol: String,
+                       vecCol: String, dims: Seq[Int], k: Int,
+                       nCentroids: Int, nProbe: Int): DataFrame = {
+    val full = knnJoin(embeddings, idCol, vecCol, lit(true), k, nCentroids,
+        nProbe)
+      .select(col("qid"), col(idCol))
+      .localCheckpoint(eager = true) // reference for every level
+    val fcnt = full.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("_nf"))
+    dims.map { d =>
+      val t = embeddings.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val tn = knnJoin(t, idCol, vecCol, lit(true), k, nCentroids, nProbe)
+        .select(col("qid"), col(idCol))
+      val inter = tn.join(full, Seq("qid", idCol))
+        .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("_ni"))
+      fcnt.join(inter, Seq("qid"), "left").na.fill(0L, Seq("_ni"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          round(avg(col("_ni").cast("double") / col("_nf")), 4)
+            .as("mean_recall"))
+        .select(lit(d.toLong).as("dims"), col("n_queries"),
+          col("mean_recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
     * each anchor vector, the top-`k` most-similar corpus vectors whose
     * cosine lies in `[lo, hi)` — similar enough to be informative

@@ -789,6 +789,57 @@ object Registry {
        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")
   }
 
+  /** One self-kNN CTE chain (the knnJoin oracle's shape) over source
+    * relation `src`, emitting `k$sfx(qid, vec_id)` — suffixed so
+    * [[matryoshkaOracleSql]] can instantiate it per truncation level. */
+  private def knnChainSql(sfx: String, src: String): String =
+    s"""cents$sfx AS (SELECT vec_id AS cid, embedding AS cv FROM $src
+       |  ORDER BY vec_id LIMIT 16),
+       |asg$sfx AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM $src e, cents$sfx c)),
+       |a1$sfx AS (SELECT vec_id, embedding, cid FROM asg$sfx WHERE rn = 1),
+       |qs$sfx AS (SELECT vec_id AS qid, embedding AS qv FROM $src),
+       |pr$sfx AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs$sfx q, cents$sfx c)),
+       |cand$sfx AS (SELECT p.qid, a.vec_id,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1$sfx a JOIN (SELECT qid, qv, cid FROM pr$sfx WHERE rn <= 4) p
+       |  USING (cid) WHERE a.vec_id <> p.qid),
+       |r$sfx AS (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS knn_rank
+       |  FROM cand$sfx),
+       |k$sfx AS (SELECT qid, vec_id FROM r$sfx WHERE knn_rank <= 10)"""
+      .stripMargin
+
+  /** DuckDB twin of [[Similarity.truncationRecall]] (k=10, 16 centroids,
+    * 4 probes): the full-dim chain is the reference; each truncation
+    * level re-runs the chain over leading-d slices and joins back. */
+  private def matryoshkaOracleSql(dims: Seq[Int]): String = {
+    val perDim = dims.map { d =>
+      s"""e$d AS (SELECT vec_id, embedding[1:$d] AS embedding
+         |  FROM embeddings),
+         |${knnChainSql(d.toString, s"e$d")},
+         |i$d AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS ni
+         |  FROM k$d t JOIN kf f ON t.qid = f.qid AND t.vec_id = f.vec_id
+         |  GROUP BY 1),
+         |m$d AS (SELECT CAST($d AS BIGINT) AS dims,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(coalesce(ni, 0) / CAST(nf AS DOUBLE)), 4)
+         |    AS mean_recall
+         |  FROM fc LEFT JOIN i$d USING (qid))""".stripMargin
+    }.mkString(",\n")
+    val sel = dims.map(d => s"SELECT * FROM m$d").mkString(" UNION ALL ")
+    (s"""WITH ${knnChainSql("f", "embeddings")},
+        |fc AS (SELECT qid, CAST(count(*) AS BIGINT) AS nf FROM kf
+        |  GROUP BY 1),
+        |$perDim
+        |$sel ORDER BY dims""".stripMargin).replace("\n", " ")
+  }
+
   /** DuckDB twin of [[Similarity.kCenterCoreset]]: the same greedy
     * farthest-point sweep unrolled as chained 1-row CTEs (the mmr
     * fixed-point discipline) — each round's cosine distances round to
@@ -7462,7 +7513,20 @@ object Registry {
         |round(CAST(n1 AS DOUBLE) / n, 6) AS gt_unseen_mass,
         |round(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1)), 2)
         |AS chao1
-        |FROM f ORDER BY source""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    ("x140_matryoshka_recall",
+      // Matryoshka truncation eval (Similarity.truncationRecall):
+      // recall@10 of the leading-16 and leading-32-dim self-kNN against
+      // the full 64-dim reference — the sizing read before shipping
+      // truncated embeddings to a cheaper index tier. One checkpointed
+      // full kNN reused against every level; truncation is an
+      // array-local slice.
+      (s: SparkSession, dir: String) =>
+        Similarity.truncationRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", Seq(16, 32), 10, 16, 4)
+          .orderBy(col("dims")),
+      Some(matryoshkaOracleSql(Seq(16, 32))))
   )
 
   def queries: Map[String, Q] =

@@ -405,6 +405,28 @@ class SimilaritySpec extends SparkSpec {
     assert(p.getLong(0) === 0L && p.getDouble(2) === 0.3333)
   }
 
+  test("truncationRecall: signal-bearing prefix keeps recall 1; constant prefix loses it") {
+    import spark.implicits._
+    // Clusters live entirely in dims 1-2; dims 3-4 are constant noise.
+    // Truncating to d=2 preserves every neighborhood → recall = 1.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0.5f, 0.5f)), (2L, Array(0.99f, 0.01f, 0.5f, 0.5f)),
+      (3L, Array(0.98f, 0.02f, 0.5f, 0.5f)),
+      (4L, Array(0f, 1f, 0.5f, 0.5f)), (5L, Array(0.01f, 0.99f, 0.5f, 0.5f)),
+      (6L, Array(0.02f, 0.98f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.truncationRecall(emb, "vec_id", "embedding",
+        Seq(2), 2, 6, 6).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2))
+      === (2L, 6L, 1.0))
+    // Flip the layout: signal in dims 3-4, first two constant — the
+    // truncated space is degenerate and recall collapses below 1.
+    val flipped = emb.select($"vec_id",
+      org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+    val bad = Similarity.truncationRecall(flipped, "vec_id", "embedding",
+        Seq(2), 2, 6, 6).collect().head
+    assert(bad.getDouble(2) < 1.0)
+  }
+
   test("kCenterCoreset: greedy picks the farthest corner each round") {
     import spark.implicits._
     // Seed = smallest id (1, at (1,0)). Farthest from it is (0,1) or
