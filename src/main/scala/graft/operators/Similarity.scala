@@ -493,6 +493,41 @@ object Similarity {
         round(avg(col("_ap")), 4).as("map_at_k"))
   }
 
+  /** IVF index balance audit: the cluster-size distribution of the
+    * coarse assignment, folded to the two numbers that price a probe —
+    * `imbalance_factor` = k·Σnᵢ²/n² (Jégou et al.'s expected probe-cost
+    * multiplier vs perfectly uniform buckets; 1.0 is ideal) and the
+    * max/mean hot-bucket ratio (tail latency: the worst probe scans
+    * this many times the average). The go/no-go read on an IVF layout
+    * BEFORE queries ship — a skewed quantizer quietly turns nProbe/k
+    * pruning into full scans ([[ivfTopK]]'s cost model assumes balance).
+    *
+    * Scale shape: the same one-projection codegen assignment the index
+    * build uses (broadcast centroid literals, argmax), one count agg at
+    * centroid grain (k rows), one scalar fold. */
+  def ivfBalanceAudit(embeddings: DataFrame, idCol: String,
+                      vecCol: String, nCentroids: Int): DataFrame = {
+    val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
+    val cidLit = typedlit(cids)
+    val cvLit = typedlit(cvecs)
+    embeddings
+      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
+      .withColumn("_cid", element_at(cidLit,
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
+      .groupBy(col("_cid")).agg(count(lit(1)).cast("long").as("_n"))
+      .agg(count(lit(1)).cast("long").as("_k"),
+        sum(col("_n")).cast("long").as("_nn"),
+        max(col("_n")).cast("long").as("_mx"),
+        sum(col("_n").cast("double") * col("_n")).as("_ss"))
+      .select(col("_k").as("k"), col("_nn").as("n"),
+        col("_mx").as("max_bucket"),
+        round(col("_mx").cast("double") * col("_k") / col("_nn"), 4)
+          .as("max_over_mean"),
+        round(col("_ss") * col("_k") /
+          (col("_nn").cast("double") * col("_nn")), 4)
+          .as("imbalance_factor"))
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022, MRL): how
     * much of the FULL-dimension kNN structure survives when vectors are
     * truncated to their leading d dimensions — recall@k of the truncated

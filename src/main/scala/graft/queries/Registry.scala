@@ -7526,7 +7526,32 @@ object Registry {
         Similarity.truncationRecall(Tables.embeddings(s, dir),
           "vec_id", "embedding", Seq(16, 32), 10, 16, 4)
           .orderBy(col("dims")),
-      Some(matryoshkaOracleSql(Seq(16, 32))))
+      Some(matryoshkaOracleSql(Seq(16, 32)))),
+
+    ("x141_ivf_balance",
+      // IVF balance audit (Similarity.ivfBalanceAudit): the coarse
+      // assignment's imbalance factor (expected probe-cost multiplier,
+      // 1.0 = uniform) and hot-bucket max/mean — the go/no-go read on
+      // an index layout before queries ship; x7's cost model assumes
+      // balance and this measures it.
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfBalanceAudit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", 16),
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+        |FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |FROM (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS d
+        |FROM embeddings e, cents c)),
+        |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg
+        |WHERE rn = 1 GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |CAST(sum(n) AS BIGINT) AS n, CAST(max(n) AS BIGINT) AS max_bucket,
+        |sum(CAST(n AS DOUBLE) * n) AS ss FROM sz)
+        |SELECT k, n, max_bucket,
+        |round(CAST(max_bucket AS DOUBLE) * k / n, 4) AS max_over_mean,
+        |round(ss * k / (CAST(n AS DOUBLE) * n), 4) AS imbalance_factor
+        |FROM f""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

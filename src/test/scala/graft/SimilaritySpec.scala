@@ -427,6 +427,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.getDouble(2) < 1.0)
   }
 
+  test("ivfBalanceAudit: uniform buckets score 1.0; a hot bucket inflates both reads") {
+    import spark.implicits._
+    // Two centroids (ids 1-2 at right angles), four vectors split 2/2 →
+    // perfectly balanced: imbalance = 2·(2²+2²)/4² = 1, max/mean = 1.
+    val even = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.ivfBalanceAudit(even, "vec_id", "embedding", 2)
+      .collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getDouble(3),
+      e.getDouble(4)) === (2L, 4L, 2L, 1.0, 1.0))
+    // All four near centroid 1 → sizes (4, ...wait centroid 2 is its
+    // own nearest) → sizes {1: 3+1=... vectors 1,3,4 near (1,0) and 2
+    // alone: sizes 3 and 1 → imbalance = 2·(9+1)/16 = 1.25,
+    // max/mean = 3·2/4 = 1.5.
+    val skew = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val s = Similarity.ivfBalanceAudit(skew, "vec_id", "embedding", 2)
+      .collect().head
+    assert((s.getLong(2), s.getDouble(3), s.getDouble(4))
+      === (3L, 1.5, 1.25))
+  }
+
   test("kCenterCoreset: greedy picks the farthest corner each round") {
     import spark.implicits._
     // Seed = smallest id (1, at (1,0)). Farthest from it is (0,1) or
