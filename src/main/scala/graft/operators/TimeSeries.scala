@@ -190,6 +190,43 @@ object TimeSeries {
     * the max ride ONE (key)-partitioned sort — per-key parallel, never a
     * global sort.
     */
+  /** Clamped running balance per key — inventory/credit semantics: the
+    * balance accumulates signed deltas but FLOORS at zero (a stock-out
+    * can't go negative; the shortfall is lost, not borrowed). This is
+    * the canonical stateful scan SQL windows cannot express — a plain
+    * cumsum-then-greatest is WRONG (the clamp must apply at every step,
+    * not once at the end) — and the textbook case for per-key
+    * sequential fold.
+    *
+    * Scale shape: ONE shuffle to key grain (collect + array_sort by
+    * (ts, id) for a deterministic order), then the whole recurrence is
+    * an array-local `aggregate` fold with a struct accumulator
+    * (balance, floor-hits) — embarrassingly parallel across keys. Both
+    * engines fold the identical sequence in the identical order, so the
+    * double accumulator (and every clamp decision) is bitwise-portable.
+    * Per-key history must fit in a row — the bounded-series contract
+    * this whole module already carries. */
+  def clampedBalance(events: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, delta: Column): DataFrame = {
+    val zero = struct(lit(0.0).as("b"), lit(0L).as("h"))
+    events.select(col(keyCol),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          delta.as("v")).as("_e"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("_e"))).as("_es"))
+      .select(col(keyCol), size(col("_es")).cast("long").as("n_events"),
+        aggregate(col("_es"), zero, (acc, e) =>
+          when(acc.getField("b") + e.getField("v") < 0.0,
+            struct(lit(0.0).as("b"),
+              (acc.getField("h") + 1L).as("h")))
+          .otherwise(
+            struct((acc.getField("b") + e.getField("v")).as("b"),
+              acc.getField("h").as("h")))).as("_r"))
+      .select(col(keyCol), col("n_events"),
+        round(col("_r.b"), 4).as("final_balance"),
+        col("_r.h").as("n_floor_hits"))
+  }
+
   def ksDistance(df: DataFrame, keys: Seq[String], valueCol: String,
                  sideCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))

@@ -7551,7 +7551,40 @@ object Registry {
         |SELECT k, n, max_bucket,
         |round(CAST(max_bucket AS DOUBLE) * k / n, 4) AS max_over_mean,
         |round(ss * k / (CAST(n AS DOUBLE) * n), 4) AS imbalance_factor
-        |FROM f""".stripMargin.replace("\n", " ")))
+        |FROM f""".stripMargin.replace("\n", " "))),
+
+    ("j51_clamped_balance",
+      // Clamped running balance per user (TimeSeries.clampedBalance):
+      // inventory/credit semantics — signed deltas floored at zero at
+      // EVERY step, the stateful scan SQL windows can't express
+      // (cumsum-then-greatest is wrong). One shuffle to key grain, then
+      // an array-local struct-accumulator fold; both engines walk the
+      // identical sorted sequence so every clamp decision is portable.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.clampedBalance(
+            Tables.events(s, dir), "user_id", "ts", "event_id",
+            col("value") - lit(50.0))
+          .orderBy(col("user_id")),
+      // NOTE the oracle folds with a 2-element LIST accumulator, not a
+      // struct: DuckDB 1.0 prunes unreferenced struct fields INTO the
+      // list_reduce lambda, and pruning the balance out of the hits
+      // projection silently changes every clamp decision (verified:
+      // struct form returns different n_floor_hits for whole-struct vs
+      // per-field projections on the same data).
+      Some("""WITH s AS (SELECT user_id,
+        |list(value - 50.0 ORDER BY ts, event_id) AS vs FROM events
+        |GROUP BY 1),
+        |f AS (SELECT user_id, len(vs) AS n,
+        |list_reduce(list_prepend([0.0, 0.0],
+        |list_transform(vs, v -> [v, 0.0])),
+        |(acc, v) -> CASE WHEN acc[1] + v[1] < 0
+        |THEN [0.0, acc[2] + 1]
+        |ELSE [acc[1] + v[1], acc[2]] END) AS r
+        |FROM s)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |round(r[1], 4) AS final_balance,
+        |CAST(r[2] AS BIGINT) AS n_floor_hits
+        |FROM f ORDER BY user_id""".stripMargin.replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -211,4 +211,24 @@ class TimeSeriesSpec extends SparkSpec {
       shift, Seq("k"), "day", "n", 0.45, 0.35, 2).collect().head
     assert((s.getDouble(2), s.getDouble(3), s.getDouble(4)) === ((14.5, 1.575, 17.65)))
   }
+
+  test("clampedBalance: the clamp applies at every step, not once at the end") {
+    import spark.implicits._
+    val ts = (i: Int) => new java.sql.Timestamp(1000L * i)
+    // Deltas +5, −8, +4: plain cumsum ends at 1, but the floor fires at
+    // step 2 (5−8 < 0 → 0) so the true balance is 4 with 1 hit —
+    // distinguishing the stateful scan from cumsum-then-greatest.
+    val ev = Seq((1L, ts(1), 10L, 55.0), (1L, ts(2), 11L, 42.0),
+      (1L, ts(3), 12L, 54.0)).toDF("k", "ts", "id", "value")
+    val out = graft.operators.TimeSeries.clampedBalance(
+        ev, "k", "ts", "id", col("value") - lit(50.0))
+      .collect().head
+    assert((out.getLong(1), out.getDouble(2), out.getLong(3))
+      === (3L, 4.0, 1L))
+    // Order is (ts, id), not arrival: the same rows reversed agree.
+    val out2 = graft.operators.TimeSeries.clampedBalance(
+        ev.orderBy($"id".desc), "k", "ts", "id", col("value") - lit(50.0))
+      .collect().head
+    assert(out2 === out)
+  }
 }
