@@ -518,6 +518,47 @@ object Graph {
           .as("q_c"))
   }
 
+  /** Association rules over baskets (Agrawal et al. 1993): item pairs
+    * with support, directional confidence, and lift — the market-basket
+    * read [[cooccurrencePmi]]'s information-theoretic lift doesn't give
+    * a merchandiser: "customers who bought a also bought b, `conf` of
+    * the time, `lift`× more than chance". Pairs below `minPairCount`
+    * never surface (the Apriori support prune).
+    *
+    * Scale shape: distinct-collapse to (basket, item) FIRST, pair
+    * generation as a same-basket equi-join (never all-pairs across
+    * baskets), item marginals broadcast back at vocabulary grain, and
+    * the top-k by lift is TakeOrderedAndProject. The basket table is
+    * materialized once and read thrice. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minPairCount: Int,
+                       k: Int): DataFrame = {
+    val li = baskets.select(col(basketCol).as("_o"), col(itemCol).as("_p"))
+      .distinct()
+      .localCheckpoint(eager = true) // totals + marginals + pair join
+    val n = li.agg(countDistinct(col("_o")).cast("long").as("_n"))
+    val ic = li.groupBy(col("_p")).agg(count(lit(1)).cast("long").as("_c"))
+    val pc = li.select(col("_o"), col("_p").as("pa"))
+      .join(li.select(col("_o"), col("_p").as("pb")), Seq("_o"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).cast("long").as("n_pair"))
+      .where(col("n_pair") >= minPairCount.toLong)
+    pc.join(broadcast(ic.select(col("_p").as("pa"), col("_c").as("_ca"))),
+        Seq("pa"))
+      .join(broadcast(ic.select(col("_p").as("pb"), col("_c").as("_cb"))),
+        Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("n_pair"),
+        round(col("n_pair").cast("double") / col("_n"), 6).as("support"),
+        round(col("n_pair").cast("double") / col("_ca"), 6)
+          .as("conf_a_to_b"),
+        round(col("n_pair").cast("double") * col("_n") /
+          (col("_ca") * col("_cb").cast("double")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
   def assortativity(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val bi = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))

@@ -7584,7 +7584,32 @@ object Registry {
         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
         |round(r[1], 4) AS final_balance,
         |CAST(r[2] AS BIGINT) AS n_floor_hits
-        |FROM f ORDER BY user_id""".stripMargin.replace("\n", " ")))
+        |FROM f ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    ("j52_association_rules",
+      // Association rules over order baskets (Graph.associationRules):
+      // support / confidence / lift with the Apriori support prune —
+      // the merchandiser's read j12's PMI doesn't give; top-20 by lift.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Graph.associationRules(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 3, 20),
+      Some("""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM li),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li
+        |GROUP BY 1),
+        |pc AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cp
+        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        |HAVING count(*) >= 3)
+        |SELECT pa, pb, cp AS n_pair,
+        |round(CAST(cp AS DOUBLE) / n.n, 6) AS support,
+        |round(CAST(cp AS DOUBLE) / ia.c, 6) AS conf_a_to_b,
+        |round(CAST(cp AS DOUBLE) * n.n / (ia.c * CAST(ib.c AS DOUBLE)), 4)
+        |AS lift
+        |FROM pc JOIN ic ia ON pc.pa = ia.p JOIN ic ib ON pc.pb = ib.p
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -202,6 +202,21 @@ class GraphSpec extends SparkSpec {
     assert(b.toSeq === Seq(("E", 1L, -0.107143), ("O", 1L, -0.107143)))
   }
 
+  test("associationRules: hand-computed support/confidence/lift; the support prune drops rare pairs") {
+    import spark.implicits._
+    // 4 baskets: {a,b} ×3 and {a,c}. Pair (a,b): n=3, support 3/4,
+    // conf(a→b) = 3/4, lift = 3·4/(4·3) = 1. Pair (a,c): n=1 — pruned
+    // at minPairCount 2. Duplicate rows collapse (basket 1 lists a
+    // twice).
+    val li = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a"), (4L, "c")).toDF("o", "p")
+    val out = graft.operators.Graph.associationRules(li, "o", "p", 2, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(("a", "b", 3L, 0.75, 0.75, 1.0)))
+  }
+
   test("assortativity: a star is exactly -1, a barbell of stars is positive-correlated only at the bridge") {
     import spark.implicits._
     // Star K1,3: every edge joins degree 3 to degree 1 → r = -1 exactly.
