@@ -810,6 +810,32 @@ object TextAnalysis {
           count(lit(1)), 4).as("bi_score"))
   }
 
+  /** Word2vec negative-sampling distribution (Mikolov et al. 2013):
+    * P_ns(w) ∝ count(w)^α with α = 0.75 — the smoothed unigram table
+    * every contrastive text trainer draws negatives from (raw frequency
+    * over-samples stopwords; uniform under-trains them; ¾ is the
+    * published sweet spot). Emitted next to the raw unigram probability
+    * so the smoothing's effect is visible per token.
+    *
+    * Scale shape: one word-count agg (vocabulary grain), one broadcast
+    * scalar row for the normalizer, TakeOrderedAndProject for the
+    * top-k. At serving time the table becomes the alias-method input —
+    * this operator is the distribution builder, not the sampler. */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+                            alpha: Double, k: Int): DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("_c"))
+    val z = wc.agg(sum(pow(col("_c").cast("double"), alpha)).as("_z"),
+      sum(col("_c")).cast("long").as("_n"))
+    wc.crossJoin(broadcast(z))
+      .select(col("token"), col("_c").as("c"),
+        round(col("_c").cast("double") / col("_n"), 6).as("p_unigram"),
+        round(pow(col("_c").cast("double"), alpha) / col("_z"), 6)
+          .as("p_negative"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(k)
+  }
+
   /** Good–Turing unseen mass + Chao1 richness per group, at n-gram grain
     * (Good 1953; Chao 1984): the singleton fraction n₁/N estimates the
     * probability the NEXT gram drawn is one never seen — "how much of

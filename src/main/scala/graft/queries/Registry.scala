@@ -7609,6 +7609,28 @@ object Registry {
         |FROM pc JOIN ic ia ON pc.pa = ia.p JOIN ic ib ON pc.pb = ib.p
         |CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
+        .replace("\n", " "))),
+
+    ("x142_negative_sampling",
+      // Word2vec negative-sampling table
+      // (TextAnalysis.negativeSamplingTable, alpha = 0.75, top-30): the
+      // smoothed unigram distribution contrastive text trainers draw
+      // negatives from, emitted beside the raw unigram probability so
+      // the smoothing's per-token effect is visible.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.negativeSamplingTable(Tables.documents(s, dir),
+          "text", 0.75, 30),
+      Some("""WITH w AS (SELECT unnest(list_filter(
+        |regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+        |FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        |z AS (SELECT sum(pow(CAST(c AS DOUBLE), 0.75)) AS z,
+        |CAST(sum(c) AS BIGINT) AS n FROM wc)
+        |SELECT w AS token, c,
+        |round(CAST(c AS DOUBLE) / z.n, 6) AS p_unigram,
+        |round(pow(CAST(c AS DOUBLE), 0.75) / z.z, 6) AS p_negative
+        |FROM wc CROSS JOIN z
+        |ORDER BY c DESC, token LIMIT 30""".stripMargin
         .replace("\n", " ")))
   )
 

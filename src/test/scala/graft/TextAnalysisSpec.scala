@@ -483,6 +483,19 @@ class TextAnalysisSpec extends SparkSpec {
       === (4L, 0.25, want))
   }
 
+  test("negativeSamplingTable: the 3/4 power compresses the frequency gap; probabilities sum to 1") {
+    import spark.implicits._
+    // Counts a:16, b:1. Unigram: 16/17 vs 1/17 (16:1). Negative: 8 vs 1
+    // (16^.75 = 8) → 8/9 vs 1/9 — the head downweighted, the tail up.
+    val docs = Seq((("a " * 16) + "b")).toDF("text")
+    val out = TextAnalysis.negativeSamplingTable(docs, "text", 0.75, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", 16L, 0.941176, 0.888889), ("b", 1L, 0.058824, 0.111111)))
+  }
+
   test("unseenMassEstimate: singleton fraction and bias-corrected Chao1 by hand") {
     import spark.implicits._
     // "a b a b": bigrams {ab:2, ba:1} → N=3, V=2, n1=1, n2=0 →
