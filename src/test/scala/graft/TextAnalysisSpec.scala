@@ -498,18 +498,16 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("unseenMassEstimate: singleton fraction and bias-corrected Chao1 by hand") {
     import spark.implicits._
-    // "a b a b": bigrams {ab:2, ba:1} → N=3, V=2, n1=1, n2=0 →
-    // gt = 1/3, chao1 = 2 + 1·0/(2·1) = 2. Saturated source "c d" ×2 in
-    // one doc ("c d c d": {cd:2, dc:1})... use "c d" + "c d" as two
-    // docs: bigrams {cd:1} + {cd:1} → cd:2 → n1=0 → gt = 0, chao1 = 2
-    // + 0 = ... V=1 → chao1 = 1.
+    // "a b a b": bigrams {ab:2, ba:1} → N=3, V=2, n1=1 (ba), n2=1 (ab)
+    // → gt = 1/3, chao1 = 2 + 1·0/(2·2) = 2. Saturated source: "c d"
+    // as two docs → cd:2 → n1=0, n2=1 → gt = 0, chao1 = V = 1.
     val docs = Seq(("g", "a b a b"), ("h", "c d"), ("h", "c d"))
       .toDF("source", "text")
     val out = TextAnalysis.unseenMassEstimate(docs, "source", "text", 2)
       .orderBy($"source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5), r.getDouble(6)))
-    assert(out.toSeq === Seq(("g", 3L, 2L, 1L, 0L, 0.333333, 2.0),
+    assert(out.toSeq === Seq(("g", 3L, 2L, 1L, 1L, 0.333333, 2.0),
       ("h", 2L, 1L, 0L, 1L, 0.0, 1.0)))
   }
 
