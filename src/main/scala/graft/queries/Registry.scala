@@ -7631,6 +7631,21 @@ object Registry {
         |round(pow(CAST(c AS DOUBLE), 0.75) / z.z, 6) AS p_negative
         |FROM wc CROSS JOIN z
         |ORDER BY c DESC, token LIMIT 30""".stripMargin
+        .replace("\n", " "))),
+
+    ("j53_dow_hour_profile",
+      // Day-of-week x hour heatmap (queries/Serving.dowHourProfile):
+      // the dashboard calendar read — one agg to the fixed 7x24 grid,
+      // share from a broadcast scalar; dow is 1=Sunday on both engines.
+      (s: SparkSession, dir: String) =>
+        graft.queries.Serving.dowHourProfile(Tables.events(s, dir), "ts")
+          .orderBy(col("dow"), col("hod")),
+      Some("""WITH h AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+        |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+        |round(CAST(n AS DOUBLE) / t.t, 6) AS share
+        |FROM h CROSS JOIN t ORDER BY dow, hod""".stripMargin
         .replace("\n", " ")))
   )
 

@@ -315,6 +315,24 @@ object Serving {
       .limit(pageSize)
   }
 
+  /** Day-of-week × hour activity heatmap — the dashboard calendar read
+    * (when does this community actually chat): one count per (dow, hod)
+    * cell plus its share of all traffic. Dow follows the SQL-standard
+    * 1 = Sunday … 7 = Saturday convention on both engines.
+    *
+    * Scale shape: one hash aggregate to the fixed 7×24 grid (the shuffle
+    * carries 168 cells, never events), one broadcast scalar row for the
+    * share denominator. */
+  def dowHourProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val h = events.groupBy(dayofweek(col(tsCol)).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val t = h.agg(sum(col("n")).cast("long").as("_t"))
+    h.crossJoin(broadcast(t))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("_t"), 6).as("share"))
+  }
+
   /** RFM segmentation (Hughes 1994, the classic CRM cube): per customer
     * Recency (days since last order, anchored at the corpus max date so
     * the result is deterministic), Frequency (order count), Monetary

@@ -116,6 +116,19 @@ class ServingSpec extends SparkSpec {
     assert(one.toSeq === Seq(2L))
   }
 
+  test("dowHourProfile: cells land on the 1=Sunday convention and shares sum to 1") {
+    import spark.implicits._
+    // 2024-06-02 was a Sunday. Two events Sunday 05h, one Monday 23h.
+    val ev = Seq("2024-06-02 05:10:00", "2024-06-02 05:50:00",
+      "2024-06-03 23:00:00")
+      .map(java.sql.Timestamp.valueOf).map(Tuple1(_)).toDF("ts")
+    val out = Serving.dowHourProfile(ev, "ts")
+      .orderBy($"dow", $"hod").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 5L, 2L, 0.666667), (2L, 23L, 1L,
+      0.333333)))
+  }
+
   test("rfmSegments: five spread customers land in five distinct quintile cells") {
     import spark.implicits._
     // Customer i: last order 10·i days before the anchor, i orders of
