@@ -62,6 +62,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
   }
 
+  /** Language-ID with a CONFIDENCE MARGIN — the abstention read on top
+    * of [[langId]]: the gap between the best and second-best language
+    * scores. An argmax alone routes every doc somewhere; the margin says
+    * which routings to trust (margin 0 = a coin flip between two
+    * languages, the doc a lang-specific pipeline should NOT consume).
+    * `confident` applies the caller's minimum margin.
+    *
+    * Scale shape: [[langId]]'s candidate explode (|languages| rows per
+    * doc), one group back to doc grain with conditional max/struct-max
+    * aggregates instead of a rank window — no second shuffle. */
+  def langIdMargin(docs: DataFrame, minMargin: Long): DataFrame = {
+    val toks = col("_toks")
+    val scored = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        explode(array(langMarkers.map { case (lang, words) =>
+          struct(lit(lang).as("cand_lang"),
+            size(filter(toks, t => array_contains(lit(words.toArray), t)))
+              .cast("long").as("score"))
+        }: _*)).as("cs"))
+      .select(col("doc_id"), col("cs.cand_lang").as("_l"),
+        col("cs.score").as("_s"))
+    // Best = min over (−score, lang): max score with ties to the
+    // SMALLEST code, matching langId's window order — but as one
+    // struct-min aggregate, no rank window. Runner-up = max score among
+    // the non-winners, an array-local fold over the collected (bounded,
+    // |languages|-sized) candidate list.
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct((-col("_s")).as("ns"), col("_l").as("l"))).as("_b"),
+        collect_list(struct(col("_l"), col("_s"))).as("_all"))
+      .select(col("doc_id"), (-col("_b.ns")).as("best_score"),
+        col("_b.l").as("pred_lang"), col("_all"))
+      .select(col("doc_id"), col("pred_lang"), col("best_score"),
+        aggregate(filter(col("_all"),
+            e => e.getField("_l") =!= col("pred_lang")),
+          lit(0L), (acc, e) => greatest(acc, e.getField("_s")))
+          .as("second_score"))
+      .select(col("doc_id"), col("pred_lang"), col("best_score"),
+        col("second_score"),
+        (col("best_score") - col("second_score")).as("margin"),
+        (col("best_score") - col("second_score") >= minMargin)
+          .as("confident"))
+  }
+
   /** Quality scoring: length, punctuation density, stopword ratio,
     * uppercase ratio — the standard cheap pre-training filters. All ratios
     * double, rounded 4 dp. */

@@ -905,6 +905,32 @@ object Registry {
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB twin of [[TextAnalysis.langIdMargin]] — the langId oracle's
+    * candidate table with rank 1 AND 2 pulled per doc. */
+  private def langIdMarginOracleSql(minMargin: Long): String = {
+    val branches = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$lang' AS cand_lang, " +
+        s"CAST(len(list_filter(t, x -> list_contains($lst, x))) AS BIGINT)" +
+        s" AS score FROM toks"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t FROM documents),
+       |sc AS ($branches),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM sc),
+       |b AS (SELECT doc_id, cand_lang AS pred_lang, score AS best_score
+       |  FROM r WHERE rn = 1),
+       |s2 AS (SELECT r.doc_id, max(r.score) AS second_score FROM r
+       |  JOIN b ON r.doc_id = b.doc_id AND r.cand_lang <> b.pred_lang
+       |  GROUP BY 1)
+       |SELECT b.doc_id, pred_lang, best_score, second_score,
+       |best_score - second_score AS margin,
+       |best_score - second_score >= $minMargin AS confident
+       |FROM b JOIN s2 ON b.doc_id = s2.doc_id
+       |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[TextAnalysis.bpeTrain]]: the merge loop unrolled as
     * chained CTEs (fixed-point discipline) over the same double-space
     * symbol-string algebra — plain `replace` IS the greedy merge on both
@@ -7646,7 +7672,18 @@ object Registry {
         |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
         |round(CAST(n AS DOUBLE) / t.t, 6) AS share
         |FROM h CROSS JOIN t ORDER BY dow, hod""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("x143_langid_margin",
+      // Language-ID with a confidence margin
+      // (TextAnalysis.langIdMargin, min margin 2): best minus
+      // second-best score — the abstention read x8's bare argmax can't
+      // give; margin 0 is a coin flip a lang-specific pipeline should
+      // not consume. One struct-min aggregate, no rank window.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.langIdMargin(Tables.documents(s, dir), 2L)
+          .orderBy(col("doc_id")),
+      Some(langIdMarginOracleSql(2L)))
   )
 
   def queries: Map[String, Q] =

@@ -483,6 +483,24 @@ class TextAnalysisSpec extends SparkSpec {
       === (4L, 0.25, want))
   }
 
+  test("langIdMargin: agrees with langId's argmax and tie-break; margin gates confidence") {
+    import spark.implicits._
+    // "the a row": en scores 3, others 0 → margin 3, confident at 2.
+    // "the hash": en 1, de 1 → the tie breaks to the smallest code
+    // ('de' < 'en'), margin 0, not confident.
+    val docs = Seq((1L, "the a row"), (2L, "the hash")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdMargin(docs, 2L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq((1L, "en", 3L, 0L, 3L, true),
+      (2L, "de", 1L, 1L, 0L, false)))
+    // And the argmax/tie-break must agree with langId itself.
+    val a = TextAnalysis.langId(docs).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === Seq((1L, "en"), (2L, "de")))
+  }
+
   test("negativeSamplingTable: the 3/4 power compresses the frequency gap; probabilities sum to 1") {
     import spark.implicits._
     // Counts a:16, b:1. Unigram: 16/17 vs 1/17 (16:1). Negative: 8 vs 1
