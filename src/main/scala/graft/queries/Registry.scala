@@ -7683,7 +7683,35 @@ object Registry {
       (s: SparkSession, dir: String) =>
         TextAnalysis.langIdMargin(Tables.documents(s, dir), 2L)
           .orderBy(col("doc_id")),
-      Some(langIdMarginOracleSql(2L)))
+      Some(langIdMarginOracleSql(2L))),
+
+    ("q31_rank_movers",
+      // Leaderboard rank movers (queries/Serving.rankMovers): first-half
+      // vs second-half counts from ONE conditional-aggregate scan, each
+      // half ranked via the scale-safe ranked() (range partition +
+      // zipWithIndex, never a one-task window), rank delta emitted —
+      // the "who's rising" read a raw count delta buries.
+      (s: SparkSession, dir: String) =>
+        graft.queries.Serving.rankMovers(Tables.events(s, dir),
+            "event_type", "ts")
+          .orderBy(col("rank_curr"), col("event_type")),
+      Some("""WITH b AS (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts)))
+        |// 2 AS mid FROM events),
+        |c AS (SELECT event_type,
+        |CAST(sum(CASE WHEN epoch_ms(ts) <= b.mid THEN 1 ELSE 0 END)
+        |AS BIGINT) AS n_prev,
+        |CAST(sum(CASE WHEN epoch_ms(ts) > b.mid THEN 1 ELSE 0 END)
+        |AS BIGINT) AS n_curr
+        |FROM events CROSS JOIN b GROUP BY 1),
+        |r AS (SELECT event_type, n_prev, n_curr,
+        |CAST(row_number() OVER (ORDER BY n_prev DESC, event_type)
+        |AS BIGINT) AS rank_prev,
+        |CAST(row_number() OVER (ORDER BY n_curr DESC, event_type)
+        |AS BIGINT) AS rank_curr FROM c)
+        |SELECT event_type, n_prev, n_curr, rank_prev, rank_curr,
+        |rank_prev - rank_curr AS rank_delta
+        |FROM r ORDER BY rank_curr, event_type""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

@@ -333,6 +333,40 @@ object Serving {
         round(col("n").cast("double") / col("_t"), 6).as("share"))
   }
 
+  /** Leaderboard rank movers — the "who's rising" dashboard read:
+    * counts per key over the first and second half of the time range
+    * (split at the range midpoint so the comparison is self-anchoring),
+    * each half ranked, and the rank DELTA emitted. Surfaces movement a
+    * raw count delta buries: +500 messages matters at rank 40, not at
+    * rank 1.
+    *
+    * Scale shape: BOTH half-counts come from one conditional aggregate
+    * over one scan (the trailingSums discipline) with the midpoint as a
+    * broadcast scalar; ranks come from [[ranked]]'s range-partition +
+    * zipWithIndex (never a global one-task window); the final join is
+    * key-grain. */
+  def rankMovers(events: DataFrame, keyCol: String,
+                 tsCol: String): DataFrame = {
+    val ms = unix_millis(col(tsCol))
+    val b = events.agg(((min(ms) + max(ms)) / lit(2L)).cast("long")
+      .as("_mid"))
+    val c = events.crossJoin(broadcast(b))
+      .groupBy(col(keyCol))
+      .agg(sum(when(ms <= col("_mid"), 1L).otherwise(0L)).cast("long")
+          .as("n_prev"),
+        sum(when(ms > col("_mid"), 1L).otherwise(0L)).cast("long")
+          .as("n_curr"))
+      .localCheckpoint(eager = true) // ranked twice + the final join
+    val rp = ranked(c.select(col(keyCol), col("n_prev")), "n_prev", keyCol)
+      .select(col(keyCol), col("rank").as("rank_prev"))
+    val rc = ranked(c.select(col(keyCol), col("n_curr")), "n_curr", keyCol)
+      .select(col(keyCol), col("rank").as("rank_curr"))
+    c.join(rp, Seq(keyCol)).join(rc, Seq(keyCol))
+      .select(col(keyCol), col("n_prev"), col("n_curr"),
+        col("rank_prev"), col("rank_curr"),
+        (col("rank_prev") - col("rank_curr")).as("rank_delta"))
+  }
+
   /** RFM segmentation (Hughes 1994, the classic CRM cube): per customer
     * Recency (days since last order, anchored at the corpus max date so
     * the result is deterministic), Frequency (order count), Monetary

@@ -129,6 +129,23 @@ class ServingSpec extends SparkSpec {
       0.333333)))
   }
 
+  test("rankMovers: the split is at the range midpoint and deltas track rank, not counts") {
+    import spark.implicits._
+    val ts = (m: Int) => new java.sql.Timestamp(60000L * m)
+    // Range [0, 100] min → mid 50. First half: a×3, b×1 (a rank 1).
+    // Second half: a×1, b×2 (b rank 1). a falls 1→2 (delta −1), b rises
+    // 2→1 (delta +1). The boundary event at exactly mid counts as PREV.
+    val ev = Seq(("a", 0), ("a", 10), ("a", 50), ("b", 20),
+      ("a", 60), ("b", 70), ("b", 100))
+      .map { case (k, m) => (k, ts(m)) }.toDF("k", "ts")
+    val out = Serving.rankMovers(ev, "k", "ts")
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("a", 3L, 1L, 1L, 2L, -1L),
+      ("b", 1L, 2L, 2L, 1L, 1L)))
+  }
+
   test("rfmSegments: five spread customers land in five distinct quintile cells") {
     import spark.implicits._
     // Customer i: last order 10·i days before the anchor, i orders of
