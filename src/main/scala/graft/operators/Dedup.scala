@@ -352,12 +352,30 @@ object Dedup {
     expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
 
+  /** Per-doc shingle sets as DENSE LONG ids: an injective run-local
+    * dictionary (monotonically_increasing_id over the distinct shingles,
+    * lazily checkpointed so every reference reads the ONE materialization
+    * and the ids stay self-consistent) shrinks the verify arrays ~5× vs
+    * UTF8 shingle strings and intersects with primitive long equality —
+    * at θ=0.5 the verify join was moving ~1 KiB of strings per candidate
+    * side and dominated the whole pipeline. Injectivity ⇒ |A∩B| and |A|
+    * are bit-identical to the string-set counts, so jaccard/overlap
+    * values are unchanged and the exact-ground-truth claim holds (unlike
+    * a 64-bit hash remap, where a collision merging two shingles common
+    * to a pair can flip a borderline score). */
+  private def idSets(shingled: DataFrame, idCol: String): DataFrame = {
+    val dict = shingled.select(col("shingle")).distinct()
+      .withColumn("_sid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
+    shingled.join(dict, Seq("shingle"))
+      .groupBy(col(idCol)).agg(collect_set(col("_sid")).as("sset"))
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs over the
-    * full (bounded, ~1e2 entries) shingle-set arrays. */
+    * full (bounded, ~1e2 entries) shingle sets, as [[idSets]] long ids. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
                             idCol: String, threshold: Double): DataFrame = {
-    val sets = shingled.groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("sset"))
+    val sets = idSets(shingled, idCol)
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), Seq("id_b"))
@@ -502,8 +520,8 @@ object Dedup {
       .select(least(col("_pid"), col("_fid")).as("id_a"),
         greatest(col("_pid"), col("_fid")).as("id_b"))
       .distinct()
-    val sets = shingled.groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("sset"))
+    // Same dense-long-id set representation as [[verifyJaccard]]'s.
+    val sets = idSets(shingled, idCol)
     val repPairs = cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), Seq("id_b"))

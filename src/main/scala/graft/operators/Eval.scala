@@ -271,19 +271,26 @@ object Eval {
           .as("kappa"))
   }
 
-  /** BLEU-2 over a candidate pair list (Papineni et al. 2002) — the
-    * precision-oriented twin of [[rougeN]]'s recall: for each (id_a as
-    * candidate, id_b as reference), clipped unigram and bigram precisions
-    * p_1, p_2, brevity penalty BP = min(1, e^(1−r/c)), and
-    * bleu = BP · √(p_1·p_2) (uniform-weight geometric mean written as
-    * exp of the half-sum of logs on BOTH engines). A zero p_n floors the
-    * score at 0 — the standard unsmoothed convention — instead of a
-    * log(0) error.
-    *
-    * Scale shape: rougeN's pair-driven discipline twice — (id, gram,
-    * count) frames at n = 1 and 2, intersections as pairs ⋈ grams_a ⋈
-    * grams_b equi-joins, so cost is Σ_pairs |grams|, never corpus²;
-    * lengths ride the unigram totals. */
+  /** Docs pruned to the pair list's endpoints BEFORE any gram explode —
+    * the pair-scorer scale contract shared by [[rougeN]], [[bleuPairs]]
+    * and [[chrfPairs]]: the pair set is output-scale while the corpus is
+    * input-scale, so a gram-count table built corpus-wide does O(corpus)
+    * explode+agg work to score O(pairs) rows (at sf0.1 it was the
+    * measured dominant cost; at 100× corpus with a near-constant pair
+    * set it is pure waste linear in the corpus). One broadcast left-semi
+    * join bounds every downstream explode/agg at Σ_endpoints |doc|
+    * instead. The endpoint list is 2·|pairs| ids before distinct —
+    * output-scale, broadcastable by construction. Callers whose pair
+    * frame embeds an expensive candidate pipeline should pass it
+    * eagerly `localCheckpoint`ed so this endpoint scan (and the scorers'
+    * own pair joins) replay the materialized rows, not the pipeline. */
+  private def endpointDocs(docs: DataFrame, p: DataFrame,
+                           idCol: String): DataFrame =
+    docs.join(broadcast(
+        p.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+          .distinct()),
+      Seq(idCol), "left_semi")
+
   /** chrF over candidate pairs (Popović 2015, the character-level member
     * of the pair-scoring family): clipped CHARACTER n-gram overlap for
     * n = 1, 2 on whitespace-stripped text, per-n precision AND recall
@@ -292,14 +299,16 @@ object Eval {
     * Character grams make it robust to tokenization and morphology
     * differences that whiff word-level ROUGE/BLEU entirely.
     *
-    * Scale shape: identical to [[bleuPairs]] — per-doc gram-count tables
-    * (alphabet-bounded for n=1, alphabet² for n=2), pair overlap via two
-    * equi-joins at (pair, gram) grain, never a text×text comparison.
-    * Zero overlap at either n floors that n's F at 0. */
+    * Scale shape: identical to [[bleuPairs]] — docs pruned to pair
+    * endpoints first, then per-doc gram-count tables (alphabet-bounded
+    * for n=1, alphabet² for n=2), pair overlap via two equi-joins at
+    * (pair, gram) grain, never a text×text comparison. Zero overlap at
+    * either n floors that n's F at 0. */
   def chrfPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
     val stripped = regexp_replace(col(textCol), "\\s+", "")
-    def grams(n: Int) = docs.select(col(idCol), stripped.as("_s"))
+    val pruned = endpointDocs(docs, pairs, idCol)
+    def grams(n: Int) = pruned.select(col(idCol), stripped.as("_s"))
       .select(col(idCol), explode(when(length(col("_s")) >= n,
           transform(sequence(lit(1), length(col("_s")) - (n - 1)),
             i => col("_s").substr(i, lit(n))))
@@ -339,10 +348,28 @@ object Eval {
         round((f1 + f2) / 2.0, 6).as("chrf"))
   }
 
+  /** BLEU-2 over a candidate pair list (Papineni et al. 2002) — the
+    * precision-oriented twin of [[rougeN]]'s recall: for each (id_a as
+    * candidate, id_b as reference), clipped unigram and bigram precisions
+    * p_1, p_2, brevity penalty BP = min(1, e^(1−r/c)), and
+    * bleu = BP · √(p_1·p_2) (uniform-weight geometric mean written as
+    * exp of the half-sum of logs on BOTH engines). A zero p_n floors the
+    * score at 0 — the standard unsmoothed convention — instead of a
+    * log(0) error.
+    *
+    * Scale shape: rougeN's pair-driven discipline twice — docs pruned to
+    * pair endpoints first, then (id, gram, count) frames at n = 1 and 2,
+    * intersections as pairs ⋈ grams_a ⋈ grams_b equi-joins, so cost is
+    * Σ_pairs |grams|, never corpus or corpus²; lengths ride the unigram
+    * totals. The score reads NO reference bigram total, so stats(2)
+    * joins only the candidate side — a ref-side inner join would both
+    * waste a join and silently drop any pair whose reference has fewer
+    * than two tokens (the oracle keeps such a pair at bleu = 0). */
   def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
     val t = col("_toks")
-    def grams(n: Int) = docs.select(col(idCol),
+    val pruned = endpointDocs(docs, pairs, idCol)
+    def grams(n: Int) = pruned.select(col(idCol),
         filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
       .select(col(idCol), explode(when(size(t) >= n,
           transform(sequence(lit(1), size(t) - (n - 1)),
@@ -351,7 +378,8 @@ object Eval {
       .groupBy(col(idCol), col("_g"))
       .agg(count(lit(1)).cast("long").as("_c"))
     val p = pairs.select(col("id_a"), col("id_b"))
-    def stats(n: Int, iOut: String, cOut: String, rOut: String) = {
+    def stats(n: Int, iOut: String, cOut: String,
+              refOut: Option[String]) = {
       val g = grams(n)
       val sizes = g.groupBy(col(idCol))
         .agg(sum(col("_c")).cast("long").as("_n"))
@@ -362,14 +390,16 @@ object Eval {
           col("_c").as("_cb")), Seq("id_b", "_g"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as(iOut))
-      p.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq(iOut))
+      val withCand = p.join(inter, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq(iOut))
         .join(sizes.select(col(idCol).as("id_a"), col("_n").as(cOut)),
           Seq("id_a"))
-        .join(sizes.select(col(idCol).as("id_b"), col("_n").as(rOut)),
-          Seq("id_b"))
+      refOut.fold(withCand)(r =>
+        withCand.join(sizes.select(col(idCol).as("id_b"), col("_n").as(r)),
+          Seq("id_b")))
     }
-    val s1 = stats(1, "_i1", "_c1", "_r1")
-    val s2 = stats(2, "_i2", "_c2", "_r2")
+    val s1 = stats(1, "_i1", "_c1", Some("_r1"))
+    val s2 = stats(2, "_i2", "_c2", None)
     val p1 = col("_i1").cast("double") / col("_c1")
     val p2 = col("_i2").cast("double") / col("_c2")
     val bp = least(lit(1.0),
@@ -434,15 +464,16 @@ object Eval {
     * clipped F1 collapses algebraically to 2i/(|a|+|b|) — one exact
     * integer ratio, no 0/0 guard needed beyond empty gram bags.
     *
-    * Scale shape: pair-driven — the corpus-grain frames are (id, gram,
-    * count) and (id, total); the intersection is `pairs ⋈ grams_a ⋈
-    * grams_b` on (id, gram) equi-keys, so cost is Σ_pairs |grams(a)|,
-    * never corpus². Pairs come from any bounded candidate generator
-    * (x6's lossless prefix filter in the registry entry). */
+    * Scale shape: pair-driven — docs prune to pair endpoints before the
+    * gram explode, so the (id, gram, count) and (id, total) frames are
+    * endpoint-grain; the intersection is `pairs ⋈ grams_a ⋈ grams_b` on
+    * (id, gram) equi-keys, so cost is Σ_pairs |grams(a)|, never corpus
+    * or corpus². Pairs come from any bounded candidate generator (x6's
+    * lossless prefix filter in the registry entry). */
   def rougeN(docs: DataFrame, pairs: DataFrame, idCol: String,
              textCol: String, n: Int): DataFrame = {
     val t = col("_toks")
-    val grams = docs.select(col(idCol),
+    val grams = endpointDocs(docs, pairs, idCol).select(col(idCol),
         filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_toks"))
       .select(col(idCol), explode(when(size(t) >= n,
           transform(sequence(lit(1), size(t) - (n - 1)),

@@ -6061,10 +6061,14 @@ object Registry {
       // 0.5 (operators/Eval.rougeN): the multiset metric distinct-set
       // Dice can't express — repeated bigrams only score up to the other
       // side's copy count. Oracle re-derives the pair set unpruned.
+      // The pair frame materializes once (eager checkpoint): the scorer
+      // references it as both endpoint pruner and pair list, and replays
+      // of the embedded x6 candidate pipeline were the r8-measured waste.
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         graft.operators.Eval.rougeN(docs,
-            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
             "doc_id", "text", 2)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -6280,11 +6284,13 @@ object Registry {
       // pairs at 0.5 (operators/Eval.bleuPairs): the precision twin of
       // x114's ROUGE — clipped unigram+bigram precisions, geometric mean
       // as exp-of-half-log-sum identically on both engines, zero p_n
-      // floors at 0 instead of a log(0) error.
+      // floors at 0 instead of a log(0) error. Pair frame eagerly
+      // checkpointed — x114's replay rationale.
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         graft.operators.Eval.bleuPairs(docs,
-            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
             "doc_id", "text")
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -7066,11 +7072,13 @@ object Registry {
       // pair-scoring family — clipped char 1/2-gram overlap,
       // recall-weighted F_2 per n (chrF's defining beta), averaged.
       // Catches morphology/tokenization near-matches that word-level
-      // ROUGE (x114) and BLEU (x119) miss entirely.
+      // ROUGE (x114) and BLEU (x119) miss entirely. Pair frame eagerly
+      // checkpointed — x114's replay rationale.
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         graft.operators.Eval.chrfPairs(docs,
-            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
             "doc_id", "text")
           .orderBy(col("id_a"), col("id_b"))
       },
