@@ -28,21 +28,13 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   /** Scratch dirs for queries that materialize state (streaming sinks,
-    * the IVF/bucketed indexes): all live under ONE per-process root that a
-    * shutdown hook removes — repeated Verify/Bench runs must not accrete
-    * state tables in /tmp. */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val r = java.nio.file.Files.createTempDirectory("graft-scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try java.nio.file.Files.walk(r)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Exception => () }
-    }))
-    r
-  }
+    * the IVF/bucketed indexes): all live under the ONE per-process
+    * [[graft.Scratch]] root (tmpfs-backed where available — the r8
+    * streaming-bench flap was disk-backed checkpoint setup, not compute)
+    * that a shutdown hook removes — repeated Verify/Bench runs must not
+    * accrete state tables. */
   private def scratch(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+    graft.Scratch.dir(prefix).toString
 
   // ---- shared builders (Spark side) ----
 

@@ -94,7 +94,7 @@ object Streaming {
     * surfaced in the channel-stats state table). */
   private[streaming] def privateStagedTableDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet")
-    val d = java.nio.file.Files.createTempDirectory(s"graft-stream-$table")
+    val d = graft.Scratch.dir(s"graft-stream-$table")
     java.nio.file.Files.copy(src, d.resolve(s"$table.parquet"))
     d.toString
   }
@@ -786,8 +786,7 @@ object Streaming {
     // table (same discipline as stagedEventSlices); the checkpoint, pairs
     // sink, and signature index stay per-run under `base`.
     val landing = stagedSliceDirs.computeIfAbsent(s"$dir#nd#3", _ => {
-      val l = java.nio.file.Files
-        .createTempDirectory("graft-ndslices").toString
+      val l = graft.Scratch.dir("graft-ndslices").toString
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
       val f = FileSystem.get(new java.net.URI(l),
@@ -962,8 +961,7 @@ object Streaming {
                    cuts: Seq[Long]): DataFrame = {
     val landing = stagedSliceDirs.computeIfAbsent(
       s"$dir#cdc#${cuts.mkString(",")}", _ => {
-        val l = java.nio.file.Files
-          .createTempDirectory("graft-cdcslices").toString
+        val l = graft.Scratch.dir("graft-cdcslices").toString
         val ev = graft.Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
@@ -1130,8 +1128,7 @@ object Streaming {
     // checkpoint and both sinks stay per-run under `base`.
     val landing = stagedSliceDirs.computeIfAbsent(
       s"$dir#tr#${cuts.mkString(",")}", _ => {
-        val l = java.nio.file.Files
-          .createTempDirectory("graft-trslices").toString
+        val l = graft.Scratch.dir("graft-trslices").toString
         val ev = graft.Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         val f = FileSystem.get(new java.net.URI(l),
@@ -1217,8 +1214,7 @@ object Streaming {
                       cuts: Seq[Long], steps: Seq[String]): DataFrame = {
     val landing = stagedSliceDirs.computeIfAbsent(
       s"$dir#fn#${cuts.mkString(",")}", _ => {
-        val l = java.nio.file.Files
-          .createTempDirectory("graft-fnslices").toString
+        val l = graft.Scratch.dir("graft-fnslices").toString
         val ev = graft.Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         val f = FileSystem.get(new java.net.URI(l),
@@ -1347,8 +1343,7 @@ object Streaming {
   private def stagedEmbSlices(spark: SparkSession, dir: String,
                               slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#emb#$slices", _ => {
-      val landing = java.nio.file.Files
-        .createTempDirectory("graft-embslices").toString
+      val landing = graft.Scratch.dir("graft-embslices").toString
       val em = graft.Tables.embeddings(spark, dir)
       val f = FileSystem.get(new java.net.URI(landing),
         spark.sparkContext.hadoopConfiguration)
@@ -1366,8 +1361,7 @@ object Streaming {
   private def stagedDocSlices(spark: SparkSession, dir: String,
                               slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#doc#$slices", _ => {
-      val landing = java.nio.file.Files
-        .createTempDirectory("graft-docslices").toString
+      val landing = graft.Scratch.dir("graft-docslices").toString
       val docs = graft.Tables.documents(spark, dir)
       val f = FileSystem.get(new java.net.URI(landing),
         spark.sparkContext.hadoopConfiguration)
@@ -1385,8 +1379,7 @@ object Streaming {
   private def stagedEventSlices(spark: SparkSession, dir: String,
                                 slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#$slices", _ => {
-      val landing = java.nio.file.Files
-        .createTempDirectory("graft-evslices").toString
+      val landing = graft.Scratch.dir("graft-evslices").toString
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -1551,8 +1544,7 @@ object Streaming {
     val sink = new ParquetUpsertSink(s"$base/state",
       Seq("pred_lang", "lang"), Seq("c"), additive = true)
     val landing = stagedSliceDirs.computeIfAbsent(s"$dir#kap#3", _ => {
-      val l = java.nio.file.Files
-        .createTempDirectory("graft-kapslices").toString
+      val l = graft.Scratch.dir("graft-kapslices").toString
       val docs = graft.Tables.documents(spark, dir)
       val f = FileSystem.get(new java.net.URI(l),
         spark.sparkContext.hadoopConfiguration)
