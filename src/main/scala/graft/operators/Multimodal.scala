@@ -169,10 +169,13 @@ object Multimodal {
     * candidate join is LOSSLESS for the reported set. Candidates then
     * verify exactly via one zip_with fold over the two bit vectors.
     *
-    * Scale shape: bits compute array-locally (one interpreted-HOF pass
-    * over the payload — the winnowing-documented trap; a native
-    * Expression is the 100 TB knob); the shuffle carries (band, 8-char
-    * key) — never payloads; verify joins the 64-int bit vectors only for
+    * Scale shape: bits compute array-locally in ONE codegen pass per
+    * payload ([[graft.functions.AHashBits]] — the native-Expression knob
+    * notes_r8ao called for; the retired interpreted-HOF composition
+    * re-sliced the string per character, O(n²) per payload under
+    * multi-byte encodings, and is kept only as [[aHashBitsFold]], the
+    * spec's semantic reference); the shuffle carries (band, 8-char key)
+    * — never payloads; verify joins the 64-int bit vectors only for
     * candidates. Payloads shorter than 64 units are dropped (no window). */
   def perceptualHashPairs(media: DataFrame, bands: Int,
                           maxHamming: Int): DataFrame = {
@@ -181,20 +184,10 @@ object Multimodal {
       s"maxHamming=$maxHamming needs < bands=$bands for lossless banding")
     val bw = 64 / bands
     val txt = decode(col("media"), "UTF-8")
-    val n = length(txt).cast("long")
-    val wd = col("_wd")
-    val winsums = transform(sequence(lit(0L), lit(63L)), i =>
-      aggregate(sequence(i * wd + 1L, (i + 1L) * wd), lit(0L),
-        (acc, j) => acc + ascii(col("_txt").substr(j.cast("int"), lit(1)))))
     val bits = media
-      .select(col("media_id"), txt.as("_txt"), n.as("_n"))
-      .filter(col("_n") >= 64L)
-      .withColumn("_wd", expr("_n div 64"))
-      .select(col("media_id"), winsums.as("_ws"))
       .select(col("media_id"),
-        transform(col("_ws"),
-          s => when(s * 64L > aggregate(col("_ws"), lit(0L), _ + _), 1)
-            .otherwise(0)).as("bits"))
+        graft.functions.AHashBits(txt).as("bits"))
+      .filter(col("bits").isNotNull) // < 64 code points: no window
       .localCheckpoint(eager = true) // referenced by banding AND both verify sides
     val bandRows = bits.select(col("media_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -215,6 +208,26 @@ object Multimodal {
             (x, y) => abs(x - y).cast("long")),
           lit(0L), _ + _).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The aHash bit vector as the built-in higher-order-function
+    * composition — the semantic reference [[graft.functions.AHashBits]]
+    * replaced in the hot path (the [[graft.operators.Similarity.cosineFold]]
+    * pattern: HOFs evaluate interpreted and re-slice the string per
+    * character, so the hot path uses the one-pass native expression; the
+    * spec asserts exact === equality between the two on every fixture
+    * payload, 1-code-point windows included). NULL below 64 code points,
+    * matching the expression. */
+  private[graft] def aHashBitsFold(payload: Column): Column = {
+    val n = length(payload).cast("long")
+    val wd = (n / 64L).cast("long")
+    val winsums = transform(sequence(lit(0L), lit(63L)), i =>
+      aggregate(sequence(i * wd + 1L, (i + 1L) * wd), lit(0L),
+        (acc, j) => acc + ascii(payload.substr(j.cast("int"), lit(1)))))
+    when(n >= 64L,
+      transform(winsums,
+        s => when(s * 64L > aggregate(winsums, lit(0L), _ + _), 1)
+          .otherwise(0)))
   }
 
   def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =

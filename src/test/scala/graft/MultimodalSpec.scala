@@ -97,6 +97,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.chunkNearDupPairs(df, 8, "0", 1, 1L).count() === 0L)
   }
 
+  test("AHashBits: native expression is exactly the HOF fold; NULL below 64 code points") {
+    import spark.implicits._
+    // Mixed payloads: 1-cp windows (64 chars), wide windows (300 chars),
+    // a repeated-block pattern, a non-ASCII probe (multi-byte + BMP code
+    // points — ascii()/ord() parity is the risky seam), and a too-short
+    // payload that must be NULL on both sides.
+    val texts = Seq(
+      "a" * 32 + "b" * 32,
+      "a" * 31 + "b" * 33,
+      (1 to 60).map(i => s"word$i piece").mkString(" "),
+      ("é" * 40 + "ß" * 20 + "日本語テキスト" * 8),
+      "x" * 63,
+      "short")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.functions.AHashBits(col("payload")).as("native"),
+        operators.Multimodal.aHashBitsFold(col("payload")).as("fold"))
+      .orderBy(col("id"))
+      .collect()
+    df.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"nullability diverged: $r")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"bits diverged: $r")
+    }
+    assert(df.count(_.isNullAt(1)) === 2) // the 63-char and 5-char payloads
+  }
+
   test("perceptualHashPairs: window-mean bits pair near-identical payloads; far payloads verify out; short drop") {
     // 64-char payloads, window width 1. Docs 1-3 share the a*32/b*32 bit
     // pattern (doc 3's trailing 'c' stays above the mean → same bits);
