@@ -123,23 +123,124 @@ object Similarity {
                             cents: (Seq[Long], Seq[Seq[Float]]),
                             indexPath: String): Unit = {
     val (cids, cvecs) = cents
-    val cidLit = typedlit(cids)
-    val cvLit = typedlit(cvecs)
-    embeddings
-      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
-      .withColumn("centroid_id", element_at(cidLit,
-        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val assigned = assignToCentroids(embeddings, idCol, vecCol, cids, cvecs)
       // One file per centroid partition (see CLAUDE.md / the upsert sink's
       // writePartitioned): without this pre-shuffle every task fans a file
       // into every centroid dir.
       .repartition(col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(indexPath)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(indexPath)
+    // The signature travels WITH the build (not only via ivfIndexTopK's
+    // lazy path): append maintenance needs the frozen centroid identity.
+    writeSignature(embeddings.sparkSession, indexPath, cids)
+  }
+
+  /** The frozen-centroid assignment projection shared by the full build
+    * and [[appendToIvfIndex]]: centroid literals inlined, argmax via
+    * first-occurrence array_position (ties to the earliest centroid in
+    * signature order, matching ORDER BY d DESC, cid ASC). */
+  private def assignToCentroids(vectors: DataFrame, idCol: String,
+                                vecCol: String, cids: Seq[Long],
+                                cvecs: Seq[Seq[Float]]): DataFrame = {
+    val cidLit = typedlit(cids)
+    val cvLit = typedlit(cvecs)
+    vectors
+      .withColumn("_sims", transform(cvLit, c => cosine(col(vecCol), c)))
+      .withColumn("centroid_id", element_at(cidLit,
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
   /** The index's identity: which centroids it was built against. Stored
     * beside the data so a probe can detect a stale index. */
   private def indexSignature(cids: Seq[Long]): String = cids.mkString(",")
+
+  private def indexFsFor(spark: SparkSession, indexPath: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+
+  private def sigPathFor(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_centroids")
+
+  private def writeSignature(spark: SparkSession, indexPath: String,
+                             cids: Seq[Long]): Unit = {
+    val out = indexFsFor(spark, indexPath).create(sigPathFor(indexPath), true)
+    try out.write(indexSignature(cids).getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSignature(spark: SparkSession, indexPath: String): Option[String] = {
+    val fs = indexFsFor(spark, indexPath)
+    val p = sigPathFor(indexPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
+  /** The frozen centroids of a materialized index, recovered WITHOUT a
+    * full scan: ids come from the `_centroids` signature (order
+    * authoritative — it IS the argmax tie-break order), vectors from a
+    * partition-pruned read — every centroid row lives in one of the
+    * centroid-id partitions (a centroid assigns to SOME centroid, and all
+    * centroid ids are in the pruned set), so the scan opens nCentroids
+    * partitions of the layout, never the index body. Bounded collect:
+    * nCentroids rows of coarse-quantizer metadata. */
+  private def indexCentroids(spark: SparkSession, indexPath: String,
+                             idCol: String, vecCol: String): (Seq[Long], Seq[Seq[Float]]) = {
+    val sig = readSignature(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no _centroids signature — not a graft IVF index"))
+    val cids = sig.split(",").map(_.trim.toLong).toSeq
+    val byId = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(cids: _*) && col(idCol).isin(cids: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val missing = cids.filterNot(byId.contains)
+    require(missing.isEmpty,
+      s"index $indexPath is missing centroid vectors for ids $missing")
+    (cids, cids.map(byId(_)))
+  }
+
+  /** Incremental IVF maintenance — the append-only member the r8 verdict
+    * named as the family's one gap: a new-vector batch lands in an
+    * existing [[buildIvfIndex]] layout WITHOUT a rebuild. The batch is
+    * assigned with the index's FROZEN centroids (from the signature +
+    * partition-pruned centroid fetch — the quantizer must not drift, or
+    * existing partitions silently stop matching probe routing), written
+    * `mode(append)` after the writePartitioned repartition, so only the
+    * batch's touched centroid dirs receive files — per-batch I/O is
+    * O(batch), the index body is never rewritten or rescanned.
+    *
+    * Idempotence (x33/x38's append-only discipline): ids already present
+    * are anti-joined away before the write, with the existing-side scan
+    * partition-pruned to the batch's own touched centroids — lossless
+    * under the id-stability contract (an id maps to one immutable vector,
+    * so a re-ingested id assigns to the same centroid and is found
+    * there). The touched-centroid list is a bounded collect
+    * (≤ nCentroids values).
+    *
+    * A probe over the maintained index is bit-identical to one over a
+    * full rebuild with the same centroid set (spec-pinned): assignment
+    * uses the same codegen argmax projection, and probe routing reads
+    * only the signature. */
+  def appendToIvfIndex(newBatch: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String): Unit = {
+    val spark = newBatch.sparkSession
+    val (cids, cvecs) = indexCentroids(spark, indexPath, idCol, vecCol)
+    val assigned = assignToCentroids(newBatch, idCol, vecCol, cids, cvecs)
+      .localCheckpoint(eager = false) // referenced by touched-list AND write
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= nCentroids values
+    if (touched.nonEmpty) {
+      val existingIds = spark.read.parquet(indexPath)
+        .filter(col("centroid_id").isin(touched: _*))
+        .select(col(idCol))
+      assigned
+        .join(existingIds, Seq(idCol), "left_anti")
+        .repartition(col("centroid_id"))
+        .write.partitionBy("centroid_id").mode("append").parquet(indexPath)
+    }
+  }
 
   /** Probe plan over a materialized index (no top-k): scan restricted to
     * the probed centroids by a LITERAL partition predicate — the scan shows
@@ -163,27 +264,15 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (cids, cvecs) = centroids(embeddings, idCol, vecCol, nCentroids)
-    // Hadoop FS existence probe: the index may live on any filesystem
-    // (hdfs://, s3a://) — a java.io.File check would always report absent
-    // there and silently rebuild per query. An EXISTING index is reused
-    // only if its recorded centroid signature matches the current request:
-    // probing a stale index (different nCentroids or changed data) with
-    // fresh probe ids would silently return wrong neighbors.
-    val indexFs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    val sigPath = new org.apache.hadoop.fs.Path(indexPath, "_centroids")
-    val onDiskSig =
-      if (!indexFs.exists(sigPath)) None
-      else {
-        val in = indexFs.open(sigPath)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim)
-        finally in.close()
-      }
-    if (!onDiskSig.contains(indexSignature(cids))) {
+    // Hadoop FS signature probe (readSignature): the index may live on any
+    // filesystem (hdfs://, s3a://) — a java.io.File check would always
+    // report absent there and silently rebuild per query. An EXISTING
+    // index is reused only if its recorded centroid signature matches the
+    // current request: probing a stale index (different nCentroids or
+    // changed data) with fresh probe ids would silently return wrong
+    // neighbors. The build itself records the signature.
+    if (!readSignature(spark, indexPath).contains(indexSignature(cids)))
       buildIvfIndex(embeddings, idCol, vecCol, (cids, cvecs), indexPath)
-      val out = indexFs.create(sigPath, true)
-      try out.write(indexSignature(cids).getBytes("UTF-8")) finally out.close()
-    }
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qv"))
     // nProbe nearest centroids to the query — engine arithmetic over the

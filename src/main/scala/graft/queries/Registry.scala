@@ -2159,6 +2159,31 @@ object Registry {
       },
       Some(ivfOracleSql)),
 
+    ("x144_ivf_append",
+      // Incremental IVF maintenance (Similarity.appendToIvfIndex — the
+      // r8-named last gap in the incremental family): the index builds on
+      // a base slice, the remainder lands as an append-only batch
+      // assigned with the FROZEN signature centroids (only touched
+      // partitions receive files), and a duplicate re-ingest anti-joins
+      // away against partition-pruned existing ids. The probe then
+      // answers over the maintained layout — same semantics and oracle
+      // as x7/x7b, pinning probe-equivalence with a full build (base
+      // holds vec_id < 250 ⊇ the first 16 ids, so the full-corpus
+      // centroid set IS the frozen one).
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = scratch("x144") + "/index"
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), "vec_id",
+          "embedding", 16, idx)
+        val batch = emb.filter(col("vec_id") >= 250)
+        Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx)
+        // Idempotent re-ingest: second append must be a no-op.
+        Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx)
+        Similarity.ivfIndexTopK(emb, "vec_id", "embedding", 0L, 10, 16, 4,
+          idx)
+      },
+      Some(ivfOracleSql)),
+
     ("x40_knn_join",
       // Batch kNN JOIN: top-10 cosine neighbors for EVERY query vector
       // (vec_id % 50 = 0) at once through the shared IVF probe —

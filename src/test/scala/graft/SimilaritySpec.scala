@@ -46,6 +46,48 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(direct, indexed)
   }
 
+  test("incremental IVF append: maintained index equals a full rebuild; re-append is a no-op; untouched partitions untouched") {
+    import spark.implicits._
+    val base = fixture.filter(col("vec_id") < 12) // holds the 4 centroid ids
+    val batch = fixture.filter(col("vec_id") >= 12)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivffull").toString + "/index"
+    val inc = java.nio.file.Files.createTempDirectory("graft-ivfinc").toString + "/index"
+    Similarity.buildIvfIndex(fixture, "vec_id", "embedding", 4, full)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", 4, inc)
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", inc)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("long"),
+        col("embedding").cast("string"))
+    // Maintained layout row-identical to the from-scratch build (same
+    // frozen centroids because base holds the first 4 ids).
+    assertSameRows(rows(full), rows(inc))
+    // Idempotent re-ingest: appending the same batch again adds nothing,
+    // and leaf dirs of centroids the batch does not touch gain no files.
+    val before = spark.read.parquet(inc).count()
+    val leafFiles = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", inc)
+    assert(spark.read.parquet(inc).count() === before)
+    // An append of a batch touching a single centroid leaves every other
+    // partition's file set bit-identical (only-touched-partitions pin).
+    val single = Seq((100L, Array.tabulate(4)(j => fixture.collect()
+      .find(_.getLong(0) == 0L).get.getSeq[Float](1)(j))))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(single, "vec_id", "embedding", inc)
+    val after = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val touched = after.keySet.filter(k => after(k) != leafFiles.getOrElse(k, Set.empty[String]))
+    assert(touched.size === 1, s"expected exactly one touched partition, got $touched")
+    assert(spark.read.parquet(inc).count() === before + 1)
+    // Probe over the maintained index equals the direct IVF answer.
+    assertSameRows(
+      Similarity.ivfTopK(fixture, "vec_id", "embedding", 0L, 5, 4, 2),
+      Similarity.ivfIndexTopK(fixture, "vec_id", "embedding", 0L, 5, 4, 2,
+        full))
+  }
+
   test("quantizeInt8: hand-computed fixture, zero vector, checksum exactness") {
     import spark.implicits._
     // v = [1, -0.5, 0.25, 0]: scale = 1/127, q = [127, -64, 32, 0]
