@@ -859,4 +859,58 @@ object Maintenance {
           coalesce(sum(when(col("_p").isNotNull, 1L)), lit(0L))
             .cast("long").as("parents_referenced"))
     }.reduce(_ unionByName _)
+
+  /** Join-key skew diagnostics — the pre-flight read before shuffling a
+    * 100 TB table on a key: per-key counts fold to the counts-of-counts
+    * distribution (bounded by DISTINCT count values, not key
+    * cardinality), and every summary scalar computes over that tiny
+    * frame. `recommended_salt` is the exact-integer ceiling of
+    * max_count / mean_count — the salt factor that levels the heaviest
+    * key's partition to the average (j7's salted join takes this number
+    * as its input; AQE skew-join handles the residue).
+    *
+    * Scale shape: one map-side-combined key-grain agg, one count-grain
+    * agg, ONE scalar-agg row. The quantiles and entropy fold over the
+    * pos-sorted counts-of-counts ARRAY (array-local, ordered — no
+    * distributed float-sum order noise, no single-partition window;
+    * exact type-1/discrete quantiles: the smallest count value whose
+    * cumulative key coverage reaches ceil(p · n_keys)). No collect, no
+    * driver state.
+    *
+    * Output (one row): n_keys, n_rows, max_count, top1_share,
+    * p50_count, p99_count, entropy_nats, recommended_salt. */
+  def skewDiagnostics(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+    val dist = counts.groupBy(col("_c"))
+      .agg(count(lit(1)).cast("long").as("_k"))
+    val base = dist.agg(
+      sort_array(collect_list(struct(col("_c"), col("_k")))).as("_d"),
+      sum(col("_k")).cast("long").as("n_keys"),
+      sum(col("_c") * col("_k")).cast("long").as("n_rows"),
+      max(col("_c")).cast("long").as("max_count"))
+    def target(p: Double) = ceil(lit(p) * col("n_keys")).cast("long")
+    val quant = aggregate(col("_d"),
+      struct(lit(0L).as("cum"), lit(0L).as("q50"), lit(0L).as("q99")),
+      (acc, s) => {
+        val cum = acc.getField("cum") + s.getField("_k")
+        struct(cum.as("cum"),
+          when(acc.getField("q50") === 0L && cum >= target(0.5),
+            s.getField("_c")).otherwise(acc.getField("q50")).as("q50"),
+          when(acc.getField("q99") === 0L && cum >= target(0.99),
+            s.getField("_c")).otherwise(acc.getField("q99")).as("q99"))
+      })
+    val p = (s: org.apache.spark.sql.Column) =>
+      s.getField("_c").cast("double") / col("n_rows")
+    val entropy = aggregate(col("_d"), lit(0.0),
+      (acc, s) => acc - s.getField("_k").cast("double") * p(s) * log(p(s)))
+    base.select(
+      col("n_keys"), col("n_rows"), col("max_count"),
+      round(col("max_count").cast("double") / col("n_rows"), 6)
+        .as("top1_share"),
+      quant.getField("q50").as("p50_count"),
+      quant.getField("q99").as("p99_count"),
+      round(entropy, 6).as("entropy_nats"),
+      expr("(max_count * n_keys + n_rows - 1L) div n_rows").cast("long")
+        .as("recommended_salt"))
+  }
 }

@@ -739,16 +739,36 @@ object Similarity {
     * full-pass update here is already the scalable shape. */
   def kMeansTrain(embeddings: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
-    val init = embeddings.orderBy(col(idCol).asc).limit(k)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+    val cvecs = lloydCentroids(embeddings, idCol, vecCol, k, iters)
+    embeddings
+      .withColumn("_sims", simsAgainst(col(vecCol), cvecs))
+      .select(col(idCol),
+        array_position(col("_sims"), array_max(col("_sims"))).cast("long")
+          .as("cluster_id"),
+        round(array_max(col("_sims")), 6).as("sim"))
+  }
+
+  /** k explicit native-cosine terms, not transform(lit, lambda): the HOF
+    * form evaluates interpreted; this one stays inside whole-stage
+    * codegen (CosineSim.doGenCode) with each centroid a typed literal. */
+  private def simsAgainst(v: Column, cvecs: Seq[Seq[Float]]): Column =
+    array(cvecs.map(c => cosine(v, typedlit(c))): _*)
+
+  /** The Lloyd training loop factored out of [[kMeansTrain]] so the
+    * incremental update ([[kMeansUpdate]]) trains against the identical
+    * trajectory: init = first k vectors by id, per-round means rounded
+    * 6 dp AND float-quantized (the engine-portable fixed point), empty
+    * clusters keep their previous centroid. Per-round collect is bounded
+    * driver metadata (k × d rows). */
+  private def lloydCentroids(embeddings: DataFrame, idCol: String,
+                             vecCol: String, k: Int,
+                             iters: Int): Seq[Seq[Float]] = {
+    val init: Seq[Seq[Float]] = embeddings.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toIndexedSeq).toSeq
     var cvecs = init
-    // k explicit native-cosine terms, not transform(lit, lambda): the HOF
-    // form evaluates interpreted; this one stays inside whole-stage
-    // codegen (CosineSim.doGenCode) with each centroid a typed literal.
-    def sims = array(cvecs.map(c => cosine(col(vecCol), typedlit(c))): _*)
     (1 to iters).foreach { _ =>
       val means = embeddings
-        .withColumn("_sims", sims)
+        .withColumn("_sims", simsAgainst(col(vecCol), cvecs))
         .withColumn("_cid",
           array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
         .select(col("_cid"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
@@ -756,18 +776,87 @@ object Similarity {
         .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_m"))
         .collect() // bounded driver metadata: k x d rows
       val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toIndexedSeq
+        cid -> (rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toIndexedSeq: Seq[Float])
       }
       cvecs = cvecs.zipWithIndex.map { case (prev, i) =>
         byCid.getOrElse(i + 1, prev)
       }
     }
-    embeddings
-      .withColumn("_sims", sims)
-      .select(col(idCol),
-        array_position(col("_sims"), array_max(col("_sims"))).cast("long")
-          .as("cluster_id"),
-        round(array_max(col("_sims")), 6).as("sim"))
+    cvecs
+  }
+
+  /** Mini-batch k-means centroid MAINTENANCE — the quantizer-side member
+    * of the incremental family (x33/x38/x79/x144 keep hashes, LSH
+    * signatures, HLL registers, and the IVF layout current; this keeps
+    * the trained quantizer itself current): a new-vector batch updates
+    * the base-trained centroids by the count-weighted mean merge
+    * c' = (n·c + m·b) / (n + m) per dimension, where n is the base
+    * cluster population (final-assignment counts), b the batch members'
+    * per-dimension mean and m their count — the standard mini-batch
+    * k-means step (Sculley 2010) with the whole history folded into
+    * (c, n). Clusters the batch never touches keep their centroid
+    * bit-identically; a cluster empty in the base adopts the batch mean.
+    *
+    * Engine-portable arithmetic: b rounds 6 dp + float-quantizes exactly
+    * like the training rounds; the merge computes in double from the
+    * float-widened inputs and rounds 6 dp + float-quantizes again, so
+    * both engines hold bit-identical updated centroids. The per-cluster
+    * summary scalars fold over the pos-sorted centroid arrays (array-
+    * local, ordered — no distributed float-sum order noise).
+    *
+    * Scale shape: training is [[lloydCentroids]] (per-round codegen
+    * argmax + bounded k·d collect); the batch touches ONE assignment
+    * projection and ONE (cid, dim)-grain mean agg; the merge itself runs
+    * over k·d rows. The corpus is never rescanned — (c, n) is the entire
+    * carried state.
+    *
+    * Output per cluster: (cluster_id, n_base, n_batch, c_sum = 6 dp
+    * ordered fold of the updated centroid, drift = 1 − cos(old, new),
+    * 6 dp). */
+  def kMeansUpdate(base: DataFrame, batch: DataFrame, idCol: String,
+                   vecCol: String, k: Int, iters: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cvecs = lloydCentroids(base, idCol, vecCol, k, iters)
+    def assigned(df: DataFrame) = df
+      .withColumn("_sims", simsAgainst(col(vecCol), cvecs))
+      .withColumn("_cid",
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+    val baseCounts = assigned(base).groupBy(col("_cid"))
+      .agg(count(lit(1)).cast("long").as("_n"))
+    val batchAssigned = assigned(batch)
+      .select(col("_cid"), col(vecCol))
+      .localCheckpoint(eager = false) // referenced by the mean agg AND counts
+    val batchMeans = batchAssigned
+      .select(col("_cid"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+      .groupBy(col("_cid"), col("_pos"))
+      .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_b"))
+    val batchCounts = batchAssigned.groupBy(col("_cid"))
+      .agg(count(lit(1)).cast("long").as("_m"))
+    // _pos is 0-based to line up with posexplode's ordinal.
+    val cents = cvecs.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i + 1, p, v) }
+    }.toDF("_cid", "_pos", "_c")
+    val merged = cents
+      .join(broadcast(baseCounts), Seq("_cid"), "left")
+      .join(broadcast(batchMeans), Seq("_cid", "_pos"), "left")
+      .join(broadcast(batchCounts), Seq("_cid"), "left")
+      .na.fill(0L, Seq("_n", "_m"))
+      .withColumn("_new", when(col("_m") === 0L, col("_c")).otherwise(
+        round((col("_n") * col("_c").cast("double") +
+            col("_m") * col("_b").cast("double")) / (col("_n") + col("_m")), 6)
+          .cast("float")))
+      .groupBy(col("_cid"))
+      .agg(max(col("_n")).as("n_base"), max(col("_m")).as("n_batch"),
+        transform(array_sort(collect_list(struct(col("_pos"), col("_c")))),
+          s => s.getField("_c")).as("_old"),
+        transform(array_sort(collect_list(struct(col("_pos"), col("_new")))),
+          s => s.getField("_new")).as("_nv"))
+    merged.select(col("_cid").cast("long").as("cluster_id"),
+        col("n_base"), col("n_batch"),
+        round(aggregate(transform(col("_nv"), x => x.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 6).as("c_sum"),
+        round(lit(1.0) - cosineFold(col("_old"), col("_nv")), 6).as("drift"))
   }
 
   /** Per-label embedding compactness — the label-quality report run before

@@ -496,6 +496,79 @@ object Registry {
       "SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(sim, 6) AS sim " +
       "FROM af ORDER BY vec_id"
 
+  /** DuckDB twin of [[Similarity.kMeansUpdate]] (base = vec_id < 250,
+    * batch = the rest, k=8, 3 Lloyd rounds): the base training unrolled
+    * with the x69 fixed-point discipline over the base slice only, then
+    * the count-weighted mean merge c' = (n·c + m·b)/(n+m) per dimension
+    * (6-dp-rounded + float-quantized like the training rounds), summary
+    * scalars folded over pos-ORDERED lists so both engines sum in the
+    * same order. Reused CTEs are MATERIALIZED (DuckDB inlines by default
+    * and a k-times-referenced chain re-executes k times). */
+  private lazy val kMeansUpdateOracleSql: String = {
+    val (k, iters, split) = (8, 3, 250)
+    val ctes = Seq(
+      s"src AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < $split)",
+      s"bt AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id >= $split)",
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, " +
+        s"CAST(embedding AS FLOAT[]) AS cv FROM " +
+        s"(SELECT * FROM src ORDER BY vec_id LIMIT $k))") ++
+      (1 to iters).flatMap { i =>
+        Seq(
+          s"s$i AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+            s"AS sim FROM src e, c${i - 1} c)",
+          s"a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+            s"AS rn FROM s$i) WHERE rn = 1)",
+          s"m$i AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS mv " +
+            s"FROM a$i a JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+            "AS x, unnest(range(1, len(embedding)+1)) AS pos FROM src) d " +
+            "USING (vec_id) GROUP BY 1, 2)",
+          s"n$i AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cid)",
+          s"c$i AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv " +
+            s"FROM c${i - 1} p LEFT JOIN n$i n USING (cid))")
+      } ++ Seq(
+        s"sf AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+          s"AS sim FROM src e, c$iters c)",
+        "af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+          "AS rn FROM sf) WHERE rn = 1)",
+        "bcn AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n " +
+          "FROM af GROUP BY 1)",
+        s"sb AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+          s"AS sim FROM bt e, c$iters c)",
+        "ab AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+          "AS rn FROM sb) WHERE rn = 1)",
+        "mc AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS m " +
+          "FROM ab GROUP BY 1)",
+        "bm AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS bv " +
+          "FROM ab a JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+          "AS x, unnest(range(1, len(embedding)+1)) AS pos FROM bt) d " +
+          "USING (vec_id) GROUP BY 1, 2)",
+        s"cp AS (SELECT cid, CAST(unnest(cv) AS FLOAT) AS c, " +
+          s"unnest(range(1, len(cv)+1)) AS pos FROM c$iters)",
+        "mg AS (SELECT cp.cid, cp.pos, cp.c, " +
+          "CASE WHEN mc.m IS NULL THEN cp.c ELSE " +
+          "CAST(round((COALESCE(bcn.n, 0) * CAST(cp.c AS DOUBLE) + " +
+          "mc.m * CAST(bm.bv AS DOUBLE)) / (COALESCE(bcn.n, 0) + mc.m), 6) " +
+          "AS FLOAT) END AS nv FROM cp " +
+          "LEFT JOIN bcn ON bcn.cid = cp.cid " +
+          "LEFT JOIN mc ON mc.cid = cp.cid " +
+          "LEFT JOIN bm ON bm.cid = cp.cid AND bm.pos = cp.pos)",
+        "fin AS (SELECT cid, list(c ORDER BY pos) AS ovl, " +
+          "list(nv ORDER BY pos) AS nvl FROM mg GROUP BY 1)")
+    s"WITH ${ctes.mkString(", ")} " +
+      "SELECT CAST(f.cid AS BIGINT) AS cluster_id, " +
+      "CAST(COALESCE(bcn.n, 0) AS BIGINT) AS n_base, " +
+      "CAST(COALESCE(mc.m, 0) AS BIGINT) AS n_batch, " +
+      "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(f.nvl, v -> CAST(v AS DOUBLE))), (x, y) -> x + y), 6) " +
+      "AS c_sum, " +
+      s"round(1.0 - ${cosSql("f.ovl", "f.nvl")}, 6) AS drift " +
+      "FROM fin f LEFT JOIN bcn ON bcn.cid = f.cid " +
+      "LEFT JOIN mc ON mc.cid = f.cid ORDER BY cluster_id"
+  }
+
   /** DuckDB twin of the cluster-balanced sample: the same unrolled
     * k-means assignment, then x19's salted-hash cap per cluster. */
   private lazy val clusterBalancedOracleSql =
@@ -2183,6 +2256,61 @@ object Registry {
           idx)
       },
       Some(ivfOracleSql)),
+
+    ("x145_kmeans_update",
+      // Mini-batch k-means centroid maintenance (Similarity.kMeansUpdate,
+      // Sculley 2010): the quantizer-side member of the incremental
+      // family — x144 appends vectors into the IVF layout, this keeps the
+      // TRAINED quantizer current. Base-trained centroids (vec_id < 250,
+      // x69's fixed-point discipline) merge the batch by the
+      // count-weighted mean c' = (n·c + m·b)/(n+m); untouched clusters
+      // stay bit-identical; summary scalars fold pos-ordered.
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.kMeansUpdate(emb.filter(col("vec_id") < 250),
+            emb.filter(col("vec_id") >= 250), "vec_id", "embedding", 8, 3)
+          .orderBy(col("cluster_id"))
+      },
+      Some(kMeansUpdateOracleSql)),
+
+    ("j54_skew_diagnostics",
+      // Join-key skew pre-flight over the events user key
+      // (Maintenance.skewDiagnostics): counts-of-counts distribution,
+      // discrete p50/p99 key sizes, key entropy, heaviest-key share, and
+      // the exact-integer salt factor j7's salted join takes as input.
+      // The quantile/entropy folds run over the pos-sorted
+      // counts-of-counts ARRAY — array-local ordered arithmetic, no
+      // single-partition window, no collect.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.skewDiagnostics(
+          Tables.events(s, dir), "user_id"),
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |FROM events GROUP BY 1),
+        |d AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS k
+        |FROM c GROUP BY 1),
+        |s AS (SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+        |CAST(sum(c * k) AS BIGINT) AS n_rows,
+        |CAST(max(c) AS BIGINT) AS max_count FROM d),
+        |l AS (SELECT list(c ORDER BY c) AS cl, list(k ORDER BY c) AS kl
+        |FROM d),
+        |cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS ck FROM d),
+        |q AS (SELECT
+        |(SELECT min(c) FROM cum, s
+        |WHERE ck >= CAST(ceil(0.5 * n_keys) AS BIGINT)) AS p50,
+        |(SELECT min(c) FROM cum, s
+        |WHERE ck >= CAST(ceil(0.99 * n_keys) AS BIGINT)) AS p99),
+        |e AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |list_transform(generate_series(1, len(cl)),
+        |i -> -(CAST(kl[i] AS DOUBLE) * (CAST(cl[i] AS DOUBLE) / n_rows) *
+        |ln(CAST(cl[i] AS DOUBLE) / n_rows)))), (x, y) -> x + y), 6)
+        |AS entropy_nats FROM l, s)
+        |SELECT n_keys, n_rows, max_count,
+        |round(CAST(max_count AS DOUBLE) / n_rows, 6) AS top1_share,
+        |CAST(p50 AS BIGINT) AS p50_count, CAST(p99 AS BIGINT) AS p99_count,
+        |entropy_nats,
+        |CAST((max_count * n_keys + n_rows - 1) // n_rows AS BIGINT)
+        |AS recommended_salt
+        |FROM s, q, e""".stripMargin.replace("\n", " "))),
 
     ("x40_knn_join",
       // Batch kNN JOIN: top-10 cosine neighbors for EVERY query vector

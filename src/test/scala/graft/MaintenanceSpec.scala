@@ -478,4 +478,21 @@ class MaintenanceSpec extends SparkSpec {
       .where($"q" === "g").collect().head
     assert(math.abs(out.getDouble(1) - 0.125) < 1e-6)
   }
+
+  test("skewDiagnostics: hand-computed counts-of-counts, discrete quantiles, entropy, salt factor") {
+    import spark.implicits._
+    // keys: a x5, b x2, c x2, d x1 -> n_keys 4, n_rows 10, max 5.
+    // counts-of-counts sorted [(1,1),(2,2),(5,1)]; p50 target ceil(2)=2 ->
+    // first cum>=2 is count 2; p99 target ceil(3.96)=4 -> count 5.
+    // entropy = -(1*.1 ln .1 + 2*.2 ln .2 + 1*.5 ln .5) = 1.220607.
+    // salt = ceil(max/mean) = ceil(5/(10/4)) = 2.
+    val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("k")
+    val r = Maintenance.skewDiagnostics(df, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 10L, 5L)))
+    assert(r.getDouble(3) === 0.5)
+    assert((r.getLong(4), r.getLong(5)) === ((2L, 5L)))
+    assert(r.getDouble(6) === 1.220607)
+    assert(r.getLong(7) === 2L)
+  }
 }

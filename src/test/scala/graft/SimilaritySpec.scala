@@ -88,6 +88,45 @@ class SimilaritySpec extends SparkSpec {
         full))
   }
 
+  test("kMeansUpdate: hand-computed weighted merge; untouched clusters bit-stable; empty batch is a no-op") {
+    import spark.implicits._
+    // Base: two axis vectors, k=2, 1 round -> centroids are themselves.
+    // Batch vector [0.5, 0.5, 0, 0] ties cos to both centroids (0.7071),
+    // first-max assigns cluster 1: c1' = ((1+0.5)/2, 0.25, 0, 0) ->
+    // c_sum 1.0, drift = 1 - 0.75/sqrt(0.625) = 0.051317. Cluster 2
+    // untouched: drift exactly 0, c_sum 1.0.
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((3L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kMeansUpdate(base, batch, "vec_id", "embedding", 2, 1)
+      .orderBy(col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 1.0, 0.051317),
+      (2L, 1L, 0L, 1.0, 0.0)))
+    // Empty batch: every cluster keeps its centroid, drift 0 everywhere.
+    val none = Similarity.kMeansUpdate(base, batch.filter(col("vec_id") < 0),
+        "vec_id", "embedding", 2, 1)
+      .orderBy(col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(none.toSeq === Seq(
+      (1L, 1L, 0L, 1.0, 0.0),
+      (2L, 1L, 0L, 1.0, 0.0)))
+    // Base-population parity: n_base matches kMeansTrain's assignment.
+    val trained = Similarity.kMeansTrain(fixture.filter(col("vec_id") < 12),
+        "vec_id", "embedding", 4, 2)
+      .groupBy(col("cluster_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val upd = Similarity.kMeansUpdate(fixture.filter(col("vec_id") < 12),
+        fixture.filter(col("vec_id") >= 12), "vec_id", "embedding", 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upd.filter(_._2 > 0) === trained)
+  }
+
   test("quantizeInt8: hand-computed fixture, zero vector, checksum exactness") {
     import spark.implicits._
     // v = [1, -0.5, 0.25, 0]: scale = 1/127, q = [127, -64, 32, 0]
