@@ -50,6 +50,40 @@ object Funnel {
         col(s"step${steps.size - 1}_ms").isNotNull.cast("int"))
   }
 
+  /** Top user journey paths — the Sankey read the funnel family lacked:
+    * j15's transition matrix loses order beyond one hop and [[funnel]]
+    * presumes the step sequence; this DISCOVERS the dominant sequences.
+    * Each user's FIRST `depth` events in (ts, id) order concatenate to a
+    * path string; paths rank by user count.
+    *
+    * Scale shape: the first-k cut is a per-user window row_number — the
+    * per-user agg buffer is then bounded at `depth` events (collecting
+    * full histories into one list would buffer a power user's entire
+    * stream); one user-grain agg builds the path (rn-sorted array fold,
+    * deterministic), one path-grain count, TakeOrdered top-k. Two
+    * key-grain exchanges, no global sort.
+    *
+    * Output: (path, n_users), top `topK` by n_users desc, path asc. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, idCol: String, depth: Int,
+               topK: Int): DataFrame = {
+    require(depth >= 1 && topK >= 1, "depth and topK must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= depth)
+      .groupBy(col(userCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn").as("_r"),
+          col(typeCol).as("_t")))),
+        s => s.getField("_t"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Wilson 95%-style score intervals over a [[funnel]] result: per step,
     * the reached count, the from-start conversion rate, and the interval
     * the observed rate could wander in by cohort-size luck alone — the

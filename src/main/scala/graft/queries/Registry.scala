@@ -2312,6 +2312,25 @@ object Registry {
         |AS recommended_salt
         |FROM s, q, e""".stripMargin.replace("\n", " "))),
 
+    ("j55_top_paths",
+      // Top-20 user journey paths over the events stream (Funnel.topPaths,
+      // depth 5): the Sankey read — j15's transition matrix loses order
+      // beyond one hop, q24's funnel presumes the steps; this discovers
+      // the dominant first-5-event sequences. Per-user first-k cut via
+      // window row_number (bounded agg buffers), (ts, event_id)
+      // tie-broken so both engines build identical paths.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Funnel.topPaths(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", 5, 20),
+      Some("""WITH r AS (SELECT user_id, event_type,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |AS rn FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |AS path FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
+        |GROUP BY 1 ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin.replace("\n", " "))),
+
     ("x40_knn_join",
       // Batch kNN JOIN: top-10 cosine neighbors for EVERY query vector
       // (vec_id % 50 = 0) at once through the shared IVF probe —

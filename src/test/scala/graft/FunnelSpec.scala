@@ -76,4 +76,25 @@ class FunnelSpec extends SparkSpec {
     val mid = out(1)
     assert(math.abs((mid._5 + mid._6) / 2 - 0.5) < 1e-9)
   }
+
+  test("topPaths: first-depth events in (ts,id) order form the path; counts and tie-breaks deterministic") {
+    import spark.implicits._
+    // u1 and u2 share a>b>c (u2's c arrives as a ts tie broken by id);
+    // u3 diverges after a; u4 has fewer events than depth.
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "c", 30L, 102L),
+      (2L, "a", 10L, 200L), (2L, "b", 20L, 201L), (2L, "c", 20L, 202L),
+      (3L, "a", 10L, 300L), (3L, "x", 20L, 301L),
+      (4L, "a", 10L, 400L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.operators.Funnel.topPaths(ev, "user_id", "event_type",
+        "ts", "event_id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b>c", 2L), ("a", 1L), ("a>x", 1L)))
+    // depth truncates: depth 2 collapses u1/u2 to a>b.
+    val d2 = graft.operators.Funnel.topPaths(ev, "user_id", "event_type",
+        "ts", "event_id", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d2.toSeq === Seq(("a>b", 2L), ("a", 1L), ("a>x", 1L)))
+  }
 }
