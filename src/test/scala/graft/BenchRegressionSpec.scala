@@ -64,6 +64,20 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressions(base, faster) == Seq("q9"))
   }
 
+  test("self-adjudication gate: contention re-time clears, persistent slowdown confirms, failed re-time never self-clears") {
+    // Sweep flagged at 3x but the exclusive re-time lands at the floor:
+    // contention, cleared.
+    assert(!Bench.confirmedAfterRetime(base = 1.0, retime = 1.05, drift = 1.0))
+    // Re-time reproduces the slowdown: confirmed regression.
+    assert(Bench.confirmedAfterRetime(base = 1.0, retime = 2.1, drift = 1.0))
+    // In-gate re-time (above floor but inside factor+slack): cleared.
+    assert(!Bench.confirmedAfterRetime(base = 1.0, retime = 1.4, drift = 1.0))
+    // Fleet drift de-rates the re-time the same way the sweep gate does.
+    assert(!Bench.confirmedAfterRetime(base = 1.0, retime = 2.1, drift = 1.5))
+    // A re-time that errored (-1) keeps the flag.
+    assert(Bench.confirmedAfterRetime(base = 1.0, retime = -1.0, drift = 1.0))
+  }
+
   test("loadBaseline parses queries_min from disk and tolerates absence") {
     val tmp = java.nio.file.Files.createTempFile("baseline", ".json")
     java.nio.file.Files.writeString(tmp,
