@@ -130,8 +130,10 @@ object Similarity {
       .repartition(col("centroid_id"))
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(indexPath)
     // The signature travels WITH the build (not only via ivfIndexTopK's
-    // lazy path): append maintenance needs the frozen centroid identity.
-    writeSignature(embeddings.sparkSession, indexPath, cids)
+    // lazy path): append maintenance needs the frozen centroid identity,
+    // and the sidecar carries the VECTORS too so recovery never scans
+    // the layout (ADVICE r9).
+    writeSignature(embeddings.sparkSession, indexPath, cids, cvecs)
   }
 
   /** The frozen-centroid assignment projection shared by the full build
@@ -161,40 +163,65 @@ object Similarity {
   private def sigPathFor(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_centroids")
 
+  /** Sidecar layout (ADVICE r9: the layout's partitions are ALL
+    * centroid-id partitions, so an id-list filter prunes nothing at the
+    * partition level — centroid RECOVERY must not touch the layout at
+    * all): line 1 is the cid csv (the signature — its order IS the argmax
+    * tie-break order), then one `cid:v1,v2,...` line per centroid
+    * carrying the frozen vector itself. Float.toString round-trips
+    * exactly through Float.parseFloat (Java guarantee), so the recovered
+    * quantizer is bit-identical to the built one. */
   private def writeSignature(spark: SparkSession, indexPath: String,
-                             cids: Seq[Long]): Unit = {
+                             cids: Seq[Long], cvecs: Seq[Seq[Float]]): Unit = {
+    val body = (indexSignature(cids) +:
+      cids.zip(cvecs).map { case (cid, v) =>
+        s"$cid:${v.mkString(",")}" }).mkString("\n")
     val out = indexFsFor(spark, indexPath).create(sigPathFor(indexPath), true)
-    try out.write(indexSignature(cids).getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readSignature(spark: SparkSession, indexPath: String): Option[String] = {
+  private def readSidecar(spark: SparkSession, indexPath: String): Option[Seq[String]] = {
     val fs = indexFsFor(spark, indexPath)
     val p = sigPathFor(indexPath)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      try Some(new String(in.readAllBytes(), "UTF-8").trim
+        .split("\n").toSeq.map(_.trim))
+      finally in.close()
     }
   }
 
-  /** The frozen centroids of a materialized index, recovered WITHOUT a
-    * full scan: ids come from the `_centroids` signature (order
-    * authoritative — it IS the argmax tie-break order), vectors from a
-    * partition-pruned read — every centroid row lives in one of the
-    * centroid-id partitions (a centroid assigns to SOME centroid, and all
-    * centroid ids are in the pruned set), so the scan opens nCentroids
-    * partitions of the layout, never the index body. Bounded collect:
-    * nCentroids rows of coarse-quantizer metadata. */
-  private def indexCentroids(spark: SparkSession, indexPath: String,
-                             idCol: String, vecCol: String): (Seq[Long], Seq[Seq[Float]]) = {
-    val sig = readSignature(spark, indexPath).getOrElse(
+  private def readSignature(spark: SparkSession, indexPath: String): Option[String] =
+    readSidecar(spark, indexPath).map(_.head)
+
+  /** The frozen centroids of a materialized index, recovered WITHOUT
+    * touching the index body: ids AND vectors come from the `_centroids`
+    * sidecar [[writeSignature]] lays down at build time (bounded driver
+    * metadata — nCentroids lines). A legacy ids-only sidecar (pre-r10
+    * format) falls back to fetching the vectors from the layout; that
+    * read is row-group-stats-pruned on the id column, NOT
+    * partition-pruned (every partition of the layout is a centroid-id
+    * partition, so each such recovery opens every partition's footers —
+    * the reason the vectors now travel in the sidecar). */
+  private[graft] def indexCentroids(spark: SparkSession, indexPath: String,
+                                    idCol: String, vecCol: String): (Seq[Long], Seq[Seq[Float]]) = {
+    val lines = readSidecar(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"$indexPath has no _centroids signature — not a graft IVF index"))
-    val cids = sig.split(",").map(_.trim.toLong).toSeq
-    val byId = spark.read.parquet(indexPath)
-      .filter(col("centroid_id").isin(cids: _*) && col(idCol).isin(cids: _*))
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val cids = lines.head.split(",").map(_.trim.toLong).toSeq
+    val fromSidecar: Map[Long, Seq[Float]] = lines.tail.filter(_.nonEmpty)
+      .map { l =>
+        val Array(cid, vs) = l.split(":", 2)
+        cid.trim.toLong ->
+          vs.split(",").map(java.lang.Float.parseFloat).toSeq
+      }.toMap
+    val byId =
+      if (cids.forall(fromSidecar.contains)) fromSidecar
+      else spark.read.parquet(indexPath) // legacy sidecar: stats-pruned scan
+        .filter(col("centroid_id").isin(cids: _*) && col(idCol).isin(cids: _*))
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val missing = cids.filterNot(byId.contains)
     require(missing.isEmpty,
       s"index $indexPath is missing centroid vectors for ids $missing")
@@ -211,13 +238,19 @@ object Similarity {
     * batch's touched centroid dirs receive files — per-batch I/O is
     * O(batch), the index body is never rewritten or rescanned.
     *
-    * Idempotence (x33/x38's append-only discipline): ids already present
+    * Idempotence (x33/x38's append-only discipline): duplicate ids WITHIN
+    * the batch collapse first (`dropDuplicates(idCol)` — ADVICE r9: a
+    * twice-submitted row must not land twice), then ids already present
     * are anti-joined away before the write, with the existing-side scan
     * partition-pruned to the batch's own touched centroids — lossless
     * under the id-stability contract (an id maps to one immutable vector,
     * so a re-ingested id assigns to the same centroid and is found
     * there). The touched-centroid list is a bounded collect
-    * (≤ nCentroids values).
+    * (≤ nCentroids values). Appends must be SEQUENTIAL: two concurrent
+    * appends of overlapping batches can both pass the anti-join and both
+    * write the shared ids — callers serialize appends per index (the
+    * streaming twin gets this from micro-batch ordering; a multi-writer
+    * deployment needs an external lock or a single writer per index).
     *
     * A probe over the maintained index is bit-identical to one over a
     * full rebuild with the same centroid set (spec-pinned): assignment
@@ -227,7 +260,8 @@ object Similarity {
                        indexPath: String): Unit = {
     val spark = newBatch.sparkSession
     val (cids, cvecs) = indexCentroids(spark, indexPath, idCol, vecCol)
-    val assigned = assignToCentroids(newBatch, idCol, vecCol, cids, cvecs)
+    val assigned = assignToCentroids(
+        newBatch.dropDuplicates(idCol), idCol, vecCol, cids, cvecs)
       .localCheckpoint(eager = false) // referenced by touched-list AND write
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: <= nCentroids values
@@ -1296,17 +1330,148 @@ object Similarity {
         acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
       })
     }
-    val encoded = (0 until m).foldLeft(embeddings) { (df, s) =>
+    encodeCodes(embeddings, idCol, vecCol, sub, codebooks)
+      .select(col(idCol) +:
+        (0 until m).map(s => col(s"code_$s")) :+
+        round((0 until m).map(s =>
+            element_at(typedlit(luts(s)), col(s"code_$s").cast("int")))
+          .reduce(_ + _), 6).as("adc_d2"): _*)
+      .orderBy(col("adc_d2").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** The code-only PQ encode projection shared by [[pqAdcTopK]],
+    * [[buildPqCodeTable]] and [[appendToPqCodeTable]]: per subspace, the
+    * argmin codeword id against the codebook literals — one codegen
+    * projection, no join, no shuffle. Ties break to the lowest cid
+    * (first-occurrence array_position), the pqTrainEncode contract. */
+  private[graft] def encodeCodes(embeddings: DataFrame, idCol: String,
+                                 vecCol: String, sub: Int,
+                                 codebooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    codebooks.indices.foldLeft(embeddings) { (df, s) =>
       val sv = slice(col(vecCol), s * sub + 1, sub)
       val dists = array(codebooks(s).map(c => sqDist(sv, c)): _*)
       df.withColumn(s"code_$s",
         array_position(dists, array_min(dists)).cast("long"))
+    }.select(col(idCol) +: codebooks.indices.map(s => col(s"code_$s")): _*)
+
+  private def pqSidecarPath(tablePath: String) =
+    new org.apache.hadoop.fs.Path(tablePath, "_codebooks")
+
+  /** Persist the trained codebooks beside the code table (the x144
+    * `_centroids` discipline at the subspace level): line 1 `sub m k`,
+    * then one `s ci v1,v2,...` line per codeword. Float.toString
+    * round-trips exactly through Float.parseFloat, so encodes against the
+    * recovered codebooks are bit-identical to encodes at train time —
+    * the invariant the whole append path rests on. Bounded metadata:
+    * m·k·(d/m) floats. */
+  private def writePqCodebooks(spark: SparkSession, tablePath: String,
+                               sub: Int, codebooks: Seq[Seq[Seq[Float]]]): Unit = {
+    val header = s"$sub ${codebooks.size} ${codebooks.head.size}"
+    val lines = for {
+      (cb, s) <- codebooks.zipWithIndex
+      (cw, ci) <- cb.zipWithIndex
+    } yield s"$s $ci ${cw.mkString(",")}"
+    val out = indexFsFor(spark, tablePath).create(pqSidecarPath(tablePath), true)
+    try out.write((header +: lines).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readPqCodebooks(spark: SparkSession,
+                                     tablePath: String): (Int, Seq[Seq[Seq[Float]]]) = {
+    val fs = indexFsFor(spark, tablePath)
+    val p = pqSidecarPath(tablePath)
+    require(fs.exists(p),
+      s"$tablePath has no _codebooks sidecar — not a graft PQ code table")
+    val in = fs.open(p)
+    val lines =
+      try new String(in.readAllBytes(), "UTF-8").trim.split("\n").toSeq
+      finally in.close()
+    val Array(sub, m, k) = lines.head.trim.split(" ").map(_.toInt)
+    val byKey = lines.tail.map { l =>
+      val Array(s, ci, vs) = l.trim.split(" ", 3)
+      (s.toInt, ci.toInt) -> vs.split(",").map(java.lang.Float.parseFloat).toSeq
+    }.toMap
+    val codebooks = (0 until m).map(s => (0 until k).map(ci => byKey((s, ci))))
+    (sub, codebooks)
+  }
+
+  /** Materialize a PQ code table: codebooks trained on `embeddings`
+    * ([[pqCodebooks]]' Lloyd loop), persisted in the `_codebooks` sidecar,
+    * and every input vector encoded and written PARTITIONED BY `code_0`
+    * (k leaf dirs; k=256 at production scale) — the compressed-corpus
+    * layout [[pqAdcTopKOverTable]] searches without decompressing and
+    * [[appendToPqCodeTable]] maintains without retraining. */
+  def buildPqCodeTable(embeddings: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int, tablePath: String): Unit = {
+    val (sub, codebooks) = pqCodebooks(embeddings, idCol, vecCol, m, k, iters)
+    encodeCodes(embeddings, idCol, vecCol, sub, codebooks)
+      .repartition(col("code_0"))
+      .write.partitionBy("code_0").mode("overwrite").parquet(tablePath)
+    // Sidecar AFTER the table write — mode(overwrite) clears tablePath,
+    // so writing it first would delete it (the buildIvfIndex ordering).
+    writePqCodebooks(embeddings.sparkSession, tablePath, sub, codebooks)
+  }
+
+  /** Incremental PQ maintenance (the r9 verdict's named gap): a new-vector
+    * batch encodes against the PERSISTED codebooks — frozen, the x144
+    * quantizer discipline at the subspace level; retraining would silently
+    * re-cell the whole existing table — and appends into the partitioned
+    * layout. Per-batch I/O is O(batch): only the batch's touched `code_0`
+    * dirs receive files and the existing-id scan partition-prunes to those
+    * same cells (a re-ingested id encodes to the same codes, so it is
+    * found there). Duplicate ids WITHIN the batch collapse first; appends
+    * must be sequential (the appendToIvfIndex contract). ADC search over
+    * the maintained table ≡ over a one-shot encode with the same
+    * codebooks (spec-pinned + oracled). */
+  def appendToPqCodeTable(newBatch: DataFrame, idCol: String, vecCol: String,
+                          tablePath: String): Unit = {
+    val spark = newBatch.sparkSession
+    val (sub, codebooks) = readPqCodebooks(spark, tablePath)
+    val encoded = encodeCodes(newBatch.dropDuplicates(idCol), idCol, vecCol,
+        sub, codebooks)
+      .localCheckpoint(eager = false) // referenced by touched-list AND write
+    val touched = encoded.select(col("code_0")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= k values
+    if (touched.nonEmpty) {
+      val existingIds = spark.read.parquet(tablePath)
+        .filter(col("code_0").isin(touched: _*))
+        .select(col(idCol))
+      encoded
+        .join(existingIds, Seq(idCol), "left_anti")
+        .repartition(col("code_0"))
+        .write.partitionBy("code_0").mode("append").parquet(tablePath)
     }
-    encoded.select(col(idCol) +:
-      (0 until m).map(s => col(s"code_$s")) :+
-      round((0 until m).map(s =>
-          element_at(typedlit(luts(s)), col(s"code_$s").cast("int")))
-        .reduce(_ + _), 6).as("adc_d2"): _*)
+  }
+
+  /** [[pqAdcTopK]]'s search leg over a MATERIALIZED code table: the
+    * production shape the in-line version's scaladoc promises — LUTs
+    * built driver-side from the sidecar codebooks and the query's full
+    * vector (same left-fold bitwise contract), then ONE scan of the code
+    * table summing m literal-array lookups; no join, no broadcast, the
+    * cut is a TakeOrdered. The corpus is never re-encoded. */
+  def pqAdcTopKOverTable(embeddings: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, topK: Int, tablePath: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (sub, codebooks) = readPqCodebooks(spark, tablePath)
+    val m = codebooks.size
+    val q: Seq[Float] = embeddings.where(col(idCol) === queryId)
+      .select(col(vecCol)).head.getSeq[Float](0)
+    val luts: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qs = q.slice(s * sub, (s + 1) * sub)
+      codebooks(s).map(c => qs.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      })
+    }
+    spark.read.parquet(tablePath)
+      // code_0 comes back as a partition column (int-inferred): re-cast so
+      // the output schema matches the in-line pqAdcTopK exactly.
+      .withColumn("code_0", col("code_0").cast("long"))
+      .select(col(idCol) +:
+        (0 until m).map(s => col(s"code_$s")) :+
+        round((0 until m).map(s =>
+            element_at(typedlit(luts(s)), col(s"code_$s").cast("int")))
+          .reduce(_ + _), 6).as("adc_d2"): _*)
       .orderBy(col("adc_d2").asc, col(idCol).asc)
       .limit(topK)
   }

@@ -594,21 +594,32 @@ object Registry {
     * argmin needs no rounding because the L2 fold is order-identical. */
   /** Shared CTE chain of the PQ oracles (train + encode, per subspace;
     * see [[pqOracleSql]] for the contract): yields es/cs/af CTEs for
-    * subspaces 0..m-1; `af$s` holds (vec_id, cid, d) final assignments. */
-  private def pqCtes(m: Int, sub: Int, k: Int, iters: Int): String =
+    * subspaces 0..m-1; `af$s` holds (vec_id, cid, d) final assignments.
+    * `trainWhere` (x146's maintained-table oracle) restricts the Lloyd
+    * TRAINING rows to a base slice while the final encode still covers
+    * the full table — the SQL twin of codebooks frozen at build time. */
+  private def pqCtes(m: Int, sub: Int, k: Int, iters: Int,
+                     trainWhere: String = ""): String =
     (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
+      val trainSrc = if (trainWhere.isEmpty) s"es$s" else s"ts$s"
       val ctes = Seq(
         s"es$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS sv " +
-          "FROM embeddings)",
+          "FROM embeddings)") ++
+        (if (trainWhere.isEmpty) Seq.empty[String]
+         else Seq(s"ts$s AS MATERIALIZED (SELECT vec_id, sv FROM es$s " +
+           s"WHERE $trainWhere)")) ++
+        Seq(
         s"cs${s}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) " +
           s"AS cid, CAST(sv AS FLOAT[]) AS cv FROM (SELECT vec_id, " +
-          s"embedding[$lo:$hi] AS sv FROM embeddings ORDER BY vec_id LIMIT $k))") ++
+          s"embedding[$lo:$hi] AS sv FROM embeddings " +
+          (if (trainWhere.isEmpty) "" else s"WHERE $trainWhere ") +
+          s"ORDER BY vec_id LIMIT $k))") ++
         (1 to iters).flatMap { i =>
           Seq(
             s"ds$s$i AS (SELECT e.vec_id, c.cid, ${l2Sql("e.sv", "c.cv")} " +
-              s"AS d FROM es$s e, cs$s${i - 1} c)",
+              s"AS d FROM $trainSrc e, cs$s${i - 1} c)",
             s"as$s$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
               "row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) " +
               s"AS rn FROM ds$s$i) WHERE rn = 1)",
@@ -652,6 +663,33 @@ object Registry {
         s"FROM qs$s q, cs$s$iters c)"
     }.mkString(", ")
     s"WITH ${pqCtes(m, sub, k, iters)}, $luts " +
+      "SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
+      "CAST(af1.cid AS BIGINT) AS code_1, " +
+      "round(l0.d + l1.d, 6) AS adc_d2 " +
+      "FROM af0 JOIN af1 USING (vec_id) " +
+      "JOIN lut0 l0 ON l0.cid = af0.cid JOIN lut1 l1 ON l1.cid = af1.cid " +
+      s"ORDER BY adc_d2, vec_id LIMIT $topK"
+  }
+
+  /** DuckDB twin of the MAINTAINED PQ code table's ADC search (x146):
+    * the same trajectory as [[pqAdcOracleSql]] but with the Lloyd
+    * training restricted to the base slice (`vec_id < 250`) — the frozen
+    * codebooks an append-only code table encodes every later batch
+    * against — while the encode+search still covers the full table.
+    * Equivalence to the Spark side holds because append-then-search over
+    * the maintained layout IS a full encode with those codebooks (the
+    * anti-join only ever drops exact re-ingests). */
+  private def pqAppendAdcOracleSql(queryId: Long, topK: Int): String = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"qs$s AS (SELECT embedding[$lo:$hi] AS sv FROM embeddings " +
+        s"WHERE vec_id = $queryId), " +
+        s"lut$s AS (SELECT c.cid, ${l2Sql("q.sv", "c.cv")} AS d " +
+        s"FROM qs$s q, cs$s$iters c)"
+    }.mkString(", ")
+    s"WITH ${pqCtes(m, sub, k, iters, trainWhere = "vec_id < 250")}, $luts " +
       "SELECT af0.vec_id, CAST(af0.cid AS BIGINT) AS code_0, " +
       "CAST(af1.cid AS BIGINT) AS code_1, " +
       "round(l0.d + l1.d, 6) AS adc_d2 " +
@@ -2256,6 +2294,45 @@ object Registry {
           idx)
       },
       Some(ivfOracleSql)),
+
+    ("s34_stream_ivf_append",
+      // STREAMING IVF maintenance (streaming/Streaming.runStreamIvfAppend):
+      // x144's append-only discipline under real micro-batches
+      // (maxFilesPerTrigger=1) — base index built one-shot on vec_id < 250
+      // with the quantizer frozen in the sidecar, the remainder replayed
+      // as three batches each appended via appendToIvfIndex behind a
+      // committed-batch marker (replayed batches drain and skip; the
+      // residual crash window re-runs into the existing-id anti-join —
+      // spec-pinned). Probe over the maintained index ≡ the one-shot
+      // build, so x7's oracle verifies the whole maintenance path.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s34")
+        graft.streaming.Streaming.runStreamIvfAppend(s, dir, base)
+      },
+      Some(ivfOracleSql)),
+
+    ("x146_pq_append",
+      // Incremental PQ re-encode (Similarity.buildPqCodeTable /
+      // appendToPqCodeTable / pqAdcTopKOverTable — the r9 verdict's named
+      // gap): codebooks train ONCE on the base slice (vec_id < 250) and
+      // freeze in the _codebooks sidecar; the remainder encodes against
+      // them and appends into the code_0-partitioned layout (only touched
+      // cells receive files, existing-id scan partition-pruned); a
+      // duplicate re-ingest anti-joins away. ADC top-k then searches the
+      // MAINTAINED table — the oracle unrolls the same base-trained Lloyd
+      // trajectory and encodes the full table against it.
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        val tbl = scratch("x146") + "/codes"
+        Similarity.buildPqCodeTable(emb.filter(col("vec_id") < 250),
+          "vec_id", "embedding", 2, 4, 2, tbl)
+        val batch = emb.filter(col("vec_id") >= 250)
+        Similarity.appendToPqCodeTable(batch, "vec_id", "embedding", tbl)
+        // Idempotent re-ingest: second append must be a no-op.
+        Similarity.appendToPqCodeTable(batch, "vec_id", "embedding", tbl)
+        Similarity.pqAdcTopKOverTable(emb, "vec_id", "embedding", 3L, 12, tbl)
+      },
+      Some(pqAppendAdcOracleSql(3L, 12))),
 
     ("x145_kmeans_update",
       // Mini-batch k-means centroid maintenance (Similarity.kMeansUpdate,

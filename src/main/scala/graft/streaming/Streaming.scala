@@ -821,6 +821,88 @@ object Streaming {
     spark.read.parquet(s"$base/pairs")
   }
 
+  /** Committed-batch marker for foreachBatch bodies whose side effect is
+    * NOT an [[AppendOnceSink]] write (e.g. the IVF index append): replayed
+    * batches (id <= committed) skip the body wholesale. Same marker file
+    * discipline as the sinks — written LAST, so a crash before the write
+    * re-runs the body, which must therefore be idempotent on its own
+    * (the IVF append's anti-join is). */
+  final class BatchMarker(path: String) {
+    private def fs(spark: SparkSession): FileSystem =
+      FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    private val p = new Path(path)
+    def committed(spark: SparkSession): Long = {
+      val f = fs(spark)
+      if (!f.exists(p)) -1L
+      else {
+        val in = f.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    def commit(spark: SparkSession, id: Long): Unit = {
+      val out = fs(spark).create(p, true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Streaming IVF index maintenance — x144's
+    * [[graft.operators.Similarity.appendToIvfIndex]] under real
+    * micro-batches (the r9 verdict's named seat): the base index builds
+    * one-shot on `vec_id < 250` with its quantizer FROZEN in the
+    * `_centroids` sidecar, then the remainder replays as three
+    * single-file micro-batches (maxFilesPerTrigger=1), each appended
+    * into the partitioned layout against the frozen centroids.
+    *
+    * Idempotence (the s12/s13 replay discipline): a replayed batch
+    * (id <= [[BatchMarker.committed]]) drains and skips wholesale; the
+    * residual crash window — index appended, marker not yet written —
+    * re-runs the batch into appendToIvfIndex's existing-id anti-join,
+    * which drops every already-present id, so the end state is
+    * byte-count-identical to a crash-free run (spec-pinned). Batches
+    * arrive serially from the stream, satisfying appendToIvfIndex's
+    * no-concurrent-appends contract.
+    *
+    * The probe over the maintained index answers x7's question — and is
+    * row-identical to a probe over the one-shot full build, because the
+    * full corpus's first-16-ids centroid set IS the frozen one (ids
+    * 0..15 < 250), so x7's oracle verifies the whole maintenance path. */
+  def runStreamIvfAppend(spark: SparkSession, dir: String,
+                         base: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = s"$base/index"
+    val marker = new BatchMarker(s"$base/committed")
+    // Base build only on a FRESH base: a crash-restart (marker present)
+    // must not overwrite-rebuild the index — that would wipe every batch
+    // already appended, and the checkpoint will not replay committed
+    // batches. A crash before the first marker rebuilds harmlessly: the
+    // un-marked batch replays into the fresh base.
+    if (marker.committed(spark) < 0)
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding", 16, idx)
+    val landing = stagedEmbBatchSlices(spark, dir, 250L, 3)
+    val q = spark.readStream
+      .schema(Schemas.embeddings)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id <= marker.committed(b.sparkSession)) drainReplayedBatch(b)
+        else {
+          graft.operators.Similarity.appendToIvfIndex(
+            b.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", idx)
+          marker.commit(b.sparkSession, id)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Similarity.ivfIndexTopK(emb, "vec_id", "embedding",
+      0L, 10, 16, 4, idx)
+  }
+
   /** One micro-batch step of the streaming SCD2 dimension — versioned
     * SNAPSHOT discipline: fold the batch into the current history with
     * [[graft.operators.Scd.scd2Merge]] (or build it with `scd2` when none
@@ -1336,6 +1418,29 @@ object Streaming {
     * computeIfAbsent discipline as [[stagedTableDir]]. */
   private val stagedSliceDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The NEW-vector tail of the embeddings table (`vec_id >= fromId`)
+    * staged as `slices` single-file micro-batches — [[stagedEmbSlices]]
+    * restricted to the ingest stream [[runStreamIvfAppend]] appends (the
+    * base below `fromId` is the one-shot index build, never streamed). */
+  private def stagedEmbBatchSlices(spark: SparkSession, dir: String,
+                                   fromId: Long, slices: Int): String =
+    stagedSliceDirs.computeIfAbsent(s"$dir#embbatch$fromId#$slices", _ => {
+      val landing = graft.Scratch.dir("graft-embbatch").toString
+      val em = graft.Tables.embeddings(spark, dir)
+        .where(col("vec_id") >= fromId)
+      val f = FileSystem.get(new java.net.URI(landing),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until slices).foreach { i =>
+        val stage = s"$landing/stage$i"
+        em.where(col("vec_id") % slices === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$landing/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      landing
+    })
 
   /** Embeddings staged as `slices` single-file micro-batches (vec_id
     * modulus split) — the [[stagedEventSlices]] discipline for the

@@ -88,6 +88,38 @@ class SimilaritySpec extends SparkSpec {
         full))
   }
 
+  test("centroid recovery reads ONLY the sidecar (no layout scan); within-batch duplicate ids collapse") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfsc").toString + "/index"
+    Similarity.buildIvfIndex(fixture, "vec_id", "embedding", 4, idx)
+    val expected = fixture.orderBy($"vec_id").limit(4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // Gut the layout: delete every parquet data file, keep the sidecar.
+    // If recovery touched the index body at all this would throw — the
+    // ADVICE r9 pin that the sidecar alone carries the frozen quantizer.
+    java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).iterator()
+      .forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet") ||
+            p.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.delete(p)
+      }
+    val (cids, cvecs) = Similarity.indexCentroids(spark, idx, "vec_id", "embedding")
+    assert(cids === cids.sorted && cids.toSet === expected.keySet)
+    cids.zip(cvecs).foreach { case (cid, v) =>
+      assert(v === expected(cid), s"centroid $cid vector must round-trip exactly")
+    }
+    // Within-batch duplicate ids: a batch carrying the same id twice
+    // lands exactly once (ADVICE r9).
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ivfdup").toString + "/index"
+    Similarity.buildIvfIndex(fixture.filter($"vec_id" < 12), "vec_id", "embedding", 4, idx2)
+    val before = spark.read.parquet(idx2).count()
+    val dupBatch = fixture.filter($"vec_id" === 15L)
+      .union(fixture.filter($"vec_id" === 15L))
+    Similarity.appendToIvfIndex(dupBatch, "vec_id", "embedding", idx2)
+    assert(spark.read.parquet(idx2).count() === before + 1,
+      "a twice-submitted id must land exactly once")
+  }
+
   test("kMeansUpdate: hand-computed weighted merge; untouched clusters bit-stable; empty batch is a no-op") {
     import spark.implicits._
     // Base: two axis vectors, k=2, 1 round -> centroids are themselves.
@@ -579,6 +611,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4 &&
       r.getLong(2) >= 1 && r.getLong(2) <= 4))
     assert(out.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("PQ code table: maintained equals frozen-codebook re-encode; re-append/dup no-ops; ADC over table equals in-line ADC") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val base = emb.filter($"vec_id" < 250)
+    val rest = emb.filter($"vec_id" >= 250)
+    val tbl = java.nio.file.Files.createTempDirectory("graft-pqtbl").toString + "/codes"
+    Similarity.buildPqCodeTable(base, "vec_id", "embedding", 2, 4, 2, tbl)
+    Similarity.appendToPqCodeTable(rest, "vec_id", "embedding", tbl)
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"code_0".cast("long"), $"code_1".cast("long"))
+    // Maintained table ≡ the whole corpus encoded against the FROZEN
+    // (sidecar-recovered) codebooks — the append never re-cells anything.
+    val (sub, cbs) = Similarity.readPqCodebooks(spark, tbl)
+    assertSameRows(
+      codes(spark.read.parquet(tbl)),
+      codes(Similarity.encodeCodes(emb, "vec_id", "embedding", sub, cbs)))
+    // Idempotent re-ingest + within-batch duplicates: no new rows.
+    val n = spark.read.parquet(tbl).count()
+    Similarity.appendToPqCodeTable(rest, "vec_id", "embedding", tbl)
+    Similarity.appendToPqCodeTable(rest.union(rest), "vec_id", "embedding", tbl)
+    assert(spark.read.parquet(tbl).count() === n)
+    // ADC over the maintained table ≡ the in-line pqAdcTopK when trained
+    // on the same corpus (here: table built over ALL vectors).
+    val tblAll = java.nio.file.Files.createTempDirectory("graft-pqall").toString + "/codes"
+    Similarity.buildPqCodeTable(emb, "vec_id", "embedding", 2, 4, 2, tblAll)
+    assertSameRows(
+      Similarity.pqAdcTopKOverTable(emb, "vec_id", "embedding", 7L, 15, tblAll),
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", 2, 4, 2, 7L, 15))
   }
 
   test("mutualNnMatches: reciprocal pairs survive, a hub's one-directional match does not") {

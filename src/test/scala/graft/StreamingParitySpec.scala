@@ -895,6 +895,41 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming IVF append equals the one-shot full build; crash-replay never duplicates ids") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s34")
+    val emb = Tables.embeddings(spark, dir)
+    val streamed = Streaming.runStreamIvfAppend(spark, dir, base)
+    // Maintained layout ≡ the from-scratch full build (same frozen
+    // centroids: the full corpus's first 16 ids are all < 250).
+    val full = tmp("graft-s34full") + "/index"
+    graft.operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      16, full)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("long"),
+        col("embedding").cast("string"))
+    assertSameRows(rows(full), rows(base + "/index"))
+    // Probe over the maintained index equals the one over the full build.
+    assertSameRows(streamed,
+      graft.operators.Similarity.ivfIndexTopK(emb, "vec_id", "embedding",
+        0L, 10, 16, 4, full))
+    val n = spark.read.parquet(base + "/index").count()
+    // Crash-replay: roll back the last checkpoint commit and re-run — the
+    // committed-batch marker must drain the replayed batch (no rebuild of
+    // the base either: the marker guards it), leaving the index unchanged.
+    rollbackLastCommit(base + "/ckpt")
+    val second = Streaming.runStreamIvfAppend(spark, dir, base)
+    assert(spark.read.parquet(base + "/index").count() === n)
+    assertSameRows(second, streamed)
+    // Residual crash window (append done, marker not written): re-running
+    // the batch body directly must anti-join every id away.
+    val lastBatch = emb.filter(col("vec_id") >= 250 && col("vec_id") % 3 === 2)
+    graft.operators.Similarity.appendToIvfIndex(
+      lastBatch.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", base + "/index")
+    assert(spark.read.parquet(base + "/index").count() === n)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
