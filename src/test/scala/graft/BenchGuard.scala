@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** sf0.1 runtime pin for the heavy dedup family (VERDICT r6 ask #5) —
-  * catches an ALGORITHMIC regression (lost prefix filter, lost exact-dup
-  * collapse, lost localCheckpoint) in a dev run before the driver bench
-  * sees it. Test scope, `Test/runMain graft.BenchGuard` — minutes at
-  * sf0.1, so not part of the sbt test suite; run it after touching
-  * Dedup.scala.
+/** sf0.1 runtime pin for the heavy families (VERDICT r6 ask #5, widened
+  * per r9 ask #7) — catches an ALGORITHMIC regression (lost prefix
+  * filter, lost exact-dup collapse, lost endpoint pruning, lost
+  * localCheckpoint) in a dev run before the driver bench sees it. Test
+  * scope, `Test/runMain graft.BenchGuard` — minutes at sf0.1, so not part
+  * of the sbt test suite; run it after touching Dedup.scala (and after
+  * touching the pair scorers or the co-occurrence family).
   *
   * Budget: 2× the frozen per-query min from BASELINE_local.json —
   * loose enough that contention cannot double a min-of-3 on a warm JVM,
@@ -16,13 +17,43 @@ import org.apache.spark.sql.functions._
   * negative probe demonstrates this every run by timing a deliberately
   * unpruned x6 twin against the same budget: measured 2.3× the pruned
   * runtime at sf0.1, versus ≤1.2× run-to-run noise on mins).
-  * Exit 1 on any pinned query over budget or if the negative probe fails
-  * to fire. */
+  *
+  * Beyond the per-entry budgets, two self-testing probes (r9 asks #5/#7):
+  *
+  *  - SKEW probe: the quadratic-bounded co-occurrence family's documented
+  *    100 TB guard is per-user contribution capping
+  *    (Graph.cooccurrencePmi's scaladoc; Sampling.capPerGroup). The probe
+  *    plants ONE hot user with 10 000 distinct items — a 5·10⁷-pair
+  *    expansion nothing at sf0.1 produces naturally — and requires the
+  *    capped pipeline to stay within budget while the UNCAPPED run busts
+  *    it (detector teeth). The pathological items are single-user, so the
+  *    minCount filter removes them from the ANSWER either way — the cap
+  *    changes cost, not correctness, on this fixture.
+  *
+  *  - AHASH probe: notes_r8ao/r9d claim the native [[graft.functions.AHashBits]]
+  *    expression beats the interpreted HOF composition where it matters —
+  *    LONG payloads (the HOF re-slices the string per character: O(n²)
+  *    per payload). Running the HOF directly at the r9-asked 100 KiB is
+  *    not probe-able: measured 2026-08-15 (r10), 8×128 KiB HOF payloads
+  *    burned 8 cores for >36 min WITHOUT completing (jstack pinned all 8
+  *    in Substring.nullSafeEval under ArrayAggregate), i.e. ≥ 2200 s per
+  *    payload against ~0.1 s native — a ≥ 10⁴× ratio observed directly.
+  *    So the repeatable probe measures the native at 128 KiB plus the
+  *    HOF on a 4 KiB / 8 KiB ladder, asserts the HOF's superlinear
+  *    growth (t₈ₖ/t₄ₖ ≥ 2.5; quadratic predicts ≈ 4) and that the native
+  *    handles 16× the chars in under half the HOF's 8 KiB time, and
+  *    prints the quadratic extrapolation to 128 KiB for the record.
+  *    Parity of the BITS is already spec-pinned (MultimodalSpec); this
+  *    pins the claimed asymptotics.
+  *
+  * Exit 1 on any pinned query over budget or any probe failing to fire. */
 object BenchGuard {
 
   val Heavy = Seq("x2_near_dedup", "x6_ngram_jaccard",
     "x25b_neardup_clusters_star", "x38_incremental_neardup",
-    "x41_overlap_dedup")
+    "x41_overlap_dedup",
+    // r9 ask #7: the pair-scorer/graph quadratic-bounded tier.
+    "x119_bleu_pairs", "x133_chrf_pairs", "j12_cooccurrence_pmi")
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,11 +114,65 @@ object BenchGuard {
     println(f"[benchguard] negative probe (unpruned x6): $unprunedT%.2f s vs budget $x6Budget%.2f s -> ${if (fired) "DETECTOR FIRES (good)" else "DETECTOR SILENT (bad)"}")
     if (!fired) failed ::= "negative_probe"
 
+    // ---- Skew probe (r9 ask #7): one hot user, 10 000 distinct items ----
+    val interactions = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+    val hot = spark.range(10000)
+      .select(lit(999999999L).as("user_id"),
+        (col("id") + 1000000).cast("int").as("item"))
+    val skewed = interactions.unionByName(hot).localCheckpoint(eager = true)
+    def pmiOver(src: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.cooccurrencePmi(src, "user_id", "item", 5L)
+    val cappedSrc = graft.operators.Sampling.capPerGroup(
+      skewed.distinct(), Seq("user_id"), "item", "skewguard", 50)
+    timeNoop(pmiOver(cappedSrc)) // warmup
+    val cappedT = (1 to 3).map(_ => timeNoop(pmiOver(cappedSrc))).min
+    val skewBudget = cappedT * 2 + 1.0
+    val uncappedT = timeNoop(pmiOver(skewed))
+    val cappedOk = uncappedT > skewBudget
+    println(f"[benchguard] skew probe: capped $cappedT%.2f s, uncapped $uncappedT%.2f s, budget $skewBudget%.2f s -> ${if (cappedOk) "GUARD ENGAGES (good)" else "GUARD INERT (bad)"}")
+    if (!cappedOk) failed ::= "skew_probe"
+
+    // ---- AHash probe (r9 ask #5): native at 128 KiB, HOF ladder ----
+    // Content varies per row so passes cannot share a cached result.
+    def payloads(repeats: Int) = spark.range(8).select(col("id"),
+      repeat(concat(lit("abcdefghijklmnopqrstuvwxyz012345"),
+        col("id").cast("string")), repeats).as("payload"))
+      .localCheckpoint(eager = true)
+    def timeBits(df: org.apache.spark.sql.DataFrame,
+                 expr: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      df.select(expr.as("bits")).write
+        .format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val big = payloads(4096)  // ~132 K chars (>= the asked 100 KiB)
+    val p4k = payloads(128)   // ~4.2 K chars
+    val p8k = payloads(256)   // ~8.4 K chars
+    val native = graft.functions.AHashBits(col("payload"))
+    val hof = graft.operators.Multimodal.aHashBitsFold(col("payload"))
+    timeBits(big, native) // warmup
+    val nativeT = (1 to 3).map(_ => timeBits(big, native)).min
+    timeBits(p4k, hof) // warmup (JIT of the interpreted eval path)
+    val hof4k = (1 to 3).map(_ => timeBits(p4k, hof)).min
+    val hof8k = (1 to 3).map(_ => timeBits(p8k, hof)).min
+    val growth = hof8k / math.max(hof4k, 1e-9)
+    // Quadratic extrapolation of the HOF to the native's payload size
+    // (chars ratio 16x => cost ~256x the 8 KiB point).
+    val hof128kEst = hof8k * 256.0
+    val superlinear = growth >= 2.5
+    val nativeWins = nativeT <= hof8k / 2
+    println(f"[benchguard] ahash probe: native@128K $nativeT%.3f s; HOF@4K $hof4k%.2f s, @8K $hof8k%.2f s (growth $growth%.1fx, extrapolated @128K ~$hof128kEst%.0f s, est ratio ${hof128kEst / math.max(nativeT, 1e-9)}%.0fx) -> ${if (superlinear && nativeWins) "NATIVE WINS (good)" else "PROBE FAILS (bad)"}")
+    if (!superlinear) failed ::= "ahash_probe_superlinear"
+    if (!nativeWins) failed ::= "ahash_probe_native"
+
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[benchguard] FAILED: ${failed.reverse.mkString(", ")}")
       sys.exit(1)
     }
-    println("[benchguard] all heavy-family runtimes within budget; detector verified")
+    println("[benchguard] all heavy-family runtimes within budget; detectors verified")
   }
 }
