@@ -688,6 +688,45 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** IVF probe-budget tuning curve — the "how many probes buy how much
+    * recall" frontier an index's nProbe is actually chosen on (x141
+    * audits the layout's balance; this measures the recall the probe
+    * budget buys): recall@k of the IVF self-kNN at each probe budget in
+    * `probes` against the EXACT self-kNN (probing all centroids ≡ brute
+    * force — spec-pinned on [[knnJoin]]), alongside the scan fraction
+    * nProbe/nCentroids the cost model predicts. Recall per query is
+    * |approx ∩ exact| / |exact| on the rounded-sim, id-tie-broken
+    * ranking both engines share.
+    *
+    * Scale shape: the exact reference runs ONCE and localCheckpoints
+    * (the truncationRecall discipline); each level is one knnJoin over
+    * the shared corpus assignment; intersections join at (query,
+    * neighbor) grain — n·k rows, never corpus². */
+  def ivfRecallCurve(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int, nCentroids: Int,
+                     probes: Seq[Int]): DataFrame = {
+    val exact = knnJoin(embeddings, idCol, vecCol, queryPred, k,
+        nCentroids, nCentroids)
+      .select(col("qid"), col(idCol))
+      .localCheckpoint(eager = true) // reference for every probe level
+    val ecnt = exact.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("_ne"))
+    probes.map { p =>
+      val approx = knnJoin(embeddings, idCol, vecCol, queryPred, k,
+          nCentroids, p)
+        .select(col("qid"), col(idCol))
+      val inter = approx.join(exact, Seq("qid", idCol))
+        .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("_ni"))
+      ecnt.join(inter, Seq("qid"), "left").na.fill(0L, Seq("_ni"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          round(avg(col("_ni").cast("double") / col("_ne")), 4)
+            .as("mean_recall"))
+        .select(lit(p.toLong).as("n_probe"),
+          round(lit(p.toDouble / nCentroids), 4).as("scan_frac"),
+          col("n_queries"), col("mean_recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style): for
     * each anchor vector, the top-`k` most-similar corpus vectors whose
     * cosine lies in `[lo, hi)` — similar enough to be informative

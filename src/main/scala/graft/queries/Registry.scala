@@ -753,6 +753,51 @@ object Registry {
        |SELECT qid, vec_id, cid AS centroid_id, sim, knn_rank FROM r
        |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.ivfRecallCurve]] (queries vec_id%50=0,
+    * k=10, 16 centroids, probes 1/2/4/8): the knnJoin oracle's cand frame
+    * carries each vector's cell PROBE RANK per query (crn), so every
+    * probe level is just `crn <= p` ranked through the shared
+    * rounded-sim/id window; exact = all 16 cells. cand/rex MATERIALIZED —
+    * referenced once per level (the CLAUDE.md CTE-inlining rule). */
+  private def ivfRecallOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c)),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |pr AS (SELECT qid, qv, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |  FROM (SELECT q.qid, q.qv, c.cid, ${cosSql("c.cv", "q.qv")} AS d
+       |    FROM qs q, cents c)),
+       |cand AS MATERIALIZED (SELECT p.qid, a.vec_id, p.rn AS crn,
+       |  round(${cosSql("a.embedding", "p.qv")}, 6) AS sim
+       |  FROM a1 a JOIN pr p USING (cid) WHERE a.vec_id <> p.qid),
+       |rex AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+       |  FROM cand) WHERE r <= 10),
+       |ecnt AS (SELECT qid, CAST(count(*) AS BIGINT) AS ne FROM rex
+       |  GROUP BY 1),
+       |lvl AS (SELECT unnest([1, 2, 4, 8]) AS p),
+       |apx AS (SELECT p, qid, vec_id FROM (SELECT l.p, c.qid, c.vec_id,
+       |  row_number() OVER (PARTITION BY l.p, c.qid
+       |    ORDER BY c.sim DESC, c.vec_id) AS r
+       |  FROM lvl l JOIN cand c ON c.crn <= l.p) WHERE r <= 10),
+       |icnt AS (SELECT p, qid, CAST(count(*) AS BIGINT) AS ni
+       |  FROM apx JOIN rex USING (qid, vec_id) GROUP BY 1, 2),
+       |grid AS (SELECT l.p, e.qid, e.ne FROM lvl l, ecnt e),
+       |rec AS (SELECT g.p, CAST(count(*) AS BIGINT) AS n_queries,
+       |  round(avg(CAST(COALESCE(i.ni, 0) AS DOUBLE) / g.ne), 4)
+       |    AS mean_recall
+       |  FROM grid g LEFT JOIN icnt i ON i.p = g.p AND i.qid = g.qid
+       |  GROUP BY 1)
+       |SELECT CAST(p AS BIGINT) AS n_probe,
+       |round(CAST(p AS DOUBLE) / 16, 4) AS scan_frac, n_queries,
+       |mean_recall FROM rec ORDER BY n_probe""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Similarity.knnDensityOutliers]] (all queries,
     * 16 centroids, 4 probes, k=10, bottom 25). Same assignment/probe/rank
     * tie-breaks as the knnJoin oracle. */
@@ -2334,6 +2379,19 @@ object Registry {
       },
       Some(pqAppendAdcOracleSql(3L, 12))),
 
+    ("s35_stream_pq_append",
+      // STREAMING PQ code-table maintenance (Streaming.runStreamPqAppend):
+      // x146's frozen-codebook append under real micro-batches — the s34
+      // replay/crash discipline applied to the compressed-corpus layout;
+      // base built one-shot on vec_id < 250, remainder appended per batch
+      // behind the committed-batch marker. ADC over the maintained table
+      // ≡ the one-shot answer — x146's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s35")
+        graft.streaming.Streaming.runStreamPqAppend(s, dir, base)
+      },
+      Some(pqAppendAdcOracleSql(3L, 12))),
+
     ("x145_kmeans_update",
       // Mini-batch k-means centroid maintenance (Similarity.kMeansUpdate,
       // Sculley 2010): the quantizer-side member of the incremental
@@ -2418,6 +2476,19 @@ object Registry {
           col("vec_id") % 50 === 0, 10, 16, 4)
           .orderBy(col("qid"), col("knn_rank")),
       Some(knnJoinOracleSql)),
+
+    ("x147_ivf_recall",
+      // IVF probe-budget tuning curve (Similarity.ivfRecallCurve):
+      // recall@10 of the IVF self-kNN at nProbe 1/2/4/8 vs the exact
+      // (probe-all) self-kNN, with the scan fraction each budget costs —
+      // the frontier nProbe is chosen on (x141 audits balance, this
+      // measures what the budget buys). One checkpointed exact reference;
+      // one knnJoin per level over the shared assignment.
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfRecallCurve(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, 10, 16, Seq(1, 2, 4, 8))
+          .orderBy(col("n_probe")),
+      Some(ivfRecallOracleSql)),
 
     ("x8_lang_id",
       // Marker-token language ID (argmax score, ties to smallest code).

@@ -903,6 +903,52 @@ object Streaming {
       0L, 10, 16, 4, idx)
   }
 
+  /** Streaming PQ code-table maintenance — x146's
+    * [[graft.operators.Similarity.appendToPqCodeTable]] under real
+    * micro-batches: the [[runStreamIvfAppend]] discipline applied to the
+    * compressed-corpus layout. The base table builds one-shot on
+    * `vec_id < 250` with its codebooks frozen in the `_codebooks`
+    * sidecar, then the remainder replays as three single-file
+    * micro-batches, each encoded against the frozen codebooks and
+    * appended into the code_0-partitioned layout behind the same
+    * committed-batch marker (replay drains and skips; the residual crash
+    * window re-runs into the existing-id anti-join). The ADC search over
+    * the maintained table ≡ x146's one-shot build+append answer — its
+    * oracle verbatim. */
+  def runStreamPqAppend(spark: SparkSession, dir: String,
+                        base: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val tbl = s"$base/codes"
+    val marker = new BatchMarker(s"$base/committed")
+    // Base build only on a FRESH base — the runStreamIvfAppend rationale:
+    // an overwrite rebuild after a crash would wipe appended batches the
+    // checkpoint will not replay.
+    if (marker.committed(spark) < 0)
+      graft.operators.Similarity.buildPqCodeTable(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding", 2, 4, 2, tbl)
+    val landing = stagedEmbBatchSlices(spark, dir, 250L, 3)
+    val q = spark.readStream
+      .schema(Schemas.embeddings)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id <= marker.committed(b.sparkSession)) drainReplayedBatch(b)
+        else {
+          graft.operators.Similarity.appendToPqCodeTable(
+            b.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", tbl)
+          marker.commit(b.sparkSession, id)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.Similarity.pqAdcTopKOverTable(emb, "vec_id", "embedding",
+      3L, 12, tbl)
+  }
+
   /** One micro-batch step of the streaming SCD2 dimension — versioned
     * SNAPSHOT discipline: fold the batch into the current history with
     * [[graft.operators.Scd.scd2Merge]] (or build it with `scd2` when none

@@ -644,6 +644,26 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqAdcTopK(emb, "vec_id", "embedding", 2, 4, 2, 7L, 15))
   }
 
+  test("ivfRecallCurve: recall monotone in nProbe, exactly 1.0 at probe-all, scan_frac = p/nCentroids") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val out = Similarity.ivfRecallCurve(vecs, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 5, 4, Seq(1, 2, 4))
+      .orderBy($"n_probe").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    assert(out.map(_._2).toSeq === Seq(0.25, 0.5, 1.0))
+    assert(out.forall(_._3 === 4L)) // 4 queries
+    // Nested probe sets make the recall provably monotone, and probing
+    // every centroid IS the exact kNN.
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.toSeq)
+    assert(out.last._4 === 1.0)
+  }
+
   test("mutualNnMatches: reciprocal pairs survive, a hub's one-directional match does not") {
     import spark.implicits._
     // Two tight pairs (1,2) and (3,4) on the axes plus diagonal hub 5:

@@ -930,6 +930,37 @@ class StreamingParitySpec extends SparkSpec {
     assert(spark.read.parquet(base + "/index").count() === n)
   }
 
+  test("streaming PQ append equals the one-shot maintained table; crash-replay never duplicates codes") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s35")
+    val emb = Tables.embeddings(spark, dir)
+    val streamed = Streaming.runStreamPqAppend(spark, dir, base)
+    // One-shot comparator: the x146 shape (base build + single append).
+    val tbl = tmp("graft-s35one") + "/codes"
+    graft.operators.Similarity.buildPqCodeTable(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding", 2, 4, 2, tbl)
+    graft.operators.Similarity.appendToPqCodeTable(
+      emb.filter(col("vec_id") >= 250), "vec_id", "embedding", tbl)
+    def codes(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("code_0").cast("long"),
+        col("code_1").cast("long"))
+    assertSameRows(codes(base + "/codes"), codes(tbl))
+    assertSameRows(streamed,
+      graft.operators.Similarity.pqAdcTopKOverTable(emb, "vec_id",
+        "embedding", 3L, 12, tbl))
+    val n = spark.read.parquet(base + "/codes").count()
+    // Crash-replay: marker drains the replayed batch, base never rebuilds.
+    rollbackLastCommit(base + "/ckpt")
+    val second = Streaming.runStreamPqAppend(spark, dir, base)
+    assert(spark.read.parquet(base + "/codes").count() === n)
+    assertSameRows(second, streamed)
+    // Residual crash window: re-running the batch body directly is a no-op.
+    graft.operators.Similarity.appendToPqCodeTable(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") % 3 === 2),
+      "vec_id", "embedding", base + "/codes")
+    assert(spark.read.parquet(base + "/codes").count() === n)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
