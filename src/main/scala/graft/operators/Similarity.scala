@@ -932,6 +932,116 @@ object Similarity {
         round(lit(1.0) - cosineFold(col("_old"), col("_nv")), 6).as("drift"))
   }
 
+  /** Quantizer state carried by the STREAMING mini-batch k-means fold
+    * (s36): per cluster, its 1-based id, the population folded into the
+    * centroid so far, and the centroid itself. Bounded driver metadata —
+    * k rows of (long + d floats); the corpus never rides in the state. */
+  type KmState = Seq[(Int, Long, Seq[Float])]
+
+  /** Initial quantizer state: [[lloydCentroids]]-trained centroids over
+    * the base plus the base's FINAL-assignment populations — exactly the
+    * (c, n) [[kMeansUpdate]] derives before its merge. */
+  def kMeansInitState(base: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): KmState = {
+    val cvecs = lloydCentroids(base, idCol, vecCol, k, iters)
+    val counts = base
+      .withColumn("_sims", simsAgainst(col(vecCol), cvecs))
+      .withColumn("_cid",
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+      .groupBy(col("_cid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cvecs.zipWithIndex.map { case (c, i) =>
+      (i + 1, counts.getOrElse(i + 1, 0L), c)
+    }
+  }
+
+  /** ONE mini-batch fold step over carried state — [[kMeansUpdate]]'s
+    * merge re-expressed against (c, n) instead of a base table: the batch
+    * assigns to the CURRENT centroids (codegen literal argmax), its
+    * per-cluster means round 6 dp + float-quantize in-engine (the
+    * training-round discipline), and the count-weighted merge
+    * c' = (n·c + m·b)/(n+m) runs in-engine over k·d rows so every
+    * rounding decision is the engine's own (bit-reproducible by the
+    * oracle's unrolled chain). Untouched clusters return bit-identical.
+    * The corpus is never rescanned; state stays k·(d+1) values. */
+  def kMeansStateStep(state: KmState, batch: DataFrame, idCol: String,
+                      vecCol: String): KmState = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cvecs = state.map(_._3)
+    val batchAssigned = batch
+      .withColumn("_sims", simsAgainst(col(vecCol), cvecs))
+      .withColumn("_cid",
+        array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+      .select(col("_cid"), col(vecCol))
+      .localCheckpoint(eager = false)
+    val batchMeans = batchAssigned
+      .select(col("_cid"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+      .groupBy(col("_cid"), col("_pos"))
+      .agg(round(avg(col("_x").cast("double")), 6).cast("float").as("_b"))
+    val batchCounts = batchAssigned.groupBy(col("_cid"))
+      .agg(count(lit(1)).cast("long").as("_m"))
+    val cents = state.flatMap { case (cid, n, c) =>
+      c.zipWithIndex.map { case (v, p) => (cid, p, v, n) }
+    }.toDF("_cid", "_pos", "_c", "_n")
+    val merged = cents
+      .join(broadcast(batchMeans), Seq("_cid", "_pos"), "left")
+      .join(broadcast(batchCounts), Seq("_cid"), "left")
+      .na.fill(0L, Seq("_m"))
+      .withColumn("_new", when(col("_m") === 0L, col("_c")).otherwise(
+        round((col("_n") * col("_c").cast("double") +
+            col("_m") * col("_b").cast("double")) / (col("_n") + col("_m")), 6)
+          .cast("float")))
+      .select(col("_cid"), col("_pos"), col("_new"), (col("_n") + col("_m")).as("_nn"))
+      .collect() // bounded: k x d rows of quantizer metadata
+    merged.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+      (cid, rows.head.getLong(3),
+        rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq)
+    }
+  }
+
+  /** x145-shaped summary of a folded state against its initial state:
+    * (cluster_id, n_base, n_batch = folded − base, c_sum = 6 dp ordered
+    * fold of the final centroid, drift = 1 − cos(initial, final), 6 dp) —
+    * the same output arithmetic as [[kMeansUpdate]], so the oracle's
+    * final select is shared. */
+  def kMeansStateSummary(spark: SparkSession, init: KmState,
+                         fin: KmState): DataFrame = {
+    import spark.implicits._
+    val byCid = fin.map(s => s._1 -> s).toMap
+    init.map { case (cid, n0, c0) =>
+      val (_, nf, cf) = byCid(cid)
+      (cid.toLong, n0, nf - n0, c0, cf)
+    }.toDF("cluster_id", "n_base", "n_batch", "_ovl", "_nvl")
+      .select(col("cluster_id"), col("n_base"), col("n_batch"),
+        round(aggregate(transform(col("_nvl"), x => x.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 6).as("c_sum"),
+        round(lit(1.0) - cosineFold(col("_ovl"), col("_nvl")), 6).as("drift"))
+  }
+
+  /** State-file round trip for the streaming fold: one
+    * `cid n v1,v2,...` line per cluster (Float.toString round-trips
+    * exactly — the sidecar discipline). */
+  def writeKmState(spark: SparkSession, path: String, state: KmState): Unit = {
+    val body = state.map { case (cid, n, c) =>
+      s"$cid $n ${c.mkString(",")}" }.mkString("\n")
+    val out = indexFsFor(spark, path).create(
+      new org.apache.hadoop.fs.Path(path), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readKmState(spark: SparkSession, path: String): KmState = {
+    val in = indexFsFor(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    val lines =
+      try new String(in.readAllBytes(), "UTF-8").trim.split("\n").toSeq
+      finally in.close()
+    lines.map { l =>
+      val Array(cid, n, vs) = l.trim.split(" ", 3)
+      (cid.toInt, n.toLong,
+        vs.split(",").map(java.lang.Float.parseFloat).toSeq)
+    }
+  }
+
   /** Per-label embedding compactness — the label-quality report run before
     * trusting a labeled corpus: each label's centroid (rounded 6 dp and
     * float-quantized, same determinism discipline as [[kMeansTrain]]),
@@ -1377,6 +1487,47 @@ object Similarity {
           .reduce(_ + _), 6).as("adc_d2"): _*)
       .orderBy(col("adc_d2").asc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** Batched ADC search — [[pqAdcTopK]] for EVERY query at once (what
+    * [[knnJoin]] is to [[ivfTopK]], on the compressed leg): each query's
+    * per-subspace lookup table is computed IN-ENGINE from its vector
+    * against the codebook literals (the same left-fold [[sqDist]]
+    * arithmetic as the driver-side LUTs — x118's oracle contract), the
+    * query frame (qid + m k-double LUT arrays — slim, bounded)
+    * broadcasts, and ONE scan of the encoded corpus sums m array lookups
+    * per (row, query). The per-query cut is a rank window on the
+    * 6 dp-rounded ADC with id tie-break. The query's own row stays in
+    * the corpus (its cell's reconstruction distance — the pqAdcTopK
+    * sanity-row convention).
+    *
+    * Scale shape: corpus encodes once (codegen projection, no shuffle),
+    * the broadcast join fans each corpus row by |queries| — cost
+    * |corpus|·|queries| ADC sums, each m array lookups, all codegen; the
+    * rank window shuffles on qid at (corpus × queries) grain, the same
+    * budget knnJoin accepts. At 100 TB the corpus side would be the
+    * PRE-ENCODED x146 code table. */
+  def pqAdcJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, m: Int, k: Int, iters: Int,
+                topK: Int): DataFrame = {
+    val (sub, codebooks) = pqCodebooks(embeddings, idCol, vecCol, m, k, iters)
+    val encoded = encodeCodes(embeddings, idCol, vecCol, sub, codebooks)
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val withLuts = (0 until m).foldLeft(queries) { (df, s) =>
+      val qs = slice(col("_qv"), s * sub + 1, sub)
+      df.withColumn(s"_lut$s", array(codebooks(s).map(c => sqDist(qs, c)): _*))
+    }.drop("_qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_d2").asc, col(idCol).asc)
+    encoded
+      .crossJoin(broadcast(withLuts))
+      .withColumn("adc_d2", round((0 until m).map(s =>
+          element_at(col(s"_lut$s"), col(s"code_$s").cast("int")))
+        .reduce(_ + _), 6))
+      .withColumn("adc_rank", row_number().over(w))
+      .filter(col("adc_rank") <= topK)
+      .select(col("qid"), col(idCol), col("adc_d2"), col("adc_rank"))
   }
 
   /** The code-only PQ encode projection shared by [[pqAdcTopK]],

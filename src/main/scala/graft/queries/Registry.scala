@@ -569,6 +569,80 @@ object Registry {
       "LEFT JOIN mc ON mc.cid = f.cid ORDER BY cluster_id"
   }
 
+  /** DuckDB twin of the STREAMING mini-batch k-means fold (s36): the
+    * x145 oracle's training prefix, then the three ordered batch merges
+    * UNROLLED as chained state CTEs (st0 → st3) — the fold is
+    * path-dependent (batch t assigns against centroids batch t−1 moved),
+    * so the oracle replays the identical order; every per-step mean and
+    * merge rounds 6 dp + float-quantizes exactly like the engine. */
+  private lazy val kMeansStreamOracleSql: String = {
+    val (k, iters, split, slices) = (8, 3, 250, 3)
+    val train = Seq(
+      s"src AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < $split)",
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, " +
+        s"CAST(embedding AS FLOAT[]) AS cv FROM " +
+        s"(SELECT * FROM src ORDER BY vec_id LIMIT $k))") ++
+      (1 to iters).flatMap { i =>
+        Seq(
+          s"s$i AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+            s"AS sim FROM src e, c${i - 1} c)",
+          s"a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+            s"AS rn FROM s$i) WHERE rn = 1)",
+          s"m$i AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS mv " +
+            s"FROM a$i a JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+            "AS x, unnest(range(1, len(embedding)+1)) AS pos FROM src) d " +
+            "USING (vec_id) GROUP BY 1, 2)",
+          s"n$i AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cid)",
+          s"c$i AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv " +
+            s"FROM c${i - 1} p LEFT JOIN n$i n USING (cid))")
+      } ++ Seq(
+        s"sf AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+          s"AS sim FROM src e, c$iters c)",
+        "af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+          "AS rn FROM sf) WHERE rn = 1)",
+        "bcn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1)",
+        s"st0 AS MATERIALIZED (SELECT c.cid, COALESCE(b.n, 0) AS n, c.cv " +
+          s"FROM c$iters c LEFT JOIN bcn b USING (cid))")
+    val steps = (1 to slices).flatMap { t =>
+      Seq(
+        s"bt$t AS MATERIALIZED (SELECT * FROM embeddings " +
+          s"WHERE vec_id >= $split AND vec_id % $slices = ${t - 1})",
+        s"sb$t AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} " +
+          s"AS sim FROM bt$t e, st${t - 1} c)",
+        s"ab$t AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) " +
+          s"AS rn FROM sb$t) WHERE rn = 1)",
+        s"mc$t AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS m " +
+          s"FROM ab$t GROUP BY 1)",
+        s"bm$t AS (SELECT a.cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS bv " +
+          s"FROM ab$t a JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+          s"AS x, unnest(range(1, len(embedding)+1)) AS pos FROM bt$t) d " +
+          "USING (vec_id) GROUP BY 1, 2)",
+        s"cp$t AS (SELECT cid, n, CAST(unnest(cv) AS FLOAT) AS c, " +
+          s"unnest(range(1, len(cv)+1)) AS pos FROM st${t - 1})",
+        s"mg$t AS (SELECT cp.cid, cp.pos, " +
+          "CASE WHEN mc.m IS NULL THEN cp.c ELSE " +
+          "CAST(round((cp.n * CAST(cp.c AS DOUBLE) + " +
+          "mc.m * CAST(bm.bv AS DOUBLE)) / (cp.n + mc.m), 6) AS FLOAT) END " +
+          "AS nv, cp.n + COALESCE(mc.m, 0) AS nn " +
+          s"FROM cp$t cp LEFT JOIN mc$t mc ON mc.cid = cp.cid " +
+          s"LEFT JOIN bm$t bm ON bm.cid = cp.cid AND bm.pos = cp.pos)",
+        s"st$t AS MATERIALIZED (SELECT cid, max(nn) AS n, " +
+          s"list(nv ORDER BY pos) AS cv FROM mg$t GROUP BY 1)")
+    }
+    s"WITH ${(train ++ steps).mkString(", ")} " +
+      "SELECT CAST(s0.cid AS BIGINT) AS cluster_id, " +
+      "CAST(s0.n AS BIGINT) AS n_base, " +
+      s"CAST(s$slices.n - s0.n AS BIGINT) AS n_batch, " +
+      s"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(s$slices.cv, v -> CAST(v AS DOUBLE))), (x, y) -> x + y), 6) " +
+      "AS c_sum, " +
+      s"round(1.0 - ${cosSql("s0.cv", s"s$slices.cv")}, 6) AS drift " +
+      s"FROM st0 s0 JOIN st$slices s$slices USING (cid) ORDER BY cluster_id"
+  }
+
   /** DuckDB twin of the cluster-balanced sample: the same unrolled
     * k-means assignment, then x19's salted-hash cap per cluster. */
   private lazy val clusterBalancedOracleSql =
@@ -696,6 +770,34 @@ object Registry {
       "FROM af0 JOIN af1 USING (vec_id) " +
       "JOIN lut0 l0 ON l0.cid = af0.cid JOIN lut1 l1 ON l1.cid = af1.cid " +
       s"ORDER BY adc_d2, vec_id LIMIT $topK"
+  }
+
+  /** DuckDB twin of [[Similarity.pqAdcJoin]] (queries vec_id%50=0, m=2
+    * subspaces of 32, k=4, 2 Lloyd rounds, top-8 per query): the x118
+    * trajectory with the LUT lifted from one scalar set to a (qid, cid)
+    * TABLE, ranked per query over the rounded ADC with id tie-break. */
+  private def pqAdcJoinOracleSql(topK: Int): String = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"lut$s AS MATERIALIZED (SELECT q.qid, c.cid, " +
+        s"${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d " +
+        s"FROM qj q, cs$s$iters c)"
+    }.mkString(", ")
+    s"WITH ${pqCtes(m, sub, k, iters)}, " +
+      "qj AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+      s"$luts, " +
+      "sc AS (SELECT l0.qid, af0.vec_id, round(l0.d + l1.d, 6) AS adc_d2 " +
+      "FROM af0 JOIN af1 USING (vec_id) " +
+      "JOIN lut0 l0 ON l0.cid = af0.cid " +
+      "JOIN lut1 l1 ON l1.cid = af1.cid AND l1.qid = l0.qid), " +
+      "r AS (SELECT qid, vec_id, adc_d2, CAST(row_number() OVER " +
+      "(PARTITION BY qid ORDER BY adc_d2, vec_id) AS INT) AS adc_rank " +
+      "FROM sc) " +
+      s"SELECT qid, vec_id, adc_d2, adc_rank FROM r WHERE adc_rank <= $topK " +
+      "ORDER BY qid, adc_rank"
   }
 
   /** SQL fragment: sequential-left-fold double cosine of two list columns
@@ -2392,6 +2494,21 @@ object Registry {
       },
       Some(pqAppendAdcOracleSql(3L, 12))),
 
+    ("s36_stream_kmeans",
+      // STREAMING mini-batch k-means (Streaming.runStreamKmeansUpdate):
+      // x145's quantizer maintenance always-on — state is the (centroid,
+      // population) table persisted as versioned files, each micro-batch
+      // assigns against the CURRENT centroids and folds in by the
+      // count-weighted merge. Path-dependent (unlike the additive
+      // monitors), so the oracle unrolls the same three ordered batch
+      // merges; replay drains via the marker, a pre-marker crash re-runs
+      // from the same predecessor state into the same versioned file.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s36")
+        graft.streaming.Streaming.runStreamKmeansUpdate(s, dir, base)
+      },
+      Some(kMeansStreamOracleSql)),
+
     ("x145_kmeans_update",
       // Mini-batch k-means centroid maintenance (Similarity.kMeansUpdate,
       // Sculley 2010): the quantizer-side member of the incremental
@@ -2476,6 +2593,18 @@ object Registry {
           col("vec_id") % 50 === 0, 10, 16, 4)
           .orderBy(col("qid"), col("knn_rank")),
       Some(knnJoinOracleSql)),
+
+    ("x148_pq_adc_join",
+      // Batched ADC search (Similarity.pqAdcJoin): x118's single-query
+      // ADC lifted to EVERY query at once — per-query LUTs computed
+      // in-engine against the codebook literals, broadcast slim query
+      // frame, one scan of the encoded corpus summing m lookups per
+      // (row, query), per-query rank window on the rounded ADC.
+      (s: SparkSession, dir: String) =>
+        Similarity.pqAdcJoin(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, 2, 4, 2, 8)
+          .orderBy(col("qid"), col("adc_rank")),
+      Some(pqAdcJoinOracleSql(8))),
 
     ("x147_ivf_recall",
       // IVF probe-budget tuning curve (Similarity.ivfRecallCurve):

@@ -949,6 +949,63 @@ object Streaming {
       3L, 12, tbl)
   }
 
+  /** Streaming mini-batch k-means — x145's quantizer maintenance always-on
+    * (the third seat of the streaming-incremental column: s34 keeps the
+    * IVF LAYOUT current, s35 the PQ CODES, this the trained QUANTIZER):
+    * state is the (centroid, population) table — k·(d+1) values, the
+    * Sculley mini-batch invariant — persisted as a per-batch versioned
+    * state file; each micro-batch assigns against the CURRENT centroids
+    * and folds in by the count-weighted mean merge
+    * ([[graft.operators.Similarity.kMeansStateStep]], all rounding
+    * in-engine).
+    *
+    * Unlike the additive monitors (s28/s30/s31), this fold is
+    * PATH-DEPENDENT — batch t assigns against centroids batch t−1 moved —
+    * so the contract is exact replay determinism, not split-invariance:
+    * the oracle unrolls the same three ordered batch merges; a replayed
+    * batch (marker) drains and skips; a crash between the state write and
+    * the marker re-runs the step from the SAME predecessor state file
+    * into an overwrite of the same versioned file — byte-identical end
+    * state (the versioned-snapshot discipline, spec-pinned). */
+  def runStreamKmeansUpdate(spark: SparkSession, dir: String,
+                            base: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, dir)
+    val marker = new BatchMarker(s"$base/committed")
+    def statePath(id: Long): String =
+      if (id < 0) s"$base/state_init" else s"$base/state_b$id"
+    if (marker.committed(spark) < 0) {
+      val init = Similarity.kMeansInitState(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding", 8, 3)
+      Similarity.writeKmState(spark, statePath(-1), init)
+    }
+    val landing = stagedEmbBatchSlices(spark, dir, 250L, 3)
+    val q = spark.readStream
+      .schema(Schemas.embeddings)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val ss = b.sparkSession
+        if (id <= marker.committed(ss)) drainReplayedBatch(b)
+        else {
+          val prev = Similarity.readKmState(ss, statePath(marker.committed(ss)))
+          val next = Similarity.kMeansStateStep(prev,
+            b.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+          Similarity.writeKmState(ss, statePath(id), next)
+          marker.commit(ss, id)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    Similarity.kMeansStateSummary(spark,
+        Similarity.readKmState(spark, statePath(-1)),
+        Similarity.readKmState(spark, statePath(marker.committed(spark))))
+      .orderBy(col("cluster_id"))
+  }
+
   /** One micro-batch step of the streaming SCD2 dimension — versioned
     * SNAPSHOT discipline: fold the batch into the current history with
     * [[graft.operators.Scd.scd2Merge]] (or build it with `scd2` when none

@@ -644,6 +644,36 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqAdcTopK(emb, "vec_id", "embedding", 2, 4, 2, 7L, 15))
   }
 
+  test("pqAdcJoin with a single query equals pqAdcTopK; every query ranks its own code cell first") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    // Single-query equivalence: the batched join restricted to one query
+    // must reproduce the scalar ADC ranking exactly.
+    val single = Similarity.pqAdcJoin(emb, "vec_id", "embedding",
+        $"vec_id" === 7L, 2, 4, 2, 15)
+      .orderBy($"adc_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val scalar = Similarity.pqAdcTopK(emb, "vec_id", "embedding", 2, 4, 2,
+        7L, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(single.toSeq === scalar.toSeq)
+    // Self-row convention: each query's rank-1 hit has the minimum ADC of
+    // its own code cell — in particular its own distance-to-cell, so its
+    // own adc value appears at rank 1 (ties break by id).
+    val joined = Similarity.pqAdcJoin(emb, "vec_id", "embedding",
+      $"vec_id" % 50 === 0, 2, 4, 2, 3)
+    val top1 = joined.filter($"adc_rank" === 1)
+      .select($"qid", $"adc_d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val selfD = joined.filter($"qid" === $"vec_id")
+      .select($"qid", $"adc_d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    selfD.foreach { case (q, d) =>
+      assert(top1(q) <= d, s"query $q rank-1 ADC must not exceed its own")
+    }
+  }
+
   test("ivfRecallCurve: recall monotone in nProbe, exactly 1.0 at probe-all, scan_frac = p/nCentroids") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>

@@ -961,6 +961,47 @@ class StreamingParitySpec extends SparkSpec {
     assert(spark.read.parquet(base + "/codes").count() === n)
   }
 
+  test("streaming mini-batch k-means: one-batch fold equals kMeansUpdate; crash-replay re-derives identical state") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // The state-fold primitive applied once IS x145's kMeansUpdate.
+    val baseDf = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") >= 250)
+    val init = graft.operators.Similarity.kMeansInitState(
+      baseDf, "vec_id", "embedding", 8, 3)
+    val once = graft.operators.Similarity.kMeansStateStep(
+      init, batch, "vec_id", "embedding")
+    assertSameRows(
+      graft.operators.Similarity.kMeansStateSummary(spark, init, once),
+      graft.operators.Similarity.kMeansUpdate(baseDf, batch,
+        "vec_id", "embedding", 8, 3))
+    // Full stream: untouched clusters stay bit-stable (drift exactly 0
+    // where no batch member ever lands).
+    val base = tmp("graft-s36")
+    val streamed = Streaming.runStreamKmeansUpdate(spark, dir, base)
+    val rows = streamed.collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(r.getDouble(4) === 0.0, s"untouched cluster ${r.getLong(0)} drifted")
+    }
+    // Crash-replay: the marker drains the replayed batch; the summary and
+    // the final state file are unchanged.
+    val stateBefore = graft.operators.Similarity.readKmState(
+      spark, base + "/state_b2")
+    rollbackLastCommit(base + "/ckpt")
+    val second = Streaming.runStreamKmeansUpdate(spark, dir, base)
+    assertSameRows(second, streamed)
+    assert(graft.operators.Similarity.readKmState(spark, base + "/state_b2")
+      === stateBefore)
+    // Residual crash window: re-running the last step from its
+    // predecessor state re-derives the SAME state content.
+    val prev = graft.operators.Similarity.readKmState(spark, base + "/state_b1")
+    val lastBatch = emb.filter(col("vec_id") >= 250 && col("vec_id") % 3 === 2)
+    val rederived = graft.operators.Similarity.kMeansStateStep(
+      prev, lastBatch, "vec_id", "embedding")
+    assert(rederived === stateBefore)
+  }
+
   test("streaming Holt forecast equals the one-shot batch fit; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s29")
