@@ -503,4 +503,43 @@ object Eval {
         round((lit(2L) * col("_i")).cast("double") /
           (col("_na") + col("_nb")), 6).as("rouge_f1"))
   }
+
+  /** Word error rate over a candidate pair list — the ALIGNMENT member of
+    * the pair-scoring family (ROUGE counts shared grams, BLEU clips them,
+    * chrF goes sub-word; none knows WHERE the texts diverge). WER is the
+    * token-sequence Levenshtein distance normalized by the reference
+    * length: wer(a→b) = editDist(tokens_a, tokens_b) / |tokens_b| — the
+    * ASR/translation standard (insertions + deletions + substitutions per
+    * reference word), and for dedup triage the direct "how many word edits
+    * apart are these near-dups" read that gram-bag scores can't give
+    * (a swapped clause moves BLEU little but costs 2·k word edits).
+    *
+    * Scale shape: the family discipline — docs prune to pair endpoints
+    * before tokenizing, token arrays join to pairs at pair grain (two
+    * equi-joins), then the whole alignment is ONE array-local codegen
+    * kernel per pair ([[graft.functions.SeqEditDistance]] — O(m·n) token
+    * compares, O(min(m,n)) memory, no explode, no gram table, no
+    * shuffle past the pair join). Cost is Σ_pairs |a|·|b|: quadratic in
+    * DOCUMENT length (inherent to exact alignment) but linear in the
+    * pair count, so an output-scale pair set stays output-scale work at
+    * any corpus size. A zero-token reference floors the denominator at 1
+    * (dist is then |tokens_a| and wer = dist — the 0/0 guard both
+    * engines share). */
+  def werPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val toks = endpointDocs(docs, pairs, idCol).select(col(idCol),
+      filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("_t"))
+    val d = graft.functions.SeqEditDistance(col("_ta"), col("_tb"))
+      .cast("long")
+    pairs.select(col("id_a"), col("id_b"))
+      .join(toks.select(col(idCol).as("id_a"), col("_t").as("_ta")),
+        Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("_t").as("_tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("_tb")).cast("long").as("n_ref"), d.as("edit_dist"))
+      .select(col("id_a"), col("id_b"), col("n_ref"), col("edit_dist"),
+        round(col("edit_dist").cast("double") /
+          greatest(col("n_ref"), lit(1L)), 6).as("wer"))
+  }
 }

@@ -7583,6 +7583,59 @@ object Registry {
         |round(f2, 6) AS f2_char, round((f1 + f2) / 2.0, 6) AS chrf
         |FROM f ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x149_wer_pairs",
+      // Word error rate over x6's exact-Jaccard candidate pairs at 0.5
+      // (operators/Eval.werPairs): the alignment member of the
+      // pair-scoring family — token-sequence Levenshtein / reference
+      // length via the native SeqEditDistance kernel (one array-local
+      // codegen DP per pair, no gram explode). Pair frame eagerly
+      // checkpointed — x114's replay rationale. Oracle: DuckDB has no
+      // word-level levenshtein and its char-level one is BYTE-based, so
+      // tokens are dictionary-encoded to single-byte chars (offset 32;
+      // per-pair dict <= 94 symbols holds on this corpus, vocab = 31)
+      // where byte == codepoint distance — the encode trick the Spark
+      // side deliberately does NOT need (scaladoc).
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Eval.werPairs(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |pt AS (SELECT p.id_a, p.id_b, a.t AS ta, b.t AS tb
+        |FROM prs p JOIN toks a ON a.doc_id = p.id_a
+        |JOIN toks b ON b.doc_id = p.id_b),
+        |enc AS (SELECT id_a, id_b, ta, tb,
+        |list_sort(list_distinct(list_concat(ta, tb))) AS dict FROM pt),
+        |st AS (SELECT id_a, id_b,
+        |array_to_string(list_transform(ta,
+        |x -> chr(list_position(dict, x) + 32)), '') AS sa,
+        |array_to_string(list_transform(tb,
+        |x -> chr(list_position(dict, x) + 32)), '') AS sb,
+        |len(tb) AS n_ref FROM enc)
+        |SELECT id_a, id_b, CAST(n_ref AS BIGINT) AS n_ref,
+        |CAST(levenshtein(sa, sb) AS BIGINT) AS edit_dist,
+        |round(CAST(levenshtein(sa, sb) AS DOUBLE) / greatest(n_ref, 1), 6)
+        |AS wer FROM st ORDER BY id_a, id_b"""
+        .stripMargin.replace("\n", " "))),
+
     ("x134_distinct_n",
       // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
       // the mode-collapse read for generated corpora — a source whose

@@ -187,6 +187,23 @@ class EvalSpec extends SparkSpec {
     assert(out(1) === ((3L, 4L, 1.0, 0.0, 0.5)))
   }
 
+  test("werPairs: hand-computed alignment; reference-directional; empty reference floors denominator") {
+    import spark.implicits._
+    // (1,2): "a b c d" vs "a x c": sub b→x, delete d → dist 2, n_ref 3,
+    // wer 2/3. (3,4): identical → 0. (5,6): candidate has text, reference
+    // empty after tokenizing → n_ref 0, dist 2, denominator floored at 1.
+    val docs = Seq((1L, "a b c d"), (2L, "a x c"), (3L, "q r"),
+      (4L, "q r"), (5L, "u v"), (6L, " ")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = graft.operators.Eval.werPairs(docs, pairs, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out(0) === ((1L, 2L, 3L, 2L, 0.666667)))
+    assert(out(1) === ((3L, 4L, 2L, 0L, 0.0)))
+    assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),
