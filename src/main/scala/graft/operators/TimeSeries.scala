@@ -386,4 +386,56 @@ object TimeSeries {
         when(col("_den") =!= 0.0, round(col("_num") / col("_den"), 6))
           .as("xcorr"))
   }
+
+  /** Seasonal-naive forecast backtest — the "is there a weekly signal
+    * worth modeling" gate run BEFORE anything like [[holtForecast]] ships:
+    * walk the per-key daily-count series, forecast each day with the
+    * naive rule (yesterday's value) and the seasonal-naive rule (the
+    * value `season` days back), and score both over every day where the
+    * seasonal lag exists. MASE here is the classic scaled form with the
+    * naive walk as the scaling denominator — Σ|y−y_{t−season}| /
+    * Σ|y−y_{t−1}| over the same backtest days, a ratio of two EXACT
+    * integer sums (< 1 means the seasonal rule beats persistence and a
+    * seasonal model is worth its keep); sMAPE of the seasonal rule rides
+    * along (0 when actual and forecast are both 0, the standard guard).
+    *
+    * The day grid is DENSE per key (min..max day, absent days = 0):
+    * lag-k over only-observed days would silently compare across gaps
+    * and a quiet day IS a zero observation for volume series.
+    *
+    * Scale shape: the raw events collapse to (key, day) grain in one
+    * map-side-partial agg — the only pass over the input; bounds, the
+    * grid explode (bounded by the key's day span), the lag window
+    * (partitioned by key, never a global sort) and the final key-grain
+    * fold all run on that tiny series frame. A zero naive error leaves
+    * mase NULL (division guard on both engines). */
+  def forecastBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                       season: Int): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).cast("date").as("_d"))
+      .agg(count(lit(1)).cast("long").as("_y"))
+    val grid = daily.groupBy(col(keyCol))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+    val dense = grid.join(daily, Seq(keyCol, "_d"), "left")
+      .na.fill(0L, Seq("_y"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_d"))
+    val bt = dense
+      .withColumn("_f1", lag(col("_y"), 1).over(w))
+      .withColumn("_fs", lag(col("_y"), season).over(w))
+      .where(col("_fs").isNotNull)
+    bt.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(abs(col("_y") - col("_f1"))).cast("long").as("abs_err_naive"),
+        sum(abs(col("_y") - col("_fs"))).cast("long").as("abs_err_snaive"),
+        round(avg(when(col("_y") + col("_fs") === 0L, lit(0.0))
+          .otherwise(lit(2.0) * abs(col("_y") - col("_fs")).cast("double") /
+            (col("_y") + col("_fs")))), 4).as("smape_snaive"))
+      .select(col(keyCol), col("n_days"), col("abs_err_naive"),
+        col("abs_err_snaive"),
+        when(col("abs_err_naive") > 0L,
+          round(col("abs_err_snaive").cast("double") /
+            col("abs_err_naive"), 6)).as("mase"),
+        col("smape_snaive"))
+  }
 }

@@ -8161,6 +8161,46 @@ object Registry {
         |ORDER BY c DESC, token LIMIT 30""".stripMargin
         .replace("\n", " "))),
 
+    ("j56_forecast_backtest",
+      // Seasonal-naive forecast backtest (TimeSeries.forecastBacktest,
+      // season 7): naive (lag-1) vs seasonal-naive (lag-7) walked over
+      // each event type's DENSE daily-count series, MASE as the ratio of
+      // the two exact integer error sums (< 1 = weekly signal worth
+      // modeling — the gate before anything like j40's Holt ships),
+      // sMAPE alongside (avg of per-day doubles, rounded 4 dp — the
+      // summation-order convention). Events collapse to (type, day) in
+      // one pass; everything after runs on that series frame.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.forecastBacktest(
+          Tables.events(s, dir), "event_type", "ts", 7)
+          .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type,
+        |CAST(date_trunc('day', ts) AS DATE) AS d,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+        |FROM daily GROUP BY 1),
+        |grid AS (SELECT b.event_type,
+        |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+        |FROM bounds b),
+        |dense AS (SELECT g.event_type, g.d, coalesce(y, 0) AS y
+        |FROM grid g LEFT JOIN daily dd
+        |ON dd.event_type = g.event_type AND dd.d = g.d),
+        |lagged AS (SELECT event_type, d, y,
+        |lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
+        |lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS fs
+        |FROM dense),
+        |bt AS (SELECT * FROM lagged WHERE fs IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |CAST(sum(abs(y - f1)) AS BIGINT) AS abs_err_naive,
+        |CAST(sum(abs(y - fs)) AS BIGINT) AS abs_err_snaive,
+        |CASE WHEN sum(abs(y - f1)) > 0 THEN
+        |round(CAST(sum(abs(y - fs)) AS DOUBLE) / sum(abs(y - f1)), 6)
+        |END AS mase,
+        |round(avg(CASE WHEN y + fs = 0 THEN 0.0
+        |ELSE 2.0 * abs(y - fs) / (y + fs) END), 4) AS smape_snaive
+        |FROM bt GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
     ("j53_dow_hour_profile",
       // Day-of-week x hour heatmap (queries/Serving.dowHourProfile):
       // the dashboard calendar read — one agg to the fixed 7x24 grid,

@@ -231,4 +231,32 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head
     assert(out2 === out)
   }
+
+  test("forecastBacktest: hand-computed errors, an absent day counts as zero, zero naive error gives NULL mase") {
+    import spark.implicits._
+    // Key "k": daily counts over 2024-01-01..10 with Jan 4 ABSENT (a
+    // quiet day, y = 0 on the dense grid): y = [2,1,3,0,1,2,1,3,2,1].
+    // Season 7 ⇒ backtest days 8..10: naive errs |3-1|,|2-3|,|1-2| = 4;
+    // seasonal errs |3-2|,|2-1|,|1-3| = 4 ⇒ mase 1.0; sMAPE terms
+    // 2/5, 2/3, 1 ⇒ avg 0.688889 ⇒ 0.6889 at the 4 dp convention.
+    // Key "c": constant 1/day over 9 days ⇒ both error sums 0 ⇒ mase
+    // NULL (not a divide error), sMAPE 0.
+    val counts = Map(1 -> 2, 2 -> 1, 3 -> 3, 5 -> 1, 6 -> 2, 7 -> 1,
+      8 -> 3, 9 -> 2, 10 -> 1)
+    val rows =
+      counts.toSeq.flatMap { case (d, n) =>
+        Seq.fill(n)(("k", f"2024-01-$d%02d 05:00:00")) } ++
+      (1 to 9).map(d => ("c", f"2024-01-$d%02d 12:00:00"))
+    val ev = rows.toDF("k", "_s").select($"k", to_timestamp($"_s").as("ts"))
+    val out = TimeSeries.forecastBacktest(ev, "k", "ts", 7)
+      .orderBy($"k").collect()
+    val c = out(0)
+    assert(c.getString(0) === "c" && c.getLong(1) === 2L &&
+      c.getLong(2) === 0L && c.getLong(3) === 0L && c.isNullAt(4) &&
+      c.getDouble(5) === 0.0)
+    val k = out(1)
+    assert(k.getString(0) === "k" && k.getLong(1) === 3L &&
+      k.getLong(2) === 4L && k.getLong(3) === 4L &&
+      k.getDouble(4) === 1.0 && k.getDouble(5) === 0.6889)
+  }
 }
