@@ -1530,6 +1530,50 @@ object Similarity {
       .select(col("qid"), col(idCol), col("adc_d2"), col("adc_rank"))
   }
 
+  /** ADC-then-refine — the standard IVF-PQ serving shape ([[pqAdcJoin]]
+    * generates, this re-ranks): the compressed scan is allowed to be
+    * WRONG about order (quantization error is bounded but not zero), so
+    * production ANN takes the top `candK` by ADC and re-scores just
+    * those candidates against the RAW vectors, returning the exact-L2
+    * top `topK`. Emitting both ranks makes the quantization error
+    * legible: a candidate whose `refine_rank` differs from `adc_rank`
+    * is exactly the reordering the refine step exists to fix, and a
+    * missing true neighbor is a `candK` budget problem ([[ivfRecallCurve]]
+    * measures that trade on the coarse leg).
+    *
+    * Scale shape: the candidate frame is |queries|·candK rows of ids —
+    * OUTPUT-scale, broadcastable by construction — so the refine leg is
+    * one broadcast-semi pass over the raw corpus (at 100 TB: a point-
+    * lookup batch against the vector store, never a rescan of the code
+    * table), the query vectors ride a second bounded broadcast, and the
+    * exact distance is one array-local fold per candidate. The rank
+    * window shuffles |queries|·candK rows on qid — output-scale again.
+    * Exactness: ADC and exact L2 are the same sequential left-fold
+    * double arithmetic as their oracles; both rounded 6 dp before
+    * ranking with id tie-breaks. */
+  def pqAdcRefine(embeddings: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, m: Int, k: Int, iters: Int,
+                  candK: Int, topK: Int): DataFrame = {
+    val cands = pqAdcJoin(embeddings, idCol, vecCol, queryPred, m, k, iters,
+      candK)
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val l2 = aggregate(zip_with(col(vecCol), col("_qv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("exact_d2").asc, col(idCol).asc)
+    embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("exact_d2", round(l2, 6))
+      .withColumn("refine_rank", row_number().over(w))
+      .filter(col("refine_rank") <= topK)
+      .select(col("qid"), col(idCol), col("adc_rank"), col("exact_d2"),
+        col("refine_rank"))
+  }
+
   /** The code-only PQ encode projection shared by [[pqAdcTopK]],
     * [[buildPqCodeTable]] and [[appendToPqCodeTable]]: per subspace, the
     * argmin codeword id against the codebook literals — one codegen

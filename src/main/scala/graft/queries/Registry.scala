@@ -800,6 +800,43 @@ object Registry {
       "ORDER BY qid, adc_rank"
   }
 
+  /** DuckDB twin of [[Similarity.pqAdcRefine]]: the [[pqAdcJoinOracleSql]]
+    * chain cut at `candK`, candidates joined back to the raw vectors for
+    * the exact-L2 re-rank (same left-fold arithmetic, 6 dp before the
+    * window, id tie-breaks). */
+  private def pqAdcRefineOracleSql(candK: Int, topK: Int): String = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"lut$s AS MATERIALIZED (SELECT q.qid, c.cid, " +
+        s"${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d " +
+        s"FROM qj q, cs$s$iters c)"
+    }.mkString(", ")
+    s"WITH ${pqCtes(m, sub, k, iters)}, " +
+      "qj AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"$luts, " +
+      "sc AS (SELECT l0.qid, af0.vec_id, round(l0.d + l1.d, 6) AS adc_d2 " +
+      "FROM af0 JOIN af1 USING (vec_id) " +
+      "JOIN lut0 l0 ON l0.cid = af0.cid " +
+      "JOIN lut1 l1 ON l1.cid = af1.cid AND l1.qid = l0.qid), " +
+      "r AS (SELECT qid, vec_id, adc_d2, CAST(row_number() OVER " +
+      "(PARTITION BY qid ORDER BY adc_d2, vec_id) AS INT) AS adc_rank " +
+      "FROM sc), " +
+      s"cand AS (SELECT qid, vec_id, adc_rank FROM r " +
+      s"WHERE adc_rank <= $candK), " +
+      "ref AS (SELECT c.qid, c.vec_id, c.adc_rank, " +
+      s"round(${l2Sql("e.embedding", "q.qv")}, 6) AS exact_d2 " +
+      "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id " +
+      "JOIN qj q ON q.qid = c.qid), " +
+      "rr AS (SELECT qid, vec_id, adc_rank, exact_d2, " +
+      "CAST(row_number() OVER (PARTITION BY qid " +
+      "ORDER BY exact_d2, vec_id) AS INT) AS refine_rank FROM ref) " +
+      "SELECT qid, vec_id, adc_rank, exact_d2, refine_rank FROM rr " +
+      s"WHERE refine_rank <= $topK ORDER BY qid, refine_rank"
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -2605,6 +2642,18 @@ object Registry {
           "embedding", col("vec_id") % 50 === 0, 2, 4, 2, 8)
           .orderBy(col("qid"), col("adc_rank")),
       Some(pqAdcJoinOracleSql(8))),
+
+    ("x150_adc_refine",
+      // ADC-then-refine (Similarity.pqAdcRefine): the standard IVF-PQ
+      // serving shape — x148's batched ADC cut at candK=32 per query,
+      // candidates re-scored EXACTLY against the raw vectors (one
+      // broadcast pass, output-scale candidate frame), exact-L2 top-8
+      // with both ranks emitted so quantization reordering is legible.
+      (s: SparkSession, dir: String) =>
+        Similarity.pqAdcRefine(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 50 === 0, 2, 4, 2, 32, 8)
+          .orderBy(col("qid"), col("refine_rank")),
+      Some(pqAdcRefineOracleSql(32, 8))),
 
     ("x147_ivf_recall",
       // IVF probe-budget tuning curve (Similarity.ivfRecallCurve):

@@ -674,6 +674,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqAdcRefine: full-corpus candidates recover the exact L2 top-k; refine ranks by exact distance") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val n = emb.count().toInt
+    // candK = corpus size ⇒ every row is a candidate and the refine rank
+    // IS the exact L2 ranking — the equivalence contract of the refine
+    // step (ADC only decides WHICH rows reach the re-ranker).
+    val refined = Similarity.pqAdcRefine(emb, "vec_id", "embedding",
+        $"vec_id" === 7L, 2, 4, 2, n, 10)
+      .orderBy($"refine_rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val q = emb.where($"vec_id" === 7L).select($"embedding").head
+      .getSeq[Float](0)
+    val brute = emb.select($"vec_id",
+        round(aggregate(zip_with($"embedding", typedlit(q),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v), 6).as("d2"))
+      .orderBy($"d2".asc, $"vec_id".asc).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq === brute.toSeq)
+    // The query's own row is its exact-L2 rank-1 at distance 0 — true
+    // even when ADC quantization reorders the tail.
+    assert(refined.head === ((7L, 0.0)))
+    // Tight candidate budgets stay internally consistent: refine_rank is
+    // dense 1..topK and non-decreasing in exact_d2 per query.
+    val tight = Similarity.pqAdcRefine(emb, "vec_id", "embedding",
+        $"vec_id" % 50 === 0, 2, 4, 2, 12, 5)
+      .orderBy($"qid", $"refine_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    tight.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).toSeq === (1 to rows.length).toSeq)
+      assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+      // Every refined row came from the ADC candidate set.
+      assert(rows.forall(_._2 <= 12))
+    }
+  }
+
   test("ivfRecallCurve: recall monotone in nProbe, exactly 1.0 at probe-all, scan_frac = p/nCentroids") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>
