@@ -410,10 +410,22 @@ object TimeSeries {
     * fold all run on that tiny series frame. A zero naive error leaves
     * mase NULL (division guard on both engines). */
   def forecastBacktest(events: DataFrame, keyCol: String, tsCol: String,
-                       season: Int): DataFrame = {
-    val daily = events
-      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).cast("date").as("_d"))
-      .agg(count(lit(1)).cast("long").as("_y"))
+                       season: Int): DataFrame =
+    forecastBacktestSeries(
+      events.groupBy(col(keyCol),
+          date_trunc("day", col(tsCol)).cast("date").as("_day"))
+        .agg(count(lit(1)).cast("long").as("_n")),
+      keyCol, "_day", "_n", season)
+
+  /** [[forecastBacktest]] from an already-aggregated (key, day, count)
+    * series — the entry point the streaming twin folds its converged
+    * day-grain count state through (the day agg happens per micro-batch
+    * there; this is everything AFTER the grain collapse). */
+  def forecastBacktestSeries(series: DataFrame, keyCol: String,
+                             dayCol: String, valueCol: String,
+                             season: Int): DataFrame = {
+    val daily = series.select(col(keyCol), col(dayCol).as("_d"),
+      col(valueCol).cast("long").as("_y"))
     val grid = daily.groupBy(col(keyCol))
       .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
       .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("_d"))

@@ -1348,6 +1348,37 @@ object Registry {
     * per step (fixed-point discipline). Coefficients interpolate the
     * SCALA-computed doubles (1.0−β ≠ the SQL literal 0.7 in IEEE; the
     * round-trip decimal keeps both engines on the identical constant). */
+  /** DuckDB twin of [[graft.operators.TimeSeries.forecastBacktest]]
+    * (season 7) — shared verbatim by batch j56 and streaming s37 (the
+    * converged stream state IS the batch day grain). */
+  private val forecastBacktestOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |CAST(date_trunc('day', ts) AS DATE) AS d,
+      |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+      |FROM daily GROUP BY 1),
+      |grid AS (SELECT b.event_type,
+      |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+      |FROM bounds b),
+      |dense AS (SELECT g.event_type, g.d, coalesce(y, 0) AS y
+      |FROM grid g LEFT JOIN daily dd
+      |ON dd.event_type = g.event_type AND dd.d = g.d),
+      |lagged AS (SELECT event_type, d, y,
+      |lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
+      |lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS fs
+      |FROM dense),
+      |bt AS (SELECT * FROM lagged WHERE fs IS NOT NULL)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |CAST(sum(abs(y - f1)) AS BIGINT) AS abs_err_naive,
+      |CAST(sum(abs(y - fs)) AS BIGINT) AS abs_err_snaive,
+      |CASE WHEN sum(abs(y - f1)) > 0 THEN
+      |round(CAST(sum(abs(y - fs)) AS DOUBLE) / sum(abs(y - f1)), 6)
+      |END AS mase,
+      |round(avg(CASE WHEN y + fs = 0 THEN 0.0
+      |ELSE 2.0 * abs(y - fs) / (y + fs) END), 4) AS smape_snaive
+      |FROM bt GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace("\n", " ")
+
   private def holtOracle(alpha: Double, beta: Double, horizon: Int,
                          steps: Int): String = {
     val (a, oa, bg, ob) =
@@ -8223,32 +8254,21 @@ object Registry {
         graft.operators.TimeSeries.forecastBacktest(
           Tables.events(s, dir), "event_type", "ts", 7)
           .orderBy(col("event_type")),
-      Some("""WITH daily AS (SELECT event_type,
-        |CAST(date_trunc('day', ts) AS DATE) AS d,
-        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
-        |FROM daily GROUP BY 1),
-        |grid AS (SELECT b.event_type,
-        |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
-        |FROM bounds b),
-        |dense AS (SELECT g.event_type, g.d, coalesce(y, 0) AS y
-        |FROM grid g LEFT JOIN daily dd
-        |ON dd.event_type = g.event_type AND dd.d = g.d),
-        |lagged AS (SELECT event_type, d, y,
-        |lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
-        |lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS fs
-        |FROM dense),
-        |bt AS (SELECT * FROM lagged WHERE fs IS NOT NULL)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-        |CAST(sum(abs(y - f1)) AS BIGINT) AS abs_err_naive,
-        |CAST(sum(abs(y - fs)) AS BIGINT) AS abs_err_snaive,
-        |CASE WHEN sum(abs(y - f1)) > 0 THEN
-        |round(CAST(sum(abs(y - fs)) AS DOUBLE) / sum(abs(y - f1)), 6)
-        |END AS mase,
-        |round(avg(CASE WHEN y + fs = 0 THEN 0.0
-        |ELSE 2.0 * abs(y - fs) / (y + fs) END), 4) AS smape_snaive
-        |FROM bt GROUP BY event_type ORDER BY event_type"""
-        .stripMargin.replace("\n", " "))),
+      Some(forecastBacktestOracle)),
+
+    ("s37_stream_forecast",
+      // J56 under streaming (streaming/Streaming.runStreamForecastBacktest):
+      // the dense-grid lags can't absorb partial-day state, so state is
+      // the additive day-grain count table (the s29/s27 resolution) and
+      // the whole grid/lag/error fold runs at read time on converged
+      // counts; j56's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s37")
+        graft.streaming.Streaming.runStreamForecastBacktest(
+            s, dir, base + "/fb", 7)
+          .orderBy(col("event_type"))
+      },
+      Some(forecastBacktestOracle)),
 
     ("j53_dow_hour_profile",
       // Day-of-week x hour heatmap (queries/Serving.dowHourProfile):

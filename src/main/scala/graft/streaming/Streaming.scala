@@ -2049,6 +2049,46 @@ object Streaming {
       Seq("event_type"), "day", "n", alpha, beta, horizon)
   }
 
+  /** J56's seasonal-naive forecast backtest under streaming — the
+    * capacity monitor's "is the weekly model still earning its keep"
+    * read, always-on: the backtest walks lag-1 and lag-`season` over the
+    * DENSE day grid, which no per-batch state can maintain (a batch
+    * holding half a day would shift every lag), so the s29/s27 family
+    * resolution applies — state is the additive (event_type, day) count
+    * table, bounded at |types|·|days| forever, exactly-once under replay
+    * through the sink's batch markers, and the entire grid/lag/error
+    * fold runs at READ time on converged counts via
+    * [[graft.operators.TimeSeries.forecastBacktestSeries]]. Equals
+    * batch j56 bit-for-bit (its oracle verbatim). */
+  def runStreamForecastBacktest(spark: SparkSession, dir: String,
+                                base: String, season: Int): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val day = unix_millis(date_trunc("DAY", col("ts")))
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), day.as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TimeSeries.forecastBacktestSeries(
+      sink.state(spark).get
+        .select(col("event_type"),
+          to_date(timestamp_millis(col("day").cast("long"))).as("day"),
+          col("n").cast("long").as("n")),
+      "event_type", "day", "n", season)
+  }
+
   /** X90's CUSUM change-point locator under streaming — drift monitoring
     * with a DETECTION twist the other monitors lack: CUSUM standardizes
     * by the FULL series mean/sd, which no per-batch state can carry

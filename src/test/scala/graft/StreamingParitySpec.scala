@@ -1022,6 +1022,23 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming forecast backtest equals the one-shot batch backtest; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s37")
+    val streamed = Streaming.runStreamForecastBacktest(
+      spark, dir, base + "/fb", 7)
+    val batch = graft.operators.TimeSeries.forecastBacktest(
+      Tables.events(spark, dir), "event_type", "ts", 7)
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a double-added day inflates its own count
+    // AND both forecasts that read it through the lags — the batch
+    // markers must skip the re-applied slice.
+    rollbackLastCommit(base + "/fb/ckpt")
+    val second = Streaming.runStreamForecastBacktest(
+      spark, dir, base + "/fb", 7)
+    assertSameRows(second, batch)
+  }
+
   test("streaming PSI equals the one-shot batch PSI; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s28")
