@@ -1264,4 +1264,62 @@ object TextAnalysis {
         round(sum((col("_o") - col("_e")) * (col("_o") - col("_e")) /
           col("_e")), 4).as("chi2_contrib"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * per-document tagger the TF-IDF family can't be: x67 scores single
+    * TOKENS against the corpus, while RAKE scores multi-word PHRASES
+    * from document-local statistics alone (no corpus pass, no IDF
+    * table). Candidate phrases are the maximal runs of consecutive
+    * non-stopword tokens; each word scores deg/freq where freq counts
+    * its occurrences in candidates and deg additionally credits the
+    * length of every phrase it sits in (so words that keep company in
+    * long collocations outrank frequent loners); a phrase scores the
+    * sum of its words' scores, and the top `topK` per document survive.
+    * Word scores round 6 dp BEFORE the phrase sum and the sum rounds
+    * again — the two-stage convention that keeps cross-engine
+    * summation-order noise (≈1e-13) five orders below the grid.
+    *
+    * Scale shape: everything is document-local — the run-id window
+    * partitions by doc (bounded by doc length, never global), word
+    * stats and phrase sums aggregate at (doc, word) / (doc, run) grain,
+    * and the only joins are equi-joins back on those same grains, so
+    * cost is Σ_docs |tokens| with no corpus-wide table anywhere.
+    * Identical phrase strings from DIFFERENT runs in one doc collapse
+    * to one output row (max score — duplicate runs tie anyway); the
+    * rank tie-breaks on the phrase string. */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
+      .withColumn("_st", col("_w").isInCollection(stopwords).cast("int"))
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val pw = toks.withColumn("_run", sum(col("_st")).over(wRun))
+      .where(col("_st") === 0)
+      .select(col(idCol), col("_run"), col("_p"), col("_w"))
+    val phr = pw.groupBy(col(idCol), col("_run"))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_w")))).as("_sw"))
+      .select(col(idCol), col("_run"),
+        concat_ws(" ", transform(col("_sw"), s => s.getField("_w")))
+          .as("phrase"),
+        size(col("_sw")).cast("long").as("_plen"))
+    val wscore = pw
+      .join(phr.select(col(idCol), col("_run"), col("_plen")),
+        Seq(idCol, "_run"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(round(sum(col("_plen")).cast("double") / count(lit(1)), 6)
+        .as("_ws"))
+    val pscore = pw.join(phr, Seq(idCol, "_run"))
+      .join(wscore, Seq(idCol, "_w"))
+      .groupBy(col(idCol), col("_run"))
+      .agg(first(col("phrase")).as("phrase"),
+        round(sum(col("_ws")), 6).as("score"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(max(col("score")).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("phrase"))
+    pscore.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col(idCol), col("rnk"), col("phrase"), col("score"))
+  }
 }

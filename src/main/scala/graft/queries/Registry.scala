@@ -7716,6 +7716,51 @@ object Registry {
         |AS wer FROM st ORDER BY id_a, id_b"""
         .stripMargin.replace("\n", " "))),
 
+    ("x151_rake_keyphrases",
+      // RAKE keyphrase extraction (TextAnalysis.rakeKeyphrases,
+      // stopwords {a, the}, top 3): the unsupervised per-doc tagger —
+      // maximal non-stopword runs as candidate phrases, word score
+      // deg/freq from document-local stats (no corpus pass, no IDF),
+      // phrase = sum of word scores with the two-stage 6 dp rounding.
+      // Run-id via a doc-partitioned cumulative stopword count; all
+      // grains are (doc, word)/(doc, run) — never corpus-wide.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
+          "text", Seq("a", "the"), 3)
+          .orderBy(col("doc_id"), col("rnk")),
+      Some("""WITH toks AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> '')) AS w,
+        |unnest(range(1, len(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> '')) + 1)) AS pos FROM documents),
+        |marked AS (SELECT doc_id, pos, w,
+        |CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END AS st FROM toks),
+        |runs AS (SELECT doc_id, pos, w, st,
+        |sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        |FROM marked),
+        |pw AS MATERIALIZED (SELECT doc_id, run_id, pos, w FROM runs
+        |WHERE st = 0),
+        |phr AS MATERIALIZED (SELECT doc_id, run_id,
+        |string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS plen
+        |FROM pw GROUP BY 1, 2),
+        |wscore AS (SELECT p.doc_id, p.w,
+        |round(CAST(sum(ph.plen) AS DOUBLE) / count(*), 6) AS ws
+        |FROM pw p JOIN phr ph ON ph.doc_id = p.doc_id
+        |AND ph.run_id = p.run_id GROUP BY 1, 2),
+        |pscore AS (SELECT p.doc_id, p.run_id, any_value(ph.phrase) AS phrase,
+        |round(sum(ws.ws), 6) AS score
+        |FROM pw p JOIN phr ph ON ph.doc_id = p.doc_id
+        |AND ph.run_id = p.run_id
+        |JOIN wscore ws ON ws.doc_id = p.doc_id AND ws.w = p.w
+        |GROUP BY 1, 2),
+        |dedup AS (SELECT doc_id, phrase, max(score) AS score FROM pscore
+        |GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, phrase, score,
+        |CAST(row_number() OVER (PARTITION BY doc_id
+        |ORDER BY score DESC, phrase) AS INT) AS rnk FROM dedup)
+        |SELECT doc_id, rnk, phrase, score FROM rk WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "))),
+
     ("x134_distinct_n",
       // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
       // the mode-collapse read for generated corpora — a source whose

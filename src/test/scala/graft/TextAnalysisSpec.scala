@@ -561,4 +561,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(("div", 4L, 1.0, 2L, 1.0),
       ("rep", 6L, 0.333333, 4L, 0.5)))
   }
+
+  test("rakeKeyphrases: hand-computed deg/freq scores; duplicate runs collapse to one row") {
+    import spark.implicits._
+    // Doc 1 "deep learning the deep model a model" with stopwords
+    // {a, the}: runs [deep learning], [deep model], [model]. Word
+    // scores deg/freq: deep 4/2 = 2, learning 2/1 = 2, model 3/2 = 1.5.
+    // Phrases: "deep learning" 4.0 > "deep model" 3.5 > "model" 1.5.
+    // Doc 2 "x a x": two single-token runs of the SAME phrase "x"
+    // (x: deg 2, freq 2, ws 1.0) — they tie at 1.0 and collapse to ONE
+    // output row.
+    val docs = Seq((1L, "deep learning the deep model a model"),
+      (2L, "x a x")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(docs, "doc_id", "text",
+        Seq("a", "the"), 3)
+      .orderBy($"doc_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1, "deep learning", 4.0),
+      (1L, 2, "deep model", 3.5),
+      (1L, 3, "model", 1.5),
+      (2L, 1, "x", 1.0)))
+  }
 }
