@@ -1098,6 +1098,61 @@ object Similarity {
           size(col(vecCol)).cast("double"), 6).as("z_mean"))
   }
 
+  /** Per-dimension embedding drift between a REFERENCE snapshot and a
+    * CURRENT one — the "did the encoder (or the corpus feeding it)
+    * move" monitor that must run before any index trained on the old
+    * distribution keeps serving: x116's PSI read applied dimension-wise
+    * to the vector space itself, plus the mean-shift read PSI is blind
+    * to when mass moves within a bin. Per dim: counts, means (6 dp;
+    * shift differenced on the ROUNDED grid so it is engine-exact), and
+    * PSI(cur ‖ ref) over the fixed `edges` bins with the family's
+    * Laplace smoothing ((c + 0.5)/(n + bins/2) — the [[Maintenance]]
+    * psiFromCounts convention, so a bin empty on one side contributes
+    * finitely instead of ±∞).
+    *
+    * Scale shape: each snapshot collapses to dim grain (one explode +
+    * hash agg, map-side partial) and to (dim, bin) grain — both
+    * DICTIONARY-sized (d and d·bins rows) however large the snapshots —
+    * then everything joins and folds at those grains. The bin grid
+    * densifies via a literal explode per dim, never a cross join of
+    * data frames. Mean noise is the standardizeEmbeddings summation
+    * convention (≈1e-15 under a 6 dp grain); PSI derives from exact
+    * integer counts. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                     edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    val nBins = edges.size + 1
+    def ex(df: DataFrame) = df
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .select(col("_p").cast("long").as("dim"),
+        col("_v").cast("double").as("_v"))
+    val bin = edges.map(e =>
+      when(col("_v") >= e, 1L).otherwise(0L)).reduce(_ + _)
+    def stats(df: DataFrame, n: String, m: String) = ex(df)
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as(n), avg(col("_v")).as(m))
+    def cnt(df: DataFrame, c: String) = ex(df).withColumn("_bin", bin)
+      .groupBy(col("dim"), col("_bin"))
+      .agg(count(lit(1)).cast("long").as(c))
+    val half = lit(0.5 * nBins)
+    val p = (col("_cc") + 0.5d) / (col("n_cur") + half)
+    val q = (col("_cr") + 0.5d) / (col("n_ref") + half)
+    stats(ref, "n_ref", "_mr").join(stats(cur, "n_cur", "_mc"), Seq("dim"))
+      .select(col("dim"), col("n_ref"), col("n_cur"), col("_mr"),
+        col("_mc"), explode(sequence(lit(0L), lit(nBins - 1L))).as("_bin"))
+      .join(cnt(ref, "_cr"), Seq("dim", "_bin"), "left")
+      .join(cnt(cur, "_cc"), Seq("dim", "_bin"), "left")
+      .na.fill(0L, Seq("_cr", "_cc"))
+      .groupBy(col("dim"), col("n_ref"), col("n_cur"),
+        round(col("_mr"), 6).as("mean_ref"),
+        round(col("_mc"), 6).as("mean_cur"))
+      .agg(round(sum((p - q) * log(p / q)), 6).as("psi"))
+      .select(col("dim"), col("n_ref"), col("n_cur"), col("mean_ref"),
+        col("mean_cur"),
+        round(col("mean_cur") - col("mean_ref"), 6).as("mean_shift"),
+        col("psi"))
+  }
+
   /** Simplified (centroid-based) silhouette per label — the clustering-
     * quality score that needs only O(n·k) distance evaluations: for each
     * vector, a = Euclidean distance to its OWN label centroid, b = the

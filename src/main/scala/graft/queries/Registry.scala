@@ -7761,6 +7761,55 @@ object Registry {
         |SELECT doc_id, rnk, phrase, score FROM rk WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "))),
 
+    ("x152_embedding_drift",
+      // Per-dimension embedding drift (Similarity.embeddingDrift):
+      // reference = even vec_ids, current = odd — x116's PSI read
+      // applied dimension-wise to the vector space plus the mean-shift
+      // PSI can't see; psiFromCounts smoothing, shift differenced on
+      // the rounded 6 dp grid. Dictionary-grain everywhere (64 and
+      // 64x6 rows) regardless of snapshot size.
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.embeddingDrift(
+            emb.where(col("vec_id") % 2 === 0),
+            emb.where(col("vec_id") % 2 === 1),
+            "embedding", Seq(-0.5, -0.25, 0.0, 0.25, 0.5))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH ex AS (SELECT vec_id % 2 AS side, pos - 1 AS dim,
+        |CAST(v AS DOUBLE) AS v FROM (SELECT vec_id,
+        |unnest(embedding) AS v,
+        |unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings)),
+        |binned AS (SELECT side, dim,
+        |(CASE WHEN v >= -0.5 THEN 1 ELSE 0 END +
+        |CASE WHEN v >= -0.25 THEN 1 ELSE 0 END +
+        |CASE WHEN v >= 0.0 THEN 1 ELSE 0 END +
+        |CASE WHEN v >= 0.25 THEN 1 ELSE 0 END +
+        |CASE WHEN v >= 0.5 THEN 1 ELSE 0 END) AS bin FROM ex),
+        |cnt AS (SELECT side, dim, bin, CAST(count(*) AS BIGINT) AS c
+        |FROM binned GROUP BY 1, 2, 3),
+        |stats AS (SELECT side, dim, CAST(count(*) AS BIGINT) AS n,
+        |avg(v) AS m FROM ex GROUP BY 1, 2),
+        |grid AS (SELECT s.dim, s.n AS n_ref, c.n AS n_cur, s.m AS m_ref,
+        |c.m AS m_cur, b.bin
+        |FROM (SELECT * FROM stats WHERE side = 0) s
+        |JOIN (SELECT * FROM stats WHERE side = 1) c USING (dim)
+        |CROSS JOIN (SELECT unnest(range(0, 6)) AS bin) b),
+        |pq AS (SELECT g.dim, g.n_ref, g.n_cur, g.m_ref, g.m_cur,
+        |(coalesce(cc.c, 0) + 0.5) / (g.n_cur + 3.0) AS p,
+        |(coalesce(cr.c, 0) + 0.5) / (g.n_ref + 3.0) AS q
+        |FROM grid g
+        |LEFT JOIN cnt cr ON cr.side = 0 AND cr.dim = g.dim
+        |AND cr.bin = g.bin
+        |LEFT JOIN cnt cc ON cc.side = 1 AND cc.dim = g.dim
+        |AND cc.bin = g.bin)
+        |SELECT CAST(dim AS BIGINT) AS dim, n_ref, n_cur,
+        |round(m_ref, 6) AS mean_ref, round(m_cur, 6) AS mean_cur,
+        |round(round(m_cur, 6) - round(m_ref, 6), 6) AS mean_shift,
+        |round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY dim"""
+        .stripMargin.replace("\n", " "))),
+
     ("x134_distinct_n",
       // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
       // the mode-collapse read for generated corpora — a source whose

@@ -674,6 +674,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDrift: hand-computed per-dim means, shift, and smoothed PSI; identical dims drift zero") {
+    import spark.implicits._
+    // dim 0 drifts hard (ref −1.0/0.0 vs cur 1.0/0.5 — disjoint bins),
+    // dim 1 is identical on both sides. Bins via edges
+    // (−.5,−.25,0,.25,.5): ref dim0 → {bin0, bin3}, cur dim0 → {bin5}².
+    // Smoothed p/q at n=2: hit bins (c+.5)/5, misses 0.1 →
+    // psi = 2·(0.1−0.3)ln(1/3) + (0.5−0.1)ln 5 = 1.08322 (6 dp).
+    val ref = Seq((1L, Seq(-1.0f, 0.1f)), (2L, Seq(0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cur = Seq((3L, Seq(1.0f, 0.1f)), (4L, Seq(0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(ref, cur, "embedding",
+        Seq(-0.5, -0.25, 0.0, 0.25, 0.5))
+      .orderBy($"dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out(0) === ((0L, 2L, 2L, -0.5, 0.75, 1.25, 1.08322)))
+    assert(out(1) === ((1L, 2L, 2L, 0.1, 0.1, 0.0, 0.0)))
+  }
+
   test("pqAdcRefine: full-corpus candidates recover the exact L2 top-k; refine ranks by exact distance") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
