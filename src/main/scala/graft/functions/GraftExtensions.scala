@@ -35,13 +35,35 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${args.size}")
   }
 
-  /** (identifier, info, builder) triples for `injectFunction`. */
+  private def unary(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => mk(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.size}")
+  }
+
+  /** (identifier, info, builder) triples for `injectFunction` — every
+    * scalar native expression in this package (the aggregates register
+    * through the Column API only; SQL aggregate injection needs the
+    * FunctionRegistry's agg builder plumbing and no SQL consumer asked). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_cosine"),
         info("graft_cosine", classOf[CosineSim],
           "graft_cosine(a, b) - cosine similarity of two float arrays (codegen'd)"),
-        binary("graft_cosine", CosineSim(_, _))))
+        binary("graft_cosine", CosineSim(_, _))),
+      (FunctionIdentifier("graft_jaro_winkler"),
+        info("graft_jaro_winkler", classOf[JaroWinkler],
+          "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings (codegen'd)"),
+        binary("graft_jaro_winkler", JaroWinkler(_, _))),
+      (FunctionIdentifier("graft_seq_edit_distance"),
+        info("graft_seq_edit_distance", classOf[SeqEditDistance],
+          "graft_seq_edit_distance(a, b) - Levenshtein distance between two string arrays (token-sequence WER kernel, codegen'd)"),
+        binary("graft_seq_edit_distance", SeqEditDistance(_, _))),
+      (FunctionIdentifier("graft_ahash_bits"),
+        info("graft_ahash_bits", classOf[AHashBits],
+          "graft_ahash_bits(s) - 64-window aHash bit vector over a string payload (codegen'd; NULL below 64 code points)"),
+        unary("graft_ahash_bits", AHashBits(_))))
 
   /** Register into a live session (idempotent — re-registration overwrites
     * with identical entries). */

@@ -77,6 +77,26 @@ class CosineSimSpec extends SparkSpec {
     assert(e.getMessage.contains("2 arguments"))
   }
 
+  test("GraftExtensions: every scalar native expression reaches spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_seq_edit_distance(array('a','b','c'), array('a','x','c')) AS ed, " +
+        "size(graft_ahash_bits(repeat('ab', 64))) AS ah, " +
+        "graft_ahash_bits('short') AS ahn").collect()(0)
+    assert(r.getDouble(0) === graft.functions.JaroWinkler.similarity(
+      "martha", "marhta"))
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 64)
+    assert(r.isNullAt(3)) // < 64 code points => NULL, through SQL too
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_seq_edit_distance(array('a'))").collect())
+    assert(e1.getMessage.contains("2 arguments"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_ahash_bits('a', 'b')").collect())
+    assert(e2.getMessage.contains("1 argument"))
+  }
+
   test("participates in whole-stage codegen (doGenCode path, not fallback)") {
     // spark.range keeps a real physical source (a local Seq would be
     // constant-folded into a LocalTableScan by ConvertToLocalRelation), and
