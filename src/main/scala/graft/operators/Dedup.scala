@@ -1134,4 +1134,63 @@ object Dedup {
         (length(col("_text")) - length(col("clean_text"))).cast("long")
           .as("n_removed"))
   }
+
+  /** IDF-weighted token-set Jaccard over a candidate pair list — the
+    * rarity-aware verify the distinct-set scorers miss: plain Jaccard
+    * weighs "the"-class tokens and content words equally, so two docs
+    * sharing only boilerplate can outscore a pair sharing rare
+    * identifiers. Here every token carries idf = ln((N+1)/(df+1)) + 1
+    * (smoothed, rounded 6 dp — the two-stage summation convention) and
+    * wJ = Σ_{t∈A∩B} idf / Σ_{t∈A∪B} idf over DISTINCT tokens; the plain
+    * Jaccard rides along so the gap itself is the boilerplate read (a
+    * pair whose wjaccard craters below its jaccard shares mostly
+    * stopword-grade mass).
+    *
+    * Scale shape: the df table is one corpus pass at distinct
+    * (doc, token) grain — inherent to IDF and already the x67 budget,
+    * shuffling token keys only; everything pair-ward is then the family
+    * discipline — token sets prune to pair ENDPOINTS (broadcast
+    * semi-join), idf attaches via a vocab-grain equi-join (AQE-sized,
+    * not forced broadcast: a 100 TB vocabulary outgrows a broadcast
+    * budget), per-doc weight sums land at endpoint grain, and the
+    * intersection is `pairs ⋈ tokens_a ⋈ tokens_b` on (pair, token)
+    * keys. Cost past the df pass is Σ_pairs |tokens| — output-scale. */
+  def weightedJaccardPairs(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val dt = docs.select(col(idCol), explode(array_distinct(
+      TextAnalysis.tokens(col(textCol)))).as("_w"))
+    val nRow = docs.agg(count(lit(1)).cast("long").as("_N"))
+    val idf = dt.groupBy(col("_w"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+      .crossJoin(broadcast(nRow))
+      .select(col("_w"),
+        round(log((col("_N") + 1.0) / (col("_df") + 1.0)) + 1.0, 6)
+          .as("_idf"))
+    val ep = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val dte = dt.join(broadcast(ep), Seq(idCol), "left_semi")
+      .join(idf, Seq("_w"))
+    val dw = dte.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("_nt"), sum(col("_idf")).as("_ws"))
+    val pi = pairs.select(col("id_a"), col("id_b"))
+      .join(dte.select(col(idCol).as("id_a"), col("_w"), col("_idf")),
+        Seq("id_a"))
+      .join(dte.select(col(idCol).as("id_b"), col("_w")), Seq("id_b", "_w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum(col("_idf")).as("_wi"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(pi, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_shared")).na.fill(0.0, Seq("_wi"))
+      .join(dw.select(col(idCol).as("id_a"), col("_nt").as("_na"),
+        col("_ws").as("_wa")), Seq("id_a"))
+      .join(dw.select(col(idCol).as("id_b"), col("_nt").as("_nb"),
+        col("_ws").as("_wb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("_na") + col("_nb") - col("n_shared")), 6).as("jaccard"),
+        round(col("_wi") / (col("_wa") + col("_wb") - col("_wi")), 6)
+          .as("wjaccard"))
+  }
 }

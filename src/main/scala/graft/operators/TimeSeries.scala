@@ -417,6 +417,67 @@ object TimeSeries {
         .agg(count(lit(1)).cast("long").as("_n")),
       keyCol, "_day", "_n", season)
 
+  /** Shared (key, day, count) DENSE daily series: one map-side-partial
+    * agg over the raw events, per-key min..max day grid, absent days
+    * zero-filled — the grain [[forecastBacktestSeries]] and
+    * [[madAnomaly]] both fold over. */
+  private def denseDailyCounts(events: DataFrame, keyCol: String,
+                               tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).cast("date").as("_d"))
+      .agg(count(lit(1)).cast("long").as("_y"))
+    daily.groupBy(col(keyCol))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(daily, Seq(keyCol, "_d"), "left")
+      .na.fill(0L, Seq("_y"))
+  }
+
+  /** MAD-based robust day-level anomaly read per key — the
+    * median/absolute-deviation twin of the mean/σ monitors (a single
+    * spike inflates a z-score's own σ and hides itself; the median and
+    * MAD barely move): over the DENSE daily-count series, robust
+    * z = |y − median| / (1.4826·MAD) (the Gaussian-consistency
+    * constant), days with z > `threshold` counted as anomalies, and the
+    * peak day emitted per key (most-anomalous, earliest-day tie-break —
+    * NULLS LAST when a constant series makes every z NULL). Medians of
+    * integer counts land on the exact 0.25 grid (half-averaging twice),
+    * so every statistic derives deterministically; rounding is pure
+    * presentation.
+    *
+    * Scale shape: one pass collapses events to (key, day); the dense
+    * frame is localCheckpointed once (series grain — tiny) so the
+    * median, MAD, z, peak, and summary branches replay materialized
+    * rows instead of re-scanning the input; all aggregates and the
+    * peak window run at key/series grain. */
+  def madAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                 threshold: Double): DataFrame = {
+    val dense = denseDailyCounts(events, keyCol, tsCol)
+      .localCheckpoint(eager = true)
+    val med = dense.groupBy(col(keyCol))
+      .agg(median(col("_y")).as("_med"))
+    val dev = dense.join(med, Seq(keyCol))
+      .withColumn("_ad", abs(col("_y") - col("_med")))
+    val mad = dev.groupBy(col(keyCol)).agg(median(col("_ad")).as("_mad"))
+    val z = dev.join(mad, Seq(keyCol))
+      .withColumn("_z", when(col("_mad") > 0.0,
+        round(col("_ad") / (lit(1.4826) * col("_mad")), 4)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_z").desc_nulls_last, col("_d"))
+    val peak = z.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), unix_date(col("_d")).cast("long").as("peak_day"),
+        col("_y").as("peak_y"), col("_z").as("peak_z"))
+    z.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        round(first(col("_med")), 1).as("med"),
+        round(first(col("_mad")), 2).as("mad"),
+        sum(when(col("_z") > threshold, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"))
+      .join(peak, Seq(keyCol))
+  }
+
   /** [[forecastBacktest]] from an already-aggregated (key, day, count)
     * series — the entry point the streaming twin folds its converged
     * day-grain count state through (the day agg happens per micro-batch

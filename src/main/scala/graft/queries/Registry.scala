@@ -3265,6 +3265,62 @@ object Registry {
         |SELECT chunk_hash, chunk_len, n_media, n_occ FROM g
         |WHERE n_occ >= 2 ORDER BY chunk_hash""".stripMargin.replace("\n", " "))),
 
+    ("m7_cdc_savings",
+      // Chunk-dedup storage savings (m3's business read): what would a
+      // content-addressed store actually save on this corpus — total vs
+      // unique chunk bytes over the same CDC chunking, the number a
+      // 100 TB dedup rollout is justified (or killed) on. One chunk-hash
+      // agg then a scalar fold; the exchange carries 16-byte hashes +
+      // lengths, never payloads.
+      (s: SparkSession, dir: String) => {
+        val ch = graft.operators.Multimodal.contentDefinedChunks(
+          graft.operators.Multimodal.mediaFromDocuments(
+            Tables.documents(s, dir)), 8, "0")
+        val uniq = ch.groupBy(col("chunk_hash"))
+          .agg(max(col("chunk_len")).cast("long").as("_l"),
+            count(lit(1)).cast("long").as("_occ"))
+        ch.agg(countDistinct(col("media_id")).cast("long").as("n_media"),
+            count(lit(1)).cast("long").as("n_chunks"),
+            sum(col("chunk_len")).cast("long").as("total_bytes"))
+          .crossJoin(broadcast(uniq.agg(
+            count(lit(1)).cast("long").as("n_unique"),
+            sum(col("_l")).cast("long").as("unique_bytes"),
+            max(col("_occ")).cast("long").as("max_occ"))))
+          .select(col("n_media"), col("n_chunks"), col("n_unique"),
+            col("total_bytes"), col("unique_bytes"),
+            round(lit(1.0) - col("unique_bytes").cast("double") /
+              col("total_bytes"), 4).as("savings_pct"),
+            col("max_occ"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+        |length(text) AS len FROM documents),
+        |cuts AS (SELECT media_id, text, len,
+        |CASE WHEN len >= 8 THEN list_filter(generate_series(1, len - 7),
+        |p -> md5(substr(text, CAST(p AS INT), 8)) LIKE '0%')
+        |ELSE CAST([] AS BIGINT[]) END AS cs FROM m WHERE len >= 1),
+        |spans AS (SELECT media_id, text, len,
+        |list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
+        |list_append(cs, CAST(len AS BIGINT)) AS ends FROM cuts),
+        |ch AS (SELECT media_id,
+        |unnest(list_transform(generate_series(1, len(starts)),
+        |i -> {'h': md5(substr(text, CAST(starts[CAST(i AS INT)] AS INT),
+        |CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT))),
+        |'l': ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1})) AS c
+        |FROM spans),
+        |flat AS (SELECT media_id, c.h AS h, c.l AS l FROM ch),
+        |uniq AS (SELECT h, max(l) AS l, count(*) AS occ FROM flat
+        |GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |CAST(count(*) AS BIGINT) AS n_chunks,
+        |CAST(sum(l) AS BIGINT) AS total_bytes FROM flat),
+        |un AS (SELECT CAST(count(*) AS BIGINT) AS n_unique,
+        |CAST(sum(l) AS BIGINT) AS unique_bytes,
+        |CAST(max(occ) AS BIGINT) AS max_occ FROM uniq)
+        |SELECT n_media, n_chunks, n_unique, total_bytes, unique_bytes,
+        |round(1.0 - CAST(unique_bytes AS DOUBLE) / total_bytes, 4)
+        |AS savings_pct, max_occ FROM tot CROSS JOIN un"""
+        .stripMargin.replace("\n", " "))),
+
     // =======================================================================
     // Relational core on the TPC-H-ish tables (joins, top-N at scale)
     // =======================================================================
@@ -7810,6 +7866,63 @@ object Registry {
         |FROM pq GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY dim"""
         .stripMargin.replace("\n", " "))),
 
+    ("x153_weighted_jaccard",
+      // IDF-weighted token-set Jaccard over x6's candidate pairs
+      // (Dedup.weightedJaccardPairs): the rarity-aware verify — plain
+      // Jaccard weighs boilerplate and content words equally; here each
+      // token carries smoothed idf (ln((N+1)/(df+1))+1, 6 dp) and the
+      // plain jaccard rides along so the wjaccard-vs-jaccard gap IS the
+      // boilerplate read. df table = one corpus pass (the x67 budget);
+      // everything pair-ward is endpoint-pruned. Pair frame eagerly
+      // checkpointed — x114's replay rationale.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.weightedJaccardPairs(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter0 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter0
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(t) AS w
+        |FROM toks),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |idf AS MATERIALIZED (SELECT w,
+        |round(ln((nn.n + 1.0) / (count(*) + 1.0)) + 1.0, 6) AS idf
+        |FROM dt, nn GROUP BY w, nn.n),
+        |dw AS MATERIALIZED (SELECT d.doc_id,
+        |CAST(count(*) AS BIGINT) AS n_toks, sum(i.idf) AS w
+        |FROM dt d JOIN idf i USING (w) GROUP BY 1),
+        |pi AS (SELECT p.id_a AS pa, p.id_b AS pb,
+        |CAST(count(*) AS BIGINT) AS n_shared, sum(i.idf) AS wi
+        |FROM prs p JOIN dt a ON a.doc_id = p.id_a
+        |JOIN dt b ON b.doc_id = p.id_b AND b.w = a.w
+        |JOIN idf i ON i.w = a.w GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, coalesce(pi.n_shared, 0) AS n_shared,
+        |round(CAST(coalesce(pi.n_shared, 0) AS DOUBLE) /
+        |(wa.n_toks + wb.n_toks - coalesce(pi.n_shared, 0)), 6) AS jaccard,
+        |round(coalesce(pi.wi, 0) / (wa.w + wb.w - coalesce(pi.wi, 0)), 6)
+        |AS wjaccard
+        |FROM prs p LEFT JOIN pi ON pi.pa = p.id_a AND pi.pb = p.id_b
+        |JOIN dw wa ON wa.doc_id = p.id_a
+        |JOIN dw wb ON wb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " "))),
+
     ("x134_distinct_n",
       // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
       // the mode-collapse read for generated corpora — a source whose
@@ -8363,6 +8476,53 @@ object Registry {
           .orderBy(col("event_type"))
       },
       Some(forecastBacktestOracle)),
+
+    ("j57_mad_anomaly",
+      // Robust day-level anomaly read (TimeSeries.madAnomaly, z > 3):
+      // the median/MAD twin of j13's mean-based rate anomaly — a single
+      // spike inflates a z-score's own sigma and hides itself, the MAD
+      // barely moves. Dense daily grid (j56's), robust z with the 1.4826
+      // consistency constant, per-type flag count + peak day (earliest
+      // tie-break, NULLS LAST for constant series). Medians of integer
+      // counts land on the exact 0.25 grid — every statistic
+      // deterministic, rounding presentational.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.madAnomaly(
+          Tables.events(s, dir), "event_type", "ts", 3.0)
+          .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type,
+        |CAST(date_trunc('day', ts) AS DATE) AS d,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+        |FROM daily GROUP BY 1),
+        |grid AS (SELECT b.event_type,
+        |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+        |FROM bounds b),
+        |dense AS MATERIALIZED (SELECT g.event_type, g.d,
+        |coalesce(y, 0) AS y FROM grid g LEFT JOIN daily dd
+        |ON dd.event_type = g.event_type AND dd.d = g.d),
+        |med AS (SELECT event_type, median(y) AS med FROM dense
+        |GROUP BY 1),
+        |dev AS MATERIALIZED (SELECT d.event_type, d.d, d.y,
+        |abs(d.y - m.med) AS ad, m.med FROM dense d JOIN med m
+        |USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev
+        |GROUP BY 1),
+        |z AS MATERIALIZED (SELECT v.event_type, v.d, v.y, v.med, m.mad,
+        |CASE WHEN m.mad > 0 THEN round(v.ad / (1.4826 * m.mad), 4) END
+        |AS z FROM dev v JOIN mad m USING (event_type)),
+        |pk AS (SELECT event_type, d, y, z, row_number() OVER
+        |(PARTITION BY event_type ORDER BY z DESC NULLS LAST, d) AS rn
+        |FROM z)
+        |SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |round(any_value(z.med), 1) AS med,
+        |round(any_value(z.mad), 2) AS mad,
+        |CAST(sum(CASE WHEN z.z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_flagged,
+        |CAST(any_value(p.d) - DATE '1970-01-01' AS BIGINT) AS peak_day,
+        |any_value(p.y) AS peak_y, any_value(p.z) AS peak_z
+        |FROM z JOIN (SELECT * FROM pk WHERE rn = 1) p USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
     ("j53_dow_hour_profile",
       // Day-of-week x hour heatmap (queries/Serving.dowHourProfile):

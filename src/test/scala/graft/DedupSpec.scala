@@ -437,4 +437,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out7.toSeq === out.toSeq)
   }
+
+  test("weightedJaccardPairs: rare shared tokens outweigh boilerplate; zero overlap stays finite") {
+    import spark.implicits._
+    // N = 4; df: rare 2, the 3, x/y/q 1. Smoothed idf (6 dp): rare
+    // 1.510826, the 1.223144, singletons 1.916291. Pair (1,2) shares
+    // {rare, the}: jaccard 2/4 = 0.5, wjaccard 2.73397/6.566552 =
+    // 0.416348 — BELOW plain jaccard because the shared mass is the
+    // common tokens (the boilerplate read). Pair (3,4) shares nothing:
+    // both scores 0, no divide error.
+    val docs = Seq((1L, "rare the x"), (2L, "rare the y"),
+      (3L, "the"), (4L, "q")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.weightedJaccardPairs(docs, pairs, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out(0) === ((1L, 2L, 2L, 0.5, 0.416348)))
+    assert(out(1) === ((3L, 4L, 0L, 0.0, 0.0)))
+  }
 }

@@ -232,6 +232,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("madAnomaly: hand-computed robust z flags the spike; constant series gives NULL z and first-day peak") {
+    import spark.implicits._
+    // Key "k", days 1..9 with counts [4,5,6,4,5,6,4,50,6]: med 5,
+    // |dev| sorted [0,0,1,1,1,1,1,1,45] → MAD 1; spike z = 45/1.4826 =
+    // 30.3521 (4 dp), others ≤ 0.6745 → exactly one flag at z > 3.
+    // Key "c": constant 5/day → MAD 0 → z NULL everywhere, zero flags,
+    // peak falls to the first day (NULLS LAST + day tie-break).
+    val kCounts = Seq(4, 5, 6, 4, 5, 6, 4, 50, 6)
+    val rows =
+      kCounts.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("k", f"2024-01-${i + 1}%02d 03:00:00")) } ++
+      (1 to 3).flatMap(d => Seq.fill(5)(("c", f"2024-01-$d%02d 03:00:00")))
+    val ev = rows.toDF("k", "_s").select($"k", to_timestamp($"_s").as("ts"))
+    val out = graft.operators.TimeSeries.madAnomaly(ev, "k", "ts", 3.0)
+      .orderBy($"k").collect()
+    val c = out(0)
+    assert(c.getString(0) === "c" && c.getLong(1) === 3L &&
+      c.getDouble(2) === 5.0 && c.getDouble(3) === 0.0 &&
+      c.getLong(4) === 0L && c.getLong(5) === 19723L &&
+      c.getLong(6) === 5L && c.isNullAt(7))
+    val k = out(1)
+    assert(k.getString(0) === "k" && k.getLong(1) === 9L &&
+      k.getDouble(2) === 5.0 && k.getDouble(3) === 1.0 &&
+      k.getLong(4) === 1L && k.getLong(5) === 19730L &&
+      k.getLong(6) === 50L && k.getDouble(7) === 30.3521)
+  }
+
   test("forecastBacktest: hand-computed errors, an absent day counts as zero, zero naive error gives NULL mase") {
     import spark.implicits._
     // Key "k": daily counts over 2024-01-01..10 with Jan 4 ABSENT (a
