@@ -417,23 +417,6 @@ object TimeSeries {
         .agg(count(lit(1)).cast("long").as("_n")),
       keyCol, "_day", "_n", season)
 
-  /** Shared (key, day, count) DENSE daily series: one map-side-partial
-    * agg over the raw events, per-key min..max day grid, absent days
-    * zero-filled — the grain [[forecastBacktestSeries]] and
-    * [[madAnomaly]] both fold over. */
-  private def denseDailyCounts(events: DataFrame, keyCol: String,
-                               tsCol: String): DataFrame = {
-    val daily = events
-      .groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).cast("date").as("_d"))
-      .agg(count(lit(1)).cast("long").as("_y"))
-    daily.groupBy(col(keyCol))
-      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
-      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
-      .join(daily, Seq(keyCol, "_d"), "left")
-      .na.fill(0L, Seq("_y"))
-  }
-
   /** MAD-based robust day-level anomaly read per key — the
     * median/absolute-deviation twin of the mean/σ monitors (a single
     * spike inflates a z-score's own σ and hides itself; the median and
@@ -452,8 +435,27 @@ object TimeSeries {
     * rows instead of re-scanning the input; all aggregates and the
     * peak window run at key/series grain. */
   def madAnomaly(events: DataFrame, keyCol: String, tsCol: String,
-                 threshold: Double): DataFrame = {
-    val dense = denseDailyCounts(events, keyCol, tsCol)
+                 threshold: Double): DataFrame =
+    madAnomalySeries(
+      events.groupBy(col(keyCol),
+          date_trunc("day", col(tsCol)).cast("date").as("_day"))
+        .agg(count(lit(1)).cast("long").as("_n")),
+      keyCol, "_day", "_n", threshold)
+
+  /** [[madAnomaly]] from an already-aggregated (key, day, count) series —
+    * the [[forecastBacktestSeries]] pattern: the streaming twin folds its
+    * converged day-grain count state through this. Densification (per-key
+    * min..max grid, absent days = 0) happens HERE so both paths agree on
+    * gap semantics. */
+  def madAnomalySeries(series: DataFrame, keyCol: String, dayCol: String,
+                       valueCol: String, threshold: Double): DataFrame = {
+    val observed = series.select(col(keyCol), col(dayCol).as("_d"),
+      col(valueCol).cast("long").as("_y"))
+    val dense = observed.groupBy(col(keyCol))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(observed, Seq(keyCol, "_d"), "left")
+      .na.fill(0L, Seq("_y"))
       .localCheckpoint(eager = true)
     val med = dense.groupBy(col(keyCol))
       .agg(median(col("_y")).as("_med"))

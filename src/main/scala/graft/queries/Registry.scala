@@ -1379,6 +1379,43 @@ object Registry {
       |FROM bt GROUP BY event_type ORDER BY event_type"""
       .stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[graft.operators.TimeSeries.madAnomaly]] (z > 3)
+    * — shared verbatim by batch j57 and streaming s38. */
+  private val madAnomalyOracle: String =
+    """WITH daily AS (SELECT event_type,
+        |CAST(date_trunc('day', ts) AS DATE) AS d,
+        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+        |FROM daily GROUP BY 1),
+        |grid AS (SELECT b.event_type,
+        |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+        |FROM bounds b),
+        |dense AS MATERIALIZED (SELECT g.event_type, g.d,
+        |coalesce(y, 0) AS y FROM grid g LEFT JOIN daily dd
+        |ON dd.event_type = g.event_type AND dd.d = g.d),
+        |med AS (SELECT event_type, median(y) AS med FROM dense
+        |GROUP BY 1),
+        |dev AS MATERIALIZED (SELECT d.event_type, d.d, d.y,
+        |abs(d.y - m.med) AS ad, m.med FROM dense d JOIN med m
+        |USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev
+        |GROUP BY 1),
+        |z AS MATERIALIZED (SELECT v.event_type, v.d, v.y, v.med, m.mad,
+        |CASE WHEN m.mad > 0 THEN round(v.ad / (1.4826 * m.mad), 4) END
+        |AS z FROM dev v JOIN mad m USING (event_type)),
+        |pk AS (SELECT event_type, d, y, z, row_number() OVER
+        |(PARTITION BY event_type ORDER BY z DESC NULLS LAST, d) AS rn
+        |FROM z)
+        |SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |round(any_value(z.med), 1) AS med,
+        |round(any_value(z.mad), 2) AS mad,
+        |CAST(sum(CASE WHEN z.z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_flagged,
+        |CAST(any_value(p.d) - DATE '1970-01-01' AS BIGINT) AS peak_day,
+        |any_value(p.y) AS peak_y, any_value(p.z) AS peak_z
+        |FROM z JOIN (SELECT * FROM pk WHERE rn = 1) p USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   private def holtOracle(alpha: Double, beta: Double, horizon: Int,
                          steps: Int): String = {
     val (a, oa, bg, ob) =
@@ -8490,39 +8527,21 @@ object Registry {
         graft.operators.TimeSeries.madAnomaly(
           Tables.events(s, dir), "event_type", "ts", 3.0)
           .orderBy(col("event_type")),
-      Some("""WITH daily AS (SELECT event_type,
-        |CAST(date_trunc('day', ts) AS DATE) AS d,
-        |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT event_type, min(d) AS d0, max(d) AS d1
-        |FROM daily GROUP BY 1),
-        |grid AS (SELECT b.event_type,
-        |unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
-        |FROM bounds b),
-        |dense AS MATERIALIZED (SELECT g.event_type, g.d,
-        |coalesce(y, 0) AS y FROM grid g LEFT JOIN daily dd
-        |ON dd.event_type = g.event_type AND dd.d = g.d),
-        |med AS (SELECT event_type, median(y) AS med FROM dense
-        |GROUP BY 1),
-        |dev AS MATERIALIZED (SELECT d.event_type, d.d, d.y,
-        |abs(d.y - m.med) AS ad, m.med FROM dense d JOIN med m
-        |USING (event_type)),
-        |mad AS (SELECT event_type, median(ad) AS mad FROM dev
-        |GROUP BY 1),
-        |z AS MATERIALIZED (SELECT v.event_type, v.d, v.y, v.med, m.mad,
-        |CASE WHEN m.mad > 0 THEN round(v.ad / (1.4826 * m.mad), 4) END
-        |AS z FROM dev v JOIN mad m USING (event_type)),
-        |pk AS (SELECT event_type, d, y, z, row_number() OVER
-        |(PARTITION BY event_type ORDER BY z DESC NULLS LAST, d) AS rn
-        |FROM z)
-        |SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_days,
-        |round(any_value(z.med), 1) AS med,
-        |round(any_value(z.mad), 2) AS mad,
-        |CAST(sum(CASE WHEN z.z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |AS n_flagged,
-        |CAST(any_value(p.d) - DATE '1970-01-01' AS BIGINT) AS peak_day,
-        |any_value(p.y) AS peak_y, any_value(p.z) AS peak_z
-        |FROM z JOIN (SELECT * FROM pk WHERE rn = 1) p USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+      Some(madAnomalyOracle)),
+
+    ("s38_stream_mad",
+      // J57 under streaming (streaming/Streaming.runStreamMadAnomaly):
+      // medians can't absorb partial-day state (a half-day batch is a
+      // fake low day that drags the median), so the s37 resolution
+      // applies - the SAME additive day-grain count state, the whole
+      // median/MAD/z/peak fold at read time; j57's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s38")
+        graft.streaming.Streaming.runStreamMadAnomaly(
+            s, dir, base + "/mad", 3.0)
+          .orderBy(col("event_type"))
+      },
+      Some(madAnomalyOracle)),
 
     ("j53_dow_hour_profile",
       // Day-of-week x hour heatmap (queries/Serving.dowHourProfile):

@@ -2089,6 +2089,42 @@ object Streaming {
       "event_type", "day", "n", season)
   }
 
+  /** J57's MAD robust anomaly under streaming — the always-on twin of
+    * [[runStreamForecastBacktest]] over the SAME additive day-grain
+    * count state (medians, like the dense-grid lags, cannot absorb
+    * partial-day batches: half a day's count is a fake low day that
+    * drags the median), with the whole median/MAD/z/peak fold at READ
+    * time via [[graft.operators.TimeSeries.madAnomalySeries]]. Equals
+    * batch j57 bit-for-bit (its oracle verbatim). */
+  def runStreamMadAnomaly(spark: SparkSession, dir: String,
+                          base: String, threshold: Double): DataFrame = {
+    val sink = new ParquetUpsertSink(s"$base/state",
+      Seq("event_type", "day"), Seq("n"), additive = true)
+    val landing = stagedEventSlices(spark, dir, 3)
+    val day = unix_millis(date_trunc("DAY", col("ts")))
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.upsert(b.select(col("event_type"), day.as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n")), id)
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TimeSeries.madAnomalySeries(
+      sink.state(spark).get
+        .select(col("event_type"),
+          to_date(timestamp_millis(col("day").cast("long"))).as("day"),
+          col("n").cast("long").as("n")),
+      "event_type", "day", "n", threshold)
+  }
+
   /** X90's CUSUM change-point locator under streaming — drift monitoring
     * with a DETECTION twist the other monitors lack: CUSUM standardizes
     * by the FULL series mean/sd, which no per-batch state can carry

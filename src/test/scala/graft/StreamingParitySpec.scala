@@ -1039,6 +1039,20 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming MAD anomaly equals the one-shot batch read; replay never double-adds") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s38")
+    val streamed = Streaming.runStreamMadAnomaly(spark, dir, base + "/mad", 3.0)
+    val batch = graft.operators.TimeSeries.madAnomaly(
+      Tables.events(spark, dir), "event_type", "ts", 3.0)
+    assertSameRows(streamed, batch)
+    // Replay the final batch: a double-added day moves that day's count,
+    // the median, the MAD, and every z — the batch markers must skip it.
+    rollbackLastCommit(base + "/mad/ckpt")
+    val second = Streaming.runStreamMadAnomaly(spark, dir, base + "/mad", 3.0)
+    assertSameRows(second, batch)
+  }
+
   test("streaming PSI equals the one-shot batch PSI; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s28")
