@@ -6507,6 +6507,69 @@ object Registry {
         |ELSE round(exp(logs), 6) END AS survival
         |FROM km WHERE d > 0 ORDER BY t""".stripMargin.replace("\n", " "))),
 
+    ("j58_logrank",
+      // Two-sample log-rank test (operators/Survival.logRank): j34's KM
+      // curves compared properly — even/odd user cohorts on the same
+      // signup->purchase subjects, observed vs hypergeometric-expected
+      // events at every bucket with an event, chi2 = (sum(o-e))^2/sum v
+      // on 1 df. Every term derives from exact integer (d, n_risk)
+      // counts and rounds 6 dp before the fold; sums round again before
+      // the final ratio. At-risk roll-up = the KM literal-grid
+      // discipline per group, never a global window.
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), (col("user_id") % 2).as("cohort"),
+          col("event_type"), unix_millis(col("ts")).as("_ms"))
+        graft.operators.Survival.logRank(
+          graft.operators.Survival.timeToEventGrouped(e, "event_id",
+            "user_id", "event_type", "_ms", "signup", "purchase",
+            24, 3600000L, "cohort"),
+          "cohort", 24)
+      },
+      Some("""WITH s AS (SELECT event_id, user_id, user_id % 2 AS g,
+        |epoch_ms(ts) AS sms FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS pms FROM events
+        |WHERE event_type = 'purchase'),
+        |subj0 AS (SELECT s.event_id, any_value(s.g) AS g,
+        |min(p.pms - s.sms) AS diff
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.pms > s.sms
+        |AND p.pms - s.sms <= 86400000 GROUP BY s.event_id),
+        |subj AS (SELECT g, CASE WHEN diff IS NULL THEN 24
+        |ELSE CAST(floor(diff / 3600000.0) AS BIGINT) END AS t,
+        |CASE WHEN diff IS NULL THEN 0 ELSE 1 END AS d FROM subj0),
+        |bygt AS (SELECT g, t, CAST(sum(d) AS BIGINT) AS dd,
+        |CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS nn FROM subj
+        |GROUP BY 1),
+        |grid AS (SELECT CAST(range AS BIGINT) AS tt FROM range(0, 25)),
+        |ar AS (SELECT n.g, g2.tt,
+        |CAST(coalesce(sum(CASE WHEN b.t = g2.tt THEN b.dd END), 0)
+        |AS BIGINT) AS d,
+        |CAST(max(n.nn) - coalesce(sum(CASE WHEN b.t < g2.tt THEN b.c END),
+        |0) AS BIGINT) AS n_risk
+        |FROM grid g2 CROSS JOIN ng n LEFT JOIN bygt b ON b.g = n.g
+        |GROUP BY 1, 2),
+        |pv AS (SELECT a0.tt, a0.d AS d0, a0.n_risk AS n0, a1.d AS d1,
+        |a1.n_risk AS n1
+        |FROM (SELECT * FROM ar WHERE g = 0) a0
+        |JOIN (SELECT * FROM ar WHERE g = 1) a1 USING (tt)),
+        |terms AS (SELECT tt, d0, d1, n0, n1, d0 + d1 AS dt,
+        |n0 + n1 AS nt FROM pv WHERE d0 + d1 > 0 AND n0 + n1 > 1),
+        |ft AS (SELECT
+        |round(CAST(dt AS DOUBLE) * n0 / nt, 6) AS e0,
+        |round(CAST(dt AS DOUBLE) * n1 / nt, 6) AS e1,
+        |round(d1 - CAST(dt AS DOUBLE) * n1 / nt, 6) AS oe,
+        |round(CAST(dt AS DOUBLE) * n1 * n0 * (nt - dt) /
+        |(CAST(nt AS DOUBLE) * nt * (nt - 1)), 6) AS v,
+        |d0, d1 FROM terms)
+        |SELECT (SELECT nn FROM ng WHERE g = 0) AS n0,
+        |(SELECT nn FROM ng WHERE g = 1) AS n1,
+        |CAST(sum(d0) AS BIGINT) AS obs0, round(sum(e0), 6) AS exp0,
+        |CAST(sum(d1) AS BIGINT) AS obs1, round(sum(e1), 6) AS exp1,
+        |round(round(sum(oe), 6) * round(sum(oe), 6) /
+        |round(sum(v), 6), 4) AS chi2 FROM ft"""
+        .stripMargin.replace("\n", " "))),
+
     ("j35_assortativity",
       // Degree assortativity of the urgent-order co-purchase graph
       // (operators/Graph.assortativity) — j24's edge derivation, Newman's

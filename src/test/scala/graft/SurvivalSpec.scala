@@ -62,4 +62,34 @@ class SurvivalSpec extends SparkSpec {
     assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
     assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
   }
+
+  test("logRank: hand-computed hypergeometric fold; identical groups give chi2 = 0") {
+    import spark.implicits._
+    // g0: events at t1, t2 (n=2); g1: event at t1, censored at t3 (n=2).
+    // tt1: d=2 of n=4 at risk → e1 = 1, oe = 0, v = 1/3.
+    // tt2: d0 = 1 of n = 2 (one per group) → e1 = .5, oe = −.5, v = .25.
+    // χ² = .25 / .583333 = 0.4286; obs/exp = (2, 1.5) vs (1, 1.5).
+    val subj = Seq((0, 1L, 1), (0, 2L, 1), (1, 1L, 1), (1, 3L, 0))
+      .toDF("g", "t", "d")
+    val out = Survival.logRank(subj, "g", 3).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3), out.getLong(4), out.getDouble(5),
+      out.getDouble(6)) === ((2L, 2L, 2L, 1.5, 1L, 1.5, 0.4286)))
+    // Mirror-image cohorts: identical event patterns → every oe term is
+    // 0 and chi2 is exactly 0.
+    val same = Seq((0, 1L, 1), (0, 2L, 1), (1, 1L, 1), (1, 2L, 1))
+      .toDF("g", "t", "d")
+    assert(Survival.logRank(same, "g", 3).collect().head.getDouble(6) === 0.0)
+    // timeToEventGrouped carries the cohort: user 10 (even) converts in
+    // bucket 1, user 11 (odd) never does → censored at the horizon.
+    val ev = Seq(
+      (1L, 10L, "s", 0L), (2L, 10L, "p", 90L),
+      (3L, 11L, "s", 0L)).toDF("id", "u", "ty", "ms")
+      .withColumn("cohort", $"u" % 2)
+    val subj2 = Survival.timeToEventGrouped(ev, "id", "u", "ty", "ms",
+        "s", "p", 4, 60L, "cohort")
+      .orderBy($"cohort").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(subj2.toSeq === Seq((0L, 1L, 1), (1L, 4L, 0)))
+  }
 }
