@@ -447,6 +447,64 @@ object TextAnalysis {
         sum(col("_c") * col("_nsym")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** BPE compression frontier — "what does each merge budget actually
+    * buy" ([[bpeTrain]]'s sizing read, the x147 probe-frontier shape on
+    * the tokenizer leg): ONE training run at the maximum budget (merge
+    * lists are nested — budget m is the first m rows of the longest
+    * list), the distinct-word dictionary re-encoded through the merge
+    * chain with the symbol count SNAPSHOT at every requested budget,
+    * then corpus totals per budget: total subword symbols,
+    * symbols-per-whitespace-token (the packing/pricing number) and
+    * symbols-per-character. Budget 0 is the char-level floor (word
+    * chars + the `</w>` sentinel), so the curve starts at
+    * ~1 + 1/avg_word_len symbols per char and falls as merges land.
+    *
+    * Scale shape: training is [[bpeMerges]]' vocabulary-grain loop
+    * (bounded driver metadata); the snapshot chain is `maxBudget`
+    * replace projections over the DISTINCT-word table with one extra
+    * column per requested budget; corpus totals are one vocab-grain
+    * join + scalar agg, unpivoted over a literal budget array. Integer
+    * counts end to end; the two ratios are single divisions of exact
+    * BIGINTs, rounded 6 dp. */
+  def bpeFrontier(docs: DataFrame, textCol: String,
+                  budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets == budgets.sorted,
+      "budgets must be ascending")
+    val merges = bpeMerges(docs, textCol, budgets.max)
+    val wc = docs.select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("_c"))
+    def nsym = size(filter(split(col("_s"), "  "), x => length(x) > 0))
+      .cast("long")
+    val dict0 = wc.select(col("_w")).distinct()
+      .withColumn("_s", symString(col("_w")))
+    val snap0 = if (budgets.head == 0) dict0.withColumn("_nsym_0", nsym)
+                else dict0
+    val dict = merges.foldLeft(snap0) { case (df, (step, l, r, _, _)) =>
+      val replaced = df.withColumn("_s",
+        replace(col("_s"), lit(s" $l  $r "), lit(s" $l$r ")))
+      if (budgets.contains(step)) replaced.withColumn(s"_nsym_$step", nsym)
+      else replaced
+    }
+    val aggCols = sum(col("_c")).cast("long").as("_tok") +:
+      sum(col("_c") * length(col("_w"))).cast("long").as("_chars") +:
+      budgets.map(m =>
+        sum(col("_c") * col(s"_nsym_$m")).cast("long").as(s"_sym_$m"))
+    val totals = wc.join(broadcast(dict.drop("_s")), Seq("_w"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    totals
+      .select(explode(array(budgets.map(m => struct(
+          lit(m).as("merges"), col(s"_sym_$m").as("n_symbols"))): _*))
+          .as("_b"),
+        col("_tok"), col("_chars"))
+      .select(col("_b.merges").cast("int").as("merges"),
+        col("_tok").as("n_ws_tokens"), col("_chars").as("n_chars"),
+        col("_b.n_symbols").as("n_symbols"),
+        round(col("_b.n_symbols").cast("double") / col("_tok"), 6)
+          .as("symbols_per_token"),
+        round(col("_b.n_symbols").cast("double") / col("_chars"), 6)
+          .as("symbols_per_char"))
+  }
+
   /** Pairwise Jensen–Shannon divergence matrix between the sources'
     * unigram distributions — the SYMMETRIC, bounded [0, ln 2] companion
     * of x101's one-vs-corpus KL: which pairs of sources are

@@ -1285,6 +1285,47 @@ object Registry {
       "FROM dw JOIN enc USING (w) GROUP BY 1 ORDER BY doc_id"
   }
 
+  /** DuckDB twin of [[TextAnalysis.bpeFrontier]]: the x130 train chain at
+    * the max budget, the x131 dictionary-encode chain with symbol counts
+    * read at EVERY requested budget (merge lists nest), corpus totals
+    * unioned per budget. */
+  private def bpeFrontierOracleSql(budgets: Seq[Int], maxM: Int): String = {
+    val trainSql = bpeTrainOracleSql(maxM)
+    val ctes = trainSql.substring("WITH ".length,
+      trainSql.indexOf(" SELECT CAST(step"))
+    val encodeRounds = (1 to maxM).map { i =>
+      s"v$i AS (SELECT v.w, replace(v.s, " +
+        "' ' || t.lhs || '  ' || t.rhs || ' ', " +
+        s"' ' || t.lhs || t.rhs || ' ') AS s FROM v${i - 1} v, t$i t)"
+    }.mkString(", ")
+    val encs = budgets.map(m =>
+      s"e$m AS (SELECT w, CAST(len(list_filter(str_split(s, '  '), " +
+        s"x -> x <> '')) AS BIGINT) AS nsym FROM v$m)").mkString(", ")
+    val syms = budgets.map(m =>
+      s"s$m AS (SELECT CAST(sum(d.c * e.nsym) AS BIGINT) AS ns " +
+        s"FROM wc d JOIN e$m e USING (w))").mkString(", ")
+    val sel = budgets.map(m =>
+      s"SELECT $m AS merges, (SELECT ns FROM s$m) AS n_symbols")
+      .mkString(" UNION ALL ")
+    s"WITH $ctes, " +
+      "wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c " +
+      "FROM (SELECT " +
+      """unnest(list_filter(regexp_split_to_array(text, '\s+'), """ +
+      "t -> t <> '')) AS w FROM documents) GROUP BY 1), " +
+      "v0 AS (SELECT DISTINCT w, '  ' || " +
+      "array_to_string(list_append(str_split(w, ''), '</w>'), '  ') " +
+      "|| '  ' AS s FROM wc), " +
+      s"$encodeRounds, $encs, " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS tok, " +
+      "CAST(sum(c * length(w)) AS BIGINT) AS chars FROM wc), " +
+      s"$syms " +
+      "SELECT CAST(b.merges AS INT) AS merges, tot.tok AS n_ws_tokens, " +
+      "tot.chars AS n_chars, b.n_symbols, " +
+      "round(CAST(b.n_symbols AS DOUBLE) / tot.tok, 6) AS symbols_per_token, " +
+      "round(CAST(b.n_symbols AS DOUBLE) / tot.chars, 6) AS symbols_per_char " +
+      s"FROM ($sel) b CROSS JOIN tot ORDER BY merges"
+  }
+
   /** DuckDB twin of the x128 declared-vs-predicted confusion matrix:
     * the langId CTEs joined back to the documents' lang column. */
   private def langConsistencyOracleSql: String = {
@@ -7641,6 +7682,20 @@ object Registry {
           .orderBy(col("doc_id"))
       },
       Some(bpeEncodeOracleSql(8))),
+
+    ("x154_bpe_frontier",
+      // BPE compression frontier (TextAnalysis.bpeFrontier, budgets
+      // 0/2/4/8): what each merge budget actually buys — the x147
+      // probe-frontier shape on the tokenizer leg. ONE train at the max
+      // budget (merge lists nest), symbol counts snapshot at every
+      // budget on the distinct-word dictionary, corpus totals +
+      // symbols-per-token / per-char per budget. Integer counts end to
+      // end; budget 0 is the char-level floor (chars + </w> sentinel).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeFrontier(Tables.documents(s, dir), "text",
+          Seq(0, 2, 4, 8))
+          .orderBy(col("merges")),
+      Some(bpeFrontierOracleSql(Seq(0, 2, 4, 8), 8))),
 
     ("j44_spearman",
       // Spearman rank correlation per return flag between quantity and

@@ -562,6 +562,22 @@ class TextAnalysisSpec extends SparkSpec {
       ("rep", 6L, 0.333333, 4L, 0.5)))
   }
 
+  test("bpeFrontier: hand-computed nested-budget curve; budget 0 is the char floor") {
+    import spark.implicits._
+    // Corpus "ab ab b": tokens 3, chars 5. Merge 1 = (b,</w>) n=3,
+    // merge 2 = (a,b</w>) n=2 (nested — the frontier trains once).
+    // Symbols: m0 → ab:3 b:2 ⇒ 8; m1 → ab:2 b:1 ⇒ 5; m2 → ab:1 b:1 ⇒ 3.
+    val docs = Seq((1L, "ab ab"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeFrontier(docs, "text", Seq(0, 1, 2))
+      .orderBy($"merges").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0, 3L, 5L, 8L, 2.666667, 1.6),
+      (1, 3L, 5L, 5L, 1.666667, 1.0),
+      (2, 3L, 5L, 3L, 1.0, 0.6)))
+  }
+
   test("rakeKeyphrases: hand-computed deg/freq scores; duplicate runs collapse to one row") {
     import spark.implicits._
     // Doc 1 "deep learning the deep model a model" with stopwords
