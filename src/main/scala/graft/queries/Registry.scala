@@ -6611,6 +6611,52 @@ object Registry {
         |round(sum(v), 6), 4) AS chi2 FROM ft"""
         .stripMargin.replace("\n", " "))),
 
+    ("j59_abc_pareto",
+      // ABC/Pareto inventory classification (queries/Serving.cumulated):
+      // parts ranked by revenue, running cumulative share, classes at
+      // 80/95% — the merchandising cut. The cumulative sum is the NEW
+      // scale-safe distributed prefix sum (range-partition sort +
+      // per-partition (count, sum) offsets, the ranked() discipline) —
+      // never an Exchange SinglePartition window. Part revenue rounds
+      // 4 dp (cent-product grid) before the fold; the share rounds 6 dp
+      // before the class compare on both engines.
+      (s: SparkSession, dir: String) => {
+        val pr = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+          .agg(round(sum(col("l_extendedprice") *
+            (lit(1) - col("l_discount"))), 4).as("rev"))
+        val tot = pr.agg(sum(col("rev")).as("_t"))
+        val cs = round(col("cum") / col("_t"), 6)
+        graft.queries.Serving.cumulated(pr, "rev", "l_partkey")
+          .crossJoin(broadcast(tot))
+          .withColumn("abc", when(cs <= 0.80, "A")
+            .when(cs <= 0.95, "B").otherwise("C"))
+          .groupBy(col("abc"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            round(sum(col("rev")), 2).as("revenue"),
+            round(sum(col("rev")) / first(col("_t")), 6).as("rev_share"),
+            min(col("rank")).cast("long").as("min_rank"),
+            max(col("rank")).cast("long").as("max_rank"))
+          .orderBy(col("abc"))
+      },
+      Some("""WITH pr AS (SELECT l_partkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS t FROM pr),
+        |c AS (SELECT l_partkey, rev,
+        |row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
+        |sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pr),
+        |lab AS (SELECT c.*, t.t,
+        |CASE WHEN round(cum / t.t, 6) <= 0.80 THEN 'A'
+        |WHEN round(cum / t.t, 6) <= 0.95 THEN 'B' ELSE 'C' END AS abc
+        |FROM c CROSS JOIN tot t)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |round(sum(rev), 2) AS revenue,
+        |round(sum(rev) / any_value(t), 6) AS rev_share,
+        |CAST(min(rnk) AS BIGINT) AS min_rank,
+        |CAST(max(rnk) AS BIGINT) AS max_rank
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     ("j35_assortativity",
       // Degree assortativity of the urgent-order co-purchase graph
       // (operators/Graph.assortativity) — j24's edge derivation, Newman's

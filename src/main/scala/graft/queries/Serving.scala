@@ -82,6 +82,51 @@ object Serving {
     * use a reliable `checkpoint` instead — same plan, recomputable blocks.
     * Rank is emitted as LONG — a 32-bit rank would silently wrap past 2^31
     * rows, at odds with the 100-TB framing. */
+  /** [[ranked]] plus a RUNNING SUM of `valueCol` in rank order — the
+    * distributed prefix-sum every Pareto/cumulative-share read needs,
+    * without the `Exchange SinglePartition` a global window would plan:
+    * the range-partitioned sort gives a global order across partitions,
+    * one pass collects each partition's (count, sum) — driver state
+    * bounded at one pair per partition, the zipWithIndex discipline —
+    * the exclusive prefix offsets fold on the driver, and a second
+    * per-partition pass emits rank and cumulative sum sequentially.
+    * The accumulation order is therefore EXACTLY the rank order (a
+    * sequential left fold), which is what lets an oracle's running
+    * window agree bit-for-bit when both sides fold identical rounded
+    * values. Emits `rank` LONG and `cum` DOUBLE. */
+  def cumulated(leaderboard: DataFrame, valueCol: String,
+                tieBreak: String): DataFrame = {
+    val spark = leaderboard.sparkSession
+    val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)
+    val sorted0 = leaderboard
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sorted =
+      if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+        sorted0.checkpoint()
+      else sorted0.localCheckpoint()
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val stats = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0.0
+      it.foreach { r => n += 1; s += r.getDouble(vIdx) }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1) // one (count, sum) pair per partition
+    val rankOff = stats.scanLeft(0L)(_ + _._2).init
+    val cumOff = stats.scanLeft(0.0)(_ + _._3).init
+    val withCum = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = rankOff(i)
+      var cum = cumOff(i)
+      it.map { r =>
+        rank += 1
+        cum += r.getDouble(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ cum)
+      }
+    }
+    spark.createDataFrame(withCum,
+      sorted.schema.add("rank", org.apache.spark.sql.types.LongType)
+        .add("cum", org.apache.spark.sql.types.DoubleType))
+  }
+
   def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame = {
     val spark = leaderboard.sparkSession
     val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)

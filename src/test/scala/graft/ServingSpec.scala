@@ -24,6 +24,30 @@ class ServingSpec extends SparkSpec {
     assert(r.collect().map(_.toSeq).toSeq === expected)
   }
 
+  test("cumulated: prefix sums are exact across partition boundaries; ties break on the key") {
+    import spark.implicits._
+    // Hand case with a tie: values 5, 3(a), 3(b), 2 → cums 5, 8, 11, 13.
+    val small = Serving.cumulated(
+        Seq(("b", 3.0), ("a", 3.0), ("c", 5.0), ("d", 2.0)).toDF("k", "v"),
+        "v", "k")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(small.toSeq === Seq(("c", 1L, 5.0), ("a", 2L, 8.0),
+      ("b", 3L, 11.0), ("d", 4L, 13.0)))
+    // 500 distinct values across many range partitions: the two-pass
+    // offset fold must agree with the closed form k(k+1)/2 at EVERY row
+    // (an off-by-one partition offset breaks a contiguous span).
+    val big = Serving.cumulated(
+        (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+        "v", "k")
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    big.foreach { case (rank, cum) =>
+      val topV = 500 - rank + 1 // rank 1 is the largest value
+      val want = (500L * 501 / 2) - (topV - 1) * topV / 2
+      assert(cum === want.toDouble, s"rank $rank")
+    }
+  }
+
   test("ranked with spark.graft.reliableCheckpoint=true uses a reliable checkpoint") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
