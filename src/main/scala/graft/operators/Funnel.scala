@@ -120,4 +120,31 @@ object Funnel {
       round(center - half, 6).as("ci_lo"),
       round(center + half, 6).as("ci_hi"))
   }
+
+  /** New-vs-returning daily actives — the growth-accounting read j14's
+    * fixed-cohort retention can't give (retention follows ONE cohort
+    * forward; this decomposes EVERY day's active count into first-ever
+    * appearances vs returns, the DAU quality split "is this growth or
+    * churn-and-replace" is asked of). A user is active on a day if any
+    * event lands there; new on exactly their first active day.
+    *
+    * Scale shape: one distinct to (user, day) grain — the only pass
+    * over raw events; first-seen is a user-grain min agg of that frame;
+    * the decomposition is one user-keyed equi-join (same grain both
+    * sides, AQE-sized) and a day-grain conditional agg. No windows.
+    * Days emit as epoch days (BIGINT — the j57 date convention). */
+  def newVsReturning(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("_u"),
+      date_trunc("day", col(tsCol)).cast("date").as("_d")).distinct()
+    val fs = ud.groupBy(col("_u")).agg(min(col("_d")).as("_f"))
+    val ret = sum(when(col("_d") > col("_f"), 1L).otherwise(0L))
+    ud.join(fs, Seq("_u"))
+      .groupBy(unix_date(col("_d")).cast("long").as("day"))
+      .agg(count(lit(1)).cast("long").as("active_users"),
+        sum(when(col("_d") === col("_f"), 1L).otherwise(0L)).cast("long")
+          .as("new_users"),
+        ret.cast("long").as("returning_users"),
+        round(ret.cast("double") / count(lit(1)), 4).as("returning_share"))
+  }
 }

@@ -6611,6 +6611,29 @@ object Registry {
         |round(sum(v), 6), 4) AS chi2 FROM ft"""
         .stripMargin.replace("\n", " "))),
 
+    ("j60_new_vs_returning",
+      // New-vs-returning daily actives (operators/Funnel.newVsReturning):
+      // every day's DAU decomposed into first-ever appearances vs
+      // returns — the growth-accounting split j14's fixed-cohort
+      // retention can't give. One (user, day) distinct, a user-grain
+      // first-seen min, one same-grain equi-join, day-grain agg.
+      (s: SparkSession, dir: String) =>
+        Funnel.newVsReturning(Tables.events(s, dir), "user_id", "ts")
+          .orderBy(col("day")),
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+        |CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |fs AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+        |SELECT CAST(ud.d - DATE '1970-01-01' AS BIGINT) AS day,
+        |CAST(count(*) AS BIGINT) AS active_users,
+        |CAST(sum(CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |AS new_users,
+        |CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |AS returning_users,
+        |round(CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END)
+        |AS DOUBLE) / count(*), 4) AS returning_share
+        |FROM ud JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " "))),
+
     ("j59_abc_pareto",
       // ABC/Pareto inventory classification (queries/Serving.cumulated):
       // parts ranked by revenue, running cumulative share, classes at

@@ -97,4 +97,26 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(d2.toSeq === Seq(("a>b", 2L), ("a", 1L), ("a>x", 1L)))
   }
+
+  test("newVsReturning: first day is all-new, multiple events one day count once, gaps don't reset") {
+    import spark.implicits._
+    // u1 active days 1, 3 (two events on day 3 count once); u2 active
+    // days 1, 2; u3 appears only on day 3 (new mid-series).
+    val ev = Seq(
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-03 01:00:00"),
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 05:00:00"), (2L, "2024-01-02 05:00:00"),
+      (3L, "2024-01-03 07:00:00"))
+      .toDF("user_id", "_s")
+      .select($"user_id",
+        org.apache.spark.sql.functions.to_timestamp($"_s").as("ts"))
+    val out = graft.operators.Funnel.newVsReturning(ev, "user_id", "ts")
+      .orderBy($"day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (19723L, 2L, 2L, 0L, 0.0),    // day 1: u1, u2 both new
+      (19724L, 1L, 0L, 1L, 1.0),    // day 2: u2 returns
+      (19725L, 2L, 1L, 1L, 0.5)))   // day 3: u1 returns (gap ok), u3 new
+  }
 }
