@@ -134,15 +134,28 @@ object Funnel {
     * sides, AQE-sized) and a day-grain conditional agg. No windows.
     * Days emit as epoch days (BIGINT — the j57 date convention). */
   def newVsReturning(events: DataFrame, userCol: String,
-                     tsCol: String): DataFrame = {
-    val ud = events.select(col(userCol).as("_u"),
-      date_trunc("day", col(tsCol)).cast("date").as("_d")).distinct()
-    val fs = ud.groupBy(col("_u")).agg(min(col("_d")).as("_f"))
-    val ret = sum(when(col("_d") > col("_f"), 1L).otherwise(0L))
-    ud.join(fs, Seq("_u"))
-      .groupBy(unix_date(col("_d")).cast("long").as("day"))
+                     tsCol: String): DataFrame =
+    newVsReturningFromPresence(
+      events.select(col(userCol).as("_u"),
+        date_trunc("day", col(tsCol)).cast("date").as("_d")).distinct(),
+      "_u", "_d")
+
+  /** [[newVsReturning]] from an already-built (user, day) PRESENCE frame
+    * — the streaming twin's read-time entry point: its state is the
+    * (user, day) table with per-batch counts whose VALUES don't matter
+    * (presence is presence however many batches touched the day), so
+    * replayed batches can't corrupt the split. Input rows must be
+    * distinct at (user, day). */
+  def newVsReturningFromPresence(ud: DataFrame, userCol: String,
+                                 dayCol: String): DataFrame = {
+    val u = col(userCol)
+    val d = col(dayCol)
+    val fs = ud.groupBy(u.as("_fu")).agg(min(d).as("_f"))
+    val ret = sum(when(d > col("_f"), 1L).otherwise(0L))
+    ud.join(fs, u === col("_fu"))
+      .groupBy(unix_date(d).cast("long").as("day"))
       .agg(count(lit(1)).cast("long").as("active_users"),
-        sum(when(col("_d") === col("_f"), 1L).otherwise(0L)).cast("long")
+        sum(when(d === col("_f"), 1L).otherwise(0L)).cast("long")
           .as("new_users"),
         ret.cast("long").as("returning_users"),
         round(ret.cast("double") / count(lit(1)), 4).as("returning_share"))

@@ -1457,6 +1457,23 @@ object Registry {
         |FROM z JOIN (SELECT * FROM pk WHERE rn = 1) p USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[graft.operators.Funnel.newVsReturning]] — shared
+    * verbatim by batch j60 and streaming s39. */
+  private val newVsReturningOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+        |CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |fs AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+        |SELECT CAST(ud.d - DATE '1970-01-01' AS BIGINT) AS day,
+        |CAST(count(*) AS BIGINT) AS active_users,
+        |CAST(sum(CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |AS new_users,
+        |CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |AS returning_users,
+        |round(CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END)
+        |AS DOUBLE) / count(*), 4) AS returning_share
+        |FROM ud JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")
+
   private def holtOracle(alpha: Double, beta: Double, horizon: Int,
                          steps: Int): String = {
     val (a, oa, bg, ob) =
@@ -6620,19 +6637,22 @@ object Registry {
       (s: SparkSession, dir: String) =>
         Funnel.newVsReturning(Tables.events(s, dir), "user_id", "ts")
           .orderBy(col("day")),
-      Some("""WITH ud AS (SELECT DISTINCT user_id,
-        |CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
-        |fs AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
-        |SELECT CAST(ud.d - DATE '1970-01-01' AS BIGINT) AS day,
-        |CAST(count(*) AS BIGINT) AS active_users,
-        |CAST(sum(CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
-        |AS new_users,
-        |CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
-        |AS returning_users,
-        |round(CAST(sum(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END)
-        |AS DOUBLE) / count(*), 4) AS returning_share
-        |FROM ud JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1"""
-        .stripMargin.replace("\n", " "))),
+      Some(newVsReturningOracle)),
+
+    ("s39_stream_new_returning",
+      // J60 under streaming (streaming/Streaming.runStreamNewVsReturning):
+      // "new" is a global first-ever property no per-batch row can
+      // decide, so state is the (user, day) PRESENCE table - count
+      // values never matter, which makes replay harmless by
+      // construction - and the first-seen/decompose fold runs at read
+      // time; j60's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s39")
+        graft.streaming.Streaming.runStreamNewVsReturning(
+            s, dir, base + "/nvr")
+          .orderBy(col("day"))
+      },
+      Some(newVsReturningOracle)),
 
     ("j59_abc_pareto",
       // ABC/Pareto inventory classification (queries/Serving.cumulated):

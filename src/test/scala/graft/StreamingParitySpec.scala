@@ -1053,6 +1053,21 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(second, batch)
   }
 
+  test("streaming new-vs-returning equals the one-shot batch split; replay is harmless by construction") {
+    val dir = "/root/testdata/sf0.001"
+    val base = tmp("graft-s39")
+    val streamed = Streaming.runStreamNewVsReturning(spark, dir, base + "/nvr")
+    val batch = graft.operators.Funnel.newVsReturning(
+      Tables.events(spark, dir), "user_id", "ts")
+    assertSameRows(streamed, batch)
+    // Replay the final batch: presence state only bumps counts the fold
+    // never reads — the split must not move even WITHOUT marker skipping
+    // (the markers still skip; this pins the stronger property).
+    rollbackLastCommit(base + "/nvr/ckpt")
+    val second = Streaming.runStreamNewVsReturning(spark, dir, base + "/nvr")
+    assertSameRows(second, batch)
+  }
+
   test("streaming PSI equals the one-shot batch PSI; replay never double-adds") {
     val dir = "/root/testdata/sf0.001"
     val base = tmp("graft-s28")
