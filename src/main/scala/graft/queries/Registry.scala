@@ -8167,6 +8167,45 @@ object Registry {
         |JOIN dw wb ON wb.doc_id = p.id_b
         |ORDER BY p.id_a, p.id_b""".stripMargin.replace("\n", " "))),
 
+    ("x155_length_pareto",
+      // Corpus length Pareto (queries/Serving.cumulated, second seat):
+      // docs ranked by byte length, cumulative byte share read at every
+      // rank decile — the truncation-policy sizing read ("the longest
+      // 10% of docs hold 17% of the bytes"). Byte counts are integer-
+      // valued doubles, so every fold is EXACT in any order; the decile
+      // marks are a broadcast 10-row literal joined on rank.
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("double").as("b"))
+        val marks = docs
+          .agg(count(lit(1)).cast("long").as("_n"), sum(col("b")).as("_t"))
+          .select(col("_n"), col("_t"),
+            explode(typedLit((1L to 10L))).as("decile"))
+          .withColumn("rnk",
+            ceil(col("_n") * col("decile") / 10.0).cast("long"))
+        graft.queries.Serving.cumulated(docs, "b", "doc_id")
+          .join(broadcast(marks), col("rank") === col("rnk"))
+          .select(col("decile"), col("rnk"),
+            col("b").cast("long").as("chars_at_rank"),
+            round(col("cum") / col("_t"), 6).as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS b,
+        |row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+        |sum(CAST(n_chars AS DOUBLE)) OVER (ORDER BY n_chars DESC, doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |sum(CAST(n_chars AS DOUBLE)) AS t FROM documents),
+        |d AS (SELECT CAST(range AS BIGINT) AS dec FROM range(1, 11))
+        |SELECT d.dec AS decile,
+        |CAST(ceil(n.n * d.dec / 10.0) AS BIGINT) AS rnk,
+        |CAST(c.b AS BIGINT) AS chars_at_rank,
+        |round(c.cum / n.t, 6) AS cum_share
+        |FROM d CROSS JOIN n JOIN c
+        |ON c.rnk = CAST(ceil(n.n * d.dec / 10.0) AS BIGINT)
+        |ORDER BY decile""".stripMargin.replace("\n", " "))),
+
     ("x134_distinct_n",
       // Distinct-1/-2 diversity per source (TextAnalysis.distinctN):
       // the mode-collapse read for generated corpora — a source whose
