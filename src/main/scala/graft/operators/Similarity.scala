@@ -1629,6 +1629,62 @@ object Similarity {
         col("refine_rank"))
   }
 
+  /** Refine-budget recall curve — [[ivfRecallCurve]]'s read on the
+    * COMPRESSED leg: recall@k of the full ADC-then-refine stack
+    * ([[pqAdcRefine]]) against the exact L2 top-k, at each candidate
+    * budget in `candKs`. This is the number candK is actually chosen on:
+    * the ADC scan is allowed to be wrong about ORDER (refine fixes
+    * that), but a true neighbor outside the top-candK by ADC is LOST —
+    * this curve prices that risk per budget. Monotone in candK under
+    * nested candidate sets; reaches 1.0 when candK covers the corpus.
+    *
+    * Scale shape: ONE exact reference (the pqAdcJoin broadcast-scan
+    * budget: |corpus|·|queries| array-local L2 folds, per-query rank
+    * window), eagerly checkpointed and reused by every level; one
+    * [[pqAdcRefine]] per level (codebooks retrain per call here — they
+    * are deterministic, and a production caller shares a persisted
+    * [[buildPqCodeTable]] instead); hits via an output-scale
+    * (qid, id)-grain semi-join; recall is a ratio of exact integers.
+    * Emits (cand_k, n_queries, hits, recall, cand_frac). */
+  def pqRefineRecallCurve(embeddings: DataFrame, idCol: String,
+                          vecCol: String, queryPred: Column, m: Int,
+                          k: Int, iters: Int, candKs: Seq[Int],
+                          topK: Int): DataFrame = {
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val l2 = aggregate(zip_with(col(vecCol), col("_qv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("_d2").asc, col(idCol).asc)
+    val exact = embeddings.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries))
+      .withColumn("_d2", round(l2, 6))
+      .withColumn("_r", row_number().over(wExact))
+      .filter(col("_r") <= topK)
+      .select(col("qid"), col(idCol))
+      .localCheckpoint(eager = true)
+    val scal = exact.agg(
+      countDistinct(col("qid")).cast("long").as("n_queries"))
+    val n = embeddings.count() // bounded driver scalar: cand_frac denominator
+    val perLevel = candKs.map { ck =>
+      pqAdcRefine(embeddings, idCol, vecCol, queryPred, m, k, iters, ck,
+          topK)
+        .select(col("qid"), col(idCol))
+        .join(exact, Seq("qid", idCol), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .select(lit(ck).as("cand_k"), col("hits"))
+    }.reduce(_ unionAll _)
+    perLevel.crossJoin(broadcast(scal))
+      .select(col("cand_k").cast("int").as("cand_k"), col("n_queries"),
+        col("hits"),
+        round(col("hits").cast("double") /
+          (col("n_queries") * topK), 4).as("recall"),
+        round(least(col("cand_k").cast("double") / n, lit(1.0)), 4)
+          .as("cand_frac"))
+  }
+
   /** The code-only PQ encode projection shared by [[pqAdcTopK]],
     * [[buildPqCodeTable]] and [[appendToPqCodeTable]]: per subspace, the
     * argmin codeword id against the codebook literals — one codegen

@@ -837,6 +837,56 @@ object Registry {
       s"WHERE refine_rank <= $topK ORDER BY qid, refine_rank"
   }
 
+  /** DuckDB twin of [[Similarity.pqRefineRecallCurve]]: the
+    * [[pqAdcRefineOracleSql]] chain shared across candidate budgets (ADC
+    * ranks don't depend on candK), one exact-L2 reference reused by the
+    * refine ranks AND the recall intersections. */
+  private def pqRefineRecallOracleSql(candKs: Seq[Int], topK: Int): String = {
+    val (m, sub, k, iters) = (2, 32, 4, 2)
+    val luts = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"lut$s AS MATERIALIZED (SELECT q.qid, c.cid, " +
+        s"${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d " +
+        s"FROM qj q, cs$s$iters c)"
+    }.mkString(", ")
+    val levels = candKs.map { ck =>
+      s"cd$ck AS (SELECT qid, vec_id FROM r WHERE adc_rank <= $ck), " +
+        s"rf$ck AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id, " +
+        "row_number() OVER (PARTITION BY c.qid ORDER BY x.d2, c.vec_id) " +
+        s"AS rn FROM cd$ck c JOIN ex x ON x.qid = c.qid " +
+        s"AND x.vec_id = c.vec_id) WHERE rn <= $topK), " +
+        s"h$ck AS (SELECT $ck AS cand_k, CAST(count(*) AS BIGINT) AS hits " +
+        s"FROM rf$ck f JOIN exr e ON e.qid = f.qid AND e.vec_id = f.vec_id)"
+    }.mkString(", ")
+    val sel = candKs.map(ck => s"SELECT cand_k, hits FROM h$ck")
+      .mkString(" UNION ALL ")
+    s"WITH ${pqCtes(m, sub, k, iters)}, " +
+      "qj AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      s"$luts, " +
+      "sc AS (SELECT l0.qid, af0.vec_id, round(l0.d + l1.d, 6) AS adc_d2 " +
+      "FROM af0 JOIN af1 USING (vec_id) " +
+      "JOIN lut0 l0 ON l0.cid = af0.cid " +
+      "JOIN lut1 l1 ON l1.cid = af1.cid AND l1.qid = l0.qid), " +
+      "r AS MATERIALIZED (SELECT qid, vec_id, adc_d2, " +
+      "CAST(row_number() OVER (PARTITION BY qid " +
+      "ORDER BY adc_d2, vec_id) AS INT) AS adc_rank FROM sc), " +
+      "ex AS MATERIALIZED (SELECT q.qid, e.vec_id, " +
+      s"round(${l2Sql("e.embedding", "q.qv")}, 6) AS d2 " +
+      "FROM embeddings e, qj q), " +
+      "exr AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn " +
+      s"FROM ex) WHERE rn <= $topK), " +
+      "nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qj), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings), " +
+      s"$levels " +
+      s"SELECT CAST(b.cand_k AS INT) AS cand_k, nq.n AS n_queries, b.hits, " +
+      s"round(CAST(b.hits AS DOUBLE) / (nq.n * $topK), 4) AS recall, " +
+      "round(least(CAST(b.cand_k AS DOUBLE) / nn.c, 1.0), 4) AS cand_frac " +
+      s"FROM ($sel) b CROSS JOIN nq CROSS JOIN nn ORDER BY cand_k"
+  }
+
   /** SQL fragment: sequential-left-fold double cosine of two list columns
     * (same arithmetic order as [[Similarity.cosine]]). */
   private def cosSql(a: String, b: String): String =
@@ -2780,6 +2830,21 @@ object Registry {
           "embedding", col("vec_id") % 50 === 0, 2, 4, 2, 32, 8)
           .orderBy(col("qid"), col("refine_rank")),
       Some(pqAdcRefineOracleSql(32, 8))),
+
+    ("x156_refine_recall",
+      // Refine-budget recall curve (Similarity.pqRefineRecallCurve,
+      // candK 8/32/128, k=10): x147's frontier read on the COMPRESSED
+      // leg — the ADC scan may be wrong about order (x150's refine
+      // fixes that) but a true neighbor outside the top-candK is LOST;
+      // this prices that risk per budget. One checkpointed exact-L2
+      // reference reused by every level; recall = exact-integer hits
+      // over n_queries*k.
+      (s: SparkSession, dir: String) =>
+        Similarity.pqRefineRecallCurve(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, 2, 4, 2,
+          Seq(8, 32, 128), 10)
+          .orderBy(col("cand_k")),
+      Some(pqRefineRecallOracleSql(Seq(8, 32, 128), 10))),
 
     ("x147_ivf_recall",
       // IVF probe-budget tuning curve (Similarity.ivfRecallCurve):

@@ -753,6 +753,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.last._4 === 1.0)
   }
 
+  test("pqRefineRecallCurve: recall monotone in candK, exactly 1.0 at corpus coverage") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val out = Similarity.pqRefineRecallCurve(vecs, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 2, 4, 2, Seq(5, 20, 40), 5)
+      .orderBy($"cand_k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(5, 20, 40))
+    assert(out.forall(_._2 === 4L)) // 4 queries
+    // Nested candidate sets ⇒ recall is monotone; candK = corpus means
+    // the refine IS the exact top-k ⇒ recall exactly 1.0.
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.toSeq)
+    assert(out.last._4 === 1.0)
+    assert(out.map(_._5).toSeq === Seq(0.125, 0.5, 1.0))
+  }
+
   test("mutualNnMatches: reciprocal pairs survive, a hub's one-directional match does not") {
     import spark.implicits._
     // Two tight pairs (1,2) and (3,4) on the axes plus diagonal hub 5:
