@@ -79,7 +79,8 @@ object Survival {
     * group-1 events are compared against the hypergeometric expectation
     * e1 = d·n1/n given the at-risk sizes, with variance
     * v = d·n1·n0·(n−d)/(n²·(n−1)); χ² = (Σ(o−e))²/Σv on 1 df. Exactly
-    * TWO groups (the classic form): the lesser group value by sort order
+    * TWO groups (the classic form, ENFORCED by an assert_true filter —
+    * a third group fails the job): the lesser group value by sort order
     * reports as `0`, the greater as `1`.
     *
     * Determinism: every per-time term derives from exact integer
@@ -96,8 +97,14 @@ object Survival {
   def logRank(subjects: DataFrame, groupCol: String,
               maxBucket: Int): DataFrame = {
     val grid = typedLit((0 to maxBucket).map(_.toLong))
+    // The two-group contract is ENFORCED, not just documented: a third
+    // group value would multiply the tt-grain pivot self-join (one row
+    // per extra group per bucket) and silently corrupt chi2. assert_true
+    // rides a filter (never an unused projection Catalyst could prune),
+    // so misuse fails the job with this message.
     val bounds = subjects.agg(min(col(groupCol)).as("_ga"),
-      max(col(groupCol)).as("_gb"))
+      max(col(groupCol)).as("_gb"),
+      countDistinct(col(groupCol)).as("_ng"))
     val byGT = subjects.groupBy(col(groupCol), col("t"))
       .agg(sum(col("d")).cast("long").as("_dd"),
         count(lit(1)).cast("long").as("_c"))
@@ -114,9 +121,11 @@ object Survival {
           sum(when(col("t") < col("tt"), col("_c")).otherwise(0L)))
           .cast("long").as("_nr"))
       .crossJoin(broadcast(bounds))
+      .where(assert_true(col("_ng") === 2,
+        lit("logRank requires exactly TWO groups")).isNull)
     val pv = ar.where(col(groupCol) === col("_ga"))
       .select(col("tt"), col("_d").as("_d0"), col("_nr").as("_n0"))
-      .join(ar.where(col(groupCol) =!= col("_ga"))
+      .join(ar.where(col(groupCol) === col("_gb"))
         .select(col("tt"), col("_d").as("_d1"), col("_nr").as("_n1")),
         Seq("tt"))
       .where(col("_d0") + col("_d1") > 0L && col("_n0") + col("_n1") > 1L)

@@ -392,7 +392,14 @@ object TextAnalysis {
       .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("_cnt"))
       .select(symString(col("_w")).as("_s"), col("_cnt"))
       .localCheckpoint(eager = true)
-    (1 to merges).map { step =>
+    // Stops EARLY (returns the merges trained so far) when no adjacent
+    // pair remains — every word a single symbol — instead of crashing on
+    // an empty top-1; callers that need all `merges` steps (bpeFrontier)
+    // check the returned length and name the dry budget.
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= merges && !dry) {
       val syms = filter(split(col("_s"), "  "), x => length(x) > 0)
       val top = words
         .select(col("_cnt"), explode(when(size(syms) >= 2,
@@ -404,14 +411,20 @@ object TextAnalysis {
         .groupBy(col("_p._l").as("_l"), col("_p._r").as("_r"))
         .agg(sum(col("_cnt")).cast("long").as("_n"))
         .orderBy(col("_n").desc, col("_l").asc, col("_r").asc)
-        .limit(1).collect().head
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      words = words
-        .select(replace(col("_s"), lit(s" $l  $r "), lit(s" $l$r "))
-          .as("_s"), col("_cnt"))
-        .localCheckpoint(eager = true)
-      (step, l, r, l + r, n)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        words = words
+          .select(replace(col("_s"), lit(s" $l  $r "), lit(s" $l$r "))
+            .as("_s"), col("_cnt"))
+          .localCheckpoint(eager = true)
+        out += ((step, l, r, l + r, n))
+        step += 1
+      }
     }
+    out.result()
   }
 
   /** BPE encoding pass — [[bpeTrain]]'s read leg (the pq train/encode
@@ -468,8 +481,10 @@ object TextAnalysis {
     * BIGINTs, rounded 6 dp. */
   def bpeFrontier(docs: DataFrame, textCol: String,
                   budgets: Seq[Int]): DataFrame = {
-    require(budgets.nonEmpty && budgets == budgets.sorted,
-      "budgets must be ascending")
+    require(budgets.nonEmpty && budgets.forall(_ >= 0) &&
+      budgets == budgets.distinct.sorted,
+      "budgets must be non-negative, strictly ascending, and distinct " +
+        "(duplicates would collide on _nsym_<m> columns)")
     val merges = bpeMerges(docs, textCol, budgets.max)
     val wc = docs.select(explode(tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).cast("long").as("_c"))
@@ -485,6 +500,11 @@ object TextAnalysis {
       if (budgets.contains(step)) replaced.withColumn(s"_nsym_$step", nsym)
       else replaced
     }
+    val missing = budgets.filterNot(m =>
+      m == 0 || dict.columns.contains(s"_nsym_$m"))
+    require(missing.isEmpty,
+      s"budgets ${missing.mkString(", ")} exceed the corpus' trainable " +
+        "merge count — bpeMerges ran dry before reaching them")
     val aggCols = sum(col("_c")).cast("long").as("_tok") +:
       sum(col("_c") * length(col("_w"))).cast("long").as("_chars") +:
       budgets.map(m =>

@@ -6726,33 +6726,41 @@ object Registry {
       // scale-safe distributed prefix sum (range-partition sort +
       // per-partition (count, sum) offsets, the ranked() discipline) —
       // never an Exchange SinglePartition window. Part revenue rounds
-      // 4 dp (cent-product grid) before the fold; the share rounds 6 dp
-      // before the class compare on both engines.
+      // 4 dp (cent-product grid), then the FOLD RUNS ON INTEGER GRID
+      // UNITS (_revu = round(rev*1e4)): integer-valued doubles add
+      // exactly in any association, so cum — and the 6-dp share the
+      // 0.80/0.95 class cuts read — is bit-identical under any shuffle
+      // partitioning AND to the oracle's sequential window (the
+      // cumulated() exactness contract). Shares divide out in grid
+      // units (cum/Σrevu ≡ cumrev/Σrev), so no precision is lost.
       (s: SparkSession, dir: String) => {
         val pr = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
           .agg(round(sum(col("l_extendedprice") *
             (lit(1) - col("l_discount"))), 4).as("rev"))
-        val tot = pr.agg(sum(col("rev")).as("_t"))
+          .withColumn("_revu", round(col("rev") * 10000, 0))
+        val tot = pr.agg(sum(col("_revu")).as("_t"))
         val cs = round(col("cum") / col("_t"), 6)
-        graft.queries.Serving.cumulated(pr, "rev", "l_partkey")
+        graft.queries.Serving.cumulated(pr, "_revu", "l_partkey")
           .crossJoin(broadcast(tot))
           .withColumn("abc", when(cs <= 0.80, "A")
             .when(cs <= 0.95, "B").otherwise("C"))
           .groupBy(col("abc"))
           .agg(count(lit(1)).cast("long").as("n_parts"),
             round(sum(col("rev")), 2).as("revenue"),
-            round(sum(col("rev")) / first(col("_t")), 6).as("rev_share"),
+            round(sum(col("_revu")) / first(col("_t")), 6).as("rev_share"),
             min(col("rank")).cast("long").as("min_rank"),
             max(col("rank")).cast("long").as("max_rank"))
           .orderBy(col("abc"))
       },
       Some("""WITH pr AS (SELECT l_partkey,
-        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+        |round(round(sum(l_extendedprice * (1 - l_discount)), 4) * 10000)
+        |AS revu
         |FROM lineitem GROUP BY 1),
-        |tot AS (SELECT sum(rev) AS t FROM pr),
-        |c AS (SELECT l_partkey, rev,
-        |row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
-        |sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |tot AS (SELECT sum(revu) AS t FROM pr),
+        |c AS (SELECT l_partkey, rev, revu,
+        |row_number() OVER (ORDER BY revu DESC, l_partkey) AS rnk,
+        |sum(revu) OVER (ORDER BY revu DESC, l_partkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pr),
         |lab AS (SELECT c.*, t.t,
         |CASE WHEN round(cum / t.t, 6) <= 0.80 THEN 'A'
@@ -6760,7 +6768,7 @@ object Registry {
         |FROM c CROSS JOIN tot t)
         |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
         |round(sum(rev), 2) AS revenue,
-        |round(sum(rev) / any_value(t), 6) AS rev_share,
+        |round(sum(revu) / any_value(t), 6) AS rev_share,
         |CAST(min(rnk) AS BIGINT) AS min_rank,
         |CAST(max(rnk) AS BIGINT) AS max_rank
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
@@ -8039,7 +8047,10 @@ object Registry {
       // tokens are dictionary-encoded to single-byte chars (offset 32;
       // per-pair dict <= 94 symbols holds on this corpus, vocab = 31)
       // where byte == codepoint distance — the encode trick the Spark
-      // side deliberately does NOT need (scaladoc).
+      // side deliberately does NOT need (scaladoc). The 94-symbol bound
+      // is ENFORCED in the oracle (error() guard in the enc CTE): a
+      // corpus change that pushes any pair past chr(126) fails the
+      // oracle loudly instead of silently scoring multi-byte UTF-8.
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         graft.operators.Eval.werPairs(docs,
@@ -8067,8 +8078,12 @@ object Registry {
         |pt AS (SELECT p.id_a, p.id_b, a.t AS ta, b.t AS tb
         |FROM prs p JOIN toks a ON a.doc_id = p.id_a
         |JOIN toks b ON b.doc_id = p.id_b),
-        |enc AS (SELECT id_a, id_b, ta, tb,
+        |enc0 AS (SELECT id_a, id_b, ta, tb,
         |list_sort(list_distinct(list_concat(ta, tb))) AS dict FROM pt),
+        |enc AS (SELECT id_a, id_b, ta, tb,
+        |CASE WHEN len(dict) > 94 THEN error('x149 oracle: pair dict '
+        ||| len(dict) || ' > 94 single-byte symbols; byte levenshtein '
+        ||| 'would diverge') ELSE dict END AS dict FROM enc0),
         |st AS (SELECT id_a, id_b,
         |array_to_string(list_transform(ta,
         |x -> chr(list_position(dict, x) + 32)), '') AS sa,

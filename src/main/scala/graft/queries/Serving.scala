@@ -61,27 +61,6 @@ object Serving {
     series.withColumn(valueCol, sum(col(valueCol)).over(w).cast("long"))
   }
 
-  /** Q13: global rank assignment — row_number over (metric DESC, key ASC),
-    * the PHP client-side sort+rank (MainController.php:273-288).
-    *
-    * Scale-safe: a bare `row_number().over(Window.orderBy(...))` funnels the
-    * whole frame through ONE task. Instead: range-partition on the sort key
-    * (so partition i holds ranks strictly before partition i+1), sort within
-    * partitions, and `zipWithIndex` — which assigns contiguous global indices
-    * from per-partition counts without ever collecting the data. Every stage
-    * is parallel; the only driver-side state is one count per partition.
-    *
-    * The sorted frame is `localCheckpoint`ed first: the sort materializes
-    * into the block manager in ONE job, and both `zipWithIndex`'s internal
-    * per-partition count and the downstream action read the cached blocks —
-    * no duplicated sort stage, and the blocks are released by the
-    * ContextCleaner when the plan is dropped (no persist lifecycle to leak).
-    * `localCheckpoint` blocks are NOT fault-tolerant (an executor loss
-    * fails the job): for cluster runs set
-    * `spark.graft.reliableCheckpoint=true` (plus a `setCheckpointDir`) to
-    * use a reliable `checkpoint` instead — same plan, recomputable blocks.
-    * Rank is emitted as LONG — a 32-bit rank would silently wrap past 2^31
-    * rows, at odds with the 100-TB framing. */
   /** [[ranked]] plus a RUNNING SUM of `valueCol` in rank order — the
     * distributed prefix-sum every Pareto/cumulative-share read needs,
     * without the `Exchange SinglePartition` a global window would plan:
@@ -90,10 +69,20 @@ object Serving {
     * bounded at one pair per partition, the zipWithIndex discipline —
     * the exclusive prefix offsets fold on the driver, and a second
     * per-partition pass emits rank and cumulative sum sequentially.
-    * The accumulation order is therefore EXACTLY the rank order (a
-    * sequential left fold), which is what lets an oracle's running
-    * window agree bit-for-bit when both sides fold identical rounded
-    * values. Emits `rank` LONG and `cum` DOUBLE. */
+    *
+    * EXACTNESS: the cross-partition offsets are a `scanLeft` over
+    * per-partition sums — (s0+s1)+s2 is NOT the same IEEE association as
+    * a sequential rank-order fold, so for general doubles `cum` can
+    * differ from a single-task running window in the last ulp, and the
+    * difference depends on the partition count. The fold IS exact —
+    * bit-identical under any partitioning, and to any oracle's
+    * sequential window — when `valueCol` holds INTEGER-VALUED doubles
+    * and every prefix stays below 2^53 (integer double addition is
+    * associative in that range). Callers needing an exact cumulative
+    * share on a decimal grid should scale to grid units first
+    * (e.g. `round(v * 10000, 0)` for a 4-dp grid) and divide the share
+    * out after — see j59_abc_pareto; x155 is exact because byte counts
+    * are already integers. Emits `rank` LONG and `cum` DOUBLE. */
   def cumulated(leaderboard: DataFrame, valueCol: String,
                 tieBreak: String): DataFrame = {
     val spark = leaderboard.sparkSession
@@ -127,6 +116,27 @@ object Serving {
         .add("cum", org.apache.spark.sql.types.DoubleType))
   }
 
+  /** Q13: global rank assignment — row_number over (metric DESC, key ASC),
+    * the PHP client-side sort+rank (MainController.php:273-288).
+    *
+    * Scale-safe: a bare `row_number().over(Window.orderBy(...))` funnels the
+    * whole frame through ONE task. Instead: range-partition on the sort key
+    * (so partition i holds ranks strictly before partition i+1), sort within
+    * partitions, and `zipWithIndex` — which assigns contiguous global indices
+    * from per-partition counts without ever collecting the data. Every stage
+    * is parallel; the only driver-side state is one count per partition.
+    *
+    * The sorted frame is `localCheckpoint`ed first: the sort materializes
+    * into the block manager in ONE job, and both `zipWithIndex`'s internal
+    * per-partition count and the downstream action read the cached blocks —
+    * no duplicated sort stage, and the blocks are released by the
+    * ContextCleaner when the plan is dropped (no persist lifecycle to leak).
+    * `localCheckpoint` blocks are NOT fault-tolerant (an executor loss
+    * fails the job): for cluster runs set
+    * `spark.graft.reliableCheckpoint=true` (plus a `setCheckpointDir`) to
+    * use a reliable `checkpoint` instead — same plan, recomputable blocks.
+    * Rank is emitted as LONG — a 32-bit rank would silently wrap past 2^31
+    * rows, at odds with the 100-TB framing. */
   def ranked(leaderboard: DataFrame, valueCol: String, tieBreak: String): DataFrame = {
     val spark = leaderboard.sparkSession
     val sortCols = Seq(col(valueCol).desc, col(tieBreak).asc)

@@ -48,6 +48,32 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("cumulated: a scaled decimal grid folds bit-identically to a sequential Long fold (the j59 contract)") {
+    import spark.implicits._
+    // IEEE-nasty 4-dp values (0.1-style non-representable decimals): raw
+    // double prefix sums differ across associations in the last ulp, but
+    // scaled to 1e-4 grid units they are integer-valued doubles, which
+    // add exactly in ANY association — so the distributed two-pass fold
+    // must equal a driver-side sequential Long fold bit-for-bit, at
+    // every rank, regardless of how range partitioning splits the frame.
+    val vals = (1 to 300).map(i => ((i * 7919 % 1000) + i / 10.0 + 0.1))
+      .map(v => math.rint(v * 10000) / 10000) // snap to the 4-dp grid
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "v")
+      .withColumn("vu", round(col("v") * 10000, 0))
+    val got = Serving.cumulated(df, "vu", "k")
+      .select(col("k"), col("vu"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // Sequential exact fold in rank order (vu DESC, k ASC) on Longs.
+    val seq = got.map { case (k, vu, _) => (k, vu) }
+      .sortBy { case (k, vu) => (-vu, k) }
+    var acc = 0L
+    val want = seq.map { case (k, vu) => acc += vu.toLong; (k, acc) }.toMap
+    got.foreach { case (k, _, cum) =>
+      assert(cum === want(k).toDouble, s"key $k")
+    }
+  }
+
   test("ranked with spark.graft.reliableCheckpoint=true uses a reliable checkpoint") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)

@@ -22,6 +22,18 @@ class SurveySyncSpec extends AnyFunSuite {
         missing.toSeq.sorted.mkString(", "))
   }
 
+  test("README.md's query count matches the live registry (r10 VERDICT: count drifted)") {
+    val readme = java.nio.file.Files.readString(
+      Bench.repoRoot.resolve("README.md"))
+    val counts = "\\((\\d+) (?:named|queries)\\)".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty, "README.md no longer states the query count")
+    val live = SparkEntry.queries.size
+    assert(counts.forall(_ == live),
+      s"README.md says ${counts.mkString("/")} but the registry has $live " +
+        "entries — update README.md's counts")
+  }
+
   test("every SURVEY-cited query name exists in the registry (no dangling citations)") {
     // Registry names have the shape <family><num>[letter]_<slug>: a
     // backticked token matching it that is NOT registered is a survey row

@@ -92,4 +92,15 @@ class SurvivalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(subj2.toSeq === Seq((0L, 1L, 1), (1L, 4L, 0)))
   }
+
+  test("logRank: a third group fails the job loudly (two-group contract enforced)") {
+    import spark.implicits._
+    val subj = Seq((0, 1L, 1), (1, 1L, 1), (2, 2L, 1))
+      .toDF("g", "t", "d")
+    val e = intercept[org.apache.spark.SparkException] {
+      Survival.logRank(subj, "g", 3).collect()
+    }
+    assert(e.getMessage.contains("exactly TWO groups") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly TWO groups")))
+  }
 }

@@ -578,6 +578,24 @@ class TextAnalysisSpec extends SparkSpec {
       (2, 3L, 5L, 3L, 1.0, 0.6)))
   }
 
+  test("bpeFrontier: bad budget lists fail loudly, not as a missing-column plan error") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab"), (2L, "b")).toDF("doc_id", "text")
+    // Duplicates would collide on _nsym_<m> columns.
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeFrontier(docs, "text", Seq(1, 1, 2))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeFrontier(docs, "text", Seq(-1, 2))
+    }
+    // A budget past the corpus' trainable merges (this corpus trains 2)
+    // names the dry budget instead of an opaque AnalysisException.
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeFrontier(docs, "text", Seq(1, 9))
+    }
+    assert(e.getMessage.contains("9") && e.getMessage.contains("dry"))
+  }
+
   test("rakeKeyphrases: hand-computed deg/freq scores; duplicate runs collapse to one row") {
     import spark.implicits._
     // Doc 1 "deep learning the deep model a model" with stopwords
