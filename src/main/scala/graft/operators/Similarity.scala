@@ -1640,16 +1640,23 @@ object Similarity {
     *
     * Scale shape: ONE exact reference (the pqAdcJoin broadcast-scan
     * budget: |corpus|·|queries| array-local L2 folds, per-query rank
-    * window), eagerly checkpointed and reused by every level; one
-    * [[pqAdcRefine]] per level (codebooks retrain per call here — they
-    * are deterministic, and a production caller shares a persisted
-    * [[buildPqCodeTable]] instead); hits via an output-scale
-    * (qid, id)-grain semi-join; recall is a ratio of exact integers.
+    * window), eagerly checkpointed and reused by every level — and ONE
+    * codebook train + encode + ADC scan SHARED across all levels (the
+    * [[ivfRecallCurve]] shared-reference shape): the ADC ranking runs
+    * once at max(candKs), its candidates are exact-rescored once, both
+    * checkpointed at output scale, and each level is just an
+    * `adc_rank <= candK` filter + re-rank over that frame. Nested
+    * candidate sets make the per-level output EQUAL to an independent
+    * [[pqAdcRefine]] at that budget (same deterministic codebooks, same
+    * windows/tie-breaks — spec-pinned), at 1/|candKs| the train cost.
+    * Hits via an output-scale (qid, id)-grain semi-join; recall is a
+    * ratio of exact integers.
     * Emits (cand_k, n_queries, hits, recall, cand_frac). */
   def pqRefineRecallCurve(embeddings: DataFrame, idCol: String,
                           vecCol: String, queryPred: Column, m: Int,
                           k: Int, iters: Int, candKs: Seq[Int],
                           topK: Int): DataFrame = {
+    require(candKs.nonEmpty, "candKs must be non-empty")
     val queries = embeddings.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
     val l2 = aggregate(zip_with(col(vecCol), col("_qv"),
@@ -1668,9 +1675,37 @@ object Similarity {
     val scal = exact.agg(
       countDistinct(col("qid")).cast("long").as("n_queries"))
     val n = embeddings.count() // bounded driver scalar: cand_frac denominator
+    // One train + encode + max-budget ADC scan, shared by every level.
+    val (sub, codebooks) = pqCodebooks(embeddings, idCol, vecCol, m, k, iters)
+    val encoded = encodeCodes(embeddings, idCol, vecCol, sub, codebooks)
+    val withLuts = (0 until m).foldLeft(queries) { (df, s) =>
+      val qs = slice(col("_qv"), s * sub + 1, sub)
+      df.withColumn(s"_lut$s", array(codebooks(s).map(c => sqDist(qs, c)): _*))
+    }.drop("_qv")
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_d2").asc, col(idCol).asc)
+    val cands = encoded
+      .crossJoin(broadcast(withLuts))
+      .withColumn("adc_d2", round((0 until m).map(s =>
+          element_at(col(s"_lut$s"), col(s"code_$s").cast("int")))
+        .reduce(_ + _), 6))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= candKs.max)
+      .select(col("qid"), col(idCol), col("adc_rank"))
+    // One exact re-score of the max-budget candidates (output scale:
+    // |queries|·max(candKs) rows), checkpointed; levels filter + re-rank.
+    val refined = embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("exact_d2", round(l2, 6))
+      .select(col("qid"), col(idCol), col("adc_rank"), col("exact_d2"))
+      .localCheckpoint(eager = true)
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("exact_d2").asc, col(idCol).asc)
     val perLevel = candKs.map { ck =>
-      pqAdcRefine(embeddings, idCol, vecCol, queryPred, m, k, iters, ck,
-          topK)
+      refined.filter(col("adc_rank") <= ck)
+        .withColumn("refine_rank", row_number().over(wRef))
+        .filter(col("refine_rank") <= topK)
         .select(col("qid"), col(idCol))
         .join(exact, Seq("qid", idCol), "left_semi")
         .agg(count(lit(1)).cast("long").as("hits"))

@@ -774,6 +774,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._5).toSeq === Seq(0.125, 0.5, 1.0))
   }
 
+  test("pqRefineRecallCurve: shared encode equals an independent pqAdcRefine at EVERY budget") {
+    import spark.implicits._
+    // The r11 rewrite trains/encodes ONCE and filters the max-budget ADC
+    // ranking per level; nested candidate sets + deterministic codebooks
+    // must make each level's hits EQUAL to a from-scratch pqAdcRefine at
+    // that budget (the per-level output-equality contract of the shared
+    // path). Uses the same deterministic corpus as the monotone test.
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val pred = $"vec_id" % 10 === 0
+    val candKs = Seq(3, 8, 20)
+    val curve = Similarity.pqRefineRecallCurve(vecs, "vec_id", "embedding",
+        pred, 2, 4, 2, candKs, 5)
+      .orderBy($"cand_k").collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    // Independent reference: pqAdcRefine at candK = corpus IS the exact
+    // top-k (pinned above); hits per budget from a from-scratch refine.
+    val exact = Similarity.pqAdcRefine(vecs, "vec_id", "embedding", pred,
+        2, 4, 2, 40, 5)
+      .select($"qid", $"vec_id").localCheckpoint(true)
+    val want = candKs.map { ck =>
+      (ck, Similarity.pqAdcRefine(vecs, "vec_id", "embedding", pred,
+          2, 4, 2, ck, 5)
+        .select($"qid", $"vec_id")
+        .join(exact, Seq("qid", "vec_id"), "left_semi").count())
+    }
+    assert(curve.toSeq === want)
+  }
+
   test("mutualNnMatches: reciprocal pairs survive, a hub's one-directional match does not") {
     import spark.implicits._
     // Two tight pairs (1,2) and (3,4) on the axes plus diagonal hub 5:
