@@ -797,6 +797,70 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL component maintenance — the cluster-side completion of
+    * the incremental near-dup column (x38/s12 maintain the PAIR stream
+    * incrementally; this maintains the LABELS): given `existing`, a valid
+    * [[connectedComponents]] labeling (node, label = component min id) of
+    * the pairs seen so far, and `newPairs`, a new batch of edges (e.g.
+    * one [[incrementalNearDup]] emission), produce the labeling of the
+    * UNION graph — equal to re-running connectedComponents from scratch
+    * over all pairs (scalacheck split-equivalence pinned) — while only
+    * ever computing on the TOUCHED part of the graph.
+    *
+    * Merge-then-relabel: each new edge's endpoints CONTRACT to their
+    * existing component labels (themselves when unseen), connected
+    * components runs on that contracted graph — batch-sized, never the
+    * corpus: old components are single contracted nodes — and the result
+    * relabels only the components it touched. Min-label propagation over
+    * min-id labels keeps the invariant: the merged component's new label
+    * is the min id across every member component, so outputs compose
+    * across any batch sequence.
+    *
+    * Scale shape: `existing` is never shuffled — its two appearances are
+    * (a) a broadcast-semi-join label extraction for the batch's endpoints
+    * and (b) a broadcast-hash relabel join against the (tiny) contracted
+    * component map; both single scans. The CC loop runs on a frame
+    * bounded by the BATCH's edge count. At 100 TB the labeling lives in
+    * a parquet table and (b)'s output upserts only changed rows. */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+                      aCol: String, bCol: String,
+                      maxIter: Int = 20): DataFrame = {
+    val ends = newPairs.select(col(aCol).as("node"))
+      .union(newPairs.select(col(bCol).as("node")))
+      .distinct()
+      .localCheckpoint() // batch-bounded; broadcast twice below
+    // Labels of the touched endpoints only: one broadcast-semi scan of
+    // existing, never a shuffle of it.
+    val touched = existing.select(col("node"), col("label"))
+      .join(broadcast(ends), Seq("node"), "left_semi")
+      .localCheckpoint()
+    val contracted = newPairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .join(broadcast(touched.select(col("node").as("_a"),
+        col("label").as("_la"))), Seq("_a"), "left_outer")
+      .join(broadcast(touched.select(col("node").as("_b"),
+        col("label").as("_lb"))), Seq("_b"), "left_outer")
+      .select(coalesce(col("_la"), col("_a")).as("la"),
+        coalesce(col("_lb"), col("_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    // CC over the contracted graph: nodes are old component labels and
+    // brand-new ids; min-label = min id of the merged component.
+    val cc = connectedComponents(contracted, "la", "lb", maxIter)
+    val newNodes = ends // anti vs touched ≡ anti vs existing (touched = existing ∩ ends)
+      .join(touched.select(col("node")), Seq("node"), "left_anti")
+    val relabeled = existing
+      .join(broadcast(cc.select(col("node").as("label"),
+        col("label").as("_nl"))), Seq("label"), "left_outer")
+      .select(col("node"), coalesce(col("_nl"), col("label")).as("label"))
+    // A new node always reaches the contracted CC (its own contracted id
+    // is itself, and no existing component is labeled by a new id), so
+    // the left join below never misses — coalesce is the unpaired-new-
+    // node guard only for callers feeding pairs with a == b.
+    val newLabeled = newNodes
+      .join(broadcast(cc), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    relabeled.unionByName(newLabeled)
+  }
+
   /** Near-dup CLUSTER assignment over documents: MinHash+LSH pairs
     * ([[minHashNearDup]]) → connected components → every doc labeled with
     * its cluster id (the component's min doc id; itself when it has no
@@ -861,9 +925,11 @@ object Dedup {
   }
 
   /** Shared tail of the cluster operators: label every row with its
-    * component's min id (itself when unpaired), keep=1 on the canonical. */
-  private def labelClusters(rows: DataFrame, comps: DataFrame,
-                            idCol: String): DataFrame =
+    * component's min id (itself when unpaired), keep=1 on the canonical.
+    * Public so incremental maintainers ([[mergeComponents]] folds) can
+    * project the same (id, cluster_id, keep) read as the one-shot ops. */
+  def labelClusters(rows: DataFrame, comps: DataFrame,
+                    idCol: String): DataFrame =
     rows.select(col(idCol))
       .join(comps, rows(idCol) === comps("node"), "left_outer")
       .select(col(idCol),

@@ -3218,6 +3218,32 @@ object Registry {
       },
       Some(minHashOracleSql)),
 
+    ("x157_incremental_clusters",
+      // Incremental near-dup CLUSTER maintenance (Dedup.mergeComponents):
+      // x38 maintains the pair stream incrementally but x25's labels
+      // rebuilt from scratch per refresh — this folds each batch's
+      // incrementalNearDup emission into the standing labeling via
+      // merge-then-relabel (contract endpoints to existing labels, CC on
+      // the batch-sized contracted graph, one broadcast relabel join —
+      // the standing labels never shuffle). Equivalence to the one-shot
+      // rebuild is scalacheck-pinned; oracle = x25's recursive closure.
+      (s: SparkSession, dir: String) => {
+        val idx = scratch("x157")
+        val docs = Tables.documents(s, dir)
+        val empty = docs
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+          .limit(0)
+        val labels = (0 until 3).foldLeft(empty) { (lab, b) =>
+          Dedup.mergeComponents(lab,
+              Dedup.incrementalNearDup(docs.where(col("doc_id") % 3 === b),
+                "doc_id", "text", 3, 0.8, idx + "/index"),
+              "id_a", "id_b")
+            .localCheckpoint(eager = true)
+        }
+        Dedup.labelClusters(docs, labels, "doc_id").orderBy(col("doc_id"))
+      },
+      Some(nearDupClustersOracleSql)),
+
     ("x33_incremental_dedup",
       // Incremental ingest dedup: a deterministic 10% hash slice of the
       // documents table plays the "new batch", the rest the existing
