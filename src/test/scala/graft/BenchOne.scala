@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * not part of the driver contract. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // Default matches graft.Bench (floors are frozen at sf0.1): the old
+    // sf0.01 default silently timed the WRONG tier whenever the env var
+    // was unset (r11 caught two interim freezes taken that way).
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    println(s"[benchone] sf dir: $dir")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
