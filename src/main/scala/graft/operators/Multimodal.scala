@@ -25,12 +25,72 @@ object Multimodal {
       StructField("mime", StringType, nullable = false),
       StructField("n_bytes", LongType, nullable = false))), nullable = false)))
 
-  /** Real decoder entry point — deliberately unimplemented here (no codec
-    * libs in the build environment). Replace with an actual decoder; the
-    * rest of the pipeline is agnostic to it. */
-  def decodeStub(bytes: Array[Byte]): Nothing =
-    throw new NotImplementedError(
+  /** A decoded single-channel image: `pixels` row-major, one byte per
+    * pixel (0 = black). The minimal carrier the block-grid aHash needs. */
+  final case class GrayImage(w: Int, h: Int, pixels: Array[Byte])
+
+  /** The one deterministic format the stub CAN decode (r10 ask #7): a
+    * trivial raw-grayscale container — magic `GR8`, big-endian u16 width
+    * and height, then exactly w·h gray bytes. Enough codec surface to
+    * exercise the real image path (header parse, dimension-dependent
+    * layout, length validation) without any library. */
+  def decodeRawGray(bytes: Array[Byte]): GrayImage = {
+    require(bytes.length >= 7 &&
+      bytes(0) == 'G'.toByte && bytes(1) == 'R'.toByte &&
+      bytes(2) == '8'.toByte, "not a GR8 payload")
+    val w = ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    val h = ((bytes(5) & 0xff) << 8) | (bytes(6) & 0xff)
+    require(bytes.length == 7 + w * h,
+      s"GR8 payload: header says ${w}x$h (${7 + w * h} bytes) but got ${bytes.length}")
+    GrayImage(w, h, java.util.Arrays.copyOfRange(bytes, 7, bytes.length))
+  }
+
+  /** Real decoder entry point. Production codecs (JPEG/PNG/audio/video)
+    * are not available in this build environment, so anything but the
+    * synthetic [[decodeRawGray]] format still throws; the rest of the
+    * pipeline is agnostic to what lands here. */
+  def decodeStub(bytes: Array[Byte]): GrayImage =
+    if (bytes.length >= 3 && bytes(0) == 'G'.toByte &&
+        bytes(1) == 'R'.toByte && bytes(2) == '8'.toByte)
+      decodeRawGray(bytes)
+    else throw new NotImplementedError(
       "media codec not available in this environment; use fake features")
+
+  /** The IMAGE-path aHash [[perceptualHashPairs]]' scaladoc promises: 64
+    * bits over the 8×8 BLOCK GRID of a decoded image — bit b set iff
+    * block b's mean luma exceeds the global mean — versus the byte-stream
+    * path's 64 consecutive windows over the row-major payload. Blocks are
+    * SPATIAL (a block spans h/8 rows × w/8 columns), so the two paths
+    * genuinely diverge on 2-D structure (spec-pinned: a row-mirrored
+    * stripe image is all-zero under blocks but half-ones under windows).
+    * Same integer discipline as [[graft.functions.AHashBits]]: the
+    * compare is the cross-product `blockSum·N > total·blockPixels` — no
+    * division, no floats. Only the top-left 8·(w/8) × 8·(h/8) region
+    * participates (the floor-crop analog of aHash's resize step);
+    * images under 8×8 have no grid and return null. */
+  def aHashBitsOnBlocks(img: GrayImage): Option[Seq[Int]] = {
+    val bw = img.w / 8
+    val bh = img.h / 8
+    if (bw == 0 || bh == 0) None
+    else {
+      val sums = Array.ofDim[Long](64)
+      var total = 0L
+      var r = 0
+      while (r < 8 * bh) {
+        var c = 0
+        while (c < 8 * bw) {
+          val v = (img.pixels(r * img.w + c) & 0xff).toLong
+          sums((r / bh) * 8 + (c / bw)) += v
+          total += v
+          c += 1
+        }
+        r += 1
+      }
+      val nPix = 64L * bh * bw
+      val nBlock = bh.toLong * bw
+      Some(sums.map(s => if (s * nPix > total * nBlock) 1 else 0).toSeq)
+    }
+  }
 
   /** Deterministic stand-in featurizer: 4 doubles in [0,1) derived from the
     * md5 of the payload (8 hex chars per feature / 2^32). Stands in for a

@@ -168,6 +168,73 @@ object BenchGuard {
     if (!superlinear) failed ::= "ahash_probe_superlinear"
     if (!nativeWins) failed ::= "ahash_probe_native"
 
+    // ---- Pair-scorer GROWTH probe (r10 ask #6): the Σ_pairs claim ----
+    // The family's scale story is that cost is OUTPUT-scale (Σ over the
+    // candidate pairs), measured so far only as a point at sf0.1. This
+    // probe measures the GROWTH EXPONENT directly: a deterministic
+    // synthetic corpus, two DISJOINT pair lists of P and 2P pairs (so the
+    // endpoint-doc count doubles too), and a ≤2.3x time-growth gate on
+    // rougeN / chrfPairs / werPairs (linear predicts 2x; the slack covers
+    // fixed per-job overheads and min-of-3 jitter). The negative probe is
+    // the classic quadratic mistake — all-pairs gram intersection over
+    // the endpoint docs with the requested-pair filter applied LAST —
+    // which must show >= 3x growth (doubling endpoints quadruples the
+    // per-gram join fan-out) or the gate has no teeth.
+    import org.apache.spark.sql.DataFrame
+    val P = 1500
+    val synthCorpus = spark.range(4L * P).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          substring(md5(concat(col("id"), lit(s":$j"))), 1, 4)): _*)
+          .as("text"))
+      .localCheckpoint(eager = true)
+    def disjointPairs(k: Int) = spark.range(k)
+      .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+      .localCheckpoint(eager = true)
+    val pairs1 = disjointPairs(P)
+    val pairs2 = disjointPairs(2 * P)
+    def growthOf(name: String,
+                 f: (DataFrame, DataFrame) => DataFrame): Double = {
+      timeNoop(f(synthCorpus, pairs1)) // warmup
+      val t1 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pairs1))).min
+      val t2 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pairs2))).min
+      val g = t2 / math.max(t1, 1e-9)
+      println(f"[benchguard] growth probe $name: P=$P $t1%.2f s, 2P $t2%.2f s -> ${g}%.2fx")
+      g
+    }
+    val gateG = 2.3
+    Seq[(String, (DataFrame, DataFrame) => DataFrame)](
+      ("rougeN", (d, p) => graft.operators.Eval.rougeN(d, p, "doc_id", "text", 2)),
+      ("chrfPairs", (d, p) => graft.operators.Eval.chrfPairs(d, p, "doc_id", "text")),
+      ("werPairs", (d, p) => graft.operators.Eval.werPairs(d, p, "doc_id", "text"))
+    ).foreach { case (name, f) =>
+      val g = growthOf(name, f)
+      if (g > gateG) {
+        println(f"[benchguard] growth probe $name FAILS the ${gateG}%.1fx gate")
+        failed ::= s"growth_$name"
+      }
+    }
+    def quadraticRouge(d: DataFrame, p: DataFrame): DataFrame = {
+      val pruned = d.join(broadcast(
+          p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+            .distinct()), Seq("doc_id"), "left_semi")
+      val grams = pruned.select(col("doc_id"),
+          explode(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .as("_g"))
+        .groupBy(col("doc_id"), col("_g"))
+        .agg(count(lit(1)).cast("long").as("_c"))
+      grams.select(col("doc_id").as("id_a"), col("_g"), col("_c").as("_ca"))
+        .join(grams.select(col("doc_id").as("id_b"), col("_g"),
+          col("_c").as("_cb")), Seq("_g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as("overlap"))
+        .join(p, Seq("id_a", "id_b"), "left_semi") // pair filter LAST: the bug
+    }
+    val gQuad = growthOf("quadratic(negative)", quadraticRouge)
+    val quadFires = gQuad >= 3.0
+    println(f"[benchguard] growth negative probe: ${gQuad}%.2fx -> ${if (quadFires) "DETECTOR FIRES (good)" else "DETECTOR SILENT (bad)"}")
+    if (!quadFires) failed ::= "growth_negative_probe"
+
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[benchguard] FAILED: ${failed.reverse.mkString(", ")}")

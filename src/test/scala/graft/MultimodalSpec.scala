@@ -125,6 +125,54 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count(_.isNullAt(1)) === 2) // the 63-char and 5-char payloads
   }
 
+  test("GR8 decode: header round-trip, length validation, non-GR8 stays unimplemented") {
+    val px = Array.tabulate(6 * 4)(i => i.toByte)
+    val payload = Array[Byte]('G', 'R', '8', 0, 6, 0, 4) ++ px
+    val img = Multimodal.decodeStub(payload)
+    assert((img.w, img.h) === ((6, 4)))
+    assert(img.pixels.toSeq === px.toSeq)
+    intercept[IllegalArgumentException] { // truncated body fails loudly
+      Multimodal.decodeRawGray(payload.dropRight(1))
+    }
+    intercept[NotImplementedError] { // a real codec is still a stub
+      Multimodal.decodeStub("JFIFnotraw".getBytes("UTF-8"))
+    }
+  }
+
+  test("aHashBitsOnBlocks: hand-computed block grid; diverges from the byte-window path on 2-D structure") {
+    import spark.implicits._
+    // Hand case: 8x8 image (1-px blocks), top half 200, bottom half 10 —
+    // global mean 105, top 32 blocks fire, bottom 32 don't.
+    val halves = Multimodal.GrayImage(8, 8,
+      Array.fill(32)(200.toByte) ++ Array.fill(32)(10.toByte))
+    assert(Multimodal.aHashBitsOnBlocks(halves) ===
+      Some(Seq.fill(32)(1) ++ Seq.fill(32)(0)))
+    // Sub-grid image has no 8x8 block structure.
+    assert(Multimodal.aHashBitsOnBlocks(
+      Multimodal.GrayImage(7, 8, Array.fill(56)(1.toByte))) === None)
+    // DIVERGENCE pin (the reason the image path is not just the byte
+    // path): a 16x16 row-mirrored stripe image — even rows bright-left
+    // ('a'*8 + '!'*8), odd rows bright-right. Every SPATIAL 2x2 block
+    // holds 2 bright + 2 dark pixels, so every block mean EQUALS the
+    // global mean and the strict compare gives all-zero bits; the byte-
+    // stream path's 64 consecutive 4-byte windows each sit inside one
+    // half-row, so exactly half of them fire. ASCII pixels keep the
+    // payload valid UTF-8, so byte == code point for AHashBits.
+    val bright = "a"; val dark = "!"
+    val evenRow = bright * 8 + dark * 8
+    val oddRow = dark * 8 + bright * 8
+    val rows = (0 until 16).map(r => if (r % 2 == 0) evenRow else oddRow)
+    val streamed = rows.mkString
+    val img = Multimodal.GrayImage(16, 16, streamed.getBytes("UTF-8"))
+    val blockBits = Multimodal.aHashBitsOnBlocks(img).get
+    assert(blockBits === Seq.fill(64)(0))
+    val windowBits = Seq((1L, streamed)).toDF("id", "payload")
+      .select(graft.functions.AHashBits(col("payload")).as("bits"))
+      .head.getSeq[Int](0)
+    assert(windowBits.count(_ == 1) === 32)
+    assert(blockBits !== windowBits)
+  }
+
   test("perceptualHashPairs: window-mean bits pair near-identical payloads; far payloads verify out; short drop") {
     // 64-char payloads, window width 1. Docs 1-3 share the a*32/b*32 bit
     // pattern (doc 3's trailing 'c' stays above the mean → same bits);
