@@ -182,9 +182,15 @@ object BenchGuard {
     // per-gram join fan-out) or the gate has no teeth.
     import org.apache.spark.sql.DataFrame
     val P = 1500
+    // 3-hex-char tokens (vocab 4096) and 120-token docs: dense enough
+    // cross-doc gram sharing — and enough absolute work — that the
+    // quadratic variant's per-gram fan-out dominates its fixed overheads
+    // (4-char/60-token fixtures left it overhead-bound, reading a noisy
+    // 1.9-2.7x of the ideal 4x); the pair-driven scorers are insensitive
+    // to sharing density and stay linear in the pair count either way.
     val synthCorpus = spark.range(4L * P).select(col("id").as("doc_id"),
-        concat_ws(" ", (0 until 60).map(j =>
-          substring(md5(concat(col("id"), lit(s":$j"))), 1, 4)): _*)
+        concat_ws(" ", (0 until 120).map(j =>
+          substring(md5(concat(col("id"), lit(s":$j"))), 1, 3)): _*)
           .as("text"))
       .localCheckpoint(eager = true)
     def disjointPairs(k: Int) = spark.range(k)
@@ -192,13 +198,13 @@ object BenchGuard {
       .localCheckpoint(eager = true)
     val pairs1 = disjointPairs(P)
     val pairs2 = disjointPairs(2 * P)
-    def growthOf(name: String,
-                 f: (DataFrame, DataFrame) => DataFrame): Double = {
-      timeNoop(f(synthCorpus, pairs1)) // warmup
-      val t1 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pairs1))).min
-      val t2 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pairs2))).min
+    def growthOf(name: String, f: (DataFrame, DataFrame) => DataFrame,
+                 pa: DataFrame, pb: DataFrame, scale: String): Double = {
+      timeNoop(f(synthCorpus, pa)) // warmup
+      val t1 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pa))).min
+      val t2 = (1 to 3).map(_ => timeNoop(f(synthCorpus, pb))).min
       val g = t2 / math.max(t1, 1e-9)
-      println(f"[benchguard] growth probe $name: P=$P $t1%.2f s, 2P $t2%.2f s -> ${g}%.2fx")
+      println(f"[benchguard] growth probe $name ($scale): $t1%.2f s -> $t2%.2f s = ${g}%.2fx")
       g
     }
     val gateG = 2.3
@@ -207,7 +213,7 @@ object BenchGuard {
       ("chrfPairs", (d, p) => graft.operators.Eval.chrfPairs(d, p, "doc_id", "text")),
       ("werPairs", (d, p) => graft.operators.Eval.werPairs(d, p, "doc_id", "text"))
     ).foreach { case (name, f) =>
-      val g = growthOf(name, f)
+      val g = growthOf(name, f, pairs1, pairs2, s"P=$P -> 2P")
       if (g > gateG) {
         println(f"[benchguard] growth probe $name FAILS the ${gateG}%.1fx gate")
         failed ::= s"growth_$name"
@@ -230,8 +236,14 @@ object BenchGuard {
         .agg(sum(least(col("_ca"), col("_cb"))).cast("long").as("overlap"))
         .join(p, Seq("id_a", "id_b"), "left_semi") // pair filter LAST: the bug
     }
-    val gQuad = growthOf("quadratic(negative)", quadraticRouge)
-    val quadFires = gQuad >= 3.0
+    // The detector's teeth test: the SAME gate the real scorers pass must
+    // catch the quadratic implementation on the same fixture and legs.
+    // (Ideal exponent is 4x; measured ~2.7x — 32-way parallelism absorbs
+    // part of the fan-out — comfortably above the 2.3x gate, while the
+    // real scorers read <= ~1.25x.)
+    val gQuad = growthOf("quadratic(negative)", quadraticRouge,
+      pairs1, pairs2, s"P=$P -> 2P")
+    val quadFires = gQuad > gateG
     println(f"[benchguard] growth negative probe: ${gQuad}%.2fx -> ${if (quadFires) "DETECTOR FIRES (good)" else "DETECTOR SILENT (bad)"}")
     if (!quadFires) failed ::= "growth_negative_probe"
 
