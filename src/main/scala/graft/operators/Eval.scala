@@ -525,6 +525,39 @@ object Eval {
     * any corpus size. A zero-token reference floors the denominator at 1
     * (dist is then |tokens_a| and wer = dist — the 0/0 guard both
     * engines share). */
+  /** Character error rate over a candidate pair list — [[werPairs]]'
+    * sub-word twin and the OCR/ASR fine-grain standard: cer(a→b) =
+    * editDist(chars_a, chars_b) / |chars_b|. Where WER charges a whole
+    * word for one typo, CER prices the typo itself — the right grain for
+    * transcription noise, OCR artifacts and near-dup triage of lightly
+    * corrupted copies. Reference-directional like WER; a zero-length
+    * reference floors the denominator at 1.
+    *
+    * Scale shape: the family discipline — docs prune to pair endpoints,
+    * texts join to pairs at pair grain, then the whole alignment is
+    * Spark's built-in codegen `levenshtein` per pair (array-local, no
+    * explode, no shuffle past the pair join); cost Σ_pairs |a|·|b| chars,
+    * linear in the pair count. Engine note: Spark's levenshtein counts
+    * CODE POINTS while DuckDB's counts BYTES — identical on ASCII
+    * corpora, so the oracle guards the ASCII precondition with error()
+    * instead of silently diverging (the x149 lesson, applied up front). */
+  def cerPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val pruned = endpointDocs(docs, pairs, idCol)
+      .select(col(idCol), col(textCol).as("_s"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(pruned.select(col(idCol).as("id_a"), col("_s").as("_sa")),
+        Seq("id_a"))
+      .join(pruned.select(col(idCol).as("id_b"), col("_s").as("_sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        length(col("_sb")).cast("long").as("n_ref_chars"),
+        levenshtein(col("_sa"), col("_sb")).cast("long").as("edit_dist"))
+      .select(col("id_a"), col("id_b"), col("n_ref_chars"), col("edit_dist"),
+        round(col("edit_dist").cast("double") /
+          greatest(col("n_ref_chars"), lit(1L)), 6).as("cer"))
+  }
+
   def werPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                textCol: String): DataFrame = {
     val toks = endpointDocs(docs, pairs, idCol).select(col(idCol),

@@ -8122,6 +8122,51 @@ object Registry {
         |AS wer FROM st ORDER BY id_a, id_b"""
         .stripMargin.replace("\n", " "))),
 
+    ("x158_cer_pairs",
+      // Character error rate over x6's exact-Jaccard candidate pairs at
+      // 0.5 (operators/Eval.cerPairs): werPairs' sub-word twin — raw-text
+      // Levenshtein / reference chars via Spark's codegen levenshtein
+      // (code-point based; DuckDB's is BYTE based, identical only on
+      // ASCII, so the oracle ERRORS on a non-ASCII corpus instead of
+      // silently diverging — the x149 guard discipline applied up front).
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Eval.cerPairs(docs,
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+              .localCheckpoint(eager = true),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |list_transform(generate_series(1, len(t) - 2),
+        |i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |ELSE [] END AS sl FROM toks),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sl) AS s
+        |FROM sh0),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |prs AS (SELECT ia AS id_a, ib AS id_b FROM inter
+        |JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |pt AS (SELECT p.id_a, p.id_b, a.text AS sa, b.text AS sb
+        |FROM prs p JOIN documents a ON a.doc_id = p.id_a
+        |JOIN documents b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b,
+        |CAST(length(sb) AS BIGINT) AS n_ref_chars,
+        |CAST(levenshtein(sa, sb) AS BIGINT) AS edit_dist,
+        |round(CAST(levenshtein(sa, sb) AS DOUBLE) /
+        |greatest(length(sb), 1), 6) AS cer
+        |FROM pt WHERE (SELECT CASE WHEN count(*) > 0 THEN
+        |error('x158 oracle: non-ASCII corpus; byte levenshtein diverges')
+        |ELSE 1 END FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) <> length(text)) = 1
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     ("x151_rake_keyphrases",
       // RAKE keyphrase extraction (TextAnalysis.rakeKeyphrases,
       // stopwords {a, the}, top 3): the unsupervised per-doc tagger —

@@ -204,6 +204,24 @@ class EvalSpec extends SparkSpec {
     assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
   }
 
+  test("cerPairs: char-grain alignment prices the typo WER charges a word for; empty ref floors") {
+    import spark.implicits._
+    // (1,2): "kitten" vs "sitting" — the textbook distance 3 over 7 ref
+    // chars. (3,4): one-char typo in a 11-char text: wer would read 1/2,
+    // cer reads 1/11. (5,6): empty reference → denominator floored at 1.
+    val docs = Seq((1L, "kitten"), (2L, "sitting"),
+      (3L, "hello wrold"), (4L, "hello world"),
+      (5L, "ab"), (6L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = graft.operators.Eval.cerPairs(docs, pairs, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out(0) === ((1L, 2L, 7L, 3L, 0.428571)))
+    assert(out(1) === ((3L, 4L, 11L, 2L, 0.181818)))
+    assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),
