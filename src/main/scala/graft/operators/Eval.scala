@@ -575,4 +575,54 @@ object Eval {
         round(col("edit_dist").cast("double") /
           greatest(col("n_ref"), lit(1L)), 6).as("wer"))
   }
+
+  /** Paired sign-flip PERMUTATION test — the significance read every
+    * system comparison in this eval ladder is missing: given one LONG
+    * delta per item (metric_A − metric_B, on an integer grid — callers
+    * with double metrics scale to grid units first, the cumulated()/j59
+    * discipline, so every fold is exact in any association), is the
+    * observed total delta distinguishable from chance? Under H₀ the two
+    * systems are exchangeable per item, so each delta's sign is a fair
+    * coin: resample b flips item i's sign on the parity of
+    * md5(salt:b:i) — deterministic, partitioning-invariant, identical in
+    * any engine — and the two-sided p-value is the add-one-smoothed
+    * fraction of resamples at least as extreme as observed,
+    * (1 + #{b : |Σ flipped| ≥ |Σ observed|}) / (B + 1). The standard
+    * paired randomization test (the exact-test sibling of Koehn 2004's
+    * bootstrap resampling for MT system comparison).
+    *
+    * Scale shape: ONE grid explode (B signs per item — B·n rows of
+    * (b, ±delta), never text or features) into a map-side-combined
+    * per-b sum (B groups), then a scalar fold against the broadcast
+    * observed row. No window, no driver-side data; the only exchange
+    * carries B partial sums per task. Emits one row:
+    * (n_items, obs_delta_sum, n_resamples, n_as_extreme, p_value). */
+  def pairedPermutationTest(df: DataFrame, idCol: String, deltaCol: String,
+                            resamples: Int, salt: String): DataFrame = {
+    require(resamples > 0, "resamples must be positive")
+    val d = df.select(col(idCol).as("_id"),
+      col(deltaCol).cast("long").as("_d"))
+    val obs = d.agg(sum(col("_d")).as("_obs"),
+      count(lit(1)).cast("long").as("n_items"))
+    val parity = conv(substring(md5(concat(lit(s"$salt:"),
+        col("_b").cast("string"), lit(":"), col("_id").cast("string"))),
+      1, 2), 16, 10).cast("long") % 2
+    val sums = d
+      .select(col("_id"), col("_d"),
+        explode(sequence(lit(1), lit(resamples))).as("_b"))
+      .select(col("_b"),
+        when(parity === 0, col("_d")).otherwise(-col("_d")).as("_fd"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_fd")).as("_fs"))
+    sums.crossJoin(broadcast(obs))
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("_obs")).cast("long").as("obs_delta_sum"),
+        lit(resamples).cast("long").as("n_resamples"),
+        sum(when(abs(col("_fs")) >= abs(col("_obs")), 1L).otherwise(0L))
+          .cast("long").as("n_as_extreme"))
+      .select(col("n_items"), col("obs_delta_sum"), col("n_resamples"),
+        col("n_as_extreme"),
+        round((col("n_as_extreme") + 1).cast("double") /
+          (col("n_resamples") + 1), 6).as("p_value"))
+  }
 }

@@ -8167,6 +8167,49 @@ object Registry {
         |WHERE octet_length(CAST(text AS BLOB)) <> length(text)) = 1
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x159_paired_permutation",
+      // Paired sign-flip permutation significance (Eval.
+      // pairedPermutationTest, B=500): is the chars/5 token-estimate
+      // heuristic (the classic pricing rule of thumb) biased against the
+      // real whitespace tokenizer beyond chance on this corpus? Integer
+      // per-doc deltas (ws_tokens − round(chars/5); length/5.0 never
+      // lands on .5 so the two engines' round modes can't split),
+      // deterministic md5-parity sign flips, add-one-smoothed two-sided
+      // p — the system-comparison significance read the eval ladder was
+      // missing (Koehn 2004's exact-test sibling). One B-per-item grid
+      // explode into a map-side-combined per-resample sum; B groups, no
+      // window. (x10's ws-vs-BPE pair is per-doc IDENTICAL on this
+      // corpus — a degenerate p = 1 — hence the heuristic comparison.)
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val deltas = docs.select(col("doc_id"),
+          (size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+            .cast("long") -
+            round(length(col("text")) / 5.0, 0).cast("long")).as("delta"))
+        graft.operators.Eval.pairedPermutationTest(deltas, "doc_id",
+          "delta", 500, "x159")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |t -> t <> '')) AS BIGINT) -
+        |CAST(round(length(text) / 5.0) AS BIGINT) AS d
+        |FROM documents),
+        |obs AS (SELECT sum(d) AS s, count(*) AS n FROM t),
+        |g AS (SELECT unnest(generate_series(1, 500)) AS b),
+        |f AS (SELECT g.b, CASE WHEN
+        |('0x' || substr(md5('x159:' || g.b || ':' || t.doc_id), 1, 2))
+        |::BIGINT % 2 = 0 THEN t.d ELSE -t.d END AS fd
+        |FROM g CROSS JOIN t),
+        |sm AS (SELECT b, sum(fd) AS fs FROM f GROUP BY 1)
+        |SELECT CAST(any_value(o.n) AS BIGINT) AS n_items,
+        |CAST(any_value(o.s) AS BIGINT) AS obs_delta_sum,
+        |CAST(500 AS BIGINT) AS n_resamples,
+        |CAST(count(*) FILTER (WHERE abs(fs) >= abs(o.s)) AS BIGINT)
+        |AS n_as_extreme,
+        |round(CAST(count(*) FILTER (WHERE abs(fs) >= abs(o.s)) + 1
+        |AS DOUBLE) / 501, 6) AS p_value
+        |FROM sm CROSS JOIN obs o""".stripMargin.replace("\n", " "))),
+
     ("x151_rake_keyphrases",
       // RAKE keyphrase extraction (TextAnalysis.rakeKeyphrases,
       // stopwords {a, the}, top 3): the unsupervised per-doc tagger —

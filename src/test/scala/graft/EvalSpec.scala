@@ -222,6 +222,34 @@ class EvalSpec extends SparkSpec {
     assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
   }
 
+  test("pairedPermutationTest: one-sided signal hits the add-one floor; a perfect null reads p = 1; same salt reproduces") {
+    import spark.implicits._
+    def run(deltas: Seq[Long], b: Int, salt: String) =
+      graft.operators.Eval.pairedPermutationTest(
+          deltas.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+            .toDF("id", "delta"),
+          "id", "delta", b, salt)
+        .collect().head
+    // 80 items all +1: a flipped sum reaches |80| only when every one of
+    // the 80 md5 parities agrees (P ~ 2^-79 per resample) — so
+    // n_as_extreme = 0 and p sits exactly on the add-one floor 1/(B+1).
+    val strong = run(Seq.fill(80)(1L), 99, "s")
+    assert((strong.getLong(0), strong.getLong(1), strong.getLong(2),
+      strong.getLong(3), strong.getDouble(4)) === ((80L, 80L, 99L, 0L, 0.01)))
+    // Perfectly balanced deltas: observed sum 0, every resample is at
+    // least as extreme by definition -> p exactly 1.
+    val nullCase = run(Seq.tabulate(80)(i => if (i % 2 == 0) 1L else -1L),
+      99, "s")
+    assert(nullCase.getLong(1) === 0L)
+    assert(nullCase.getLong(3) === 99L)
+    assert(nullCase.getDouble(4) === 1.0)
+    // Determinism: the salted hash makes the resample plan a pure
+    // function of (salt, B, ids) — identical calls agree exactly.
+    val a = run(Seq(3L, -1L, 2L, -2L, 1L), 64, "t")
+    val b2 = run(Seq(3L, -1L, 2L, -2L, 1L), 64, "t")
+    assert(a.toSeq === b2.toSeq)
+  }
+
   test("rougeN: clipped counts score below distinct-set Dice and cap repeat credit") {
     import spark.implicits._
     val docs = Seq((1L, "x x x y"), (2L, "x y y"),
