@@ -2363,6 +2363,21 @@ object Registry {
       },
       Some(minHashOracleSql)),
 
+    ("s40_stream_clusters",
+      // Streaming incremental CLUSTER maintenance: x157's mergeComponents
+      // fold under real micro-batches (maxFilesPerTrigger=1) — each
+      // batch's incrementalNearDup emission merges into a versioned
+      // labels snapshot (write-new-version + pointer flip; replay drains
+      // via the pointer-as-marker). Final doc labeling ≡ the one-shot x25
+      // rebuild by the split-equivalence law, so x25's oracle verbatim.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s40")
+        graft.streaming.Streaming.runStreamIncrementalClusters(
+            s, dir, base + "/ic")
+          .orderBy(col("doc_id"))
+      },
+      Some(nearDupClustersOracleSql)),
+
     ("s13_stream_scd2",
       // Streaming SCD2 dimension maintenance: events replayed as three
       // time-sliced micro-batches (maxFilesPerTrigger=1), each folded into

@@ -781,11 +781,12 @@ object Streaming {
     * and streamed with `maxFilesPerTrigger=1`, so the replay exercises
     * REAL multi-batch increments; batch order is irrelevant by the
     * disjoint-split equivalence. */
-  def runStreamNearDup(spark: SparkSession, dir: String, base: String): DataFrame = {
-    // Residue-slice staging cached per dir — a pure function of the input
-    // table (same discipline as stagedEventSlices); the checkpoint, pairs
-    // sink, and signature index stay per-run under `base`.
-    val landing = stagedSliceDirs.computeIfAbsent(s"$dir#nd#3", _ => {
+  /** Residue-slice staging of the documents table, cached per dir — a
+    * pure function of the input table (same discipline as
+    * stagedEventSlices); shared by every doc-batched streaming runner
+    * ([[runStreamNearDup]], [[runStreamIncrementalClusters]]). */
+  private def stagedDocSlices(spark: SparkSession, dir: String): String =
+    stagedSliceDirs.computeIfAbsent(s"$dir#nd#3", _ => {
       val l = graft.Scratch.dir("graft-ndslices").toString
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
@@ -801,6 +802,11 @@ object Streaming {
       }
       l
     })
+
+  def runStreamNearDup(spark: SparkSession, dir: String, base: String): DataFrame = {
+    // The checkpoint, pairs sink, and signature index stay per-run
+    // under `base`; the landing slices are shared per input dir.
+    val landing = stagedDocSlices(spark, dir)
     val pairsSink = new AppendOnceSink(s"$base/pairs")
     val q = spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -819,6 +825,63 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$base/pairs")
+  }
+
+  /** Streaming incremental near-dup CLUSTER maintenance — x157's
+    * [[graft.operators.Dedup.mergeComponents]] fold under real
+    * micro-batches, the streaming seat of the incremental-cluster column:
+    * each batch LSH-joins only the persisted signature index
+    * ([[runStreamNearDup]]'s increment — never the corpus) and its pair
+    * emission folds into a versioned LABELS snapshot via merge-then-
+    * relabel, through [[versionedStep]]'s write-new-version + pointer-flip
+    * discipline. The standing labels never shuffle; per-batch work is
+    * bounded by the batch and its true candidate set. The final read
+    * labels every doc with its component min id, which equals the one-shot
+    * x25 rebuild by the mergeComponents split-equivalence law
+    * (MergeComponentsSpec), so the registry oracle is x25's recursive
+    * closure verbatim.
+    *
+    * Idempotence: a replayed batch (id <= `_current`) drains and skips
+    * WHOLESALE inside versionedStep (no index append, no re-merge). The
+    * residual crash windows: (a) index appended, labels not yet written —
+    * the re-run feeds incrementalNearDup an index already holding the
+    * batch's signatures, which emits the identical pair set (the s12
+    * pin), merged into the PRIOR snapshot → same bytes rewritten; (b)
+    * labels flipped, checkpoint not committed — the pointer doubles as
+    * the committed-batch marker, so the re-run drains and skips. Beyond
+    * both windows, mergeComponents is itself replay-idempotent (merging
+    * already-merged pairs is a labeling no-op — the law
+    * MergeComponentsSpec pins), so even a double-applied merge could not
+    * corrupt the labeling. */
+  def runStreamIncrementalClusters(spark: SparkSession, dir: String,
+                                   base: String): DataFrame = {
+    val landing = stagedDocSlices(spark, dir)
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        versionedStep(s"$base/labels", b, id) { prior =>
+          val pairs = graft.operators.Dedup.incrementalNearDup(
+            b, "doc_id", "text", 3, 0.8, s"$base/index")
+          val empty = b.sparkSession.range(0)
+            .select(col("id").as("node"), col("id").as("label"))
+          graft.operators.Dedup.mergeComponents(
+            prior.getOrElse(empty), pairs, "id_a", "id_b")
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val cur = scd2CurrentVersion(f, new Path(s"$base/labels", "_current"))
+    require(cur >= 0, s"no labels snapshot under $base/labels")
+    graft.operators.Dedup.labelClusters(
+      graft.Tables.documents(spark, dir).select(col("doc_id")),
+      spark.read.parquet(s"$base/labels/v$cur"), "doc_id")
   }
 
   /** Committed-batch marker for foreachBatch bodies whose side effect is

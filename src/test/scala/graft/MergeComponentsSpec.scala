@@ -55,6 +55,27 @@ class MergeComponentsSpec extends SparkSpec {
     check("split equivalence", prop)
   }
 
+  test("property: re-merging already-merged pairs is a labeling no-op (replay idempotence)") {
+    val prop = Prop.forAll(genEdges, Gen.choose(0, 14)) { (edges, cut) =>
+      edges.nonEmpty ==> {
+        val c = cut min edges.length
+        val base =
+          if (c == 0)
+            df(Seq.empty[(Long, Long)])
+              .select(col("id_a").as("node"), col("id_b").as("label"))
+          else Dedup.connectedComponents(df(edges.take(c)), "id_a", "id_b")
+        val once = Dedup.mergeComponents(base, df(edges.drop(c) match {
+            case Nil => edges.take(1); case rest => rest
+          }), "id_a", "id_b").localCheckpoint(eager = true)
+        val twice = Dedup.mergeComponents(once, df(edges.drop(c) match {
+            case Nil => edges.take(1); case rest => rest
+          }), "id_a", "id_b")
+        labelsOf(twice) == labelsOf(once)
+      }
+    }
+    check("replay no-op", prop)
+  }
+
   test("mergeComponents: a bridge edge merges two components; untouched labels survive verbatim") {
     // Existing: {1,2} labeled 1, {5,6} labeled 5, {8,9} labeled 8.
     val existing = Dedup.connectedComponents(

@@ -660,6 +660,27 @@ class StreamingParitySpec extends SparkSpec {
     assert(second === first, "replayed batch duplicated near-dup pairs")
   }
 
+  test("streaming incremental clusters: equals the one-shot rebuild; crash replay leaves labels intact") {
+    val base = tmp("graft-s40-replay")
+    val first = sortedRows(Streaming.runStreamIncrementalClusters(
+      spark, "/root/testdata/sf0.001", base + "/ic"))
+    assert(first.nonEmpty)
+    // Streamed fold == one-shot batch clusters (the split-equivalence law
+    // end-to-end, with the real micro-batch machinery in the loop).
+    val oneShot = sortedRows(graft.operators.Dedup.nearDupClusters(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", 3, 0.8))
+    assert(first === oneShot)
+    // Crash between pointer flip and checkpoint commit: the restart
+    // replays the last micro-batch; the pointer-as-marker must drain it
+    // (no index re-append, no snapshot churn) and the labels read back
+    // identical.
+    rollbackLastCommit(base + "/ic/ckpt")
+    val second = sortedRows(Streaming.runStreamIncrementalClusters(
+      spark, "/root/testdata/sf0.001", base + "/ic"))
+    assert(second === first, "replayed batch corrupted the cluster labels")
+  }
+
   test("streaming transitions equal the one-shot window; crash replay never double-counts") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
