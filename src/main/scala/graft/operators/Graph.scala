@@ -459,6 +459,56 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("core_degree"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with
+    * deterministic ties — the near-linear community detector: labels init
+    * to vertex ids and each round every vertex adopts the MOST FREQUENT
+    * label among its neighbors, ties to the smallest label. Synchronous
+    * updates + the min tie-break make each round a pure function of the
+    * previous one, and the FIXED `rounds` budget is the determinism
+    * contract (the pageRank/kCore discipline: both engines replay the
+    * same trajectory — synchronous LPA can oscillate on bipartite
+    * structure, so a data-dependent fixpoint would not even be well
+    * defined). Communities are finer than [[graft.operators.Dedup]]'s
+    * connected components (a bridge edge joins two components but rarely
+    * flips a majority) — grade the resulting partition with
+    * [[modularity]].
+    *
+    * Scale shape per round: ONE edges ⋈ labels equi-join (labels
+    * broadcast when the vertex set is small — checkpointed frames carry
+    * no stats, so the switch is on a measured count), a map-side-combined
+    * (vertex, label) count, and a `min(struct(-cnt, label))` argmax — no
+    * windows, nothing vertex-quadratic; per-round localCheckpoint cuts
+    * the growing lineage. Output: (vertex, label). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val both = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = both.select(col("src").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(eager = true)
+    val lSide: DataFrame => DataFrame =
+      if (labels.count() <= 2500000L) broadcast _ else identity
+    (1 to rounds).foreach { _ =>
+      labels = both
+        .join(lSide(labels.select(col("vertex").as("dst"), col("label"))),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("label").as("_l")))
+          .as("_b"))
+        .select(col("src").as("vertex"), col("_b._l").as("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
     * degrees at the two ends of an edge — positive means hubs link to
     * hubs (social-network shape), negative means hubs fan out to leaves

@@ -176,6 +176,32 @@ class GraphSpec extends SparkSpec {
     assert(after2.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("labelPropagation: bridged triangles settle into their two communities; fixed rounds pin oscillation") {
+    import spark.implicits._
+    // Two triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Hand-traced
+    // sync rounds with the min tie-break: r1 (2,1,1,3,4,4), r2
+    // (1,1,1,4,3,3), r3 (1,1,1,3,3,3) — stable from r3, so 4 rounds land
+    // on the natural communities labeled by each side's min id. The
+    // bridge does NOT merge them (it joins components but not majorities
+    // — the contrast with connectedComponents).
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.labelPropagation(e, "a", "b", 4)
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+    // Sync LPA on a single edge OSCILLATES by design — the fixed round
+    // budget is what makes the trajectory deterministic, replayable by
+    // the unrolled oracle on either parity.
+    val edge = Seq((1L, 2L)).toDF("a", "b")
+    val odd = Graph.labelPropagation(edge, "a", "b", 1)
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(odd.toSeq === Seq((1L, 2L), (2L, 1L)))
+    val even = Graph.labelPropagation(edge, "a", "b", 2)
+      .orderBy($"vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(even.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("modularity: two bridged triangles under their natural split; shuffled labels score ~0") {
     import spark.implicits._
     // Triangles {1,2,3} and {4,5,6} plus bridge 3–4: m = 7. Natural
