@@ -576,6 +576,53 @@ object Eval {
           greatest(col("n_ref"), lit(1L)), 6).as("wer"))
   }
 
+  /** SPLIT-CONFORMAL calibration (Vovk's inductive conformal prediction,
+    * the Lei et al. 2018 split form) — the distribution-free uncertainty
+    * read a score/regressor gains nothing from [[calibrationBins]]' bin
+    * diagnostics: given CALIBRATION residuals (any nonconformity score,
+    * pre-rounded to a grid by the caller) the conformal quantile q̂ is the
+    * k-th SMALLEST residual with k = ⌈(n_cal+1)(1−α)⌉, and the interval
+    * ŷ ± q̂ covers a fresh point with probability ≥ 1−α under
+    * exchangeability — no model, no distributional assumption. Emits the
+    * audit row: (n_cal, k_order, q_hat, n_test, n_covered, coverage) —
+    * coverage on the held-out half is the finite-sample check that the
+    * guarantee landed. α too small for the calibration size (k > n_cal
+    * means q̂ = ∞) fails loudly via the assert_true-filter discipline.
+    *
+    * Scale shape: the k-th order statistic rides [[graft.queries.Serving
+    * .ranked]]'s range-partition + zipWithIndex global rank (never an
+    * Exchange SinglePartition window); q̂ then broadcasts as a one-row
+    * frame onto the test half for a codegen'd compare + one scalar agg.
+    * Nothing quadratic, no driver-side data. */
+  def splitConformal(cal: DataFrame, test: DataFrame, idCol: String,
+                     residCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0,1)")
+    val n = cal.agg(count(lit(1)).cast("long").as("n_cal"))
+    val rk = graft.queries.Serving.ranked(
+      cal.select(col(idCol), col(residCol)), residCol, idCol)
+    val q = rk.crossJoin(broadcast(n))
+      .withColumn("_k",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+      .where(assert_true(col("_k") <= col("n_cal"),
+        lit("splitConformal: alpha too small for the calibration size " +
+          "(k > n_cal means an infinite interval)")).isNull)
+      // ranked() sorts DESC, so the k-th smallest sits at rank n+1-k.
+      .where(col("rank") === col("n_cal") + 1 - col("_k"))
+      .select(col("n_cal"), col("_k").as("k_order"),
+        col(residCol).as("q_hat"))
+    test.select(col(residCol)).crossJoin(broadcast(q))
+      .agg(first(col("n_cal")).as("n_cal"),
+        first(col("k_order")).as("k_order"),
+        first(col("q_hat")).as("q_hat"),
+        count(lit(1)).cast("long").as("n_test"),
+        sum(when(col(residCol) <= col("q_hat"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"))
+      .select(col("n_cal"), col("k_order"), col("q_hat"), col("n_test"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+  }
+
   /** Paired sign-flip PERMUTATION test — the significance read every
     * system comparison in this eval ladder is missing: given one LONG
     * delta per item (metric_A − metric_B, on an integer grid — callers

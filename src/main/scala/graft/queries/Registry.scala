@@ -8245,6 +8245,61 @@ object Registry {
         |WHERE octet_length(CAST(text AS BLOB)) <> length(text)) = 1
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    ("x160_conformal",
+      // Split-conformal prediction interval (Eval.splitConformal,
+      // alpha=0.1): a one-slope unit-price model fits on the hash-half
+      // calibration split of lineitem (slope = round(Σprice/Σqty, 6)),
+      // absolute residuals round to the 4 dp grid, q̂ is the exact
+      // ⌈(n+1)·0.9⌉-th smallest calibration residual via the scale-safe
+      // global rank, and the held-out half's measured coverage checks
+      // the ≥ 0.9 distribution-free guarantee. The row key is
+      // l_orderkey·10 + l_linenumber (linenumber ≤ 7 in TPC-H).
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("y"))
+        val isCal = graft.operators.Sampling.hashBucket(
+          col("k"), "x160", 100) < 50
+        val cal0 = li.filter(isCal)
+        val test0 = li.filter(!isCal)
+        val slope = cal0.agg(
+          round(sum(col("y")) / sum(col("qty")), 6).as("_m"))
+        def resid(df: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(broadcast(slope))
+            .select(col("k"),
+              round(abs(col("y") - col("_m") * col("qty")), 4).as("r"))
+        graft.operators.Eval.splitConformal(
+          resid(cal0), resid(test0), "k", "r", 0.1)
+      },
+      Some("""WITH li AS (SELECT
+        |l_orderkey * 10 + l_linenumber AS k,
+        |CAST(l_quantity AS DOUBLE) AS qty,
+        |CAST(l_extendedprice AS DOUBLE) AS y,
+        |('0x' || substr(md5('x160:' || CAST(l_orderkey * 10 + l_linenumber
+        |AS VARCHAR)), 1, 8))::BIGINT % 100 AS b FROM lineitem),
+        |m AS (SELECT round(sum(y) / sum(qty), 6) AS m FROM li WHERE b < 50),
+        |cal AS (SELECT k, round(abs(y - m.m * qty), 4) AS r
+        |FROM li, m WHERE b < 50),
+        |tst AS (SELECT k, round(abs(y - m.m * qty), 4) AS r
+        |FROM li, m WHERE b >= 50),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |rk AS (SELECT r, row_number() OVER (ORDER BY r ASC, k ASC) AS rnk
+        |FROM cal),
+        |q AS (SELECT n.n_cal,
+        |CAST(ceil((n.n_cal + 1) * 0.9) AS BIGINT) AS k_order,
+        |(SELECT r FROM rk, n WHERE rnk = CAST(ceil((n.n_cal + 1) * 0.9)
+        |AS BIGINT)) AS q_hat FROM n)
+        |SELECT CAST(q.n_cal AS BIGINT) AS n_cal, q.k_order, q.q_hat,
+        |CAST(count(*) AS BIGINT) AS n_test,
+        |CAST(count(*) FILTER (WHERE t.r <= q.q_hat) AS BIGINT)
+        |AS n_covered,
+        |round(CAST(count(*) FILTER (WHERE t.r <= q.q_hat) AS DOUBLE) /
+        |count(*), 6) AS coverage
+        |FROM tst t CROSS JOIN q
+        |GROUP BY q.n_cal, q.k_order, q.q_hat"""
+        .stripMargin.replace("\n", " "))),
+
     ("x159_paired_permutation",
       // Paired sign-flip permutation significance (Eval.
       // pairedPermutationTest, B=500): is the chars/5 token-estimate

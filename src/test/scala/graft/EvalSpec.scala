@@ -222,6 +222,38 @@ class EvalSpec extends SparkSpec {
     assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
   }
 
+  test("splitConformal: exact order-statistic quantile, held-out coverage, loud failure when alpha outruns n_cal") {
+    import spark.implicits._
+    // n_cal = 9, alpha = 0.1: k = ceil(10 * 0.9) = 9 -> q_hat is the 9th
+    // smallest calibration residual = 9.0. Test residuals (5, 9, 10):
+    // two covered (<= 9), coverage 2/3.
+    val cal = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("k", "r")
+    val test = Seq((101L, 5.0), (102L, 9.0), (103L, 10.0)).toDF("k", "r")
+    val out = graft.operators.Eval.splitConformal(cal, test, "k", "r", 0.1)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2),
+      out.getLong(3), out.getLong(4), out.getDouble(5)) ===
+      ((9L, 9L, 9.0, 3L, 2L, 0.666667)))
+    // Ties at the quantile value pick the same VALUE regardless of the
+    // id tie-break: residuals (1,2,2,2) at alpha=0.4 -> k = ceil(5*.6)=3,
+    // 3rd smallest is 2.0.
+    val tied = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 2.0)).toDF("k", "r")
+    val q2 = graft.operators.Eval.splitConformal(tied, test, "k", "r", 0.4)
+      .collect().head
+    assert((q2.getLong(1), q2.getDouble(2)) === ((3L, 2.0)))
+    // k > n_cal means an infinite interval — must fail loudly, not emit
+    // an empty frame.
+    val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "r")
+    val e = intercept[Exception] {
+      graft.operators.Eval.splitConformal(tiny, test, "k", "r", 0.1)
+        .collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("alpha too small") ||
+        mentions(t.getCause))
+    assert(mentions(e), s"wrong failure: $e")
+  }
+
   test("pairedPermutationTest: one-sided signal hits the add-one floor; a perfect null reads p = 1; same salt reproduces") {
     import spark.implicits._
     def run(deltas: Seq[Long], b: Int, salt: String) =
