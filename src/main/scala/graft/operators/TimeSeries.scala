@@ -242,6 +242,58 @@ object TimeSeries {
         .as("ks_d"))
   }
 
+  /** Mann–Whitney U / Wilcoxon rank-sum per key — the NONPARAMETRIC
+    * two-sample location test [[ksDistance]]'s D statistic has no p-story
+    * for and x16's stddev can't give under skew: ranks both sides
+    * together (ties take the average rank), U₁ = R₁ − n₁(n₁+1)/2, and the
+    * normal-approximation z uses the tie-corrected variance
+    * n₀n₁/12 · ((n+1) − Σ(t³−t)/(n(n−1))). The A/B read for "did the
+    * distribution shift" that is robust to outliers and needs no
+    * normality.
+    *
+    * Exactness: rank sums are carried as 2·R₁ in LONGs (average ranks
+    * live on the ½ grid), so U₁ and the z numerator are EXACT under any
+    * partitioning; the variance folds exact integer tie counts through
+    * one division/sqrt written identically in the oracle (IEEE
+    * correctly-rounded ops on identical inputs → identical z).
+    *
+    * Scale shape: values collapse to (key, value) grain in ONE map-side
+    * combined agg (the shuffle carries distinct values, not rows); the
+    * running total is a per-KEY window over that value-grain frame (the
+    * ksDistance/weightedMedian discipline — parallel across keys, never
+    * a global sort), then one key-grain fold. */
+  def mannWhitney(df: DataFrame, keys: Seq[String], valueCol: String,
+                  sideCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val vg = df.groupBy(kcols :+ col(valueCol).as("_v"): _*)
+      .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_c", col("_c0") + col("_c1"))
+    val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vg
+      .withColumn("_cumIncl", sum(col("_c")).over(w))
+      // 2 * (average rank of this value's block) = 2*cumBefore + c + 1.
+      .withColumn("_2avg", (col("_cumIncl") - col("_c")) * 2 + col("_c") + 1)
+    ranked.groupBy(kcols: _*)
+      .agg(sum(col("_c0")).cast("long").as("n0"),
+        sum(col("_c1")).cast("long").as("n1"),
+        sum(col("_c1") * col("_2avg")).cast("long").as("_2r1"),
+        sum(col("_c") * col("_c") * col("_c") - col("_c")).cast("long")
+          .as("_ties"))
+      .select(kcols ++ Seq(col("n0"), col("n1"),
+        ((col("_2r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+          .as("u1"),
+        round(
+          ((col("_2r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0 -
+            col("n0").cast("double") * col("n1") / 2.0) /
+          sqrt(col("n0").cast("double") * col("n1") / 12.0 *
+            ((col("n0") + col("n1") + 1).cast("double") -
+              col("_ties").cast("double") /
+                ((col("n0") + col("n1")).cast("double") *
+                  (col("n0") + col("n1") - 1)))), 6).as("z")): _*)
+  }
+
   /** Inter-arrival gap statistics: per key, the distribution (count, min,
     * exact interpolated p50/p90, max) of consecutive-event gaps within
     * each (key, entity) sub-series — the ingest-health read ("how bursty

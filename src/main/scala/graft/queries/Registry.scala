@@ -7454,6 +7454,44 @@ object Registry {
       },
       Some(labelPropagationOracle(4, 30))),
 
+    ("j62_mann_whitney",
+      // Mann–Whitney U per return flag (TimeSeries.mannWhitney): do
+      // HIGH-DISCOUNT lines (>= 5%) price differently than low-discount
+      // ones, tested nonparametrically with average-rank ties and the
+      // tie-corrected normal z? Rank sums carried as 2R1 LONGs (exact on
+      // the half grid under any partitioning); the value-grain window
+      // runs per key, never globally.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.mannWhitney(
+            Tables.lineitem(s, dir).select(col("l_returnflag"),
+              col("l_extendedprice").cast("double").as("price"),
+              when(col("l_discount") >= 0.05, 1).otherwise(0).as("side")),
+            Seq("l_returnflag"), "price", "side")
+          .orderBy(col("l_returnflag")),
+      Some("""WITH vg AS (SELECT l_returnflag, l_extendedprice AS v,
+        |sum(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END) AS c0,
+        |sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS c1
+        |FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, c0, c1, c0 + c1 AS c,
+        |sum(c0 + c1) OVER (PARTITION BY l_returnflag ORDER BY v
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumincl
+        |FROM vg),
+        |r2 AS (SELECT l_returnflag, c0, c1, c,
+        |(cumincl - c) * 2 + c + 1 AS avg2 FROM r),
+        |agg AS (SELECT l_returnflag,
+        |CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |CAST(sum(c1 * avg2) AS BIGINT) AS r2s,
+        |CAST(sum(c * c * c - c) AS BIGINT) AS ties
+        |FROM r2 GROUP BY 1)
+        |SELECT l_returnflag, n0, n1,
+        |CAST(r2s - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |round((CAST(r2s - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+        |CAST(n0 AS DOUBLE) * n1 / 2.0) /
+        |sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 *
+        |(CAST(n0 + n1 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |(CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 6) AS z
+        |FROM agg ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
     ("j39_kcore",
       // Bounded-round k-core peeling (operators/Graph.kCore, k=15, 4
       // rounds) on the urgent-order co-purchase graph: the cascading

@@ -111,6 +111,25 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head.getAs[Double]("ks_d") === 0.0)
   }
 
+  test("mannWhitney: hand-computed U and tie-corrected z; identical sides read z = 0") {
+    import spark.implicits._
+    // side0 {1,3}, side1 {2,3}: ranks 1, 2, {3,4}->3.5 avg; R1 = 2 + 3.5
+    // = 5.5, U1 = 5.5 - 3 = 2.5; ties Σ(t³-t) = 6 (the value-3 block);
+    // var = (4/12)·(5 - 6/12) = 1.5; z = 0.5/√1.5 = 0.408248.
+    val g = Seq(("k", 1.0, 0), ("k", 3.0, 0), ("k", 2.0, 1), ("k", 3.0, 1))
+      .toDF("key", "v", "side")
+    val out = TimeSeries.mannWhitney(g, Seq("key"), "v", "side")
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3),
+      out.getDouble(4)) === ((2L, 2L, 2.5, 0.408248)))
+    // Identical distributions on both sides: U1 = n0·n1/2 exactly, z = 0.
+    val same = Seq(("k", 1.0, 0), ("k", 2.0, 0), ("k", 1.0, 1),
+      ("k", 2.0, 1)).toDF("key", "v", "side")
+    val s = TimeSeries.mannWhitney(same, Seq("key"), "v", "side")
+      .collect().head
+    assert((s.getDouble(3), s.getDouble(4)) === ((2.0, 0.0)))
+  }
+
   test("interarrival: simultaneous events tie-break on the id column") {
     import spark.implicits._
     val e = Seq(("k", "a", 10L, 2L), ("k", "a", 10L, 1L), ("k", "a", 25L, 3L))
