@@ -294,6 +294,46 @@ object TimeSeries {
                   (col("n0") + col("n1") - 1)))), 6).as("z")): _*)
   }
 
+  /** Theil–Sen robust trend per key (Theil 1950/Sen 1968): slope = the
+    * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept = the
+    * median of y_i − slope·x_i — the trend read OLS can't give under
+    * outliers (one spiked day drags a least-squares fit; it moves one
+    * slope out of n(n−1)/2 here, ~29% breakdown). The robust companion
+    * of [[ewma]]'s level and x90's CUSUM shift detection.
+    *
+    * Determinism: pairwise slopes divide identical doubles identically
+    * on both engines; the median is the exact interpolated `percentile`
+    * (the curriculumOrder convention), rounded 6 dp; the intercept
+    * medians against the ROUNDED slope so both engines fold the same
+    * grid value.
+    *
+    * Scale shape: input is (key, x, y) at SERIES grain (the caller
+    * aggregates raw events down first — the bounded-series contract this
+    * module carries), so the pairwise self-join is per-key series² —
+    * fine for daily/hourly grids, never row-grain; both medians are
+    * key-grain exact-percentile aggregates after one equi-join exchange. */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val base = df.select(kcols :+ col(xCol).cast("long").as("_x") :+
+      col(yCol).cast("double").as("_y"): _*)
+    val slopes = base.as("a").join(base.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a._x") < col("b._x"))
+      .select(keys.map(k => col(s"a.$k").as(k)) :+
+        ((col("b._y") - col("a._y")) /
+          (col("b._x") - col("a._x")).cast("double")).as("_s"): _*)
+    val sl = slopes.groupBy(kcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(expr("percentile(_s, 0.5)"), 6).as("slope"))
+    base.join(sl, keys)
+      .groupBy(kcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        first(col("n_pairs")).as("n_pairs"),
+        first(col("slope")).as("slope"),
+        round(expr("percentile(_y - slope * _x, 0.5)"), 6).as("intercept"))
+  }
+
   /** Inter-arrival gap statistics: per key, the distribution (count, min,
     * exact interpolated p50/p90, max) of consecutive-event gaps within
     * each (key, entity) sub-series — the ingest-health read ("how bursty

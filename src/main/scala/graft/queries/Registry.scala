@@ -7492,6 +7492,39 @@ object Registry {
         |(CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 6) AS z
         |FROM agg ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
 
+    ("j63_theil_sen",
+      // Theil–Sen robust trend per event type (TimeSeries.theilSen) over
+      // the daily-count series: median pairwise slope + median intercept
+      // — the outlier-immune trend read next to x86's EWMA level and
+      // x90's CUSUM (one spiked day drags OLS; it moves one slope in
+      // n(n−1)/2 here). Series grain first, so the pairwise join is
+      // days², never row-grain; medians are exact interpolated
+      // percentiles rounded 6 dp on both engines.
+      (s: SparkSession, dir: String) => {
+        val d = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            floor(unix_millis(col("ts")) / 86400000L).cast("long")
+              .as("day"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        graft.operators.TimeSeries.theilSen(d, Seq("event_type"),
+            "day", "c")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |CAST(count(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |(b.c - a.c) / CAST(b.day - a.day AS DOUBLE) AS s
+        |FROM d a JOIN d b ON a.event_type = b.event_type
+        |AND a.day < b.day),
+        |sl AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |round(quantile_cont(s, 0.5), 6) AS slope FROM p GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |any_value(sl.n_pairs) AS n_pairs, any_value(sl.slope) AS slope,
+        |round(quantile_cont(d.c - sl.slope * d.day, 0.5), 6) AS intercept
+        |FROM d JOIN sl ON d.event_type = sl.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     ("j39_kcore",
       // Bounded-round k-core peeling (operators/Graph.kCore, k=15, 4
       // rounds) on the urgent-order co-purchase graph: the cascading

@@ -130,6 +130,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert((s.getDouble(3), s.getDouble(4)) === ((2.0, 0.0)))
   }
 
+  test("theilSen: median slope shrugs off the outlier OLS would chase; hand-computed intercept") {
+    import spark.implicits._
+    // Perfect slope-2 line with a wild last point: 6 of 10 pairwise
+    // slopes are exactly 2, so the median IS 2 — the outlier moves only
+    // the 4 pairs it touches. Intercepts y - 2x = (0,0,0,0,992),
+    // median 0.
+    val g = Seq(("k", 0L, 0.0), ("k", 1L, 2.0), ("k", 2L, 4.0),
+      ("k", 3L, 6.0), ("k", 4L, 1000.0)).toDF("key", "x", "y")
+    val out = TimeSeries.theilSen(g, Seq("key"), "x", "y").collect().head
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3),
+      out.getDouble(4)) === ((5L, 10L, 2.0, 0.0)))
+    // Even pair count interpolates the two middle slopes: (0,0),(1,1),
+    // (2,4) -> slopes 1,2,3, median 2; intercepts (0,-1,0) -> median 0.
+    val h = Seq(("k", 0L, 0.0), ("k", 1L, 1.0), ("k", 2L, 4.0))
+      .toDF("key", "x", "y")
+    val o2 = TimeSeries.theilSen(h, Seq("key"), "x", "y").collect().head
+    assert((o2.getDouble(3), o2.getDouble(4)) === ((2.0, 0.0)))
+  }
+
   test("interarrival: simultaneous events tie-break on the id column") {
     import spark.implicits._
     val e = Seq(("k", "a", 10L, 2L), ("k", "a", 10L, 1L), ("k", "a", 25L, 3L))
