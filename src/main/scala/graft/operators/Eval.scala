@@ -576,6 +576,44 @@ object Eval {
           greatest(col("n_ref"), lit(1L)), 6).as("wer"))
   }
 
+  /** Cross-group QUANTILE NORMALIZATION — the batch-effect correction a
+    * global quality threshold needs when scores come from heterogeneous
+    * sources (each source's scorer drifts; a single cut then filters by
+    * SOURCE, not by quality): every row maps to its within-group quantile
+    * position p = (rank − ½)/n_g, snapped to a 1/`gridPoints` grid, and
+    * is re-valued at the POOLED distribution's interpolated quantile for
+    * that grid point — after which one global threshold means the same
+    * thing in every group (the expression-microarray normalization,
+    * Bolstad et al. 2003, at data-pipeline scale).
+    *
+    * Scale shape: within-group ranks ride per-GROUP windows (parallel
+    * across groups — the weightedMedian discipline, never a global
+    * sort); the pooled reference is ONE exact-percentile aggregate at
+    * the literal grid (gridPoints+1 doubles — bounded, broadcast); the
+    * remap is a codegen element_at lookup. Snapping p to the grid is
+    * what keeps the reference BOUNDED at 100 TB — the alternative
+    * (exact pooled quantile per distinct p) needs a pooled sort.
+    * Normalized values round 6 dp (the interpolation convention). */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        scoreCol: String, gridPoints: Int): DataFrame = {
+    require(gridPoints > 0, "gridPoints must be positive")
+    val n = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("_n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val grid = (0 to gridPoints).map(i => i.toDouble / gridPoints)
+    val pooled = df.agg(
+      expr(s"percentile($scoreCol, array(${grid.mkString(",")}))").as("_q"))
+    df.join(broadcast(n), Seq(groupCol))
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_gi",
+        round((col("_r") - 0.5) / col("_n") * gridPoints, 0).cast("int"))
+      .crossJoin(broadcast(pooled))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col("_gi").as("grid_idx"),
+        round(element_at(col("_q"), col("_gi") + 1), 6).as("normalized"))
+  }
+
   /** SPLIT-CONFORMAL calibration (Vovk's inductive conformal prediction,
     * the Lei et al. 2018 split form) — the distribution-free uncertainty
     * read a score/regressor gains nothing from [[calibrationBins]]' bin

@@ -1589,6 +1589,28 @@ object Registry {
       s"FROM l$rounds GROUP BY 1 ORDER BY size DESC, label ASC LIMIT $limit"
   }
 
+  /** Quantile-normalization oracle: the same grid snap and pooled
+    * interpolated quantile list, with the grid literal rendered from the
+    * identical Scala doubles the engine embeds (shortest-repr doubles
+    * parse identically in both engines). */
+  private def quantileNormalizeOracle(gridPoints: Int): String = {
+    val grid = (0 to gridPoints).map(i => i.toDouble / gridPoints)
+      .mkString(", ")
+    s"""WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score
+       |FROM documents),
+       |n AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+       |q AS (SELECT quantile_cont(score, [$grid]) AS qs FROM s),
+       |r AS (SELECT s.doc_id, s.source, s.score,
+       |CAST(round((row_number() OVER (PARTITION BY s.source
+       |ORDER BY s.score, s.doc_id) - 0.5) / n.n * $gridPoints) AS INT)
+       |AS grid_idx
+       |FROM s JOIN n ON n.source = s.source)
+       |SELECT r.doc_id, r.source, r.score, r.grid_idx,
+       |round(q.qs[r.grid_idx + 1], 6) AS normalized
+       |FROM r CROSS JOIN q ORDER BY r.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   private def kcoreOracle(k: Int, rounds: Int, limit: Int): String = {
     val head = Seq(
       "li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l " +
@@ -8370,6 +8392,23 @@ object Registry {
         |FROM tst t CROSS JOIN q
         |GROUP BY q.n_cal, q.k_order, q.q_hat"""
         .stripMargin.replace("\n", " "))),
+
+    ("x161_quantile_normalize",
+      // Cross-source quantile normalization (Eval.quantileNormalize,
+      // 200-point grid) of the per-doc char-length score: each doc maps
+      // to its within-source quantile position and re-values at the
+      // pooled distribution's grid quantile — the batch-effect
+      // correction that makes ONE global threshold mean the same thing
+      // in every source. Per-source windows (parallel across sources),
+      // one bounded pooled-percentile literal, codegen remap.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.quantileNormalize(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("source"),
+                col("n_chars").cast("double").as("score")),
+            "doc_id", "source", "score", 200)
+          .orderBy(col("doc_id")),
+      Some(quantileNormalizeOracle(200))),
 
     ("x159_paired_permutation",
       // Paired sign-flip permutation significance (Eval.

@@ -222,6 +222,26 @@ class EvalSpec extends SparkSpec {
     assert(out(2) === ((5L, 6L, 0L, 2L, 2.0)))
   }
 
+  test("quantileNormalize: shifted groups land on IDENTICAL pooled values (the defining property)") {
+    import spark.implicits._
+    // Group A {1,2,3,4}, group B {11,12,13,14}, grid 4: within-group
+    // positions snap to grid 1..4 on both sides, so both groups re-value
+    // at the same pooled quantiles [2.75, 7.5, 12.25, 14] — after
+    // normalization a global threshold treats the shifted scorer and the
+    // reference scorer identically.
+    val df = (Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0), (5L, "B", 11.0), (6L, "B", 12.0), (7L, "B", 13.0),
+      (8L, "B", 14.0))).toDF("id", "g", "score")
+    val out = graft.operators.Eval.quantileNormalize(df, "id", "g",
+        "score", 4)
+      .orderBy($"id").collect()
+      .map(r => (r.getString(1), r.getInt(3), r.getDouble(4)))
+    val a = out.filter(_._1 == "A").map(t => (t._2, t._3))
+    val b = out.filter(_._1 == "B").map(t => (t._2, t._3))
+    assert(a.toSeq === Seq((1, 2.75), (2, 7.5), (3, 12.25), (4, 14.0)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("splitConformal: exact order-statistic quantile, held-out coverage, loud failure when alpha outruns n_cal") {
     import spark.implicits._
     // n_cal = 9, alpha = 0.1: k = ceil(10 * 0.9) = 9 -> q_hat is the 9th
