@@ -334,6 +334,61 @@ object TimeSeries {
         round(expr("percentile(_y - slope * _x, 0.5)"), 6).as("intercept"))
   }
 
+  /** Kruskal–Wallis H per key — [[mannWhitney]]'s k-SAMPLE extension (the
+    * nonparametric one-way ANOVA): pooled average ranks with ties,
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected
+    * H' = H / (1 − Σ(t³−t)/(N³−N)). The "did ANY of these k cohorts
+    * shift" read that pairwise U tests would need k(k−1)/2 of.
+    *
+    * Exactness: the rank sums are carried as 2·R_g LONGs (average ranks
+    * live on the ½ grid) and every tie count is an exact LONG, so H is a
+    * fixed arithmetic expression over exact integers — written
+    * identically in the oracle, rounded 6 dp on both engines.
+    *
+    * Scale shape: values collapse to (key, value, group) grain in one
+    * map-side agg; the pooled running total is a per-KEY window over the
+    * (key, value) grain (the [[mannWhitney]]/[[ksDistance]] discipline —
+    * parallel across keys, never a global sort); then two key-grain
+    * folds. */
+  def kruskalWallis(df: DataFrame, keys: Seq[String], valueCol: String,
+                    groupCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val vgg = df.groupBy(kcols :+ col(valueCol).as("_v") :+
+        col(groupCol).as("_g"): _*)
+      .agg(count(lit(1)).as("_cg"))
+    val vg = vgg.groupBy(kcols :+ col("_v"): _*)
+      .agg(sum(col("_cg")).as("_c"))
+    val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val avg2 = vg
+      .withColumn("_cumIncl", sum(col("_c")).over(w))
+      .select(kcols :+ col("_v") :+ col("_c") :+
+        ((col("_cumIncl") - col("_c")) * 2 + col("_c") + 1).as("_2avg"): _*)
+    val perGroup = vgg
+      .join(avg2.select(kcols :+ col("_v") :+ col("_2avg"): _*),
+        keys :+ "_v")
+      .groupBy(kcols :+ col("_g"): _*)
+      .agg(sum(col("_cg")).cast("long").as("_ng"),
+        sum(col("_cg") * col("_2avg")).cast("long").as("_2rg"))
+    val ties = avg2.groupBy(kcols: _*)
+      .agg(sum(col("_c") * col("_c") * col("_c") - col("_c")).cast("long")
+        .as("_t3t"))
+    val nn = col("n_total").cast("double")
+    perGroup.groupBy(kcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("_ng")).cast("long").as("n_total"),
+        sum(col("_2rg").cast("double") * col("_2rg") /
+          (lit(4.0) * col("_ng"))).as("_sr2"))
+      .join(ties, keys)
+      .select(kcols ++ Seq(col("n_groups"), col("n_total"),
+        round(lit(12.0) / (nn * (nn + 1)) * col("_sr2") -
+          lit(3.0) * (nn + 1), 6).as("h"),
+        round((lit(12.0) / (nn * (nn + 1)) * col("_sr2") -
+          lit(3.0) * (nn + 1)) /
+          (lit(1.0) - col("_t3t").cast("double") / (nn * nn * nn - nn)), 6)
+          .as("h_tie_corrected")): _*)
+  }
+
   /** Inter-arrival gap statistics: per key, the distribution (count, min,
     * exact interpolated p50/p90, max) of consecutive-event gaps within
     * each (key, entity) sub-series — the ingest-health read ("how bursty

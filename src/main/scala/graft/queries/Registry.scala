@@ -7547,6 +7547,54 @@ object Registry {
         |FROM d JOIN sl ON d.event_type = sl.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
+    ("j64_kruskal_wallis",
+      // Kruskal–Wallis H per ship year (TimeSeries.kruskalWallis):
+      // j62's k-sample extension — do the THREE return-flag cohorts'
+      // price distributions differ within each year, in one test instead
+      // of three pairwise U's? Pooled average ranks as 2R_g longs, tie
+      // correction from exact t³−t longs, per-key windows only.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.kruskalWallis(
+            Tables.lineitem(s, dir).select(
+              year(col("l_shipdate")).cast("int").as("ship_year"),
+              col("l_extendedprice").cast("double").as("price"),
+              col("l_returnflag").as("flag")),
+            Seq("ship_year"), "price", "flag")
+          .orderBy(col("ship_year")),
+      Some("""WITH vgg AS (SELECT CAST(year(l_shipdate) AS INT)
+        |AS ship_year, l_extendedprice AS v, l_returnflag AS g,
+        |count(*) AS cg FROM lineitem GROUP BY 1, 2, 3),
+        |vg AS (SELECT ship_year, v, sum(cg) AS c FROM vgg GROUP BY 1, 2),
+        |a2 AS (SELECT ship_year, v, c,
+        |(sum(c) OVER (PARTITION BY ship_year ORDER BY v
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+        |+ c + 1 AS avg2 FROM vg),
+        |pg AS (SELECT vgg.ship_year, vgg.g,
+        |CAST(sum(vgg.cg) AS BIGINT) AS ng,
+        |CAST(sum(vgg.cg * a2.avg2) AS BIGINT) AS r2g
+        |FROM vgg JOIN a2 ON a2.ship_year = vgg.ship_year AND a2.v = vgg.v
+        |GROUP BY 1, 2),
+        |ties AS (SELECT ship_year,
+        |CAST(sum(c * c * c - c) AS BIGINT) AS t3t FROM a2 GROUP BY 1),
+        |agg AS (SELECT ship_year,
+        |CAST(count(*) AS BIGINT) AS n_groups,
+        |CAST(sum(ng) AS BIGINT) AS n_total,
+        |sum(CAST(r2g AS DOUBLE) * r2g / (4.0 * ng)) AS sr2
+        |FROM pg GROUP BY 1)
+        |SELECT a.ship_year, a.n_groups, a.n_total,
+        |round(12.0 / (CAST(a.n_total AS DOUBLE) *
+        |(CAST(a.n_total AS DOUBLE) + 1)) * a.sr2 -
+        |3.0 * (CAST(a.n_total AS DOUBLE) + 1), 6) AS h,
+        |round((12.0 / (CAST(a.n_total AS DOUBLE) *
+        |(CAST(a.n_total AS DOUBLE) + 1)) * a.sr2 -
+        |3.0 * (CAST(a.n_total AS DOUBLE) + 1)) /
+        |(1.0 - CAST(t.t3t AS DOUBLE) /
+        |(CAST(a.n_total AS DOUBLE) * CAST(a.n_total AS DOUBLE) *
+        |CAST(a.n_total AS DOUBLE) - CAST(a.n_total AS DOUBLE))), 6)
+        |AS h_tie_corrected
+        |FROM agg a JOIN ties t ON t.ship_year = a.ship_year
+        |ORDER BY a.ship_year""".stripMargin.replace("\n", " "))),
+
     ("j39_kcore",
       // Bounded-round k-core peeling (operators/Graph.kCore, k=15, 4
       // rounds) on the urgent-order co-purchase graph: the cascading

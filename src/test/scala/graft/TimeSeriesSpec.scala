@@ -149,6 +149,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert((o2.getDouble(3), o2.getDouble(4)) === ((2.0, 0.0)))
   }
 
+  test("kruskalWallis: hand-computed H with and without ties; identical cohorts read exactly 0") {
+    import spark.implicits._
+    // a={1,2}, b={3,4}: ranks 1..4, R_a=3, R_b=7; H = 12/20·(9/2+49/2)
+    // − 15 = 2.4; no ties so the corrected value is identical.
+    val clean = Seq(("k", 1.0, "a"), ("k", 2.0, "a"), ("k", 3.0, "b"),
+      ("k", 4.0, "b")).toDF("key", "v", "g")
+    val c = TimeSeries.kruskalWallis(clean, Seq("key"), "v", "g")
+      .collect().head
+    assert((c.getLong(1), c.getLong(2), c.getDouble(3), c.getDouble(4))
+      === ((2L, 4L, 2.4, 2.4)))
+    // a={1,3}, b={3,5}: pooled ranks 1, 2.5, 2.5, 4 → R_a=3.5, R_b=6.5;
+    // H = 0.6·27.25 − 15 = 1.35; tie block t=2 → correction
+    // 1 − 6/60 = 0.9 → H' = 1.5.
+    val tied = Seq(("k", 1.0, "a"), ("k", 3.0, "a"), ("k", 3.0, "b"),
+      ("k", 5.0, "b")).toDF("key", "v", "g")
+    val t = TimeSeries.kruskalWallis(tied, Seq("key"), "v", "g")
+      .collect().head
+    assert((t.getDouble(3), t.getDouble(4)) === ((1.35, 1.5)))
+    // Three identical cohorts: every R_g equal → H exactly 0 even under
+    // heavy ties (the correction divides a true zero).
+    val same = Seq("a", "b", "c").flatMap(g =>
+      Seq(("k", 1.0, g), ("k", 2.0, g))).toDF("key", "v", "g")
+    val s = TimeSeries.kruskalWallis(same, Seq("key"), "v", "g")
+      .collect().head
+    assert((s.getLong(1), s.getDouble(3), s.getDouble(4)) ===
+      ((3L, 0.0, 0.0)))
+  }
+
   test("interarrival: simultaneous events tie-break on the id column") {
     import spark.implicits._
     val e = Seq(("k", "a", 10L, 2L), ("k", "a", 10L, 1L), ("k", "a", 25L, 3L))
