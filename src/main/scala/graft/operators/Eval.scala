@@ -593,25 +593,40 @@ object Eval {
     * remap is a codegen element_at lookup. Snapping p to the grid is
     * what keeps the reference BOUNDED at 100 TB — the alternative
     * (exact pooled quantile per distinct p) needs a pooled sort.
-    * Normalized values round 6 dp (the interpolation convention). */
+    *
+    * This is the SOLE quantile-normalization implementation (the r11
+    * duplicate in Sampling is consolidated here, r12). Two quantile-
+    * position conventions, both in the literature: `midRank = true` maps
+    * each row at p = (rank − ½)/n (the mid-rank / Hazen plotting
+    * position); `midRank = false` at p = (rank − 1)/(n − 1) (the classic
+    * percent_rank, the legacy x108 convention — endpoints land exactly
+    * on the pooled min/max). Output carries the RAW p, the snapped
+    * grid_idx, and the UNROUNDED pooled re-value; callers own the
+    * rounding grid. */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
-                        scoreCol: String, gridPoints: Int): DataFrame = {
+                        scoreCol: String, gridPoints: Int,
+                        midRank: Boolean = true): DataFrame = {
     require(gridPoints > 0, "gridPoints must be positive")
-    val n = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("_n"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol), col(idCol))
     val grid = (0 to gridPoints).map(i => i.toDouble / gridPoints)
     val pooled = df.agg(
-      expr(s"percentile($scoreCol, array(${grid.mkString(",")}))").as("_q"))
-    df.join(broadcast(n), Seq(groupCol))
-      .withColumn("_r", row_number().over(w))
-      .withColumn("_gi",
-        round((col("_r") - 0.5) / col("_n") * gridPoints, 0).cast("int"))
+      expr(s"percentile(`$scoreCol`, array(${grid.mkString(",")}))")
+        .as("_q"))
+    val withP =
+      if (midRank) {
+        val n = df.groupBy(col(groupCol))
+          .agg(count(lit(1)).cast("long").as("_n"))
+        df.join(broadcast(n), Seq(groupCol))
+          .withColumn("_r", row_number().over(w))
+          .withColumn("_p", (col("_r") - 0.5) / col("_n"))
+      } else df.withColumn("_p", percent_rank().over(w))
+    withP
+      .withColumn("_gi", round(col("_p") * gridPoints, 0).cast("int"))
       .crossJoin(broadcast(pooled))
       .select(col(idCol), col(groupCol), col(scoreCol),
-        col("_gi").as("grid_idx"),
-        round(element_at(col("_q"), col("_gi") + 1), 6).as("normalized"))
+        col("_p").as("p"), col("_gi").as("grid_idx"),
+        element_at(col("_q"), col("_gi") + 1).as("normalized"))
   }
 
   /** SPLIT-CONFORMAL calibration (Vovk's inductive conformal prediction,

@@ -509,23 +509,6 @@ object Graph {
     labels
   }
 
-  /** Degree assortativity (Newman 2002): the Pearson correlation of the
-    * degrees at the two ends of an edge — positive means hubs link to
-    * hubs (social-network shape), negative means hubs fan out to leaves
-    * (dependency/star shape). The one-number topology read that says
-    * whether co-occurrence clusters (x25's input) will be balanced or
-    * hub-dominated before running them.
-    *
-    * Both orientations of every undirected edge enter the sum, so the
-    * correlation is symmetric by construction and the usual
-    * excess-degree formula collapses to plain Pearson over the doubled
-    * edge list: r = (Σjk/2m − (Σj/2m)²) / (Σj²/2m − (Σj/2m)²). Every
-    * numerator/denominator input is an exact BIGINT sum — the single
-    * division happens once at the end, on both engines.
-    *
-    * Scale shape: one V-grain degree agg, two degree joins back onto the
-    * doubled edge list (node-key equi-joins at dimension grain), one
-    * scalar aggregate. Nothing quadratic, no windows. */
   /** Modularity of a GIVEN vertex partition (Newman & Girvan 2004):
     * per community c, q_c = e_c/m − (d_c/2m)², summing to the familiar
     * Q — how much denser the within-community edges are than a degree-
@@ -609,6 +592,23 @@ object Graph {
       .limit(k)
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * degrees at the two ends of an edge — positive means hubs link to
+    * hubs (social-network shape), negative means hubs fan out to leaves
+    * (dependency/star shape). The one-number topology read that says
+    * whether co-occurrence clusters (x25's input) will be balanced or
+    * hub-dominated before running them.
+    *
+    * Both orientations of every undirected edge enter the sum, so the
+    * correlation is symmetric by construction and the usual
+    * excess-degree formula collapses to plain Pearson over the doubled
+    * edge list: r = (Σjk/2m − (Σj/2m)²) / (Σj²/2m − (Σj/2m)²). Every
+    * numerator/denominator input is an exact BIGINT sum — the single
+    * division happens once at the end, on both engines.
+    *
+    * Scale shape: one V-grain degree agg, two degree joins back onto the
+    * doubled edge list (node-key equi-joins at dimension grain), one
+    * scalar aggregate. Nothing quadratic, no windows. */
   def assortativity(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val bi = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))

@@ -337,100 +337,12 @@ object Maintenance {
             (a * a / (col("_n") - 1L) + b * b / (m - 1L)), 4)).as("df"))
   }
 
-  /** Mann–Whitney U of each group against the REST (Mann & Whitney
-    * 1947) — [[welchTTest]]'s nonparametric twin: rank-based, so a
-    * heavy-tailed or skewed length distribution can't fake (or mask) a
-    * shift the way it can with means. Ties credit half (the exact
-    * Mann–Whitney convention — the same rank-sum fold as the AUC family:
-    * U = Σ_v np_v·(cum_nn + nn_v/2) at (group, distinct-value) grain);
-    * z uses the no-ties normal approximation, documented as such.
-    *
-    * Scale shape: one (group, value) agg, one value-grain agg; the dense
-    * (group × value) frame comes from each VALUE row exploding the
-    * collected group dictionary (bounded driver metadata, the x80
-    * collect discipline) — a generator + equi-join, never a cross join
-    * of frames; the running window partitions per GROUP. */
-  def mannWhitneyU(df: DataFrame, groupCol: String,
-                   valueCol: String): DataFrame = {
-    val g = df.groupBy(col(groupCol).cast("string").as("_g"),
-        col(valueCol).as("_v"))
-      .agg(count(lit(1)).cast("long").as("_c"))
-      .localCheckpoint(eager = true) // value-grain + group-dictionary reads
-    val gv = g.groupBy(col("_v")).agg(sum(col("_c")).cast("long").as("_ct"))
-    val groups: Seq[String] = g.select(col("_g")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val sv = gv.select(explode(typedlit(groups)).as("_g"), col("_v"),
-        col("_ct"))
-      .join(g, Seq("_g", "_v"), "left").na.fill(0L, Seq("_c"))
-      .select(col("_g"), col("_v"), col("_c").as("_np"),
-        (col("_ct") - col("_c")).as("_nn"))
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sv.withColumn("_cum", coalesce(sum(col("_nn")).over(w), lit(0L)))
-      .groupBy(col("_g"))
-      .agg(sum(col("_np")).cast("long").as("_n1"),
-        sum(col("_nn")).cast("long").as("_n2"),
-        sum(col("_np") * (col("_cum") + col("_nn") / lit(2.0))).as("_u"))
-      .select(col("_g").as(groupCol), col("_n1").as("n1"),
-        round(col("_u"), 1).as("u_stat"),
-        round((col("_u") - col("_n1") * col("_n2") / lit(2.0)) /
-          sqrt(col("_n1") * col("_n2") *
-            (col("_n1") + col("_n2") + lit(1.0)) / lit(12.0)), 4).as("z"))
-  }
-
-  /** Kruskal–Wallis H across ALL groups (Kruskal & Wallis 1952) —
-    * [[anovaF]]'s nonparametric twin and [[mannWhitneyU]]'s k-group
-    * generalization: rank-based, so heavy tails can't fake or mask a
-    * location shift the way they can with means. Average ranks for
-    * ties, with the standard tie correction 1 − Σ(t³−t)/(N³−N) emitted
-    * alongside the raw H.
-    *
-    * Scale shape: [[mannWhitneyU]]'s exactly — one (group, value) agg,
-    * one value-grain agg, the dense (group × value) frame from each
-    * value row exploding the collected group dictionary (bounded driver
-    * metadata), and the running rank sum via a window PARTITIONED BY
-    * GROUP (never a global single-partition sort). Rank sums are exact
-    * halves; the only unordered double sums are k-bounded. */
-  def kruskalWallis(df: DataFrame, groupCol: String,
-                    valueCol: String): DataFrame = {
-    val g = df.groupBy(col(groupCol).cast("string").as("_g"),
-        col(valueCol).as("_v"))
-      .agg(count(lit(1)).cast("long").as("_c"))
-      .localCheckpoint(eager = true) // value-grain + group-dictionary reads
-    val gv = g.groupBy(col("_v")).agg(sum(col("_c")).cast("long").as("_ct"))
-    val groups: Seq[String] = g.select(col("_g")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rg = gv.select(explode(typedlit(groups)).as("_g"), col("_v"),
-        col("_ct"))
-      .join(g, Seq("_g", "_v"), "left").na.fill(0L, Seq("_c"))
-      .withColumn("_cum", coalesce(sum(col("_ct")).over(w), lit(0L)))
-      .groupBy(col("_g"))
-      .agg(sum(col("_c")).cast("long").as("_n"),
-        sum(col("_c") * (col("_cum") + (col("_ct") + 1L) / lit(2.0)))
-          .as("_rsum"))
-    val tie = gv.agg(sum(col("_ct").cast("double") * col("_ct") *
-      col("_ct") - col("_ct")).as("_t"))
-    val nn = col("_nn").cast("double")
-    val h = lit(12.0) / (nn * (nn + 1.0)) * col("_s") -
-      lit(3.0) * (nn + 1.0)
-    val n3n = nn * nn * nn - nn
-    rg.agg(count(lit(1)).cast("long").as("_k"),
-        sum(col("_n")).cast("long").as("_nn"),
-        sum(col("_rsum") * col("_rsum") / col("_n")).as("_s"))
-      .crossJoin(broadcast(tie))
-      .select(col("_k").as("k"), col("_nn").as("n"),
-        round(h, 4).as("h"),
-        when(col("_t") < n3n, round(h / (lit(1.0) - col("_t") / n3n), 4))
-          .as("h_tie_corrected"))
-  }
-
   /** Spearman rank correlation per group (Spearman 1904), tie-corrected:
     * Pearson over AVERAGE ranks, the exact convention every stats
     * package uses — monotone association that a heavy tail can't
     * inflate the way it inflates Pearson on raw values. The natural
-    * companion read to [[mannWhitneyU]]: same rank machinery, but
+    * companion read to [[graft.operators.TimeSeries.mannWhitneyVsRest]]:
+    * same rank machinery, but
     * between two COLUMNS rather than one column across two groups.
     *
     * Scale shape: collapse to the joint (group, x, y) value grid FIRST

@@ -325,35 +325,6 @@ object Sampling {
     * quantile-edge discipline — and inlined as a literal in the final
     * projection. Exact integer arithmetic end to end (one double division
     * floored), so both engines agree without tolerance. */
-  /** Per-group quantile normalization: replace a skewed per-source score
-    * with "the value a GLOBALLY-typical document at the same within-source
-    * rank would have" — the cross-source comparability fix before a single
-    * threshold gates heterogeneous sources (a p90 web doc and a p90
-    * curated doc land on the same normalized scale even when their raw
-    * distributions differ wildly).
-    *
-    * Mechanics: within-source percent_rank (the exact (rank−1)/(n−1) both
-    * engines define), quantized to `bins` levels, mapped through the
-    * GLOBAL equi-spaced quantile table — which is ONE groupingless
-    * `percentile` aggregate (bins+1 doubles, a broadcast scalar row), so
-    * the corpus is never globally sorted: the only per-row work after the
-    * per-source rank window is an array lookup. DuckDB's `quantile_cont`
-    * interpolates at the same rank p·(n−1) as Spark's `percentile`
-    * (x24's precedent), so the oracle matches after rounding. */
-  def quantileNormalize(rows: DataFrame, idCol: String, groupCol: String,
-                        valCol: String, bins: Int): DataFrame = {
-    val ps = (0 to bins).map(_.toDouble / bins)
-    val edges = rows.agg(
-      expr(s"percentile(`$valCol`, array(${ps.mkString(", ")}))").as("_edges"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-      .orderBy(col(valCol), col(idCol))
-    rows.withColumn("_p", percent_rank().over(w))
-      .withColumn("_bin", round(col("_p") * bins, 0).cast("int"))
-      .crossJoin(broadcast(edges))
-      .select(col(idCol), col(groupCol), col(valCol),
-        round(col("_p"), 6).as("pct_rank"),
-        round(element_at(col("_edges"), col("_bin") + 1), 4).as("normalized"))
-  }
 
   def tokenBudget(rows: DataFrame, groupCol: String, ntokCol: String,
                   budgetFrac: Double): DataFrame = {

@@ -268,30 +268,85 @@ object TimeSeries {
     val vg = df.groupBy(kcols :+ col(valueCol).as("_v"): _*)
       .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("_c0"),
         sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("_c1"))
-      .withColumn("_c", col("_c0") + col("_c1"))
+    mwRankFold(vg, keys, tieCorrect = true)
+      .select(kcols ++ Seq(col("n0"), col("n1"), col("u1"),
+        round(col("z"), 6).as("z")): _*)
+  }
+
+  /** Mann–Whitney U of each group against the REST — [[mannWhitney]]'s
+    * one-vs-rest spelling for dataset-health reads ("does source S's
+    * length distribution differ from everyone else's"), on the SAME rank
+    * fold ([[mwRankFold]]; the r11 duplicate in Maintenance is
+    * consolidated here, r12). z keeps its legacy NO-TIES normal
+    * approximation (documented as such) and the legacy 1 dp / 4 dp
+    * rounds, so existing callers see identical numbers.
+    *
+    * Scale shape: one (group, value) agg, one value-grain agg; the dense
+    * (group × value) frame comes from each VALUE row exploding the
+    * collected group dictionary (bounded driver metadata, the x80
+    * collect discipline) — a generator + equi-join, never a cross join
+    * of frames; then the shared per-KEY (= per-group) rank fold. */
+  def mannWhitneyVsRest(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).cast("string").as("_grp"),
+        col(valueCol).as("_v"))
+      .agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(eager = true) // value-grain + group-dictionary reads
+    val gv = g.groupBy(col("_v")).agg(sum(col("_c")).cast("long").as("_ct"))
+    val groups: Seq[String] = g.select(col("_grp")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val vg = gv.select(explode(typedlit(groups)).as(groupCol), col("_v"),
+        col("_ct"))
+      .join(g.withColumnRenamed("_grp", groupCol), Seq(groupCol, "_v"),
+        "left")
+      .na.fill(0L, Seq("_c"))
+      .select(col(groupCol), col("_v"),
+        (col("_ct") - col("_c")).as("_c0"), col("_c").as("_c1"))
+    mwRankFold(vg, Seq(groupCol), tieCorrect = false)
+      .select(col(groupCol), col("n1"), round(col("u1"), 1).as("u_stat"),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** The ONE Mann–Whitney rank fold, over a (keys, value)-grain frame
+    * carrying side counts `_c0`/`_c1`: pooled average ranks as 2·R LONGs
+    * (exact on the ½ grid under any partitioning), U₁ = R₁ − n₁(n₁+1)/2,
+    * z from the tie-corrected variance (`tieCorrect = true`) or the
+    * plain no-ties normal approximation. Degenerate keys (an empty side,
+    * or every value tied) have ZERO variance — z is emitted null rather
+    * than NaN, so engine-specific 0/0 conventions never leak (r11
+    * advice). u1 and z come back UNROUNDED; callers own the grid. */
+  private def mwRankFold(vg: DataFrame, keys: Seq[String],
+                         tieCorrect: Boolean): DataFrame = {
+    val kcols = keys.map(col)
     val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = vg
+      .withColumn("_c", col("_c0") + col("_c1"))
       .withColumn("_cumIncl", sum(col("_c")).over(w))
       // 2 * (average rank of this value's block) = 2*cumBefore + c + 1.
       .withColumn("_2avg", (col("_cumIncl") - col("_c")) * 2 + col("_c") + 1)
-    ranked.groupBy(kcols: _*)
+    val agg0 = ranked.groupBy(kcols: _*)
       .agg(sum(col("_c0")).cast("long").as("n0"),
         sum(col("_c1")).cast("long").as("n1"),
         sum(col("_c1") * col("_2avg")).cast("long").as("_2r1"),
         sum(col("_c") * col("_c") * col("_c") - col("_c")).cast("long")
           .as("_ties"))
-      .select(kcols ++ Seq(col("n0"), col("n1"),
-        ((col("_2r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0)
-          .as("u1"),
-        round(
-          ((col("_2r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0 -
-            col("n0").cast("double") * col("n1") / 2.0) /
-          sqrt(col("n0").cast("double") * col("n1") / 12.0 *
-            ((col("n0") + col("n1") + 1).cast("double") -
-              col("_ties").cast("double") /
-                ((col("n0") + col("n1")).cast("double") *
-                  (col("n0") + col("n1") - 1)))), 6).as("z")): _*)
+      .withColumn("u1",
+        (col("_2r1") - col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+    val variance =
+      if (tieCorrect)
+        col("n0").cast("double") * col("n1") / 12.0 *
+          ((col("n0") + col("n1") + 1).cast("double") -
+            col("_ties").cast("double") /
+              ((col("n0") + col("n1")).cast("double") *
+                (col("n0") + col("n1") - 1)))
+      else
+        col("n0") * col("n1") *
+          (col("n0") + col("n1") + lit(1.0)) / lit(12.0)
+    agg0.select(kcols ++ Seq(col("n0"), col("n1"), col("u1"),
+      when(variance > 0,
+        (col("u1") - col("n0").cast("double") * col("n1") / 2.0) /
+          sqrt(variance)).as("z")): _*)
   }
 
   /** Theil–Sen robust trend per key (Theil 1950/Sen 1968): slope = the
@@ -311,18 +366,25 @@ object TimeSeries {
     * aggregates raw events down first — the bounded-series contract this
     * module carries), so the pairwise self-join is per-key series² —
     * fine for daily/hourly grids, never row-grain; both medians are
-    * key-grain exact-percentile aggregates after one equi-join exchange. */
+    * key-grain exact-percentile aggregates after one equi-join exchange.
+    *
+    * `slopeGridDp = Some(dp)` rounds each pairwise slope to a dp-digit
+    * grid BEFORE the median (the legacy j31 convention — both engines
+    * then sort identical grid values); `None` medians raw slopes and
+    * rounds once at the end. This is the SOLE Theil–Sen implementation
+    * (the r11 duplicate overload is consolidated here, r12). */
   def theilSen(df: DataFrame, keys: Seq[String], xCol: String,
-               yCol: String): DataFrame = {
+               yCol: String, slopeGridDp: Option[Int] = None): DataFrame = {
     val kcols = keys.map(col)
     val base = df.select(kcols :+ col(xCol).cast("long").as("_x") :+
       col(yCol).cast("double").as("_y"): _*)
+    val rawSlope = (col("b._y") - col("a._y")) /
+      (col("b._x") - col("a._x")).cast("double")
     val slopes = base.as("a").join(base.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k"))
           .reduce(_ && _) && col("a._x") < col("b._x"))
       .select(keys.map(k => col(s"a.$k").as(k)) :+
-        ((col("b._y") - col("a._y")) /
-          (col("b._x") - col("a._x")).cast("double")).as("_s"): _*)
+        slopeGridDp.fold(rawSlope)(dp => round(rawSlope, dp)).as("_s"): _*)
     val sl = slopes.groupBy(kcols: _*)
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         round(expr("percentile(_s, 0.5)"), 6).as("slope"))
@@ -341,52 +403,88 @@ object TimeSeries {
     * shift" read that pairwise U tests would need k(k−1)/2 of.
     *
     * Exactness: the rank sums are carried as 2·R_g LONGs (average ranks
-    * live on the ½ grid) and every tie count is an exact LONG, so H is a
-    * fixed arithmetic expression over exact integers — written
-    * identically in the oracle, rounded 6 dp on both engines.
+    * live on the ½ grid) and every tie count is an exact LONG; the
+    * per-group terms R_g²/n_g are single-rounded doubles written
+    * identically in the oracle. The one caveat: the k-bounded DOUBLE sum
+    * of those terms (and (2R_g)² once ranks pass 2^26.5) accrues in
+    * partial-aggregation order, so the two engines can differ ~1e-10
+    * relative — absorbed by the dp round except on knife-edge rounding
+    * boundaries (none observed through sf0.1).
     *
     * Scale shape: values collapse to (key, value, group) grain in one
     * map-side agg; the pooled running total is a per-KEY window over the
     * (key, value) grain (the [[mannWhitney]]/[[ksDistance]] discipline —
     * parallel across keys, never a global sort); then two key-grain
-    * folds. */
+    * folds. With NO keys (`keys = Seq()`, the corpus-wide test) there is
+    * no key dimension to parallelize on, so the running rank routes
+    * through the GROUP dimension instead: a dense (group × value) frame
+    * (bounded group dictionary, the x80 collect discipline) carries the
+    * TOTAL per-value count into every group's partition, where cum(_c)
+    * IS the pooled cumulative — the window never collapses to a single
+    * partition. This is the SOLE Kruskal–Wallis implementation (the r11
+    * duplicate in Maintenance is consolidated here, r12); a key whose
+    * values are ALL tied has zero tie-corrected denominator —
+    * h_tie_corrected is emitted null rather than ±Inf (r11 advice). */
   def kruskalWallis(df: DataFrame, keys: Seq[String], valueCol: String,
-                    groupCol: String): DataFrame = {
+                    groupCol: String, dp: Int = 6): DataFrame = {
     val kcols = keys.map(col)
     val vgg = df.groupBy(kcols :+ col(valueCol).as("_v") :+
         col(groupCol).as("_g"): _*)
       .agg(count(lit(1)).as("_cg"))
     val vg = vgg.groupBy(kcols :+ col("_v"): _*)
       .agg(sum(col("_cg")).as("_c"))
-    val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val avg2 = vg
-      .withColumn("_cumIncl", sum(col("_c")).over(w))
-      .select(kcols :+ col("_v") :+ col("_c") :+
-        ((col("_cumIncl") - col("_c")) * 2 + col("_c") + 1).as("_2avg"): _*)
-    val perGroup = vgg
-      .join(avg2.select(kcols :+ col("_v") :+ col("_2avg"): _*),
-        keys :+ "_v")
-      .groupBy(kcols :+ col("_g"): _*)
-      .agg(sum(col("_cg")).cast("long").as("_ng"),
-        sum(col("_cg") * col("_2avg")).cast("long").as("_2rg"))
-    val ties = avg2.groupBy(kcols: _*)
+    val perGroup =
+      if (keys.nonEmpty) {
+        val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val avg2 = vg
+          .withColumn("_cumIncl", sum(col("_c")).over(w))
+          .select(kcols :+ col("_v") :+
+            ((col("_cumIncl") - col("_c")) * 2 + col("_c") + 1)
+              .as("_2avg"): _*)
+        vgg.join(avg2, keys :+ "_v")
+          .groupBy(kcols :+ col("_g"): _*)
+          .agg(sum(col("_cg")).cast("long").as("_ng"),
+            sum(col("_cg") * col("_2avg")).cast("long").as("_2rg"))
+      } else {
+        val groups: Seq[String] = vgg.select(col("_g").cast("string"))
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
+        val dense = vg
+          .select(explode(typedlit(groups)).as("_g"), col("_v"), col("_c"))
+          .join(vgg.select(col("_g").cast("string").as("_g"), col("_v"),
+            col("_cg")), Seq("_g", "_v"), "left")
+          .na.fill(0L, Seq("_cg"))
+        val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dense
+          .withColumn("_cumIncl", sum(col("_c")).over(w))
+          .withColumn("_2avg",
+            (col("_cumIncl") - col("_c")) * 2 + col("_c") + 1)
+          .groupBy(col("_g"))
+          .agg(sum(col("_cg")).cast("long").as("_ng"),
+            sum(col("_cg") * col("_2avg")).cast("long").as("_2rg"))
+      }
+    val ties = vg.groupBy(kcols: _*)
       .agg(sum(col("_c") * col("_c") * col("_c") - col("_c")).cast("long")
         .as("_t3t"))
     val nn = col("n_total").cast("double")
-    perGroup.groupBy(kcols: _*)
+    val n3n = nn * nn * nn - nn
+    val hExpr = lit(12.0) / (nn * (nn + 1)) * col("_sr2") -
+      lit(3.0) * (nn + 1)
+    val aggTop = perGroup.groupBy(kcols: _*)
       .agg(count(lit(1)).cast("long").as("n_groups"),
         sum(col("_ng")).cast("long").as("n_total"),
         sum(col("_2rg").cast("double") * col("_2rg") /
           (lit(4.0) * col("_ng"))).as("_sr2"))
-      .join(ties, keys)
-      .select(kcols ++ Seq(col("n_groups"), col("n_total"),
-        round(lit(12.0) / (nn * (nn + 1)) * col("_sr2") -
-          lit(3.0) * (nn + 1), 6).as("h"),
-        round((lit(12.0) / (nn * (nn + 1)) * col("_sr2") -
-          lit(3.0) * (nn + 1)) /
-          (lit(1.0) - col("_t3t").cast("double") / (nn * nn * nn - nn)), 6)
-          .as("h_tie_corrected")): _*)
+    val joined =
+      if (keys.nonEmpty) aggTop.join(ties, keys)
+      else aggTop.crossJoin(broadcast(ties))
+    joined.select(kcols ++ Seq(col("n_groups"), col("n_total"),
+      round(hExpr, dp).as("h"),
+      when(col("_t3t").cast("double") < n3n,
+        round(hExpr /
+          (lit(1.0) - col("_t3t").cast("double") / n3n), dp))
+        .as("h_tie_corrected")): _*)
   }
 
   /** Inter-arrival gap statistics: per key, the distribution (count, min,
@@ -415,20 +513,6 @@ object TimeSeries {
         max(col("_gap")).cast("long").as("max_ms"))
   }
 
-  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
-    * (y_j − y_i)/(x_j − x_i), x_i < x_j — immune to the outlier days that
-    * drag an OLS slope (one anomalous spike moves OLS arbitrarily; the
-    * pairwise median has a 29% breakdown point). The drift read for
-    * dashboard series and dataset-size trends.
-    *
-    * Contract: the input is a PRE-AGGREGATED per-key series (daily/weekly
-    * grain), so the pair expansion is bounded at |series|² per key —
-    * 435 pairs for a 30-day daily series — the same documented bounded-
-    * blowup discipline as cooccurrencePmi. Slopes round 6 dp BEFORE the
-    * median (both engines sort identical values); the equi-join on the
-    * key broadcasts the aggregated series; the median is a per-key rank
-    * window over the bounded pair table — never a global sort.
-    */
   /** OLS trend per key from MERGEABLE power sums — [[theilSen]]'s
     * parametric twin (run both: a large robust-vs-OLS slope gap names the
     * outlier days). The shuffle carries six sufficient statistics per key
@@ -466,28 +550,6 @@ object TimeSeries {
         round(when(col("_c") === 0L, lit(0.0)) // flat y: define r² = 0
           .otherwise(col("_a").cast("double") * col("_a") /
             (col("_b") * col("_c"))), 6).as("r2"))
-  }
-
-  def theilSen(series: DataFrame, keyCol: String, xCol: String,
-               yCol: String): DataFrame = {
-    val a = series.select(col(keyCol).as("_k"),
-      col(xCol).as("_x1"), col(yCol).as("_y1"))
-    val b = series.select(col(keyCol).as("_k"),
-      col(xCol).as("_x2"), col(yCol).as("_y2"))
-    val pairs = a.join(broadcast(b), Seq("_k"))
-      .where(col("_x1") < col("_x2"))
-      .select(col("_k"),
-        round((col("_y2") - col("_y1")).cast("double") /
-          (col("_x2") - col("_x1")), 6).as("_s"))
-    val m = pairs.groupBy(col("_k")).agg(count(lit(1)).as("_m"))
-    val w = Window.partitionBy(col("_k")).orderBy(col("_s"))
-    pairs.withColumn("_rn", row_number().over(w))
-      .join(broadcast(m), Seq("_k"))
-      .where(col("_rn") === expr("(_m + 1) div 2") ||
-        col("_rn") === expr("(_m + 2) div 2"))
-      .groupBy(col("_k").as(keyCol))
-      .agg(first(col("_m")).cast("long").as("n_pairs"),
-        round(avg(col("_s")), 6).as("slope"))
   }
 
   /** Lead–lag cross-correlation between two integer-valued series x and y

@@ -6334,11 +6334,14 @@ object Registry {
         |AS kappa FROM t, pp""".stripMargin.replace("\n", " "))),
 
     ("j31_theil_sen",
-      // Robust trend per type (operators/TimeSeries.theilSen): median of
-      // pairwise slopes over the daily count series — the drift read an
-      // outlier day can't drag. The pair expansion is bounded at
-      // |days|² per type (435 pairs / 30-day series); slopes round 6 dp
-      // before the per-type median window.
+      // Robust trend per type (operators/TimeSeries.theilSen, the ONE
+      // Theil–Sen since the r12 consolidation): median of pairwise
+      // slopes over the daily count series — the drift read an outlier
+      // day can't drag. The pair expansion is bounded at |days|² per
+      // type (435 pairs / 30-day series); slopes round to the legacy
+      // 6 dp grid BEFORE the median (slopeGridDp — both engines then
+      // sort identical grid values); j63 runs the same operator on raw
+      // slopes with the intercept.
       (s: SparkSession, dir: String) =>
         graft.operators.TimeSeries.theilSen(
           Tables.events(s, dir)
@@ -6346,21 +6349,19 @@ object Registry {
               (unix_millis(date_trunc("DAY", col("ts"))) / lit(86400000L))
                 .cast("long").as("_day"))
             .agg(count(lit(1)).cast("long").as("_n")),
-          "event_type", "_day", "_n")
+          Seq("event_type"), "_day", "_n", slopeGridDp = Some(6))
+          .select(col("event_type"), col("n_pairs"), col("slope"))
           .orderBy(col("event_type")),
       Some("""WITH d AS (SELECT event_type,
         |epoch_ms(date_trunc('day', ts)) // 86400000 AS x,
         |CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
         |p AS (SELECT a.event_type,
         |round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x), 6) AS s
-        |FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
-        |r AS (SELECT event_type, s,
-        |row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
-        |count(*) OVER (PARTITION BY event_type) AS m FROM p)
-        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
-        |round(avg(s), 6) AS slope
-        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
-        |GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " "))),
+        |FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |round(quantile_cont(s, 0.5), 6) AS slope
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin
+        .replace("\n", " "))),
 
     ("x107_token_budget",
       // Water-filling source budget (operators/Sampling.tokenBudget):
@@ -6434,17 +6435,22 @@ object Registry {
         |FROM w GROUP BY 1 ORDER BY class""".stripMargin.replace("\n", " "))),
 
     ("x108_quantile_normalize",
-      // Cross-source comparability (operators/Sampling.quantileNormalize):
-      // within-source percent-rank of doc length mapped through the
-      // GLOBAL equi-spaced quantile table (one broadcast scalar row —
-      // never a global sort), so one threshold can gate heterogeneous
-      // sources. The quantile probe list is generated once and
-      // interpolated into BOTH engines' SQL verbatim.
+      // Cross-source comparability (Eval.quantileNormalize, the ONE
+      // quantile-normalization since the r12 consolidation; here the
+      // legacy percent_rank convention, midRank = false): within-source
+      // percent-rank of doc length mapped through the GLOBAL equi-spaced
+      // quantile table (one broadcast scalar row — never a global sort),
+      // so one threshold can gate heterogeneous sources. The quantile
+      // probe list is generated once and interpolated into BOTH engines'
+      // SQL verbatim.
       (s: SparkSession, dir: String) =>
-        graft.operators.Sampling.quantileNormalize(
+        graft.operators.Eval.quantileNormalize(
           Tables.documents(s, dir).select(col("doc_id"), col("source"),
             col("n_chars")),
-          "doc_id", "source", "n_chars", 100)
+          "doc_id", "source", "n_chars", 100, midRank = false)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("p"), 6).as("pct_rank"),
+            round(col("normalized"), 4).as("normalized"))
           .orderBy(col("doc_id")),
       Some {
         val ps = (0 to 100).map(_.toDouble / 100).mkString(", ")
@@ -7507,11 +7513,14 @@ object Registry {
         |FROM r2 GROUP BY 1)
         |SELECT l_returnflag, n0, n1,
         |CAST(r2s - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |CASE WHEN CAST(n0 AS DOUBLE) * n1 / 12.0 *
+        |(CAST(n0 + n1 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |(CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))) > 0 THEN
         |round((CAST(r2s - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
         |CAST(n0 AS DOUBLE) * n1 / 2.0) /
         |sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 *
         |(CAST(n0 + n1 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
-        |(CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 6) AS z
+        |(CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 6) END AS z
         |FROM agg ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
 
     ("j63_theil_sen",
@@ -7585,13 +7594,16 @@ object Registry {
         |round(12.0 / (CAST(a.n_total AS DOUBLE) *
         |(CAST(a.n_total AS DOUBLE) + 1)) * a.sr2 -
         |3.0 * (CAST(a.n_total AS DOUBLE) + 1), 6) AS h,
+        |CASE WHEN CAST(t.t3t AS DOUBLE) <
+        |CAST(a.n_total AS DOUBLE) * CAST(a.n_total AS DOUBLE) *
+        |CAST(a.n_total AS DOUBLE) - CAST(a.n_total AS DOUBLE) THEN
         |round((12.0 / (CAST(a.n_total AS DOUBLE) *
         |(CAST(a.n_total AS DOUBLE) + 1)) * a.sr2 -
         |3.0 * (CAST(a.n_total AS DOUBLE) + 1)) /
         |(1.0 - CAST(t.t3t AS DOUBLE) /
         |(CAST(a.n_total AS DOUBLE) * CAST(a.n_total AS DOUBLE) *
         |CAST(a.n_total AS DOUBLE) - CAST(a.n_total AS DOUBLE))), 6)
-        |AS h_tie_corrected
+        |END AS h_tie_corrected
         |FROM agg a JOIN ties t ON t.ship_year = a.ship_year
         |ORDER BY a.ship_year""".stripMargin.replace("\n", " "))),
 
@@ -8001,12 +8013,13 @@ object Registry {
         |FROM f ORDER BY source""".stripMargin.replace("\n", " "))),
 
     ("j43_mann_whitney",
-      // Mann-Whitney U per source vs rest (operators/Maintenance
-      // .mannWhitneyU) on document lengths: x129's nonparametric twin —
+      // Mann-Whitney U per source vs rest (TimeSeries.mannWhitneyVsRest,
+      // riding the ONE rank fold shared with j62 since the r12
+      // consolidation) on document lengths: x129's nonparametric twin —
       // rank-based, tie-credited-half via the AUC family's rank-sum
-      // fold; z by the no-ties normal approximation.
+      // fold; z by the legacy no-ties normal approximation.
       (s: SparkSession, dir: String) =>
-        graft.operators.Maintenance.mannWhitneyU(
+        graft.operators.TimeSeries.mannWhitneyVsRest(
             Tables.documents(s, dir), "source", "n_chars")
           .orderBy(col("source")),
       Some("""WITH g AS (SELECT source, n_chars AS v,
@@ -8025,8 +8038,9 @@ object Registry {
         |CAST(sum(nn) AS BIGINT) AS n2,
         |sum(np * (cum + nn / 2.0)) AS uu FROM w GROUP BY 1)
         |SELECT source, n1, round(uu, 1) AS u_stat,
+        |CASE WHEN n1 > 0 AND n2 > 0 THEN
         |round((uu - n1 * n2 / 2.0) /
-        |sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
+        |sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) END AS z
         |FROM u ORDER BY source""".stripMargin.replace("\n", " "))),
 
     ("s30_stream_welch",
@@ -8455,6 +8469,8 @@ object Registry {
               .select(col("doc_id"), col("source"),
                 col("n_chars").cast("double").as("score")),
             "doc_id", "source", "score", 200)
+          .select(col("doc_id"), col("source"), col("score"),
+            col("grid_idx"), round(col("normalized"), 6).as("normalized"))
           .orderBy(col("doc_id")),
       Some(quantileNormalizeOracle(200))),
 
@@ -8792,12 +8808,18 @@ object Registry {
 
     ("j48_kruskal_wallis",
       // Kruskal-Wallis H of document length across sources
-      // (operators/Maintenance.kruskalWallis): j45's nonparametric twin
-      // and j43's k-group generalization — average ranks for ties, the
-      // standard tie correction emitted alongside raw H.
+      // (TimeSeries.kruskalWallis with NO keys — the corpus-wide test on
+      // the ONE implementation shared with j64 since the r12
+      // consolidation; the pooled running rank routes through the dense
+      // group×value frame so the window never collapses to a single
+      // partition): j45's nonparametric twin and j43's k-group
+      // generalization — average ranks for ties, the standard tie
+      // correction emitted alongside raw H, legacy 4 dp grid.
       (s: SparkSession, dir: String) =>
-        graft.operators.Maintenance.kruskalWallis(
-          Tables.documents(s, dir), "source", "n_chars"),
+        graft.operators.TimeSeries.kruskalWallis(
+            Tables.documents(s, dir), Seq(), "n_chars", "source", dp = 4)
+          .select(col("n_groups").as("k"), col("n_total").as("n"),
+            col("h"), col("h_tie_corrected")),
       Some("""WITH g AS MATERIALIZED (SELECT source AS grp, n_chars AS v,
         |CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
         |gv AS MATERIALIZED (SELECT v, CAST(sum(c) AS BIGINT) AS ct

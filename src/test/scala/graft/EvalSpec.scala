@@ -235,11 +235,30 @@ class EvalSpec extends SparkSpec {
     val out = graft.operators.Eval.quantileNormalize(df, "id", "g",
         "score", 4)
       .orderBy($"id").collect()
-      .map(r => (r.getString(1), r.getInt(3), r.getDouble(4)))
+      .map(r => (r.getString(1), r.getInt(4), r.getDouble(5)))
     val a = out.filter(_._1 == "A").map(t => (t._2, t._3))
     val b = out.filter(_._1 == "B").map(t => (t._2, t._3))
     assert(a.toSeq === Seq((1, 2.75), (2, 7.5), (3, 12.25), (4, 14.0)))
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("quantileNormalize, percent_rank convention: equal within-group ranks land on the same global scale") {
+    import spark.implicits._
+    // The legacy x108 convention (midRank = false): two sources with
+    // wildly different raw scales; grid 2 -> pooled edges (p 0, .5, 1)
+    // over [1,2,3,10,20,30] = [1, 6.5, 30]. Each group's three rows rank
+    // p = 0, .5, 1 -> both normalize to exactly [1, 6.5, 30]: one
+    // threshold now gates both sources.
+    val rows = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L),
+      ("g2", 4L, 10L), ("g2", 5L, 20L), ("g2", 6L, 30L))
+      .toDF("src", "doc_id", "v")
+    val out = graft.operators.Eval.quantileNormalize(rows, "doc_id",
+        "src", "v", 2, midRank = false)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (1L, 0.0, 1.0), (2L, 0.5, 6.5), (3L, 1.0, 30.0),
+      (4L, 0.0, 1.0), (5L, 0.5, 6.5), (6L, 1.0, 30.0)))
   }
 
   test("splitConformal: exact order-statistic quantile, held-out coverage, loud failure when alpha outruns n_cal") {

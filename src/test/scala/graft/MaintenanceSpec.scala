@@ -214,23 +214,6 @@ class MaintenanceSpec extends SparkSpec {
     assert(t2.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
-  test("mannWhitneyU: full separation gives extreme U; an exact tie credits half and zeroes z") {
-    import spark.implicits._
-    // a = {1,2,3} entirely below b = {4,5,6}: U_a = 0, U_b = 9,
-    // z = ∓4.5/√5.25 = ∓1.964.
-    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
-      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
-    val out = graft.operators.Maintenance.mannWhitneyU(df, "g", "v")
-      .orderBy($"g").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    assert(out.toSeq === Seq(("a", 3L, 0.0, -1.964), ("b", 3L, 9.0, 1.964)))
-    // One tied value on each side: U = 0.5 each (half credit), z = 0.
-    val tie = Seq(("a", 1L), ("b", 1L)).toDF("g", "v")
-    val t = graft.operators.Maintenance.mannWhitneyU(tie, "g", "v")
-      .orderBy($"g").collect().map(r => (r.getDouble(2), r.getDouble(3)))
-    assert(t.toSeq === Seq((0.5, 0.0), (0.5, 0.0)))
-  }
-
   test("spearman: perfect monotone gives ±1; ties use average ranks; constants emit NULL") {
     import spark.implicits._
     // Group a: y strictly increases with x → rho = 1 exactly (monotone
@@ -299,25 +282,6 @@ class MaintenanceSpec extends SparkSpec {
     val c = graft.operators.Maintenance.kendallTauB(const, "g", "x", "y")
       .collect().head
     assert(c.isNullAt(2))
-  }
-
-  test("kruskalWallis: textbook no-tie case gives H=7.2; all-tied table NULLs the correction") {
-    import spark.implicits._
-    // Groups {1,2,3}, {4,5,6}, {7,8,9}: rank sums 6, 15, 24 →
-    // H = 12/90·(12+75+192) − 30 = 7.2; no ties so corrected == raw.
-    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
-      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
-    val r = graft.operators.Maintenance.kruskalWallis(df, "g", "v")
-      .collect().head
-    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
-      === (3L, 9L, 7.2, 7.2))
-    // Every value identical: correction denominator hits zero → NULL
-    // h_tie_corrected (h itself is 0: all rank sums equal).
-    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
-      .toDF("g", "v")
-    val c = graft.operators.Maintenance.kruskalWallis(const, "g", "v")
-      .collect().head
-    assert(c.getDouble(2) === 0.0 && c.isNullAt(3))
   }
 
   test("lDiversityAudit: homogeneous sensitive values flagged, diverse groups pass") {

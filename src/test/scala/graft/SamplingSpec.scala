@@ -233,23 +233,6 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq === Seq(("s1", 10L, 10L, false), ("s2", 90L, 90L, false)))
   }
 
-  test("quantileNormalize: equal within-group ranks land on the same global scale") {
-    import spark.implicits._
-    // Two sources with wildly different raw scales; bins=2 -> global
-    // edges (p 0, .5, 1) over [1,2,3,10,20,30] = [1, 6.5, 30]. Each
-    // group's three rows rank p = 0, .5, 1 -> both normalize to
-    // exactly [1, 6.5, 30]: one threshold now gates both sources.
-    val rows = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L),
-      ("g2", 4L, 10L), ("g2", 5L, 20L), ("g2", 6L, 30L))
-      .toDF("src", "doc_id", "v")
-    val out = Sampling.quantileNormalize(rows, "doc_id", "src", "v", 2)
-      .orderBy($"doc_id").collect()
-      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
-    assert(out.toSeq === Seq(
-      (1L, 0.0, 1.0), (2L, 0.5, 6.5), (3L, 1.0, 30.0),
-      (4L, 0.0, 1.0), (5L, 0.5, 6.5), (6L, 1.0, 30.0)))
-  }
-
   test("cluster-grain split: every cluster lands atomically, so cross-split near-dup pairs are zero") {
     import spark.implicits._
     // 60 docs in 20 clusters of 3: id-grain splitting WOULD scatter some

@@ -97,10 +97,17 @@ class SurvivalSpec extends SparkSpec {
     import spark.implicits._
     val subj = Seq((0, 1L, 1), (1, 1L, 1), (2, 2L, 1))
       .toDF("g", "t", "d")
-    val e = intercept[org.apache.spark.SparkException] {
+    // assert_true raises SparkRuntimeException, which does NOT extend
+    // SparkException; whether Spark wraps it in a job-failure
+    // SparkException depends on the execution path (and varies under the
+    // shared concurrent test session). Intercept Throwable and walk the
+    // whole cause chain for the contract message (r11 flake, VERDICT #1).
+    val e = intercept[Throwable] {
       Survival.logRank(subj, "g", 3).collect()
     }
-    assert(e.getMessage.contains("exactly TWO groups") ||
-      Option(e.getCause).exists(_.getMessage.contains("exactly TWO groups")))
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("exactly TWO groups"), s"unexpected failure: $msgs")
   }
 }

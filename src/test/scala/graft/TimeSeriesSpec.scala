@@ -189,18 +189,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.getAs[Long]("max_ms") === 15L)
   }
 
-  test("theilSen: outlier day leaves the pairwise median untouched") {
+  test("theilSen: outlier day leaves the pairwise median untouched (legacy slope grid)") {
     import spark.implicits._
     // y = x on days 1-3 plus a wild spike on day 4: pairwise slopes are
     // [1, 1, 1, 33, 49, 97] -> even count, median = (1+33)/2 = 17;
     // without the spike the median is exactly 1.
     val sp = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 100L))
       .toDF("k", "x", "y")
-    val out = TimeSeries.theilSen(sp, "k", "x", "y").collect().head
+    val out = TimeSeries.theilSen(sp, Seq("k"), "x", "y", Some(6))
+      .collect().head
     assert(out.getAs[Long]("n_pairs") === 6L)
     assert(out.getAs[Double]("slope") === 17.0)
     val clean = sp.filter($"y" < 100L)
-    assert(TimeSeries.theilSen(clean, "k", "x", "y")
+    assert(TimeSeries.theilSen(clean, Seq("k"), "x", "y", Some(6))
       .collect().head.getAs[Double]("slope") === 1.0)
   }
 
@@ -209,10 +210,57 @@ class TimeSeriesSpec extends SparkSpec {
     // slopes 1, 1.5, 2 -> median 1.5; second key checks per-key windows.
     val sp = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 4L),
       ("b", 1L, 10L), ("b", 2L, 8L), ("b", 3L, 6L)).toDF("k", "x", "y")
-    val out = TimeSeries.theilSen(sp, "k", "x", "y")
+    val out = TimeSeries.theilSen(sp, Seq("k"), "x", "y", Some(6))
       .orderBy($"k").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("slope")))
     assert(out.toSeq === Seq(("a", 3L, 1.5), ("b", 3L, -2.0)))
+  }
+
+  test("mannWhitneyVsRest: full separation gives extreme U; an exact tie credits half and zeroes z") {
+    import spark.implicits._
+    // a = {1,2,3} entirely below b = {4,5,6}: U_a = 0, U_b = 9,
+    // z = ∓4.5/√5.25 = ∓1.964.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val out = TimeSeries.mannWhitneyVsRest(df, "g", "v")
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", 3L, 0.0, -1.964), ("b", 3L, 9.0, 1.964)))
+    // One tied value on each side: U = 0.5 each (half credit), z = 0.
+    val tie = Seq(("a", 1L), ("b", 1L)).toDF("g", "v")
+    val t = TimeSeries.mannWhitneyVsRest(tie, "g", "v")
+      .orderBy($"g").collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(t.toSeq === Seq((0.5, 0.0), (0.5, 0.0)))
+  }
+
+  test("mannWhitney: a degenerate key (one side empty or all values tied) emits NULL z, never NaN") {
+    import spark.implicits._
+    val df = Seq(("empty0", 1.0, 1), ("empty0", 2.0, 1),
+      ("tied", 5.0, 0), ("tied", 5.0, 1)).toDF("k", "v", "side")
+    val out = TimeSeries.mannWhitney(df, Seq("k"), "v", "side")
+      .orderBy($"k").collect()
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("kruskalWallis with NO keys: textbook no-tie case gives H=7.2; all-tied table NULLs the correction") {
+    import spark.implicits._
+    // Groups {1,2,3}, {4,5,6}, {7,8,9}: rank sums 6, 15, 24 →
+    // H = 12/90·(12+75+192) − 30 = 7.2; no ties so corrected == raw.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val r = TimeSeries.kruskalWallis(df, Seq(), "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      === (3L, 9L, 7.2, 7.2))
+    // Every value identical: correction denominator hits zero → NULL
+    // h_tie_corrected (h itself is 0: all rank sums equal) — keyed too.
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val c = TimeSeries.kruskalWallis(const, Seq(), "v", "g").collect().head
+    assert(c.getDouble(2) === 0.0 && c.isNullAt(3))
+    val ck = TimeSeries.kruskalWallis(const.withColumn("kk", lit(1)),
+      Seq("kk"), "v", "g").collect().head
+    assert(ck.getDouble(3) === 0.0 && ck.isNullAt(4))
   }
 
   test("olsTrend: exact line recovers slope/intercept with r2 = 1; flat series r2 = 0") {
