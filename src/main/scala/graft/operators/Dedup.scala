@@ -924,6 +924,74 @@ object Dedup {
     labelClusters(embeddings, comps, idCol)
   }
 
+  /** DBSCAN-style DENSITY clustering over the LSH bucket graph (Ester et
+    * al. 1996, with the ε-neighborhood realized as the sign-LSH candidate
+    * graph + exact-cosine verify — the r11 verdict's named open seat):
+    * where [[semanticDedup]] calls every connected blob one cluster and
+    * k-means forces every point into SOME cluster, DBSCAN separates the
+    * three roles a curation pipeline actually treats differently —
+    * CORE points (≥ minPts−1 verified neighbors) define dense regions,
+    * clusters are the connected components of the core-core subgraph
+    * (min-core-id labeled), BORDER points attach to their minimum
+    * adjacent core cluster without bridging clusters together, and NOISE
+    * (everything else) is the long tail no density region claims. A
+    * border doc between two dense regions does NOT merge them — the
+    * chaining failure mode of plain CC dedup at loose thresholds.
+    *
+    * Determinism: the neighborhood graph is [[embeddingNearDup]]'s exact
+    * arithmetic (6 dp cosine cut); roles are integer degree compares;
+    * labels are min-ids; border assignment is a min over adjacent core
+    * labels. No randomness anywhere (classic DBSCAN's visit-order
+    * sensitivity for border points is resolved by the min rule).
+    *
+    * Scale shape: the pair graph comes from banded LSH (never all-pairs);
+    * the doubled edge list materializes ONCE (localCheckpoint — it feeds
+    * degrees, the core-core restriction, and border assignment); CC runs
+    * on the core-core SUBGRAPH (smaller than the full pair graph); the
+    * final labeling is two left joins of pair-graph-sized frames onto the
+    * corpus — broadcast when small, plain hash joins at scale. */
+  def dbscanLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+                bands: Int, rowsPerBand: Int, eps: Double,
+                minPts: Int): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, idCol, vecCol, bands,
+      rowsPerBand, eps)
+    val e = pairs.select(col("id_a").as("_a"), col("id_b").as("_b"))
+      .unionByName(pairs.select(col("id_b").as("_a"), col("id_a").as("_b")))
+      .localCheckpoint(eager = true) // degrees + core-core + border reads
+    val core = e.groupBy(col("_a"))
+      .agg(count(lit(1)).as("_nb"))
+      .where(col("_nb") >= minPts - 1)
+      .select(col("_a").as("_core"))
+      .localCheckpoint(eager = true) // membership probed from three sides
+    val coreEdges = e
+      .join(core.select(col("_core").as("_a")), Seq("_a"))
+      .join(core.select(col("_core").as("_b")), Seq("_b"))
+    // An isolated core (every neighbor is border) never enters the
+    // core-core edge list but still seeds its own singleton cluster.
+    val comp = core
+      .join(connectedComponents(coreEdges, "_a", "_b")
+        .withColumnRenamed("node", "_core"), Seq("_core"), "left_outer")
+      .select(col("_core").as("node"),
+        coalesce(col("label"), col("_core")).as("label"))
+    val border = e
+      .join(core.select(col("_core").as("_b")), Seq("_b"))
+      .join(comp.select(col("node").as("_b"), col("label")), Seq("_b"))
+      .join(core.select(col("_core").as("_a"), lit(1).as("_isCore")),
+        Seq("_a"), "left_anti")
+      .groupBy(col("_a"))
+      .agg(min(col("label")).as("_blabel"))
+    embeddings.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("label").as("_clabel")),
+        Seq(idCol), "left_outer")
+      .join(border.select(col("_a").as(idCol), col("_blabel")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_clabel").isNotNull, lit("core"))
+          .when(col("_blabel").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_clabel"), col("_blabel")).as("cluster_id"))
+  }
+
   /** Shared tail of the cluster operators: label every row with its
     * component's min id (itself when unpaired), keep=1 on the canonical.
     * Public so incremental maintainers ([[mergeComponents]] folds) can

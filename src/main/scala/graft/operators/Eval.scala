@@ -629,6 +629,58 @@ object Eval {
         element_at(col("_q"), col("_gi") + 1).as("normalized"))
   }
 
+  /** ISOTONIC calibration (pool-adjacent-violators, Ayer et al. 1955;
+    * Zadrozny & Elkan 2002 as the classifier-calibration recipe) — the
+    * MONOTONE-fit capability the eval ladder lacked: given a binned
+    * score→outcome table, the least-squares NON-DECREASING rate curve.
+    * Where x105's calibration bins report raw per-bin rates (which can
+    * zig-zag from sampling noise), the isotonic fit pools adjacent
+    * violating bins into weighted averages until monotone — the standard
+    * probability-calibration map for any score this engine produces.
+    *
+    * Exactness: every pool value is ONE division of exact LONG sums
+    * (pos/n), so the fit is engine-portable bit-for-bit; the oracle
+    * computes the same fit through the closed-form minimax
+    * f_b = max_{a≤b} min_{c≥b} avg(a..c) (equal to PAVA's pool average
+    * as a real number, hence as a correctly-rounded double — two equal
+    * rationals divide to the same double). PAVA's merge compare runs on
+    * exact LONG cross-products (pos_prev·n_cur vs pos_cur·n_prev; exact
+    * while pool pos·n < 2^63 — ~3e9 rows per pool).
+    *
+    * Scale shape: the corpus reduces to ONE map-side-combined agg at bin
+    * grain; PAVA runs driver-side on the BOUNDED bin table (the j22/x80
+    * bounded-metadata discipline — B doubles, one O(B) stack pass) and
+    * broadcasts back as a literal map lookup. No windows, no joins. */
+  def isotonicCalibration(df: DataFrame, binCol: String,
+                          labelCol: String): DataFrame = {
+    val bins = df.groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(labelCol).cast("long")).cast("long").as("pos"))
+    val rows = bins.orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAVA: each stack frame is a pool (nBins, sumN, sumPos); a new bin
+    // merges backwards while the previous pool's rate EXCEEDS the
+    // current's (ties keep separate pools — the fit value is identical).
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    rows.foreach { case (_, n, p) =>
+      var cur = (1, n, p)
+      while (stack.nonEmpty &&
+        stack.last._3 * cur._2 > cur._3 * stack.last._2) {
+        val prev = stack.remove(stack.size - 1)
+        cur = (prev._1 + cur._1, prev._2 + cur._2, prev._3 + cur._3)
+      }
+      stack += cur
+    }
+    val fitVals = stack.iterator.flatMap { case (c, sn, sp) =>
+      Iterator.fill(c)(sp.toDouble / sn)
+    }.toSeq
+    val fit: Map[Long, Double] = rows.map(_._1).zip(fitVals).toMap
+    bins
+      .withColumn("rate", round(col("pos").cast("double") / col("n"), 6))
+      .withColumn("isotonic", round(element_at(typedlit(fit), col("bin")), 6))
+      .select(col("bin"), col("n"), col("pos"), col("rate"), col("isotonic"))
+  }
+
   /** SPLIT-CONFORMAL calibration (Vovk's inductive conformal prediction,
     * the Lei et al. 2018 split form) — the distribution-free uncertainty
     * read a score/regressor gains nothing from [[calibrationBins]]' bin

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (north-star extension).
@@ -551,6 +552,66 @@ object Similarity {
     * fraction. Scale shape: the all-corpus self-kNN rides knnJoin's
     * equi-join fallback (corpus never broadcast), labels join at qid /
     * neighbor grain, and everything after is two bounded aggs. */
+  /** Exact KNN-Shapley DATA VALUATION (Jia et al. 2019, "Efficient
+    * task-specific data valuation for nearest neighbor algorithms"): the
+    * Shapley value of every training point for a k-NN classifier over a
+    * held-out test set, via the closed-form recurrence — sorted by
+    * similarity to a test point (rank 1 = nearest, n = farthest),
+    * s_(n) = 1[y_(n)=y_t]/n and
+    * s_(i) = s_(i+1) + (1[y_(i)=y_t] − 1[y_(i+1)=y_t])/k · min(k,i)/i —
+    * then averaged over test points. The per-point "does this example
+    * HELP or HURT the task" read that frequency/quality scores can't
+    * give: a mislabeled point near many test points goes sharply
+    * negative; Σφ equals the k-NN test accuracy (the efficiency axiom —
+    * the spec's sanity pin).
+    *
+    * Determinism: similarities round 6 dp BEFORE ranking (both engines
+    * sort the same grid, vec_id tie-break); the suffix recurrence is a
+    * window cumulative sum in rank order — a fixed evaluation order on
+    * both engines.
+    *
+    * Scale shape: the test set is BOUNDED (held-out eval sets are tiny
+    * next to training corpora) and broadcast; the score table is one
+    * narrow n_train × n_test frame; the recurrence rides windows
+    * PARTITIONED PER TEST POINT (parallel across test points, the
+    * ksDistance discipline). One test partition = the whole train set —
+    * if that outgrows an executor, range-partition the rank scan per
+    * test point ([[graft.queries.Serving.ranked]]'s shape) or prune the
+    * tail: increments decay as k/i, so a truncated-at-M scan bounds the
+    * error by k·ln(n/M)/n. */
+  def knnShapley(embeddings: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, k: Int, testMod: Long): DataFrame = {
+    val test = embeddings.where(col(idCol) % testMod === 0)
+      .select(col(idCol).as("_tid"), col(vecCol).as("_tv"),
+        col(labelCol).as("_ty"))
+    val train = embeddings.where(col(idCol) % testMod =!= 0)
+      .select(col(idCol), col(vecCol), col(labelCol))
+    val n = train.agg(count(lit(1)).cast("long").as("_n"))
+    val scored = train.crossJoin(broadcast(test))
+      .select(col(idCol), col(labelCol), col("_tid"),
+        round(cosine(col(vecCol), col("_tv")), 6).as("_sim"),
+        when(col(labelCol) === col("_ty"), 1.0).otherwise(0.0).as("_m"))
+    val wRank = Window.partitionBy(col("_tid"))
+      .orderBy(col("_sim").desc, col(idCol))
+    val wSuffix = Window.partitionBy(col("_tid")).orderBy(col("_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("_tid")).orderBy(col("_r").desc)
+    val sv = scored
+      .withColumn("_r", row_number().over(wRank))
+      .withColumn("_mNext", lag(col("_m"), 1).over(wLag))
+      .withColumn("_inc", when(col("_mNext").isNull, lit(0.0))
+        .otherwise((col("_m") - col("_mNext")) / k *
+          least(lit(k), col("_r")) / col("_r")))
+      .crossJoin(broadcast(n))
+      .withColumn("_s",
+        first(col("_m")).over(wSuffix) / col("_n") +
+          sum(col("_inc")).over(wSuffix))
+    sv.groupBy(col(idCol))
+      .agg(first(col(labelCol)).as(labelCol),
+        count(lit(1)).cast("long").as("n_test"),
+        round(avg(col("_s")), 6).as("shapley"))
+  }
+
   def knnLabelConsistency(embeddings: DataFrame, idCol: String,
                           vecCol: String, labelCol: String, k: Int,
                           nCentroids: Int, nProbe: Int): DataFrame = {

@@ -487,6 +487,63 @@ object TimeSeries {
         .as("h_tie_corrected")): _*)
   }
 
+  /** Wald's SEQUENTIAL probability ratio test (SPRT, Wald 1945) per key —
+    * the SEQUENTIAL-testing capability the fixed-horizon tests (x93, j45,
+    * [[mannWhitney]]) can't give: monitor a Bernoulli stream (H0: p = p0
+    * vs H1: p = p1) and STOP at the first bucket where the cumulative
+    * log-likelihood ratio LLR = k·ln(p1/p0) + (m−k)·ln((1−p1)/(1−p0))
+    * crosses ln((1−β)/α) (accept H1) or ln(β/(1−α)) (accept H0) — the
+    * earliest-possible decision at the chosen error rates, or `continue`
+    * if the horizon ends undecided. The A/B-guardrail read: "which arm
+    * won, and on WHICH DAY could we have stopped".
+    *
+    * Exactness: the cumulative hit/trial counts are exact LONG window
+    * sums at BUCKET grain; the four ln(·) coefficients are computed once
+    * driver-side and inlined as the SAME double literals into the oracle
+    * SQL (shortest-repr doubles parse identically), so LLR is two exact
+    * long×double products and one add — bit-identical on both engines,
+    * as are the threshold compares. Rounding (6 dp) only at output.
+    *
+    * Scale shape: events collapse to (key, bucket) grain in one
+    * map-side-combined agg (the shuffle carries buckets, never rows);
+    * the cumulative scan is a per-KEY window over the BOUNDED bucket
+    * series (the [[theilSen]] bounded-series contract); decisions fold
+    * in the same key-grain agg via min-when / min-struct. */
+  def sprt(df: DataFrame, keys: Seq[String], bucketCol: String,
+           hitCol: String, p0: Double, p1: Double,
+           alpha: Double, beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < p1 && p1 < 1, s"need 0 < p0 < p1 < 1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha and beta must be in (0,1)")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val kcols = keys.map(col)
+    val d = df.groupBy(kcols :+ col(bucketCol).cast("long").as("_day"): _*)
+      .agg(count(lit(1)).cast("long").as("_m"),
+        sum(col(hitCol).cast("long")).cast("long").as("_k"))
+    val w = Window.partitionBy(kcols: _*).orderBy(col("_day"))
+    val c = d
+      .withColumn("_llr",
+        sum(col("_k")).over(w) * lit(c1) +
+          sum(col("_m") - col("_k")).over(w) * lit(c2))
+      .withColumn("_hit",
+        when(col("_llr") >= upper, lit("accept_h1"))
+          .when(col("_llr") <= lower, lit("accept_h0")))
+    c.groupBy(kcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("_m")).cast("long").as("n_obs"),
+        sum(col("_k")).cast("long").as("n_hits"),
+        round(max_by(col("_llr"), col("_day")), 6).as("llr_final"),
+        min(when(col("_hit").isNotNull, col("_day"))).as("decision_day"),
+        coalesce(
+          min(when(col("_hit").isNotNull,
+            struct(col("_day").as("_d"), col("_hit").as("_h"))))
+            .getField("_h"),
+          lit("continue")).as("decision"))
+  }
+
   /** Inter-arrival gap statistics: per key, the distribution (count, min,
     * exact interpolated p50/p90, max) of consecutive-event gaps within
     * each (key, entity) sub-series — the ingest-health read ("how bursty

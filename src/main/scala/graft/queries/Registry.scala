@@ -253,6 +253,133 @@ object Registry {
        |FROM embeddings em LEFT JOIN comp c ON c.n = em.vec_id
        |ORDER BY em.vec_id""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[graft.streaming.Streaming.runStreamLabelProp]]'s
+    * final snapshot: the one-shot top-K co-occurrence graph + unrolled
+    * fixed-round LPA trajectory over ALL click observations (the
+    * split-equivalence target of the streaming fold). Same step shape as
+    * [[labelPropagationOracle]], over the click-item kNN graph. */
+  private def streamLabelPropOracle(topK: Int, rounds: Int): String = {
+    val head = Seq(
+      "ui AS (SELECT DISTINCT user_id, " +
+        "CAST(json_extract(props, '$.k') AS INT) AS item " +
+        "FROM events WHERE event_type = 'click')",
+      "co AS (SELECT a.item AS u, b.item AS v, count(*) AS c " +
+        "FROM ui a JOIN ui b ON a.user_id = b.user_id " +
+        "AND a.item <> b.item GROUP BY 1, 2)",
+      s"tp AS (SELECT u, v FROM (SELECT u, v, row_number() OVER " +
+        "(PARTITION BY u ORDER BY c DESC, v ASC) AS rn FROM co) " +
+        s"WHERE rn <= $topK)",
+      "e0 AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v " +
+        "FROM tp WHERE u <> v)",
+      "bth AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 " +
+        "UNION ALL SELECT v, u FROM e0)",
+      "l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM bth)")
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"l$r AS MATERIALIZED (SELECT vertex, label FROM (" +
+        s"SELECT b.src AS vertex, l.label, " +
+        "row_number() OVER (PARTITION BY b.src " +
+        "ORDER BY count(*) DESC, l.label ASC) AS rn " +
+        s"FROM bth b JOIN l$p l ON l.vertex = b.dst GROUP BY 1, 2) " +
+        "WHERE rn = 1)"
+    }
+    s"WITH ${(head ++ steps).mkString(", ")} " +
+      s"SELECT label, CAST(count(*) AS BIGINT) AS size, " +
+      "CAST(min(vertex) AS BIGINT) AS min_vertex, " +
+      "CAST(max(vertex) AS BIGINT) AS max_vertex " +
+      s"FROM l$rounds GROUP BY 1 ORDER BY size DESC, label ASC"
+  }
+
+  /** DuckDB twin of [[graft.operators.TimeSeries.sprt]]: the ln(·)
+    * coefficients are the SAME Scala doubles the engine inlines
+    * (shortest-repr doubles parse identically), so the LLR arithmetic is
+    * bit-identical on both sides. */
+  private def sprtOracle(p0: Double, p1: Double, alpha: Double,
+                         beta: Double): String = {
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    s"""WITH d AS (SELECT user_id % 2 AS arm,
+       |epoch_ms(ts) // 86400000 AS day,
+       |CAST(count(*) AS BIGINT) AS m,
+       |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |AS BIGINT) AS k
+       |FROM events GROUP BY 1, 2),
+       |c AS (SELECT arm, day, m, k,
+       |sum(k) OVER (PARTITION BY arm ORDER BY day) * $c1
+       |+ sum(m - k) OVER (PARTITION BY arm ORDER BY day) * $c2 AS llr
+       |FROM d),
+       |dec AS (SELECT arm, day, m, k, llr,
+       |CASE WHEN llr >= $upper THEN 'accept_h1'
+       |WHEN llr <= $lower THEN 'accept_h0' END AS hit FROM c)
+       |SELECT arm, CAST(count(*) AS BIGINT) AS n_buckets,
+       |CAST(sum(m) AS BIGINT) AS n_obs,
+       |CAST(sum(k) AS BIGINT) AS n_hits,
+       |round(arg_max(llr, day), 6) AS llr_final,
+       |min(day) FILTER (WHERE hit IS NOT NULL) AS decision_day,
+       |coalesce(arg_min(hit, day) FILTER (WHERE hit IS NOT NULL),
+       |'continue') AS decision
+       |FROM dec GROUP BY arm ORDER BY arm""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[graft.operators.Eval.isotonicCalibration]]: the
+    * closed-form minimax f_b = max_(a<=b) min_(c>=b) avg(a..c) over the
+    * bounded bin table — equal to PAVA's pool average as a real number,
+    * hence as a correctly-rounded double (both are one division of the
+    * same exact-integer ratio). */
+  private def isotonicOracleSql: String =
+    s"""WITH b AS (SELECT n_chars // 50 AS bin,
+       |CAST(count(*) AS BIGINT) AS n,
+       |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |FROM documents GROUP BY 1),
+       |pre AS (SELECT bin, n, pos,
+       |sum(n) OVER (ORDER BY bin) AS cn,
+       |sum(pos) OVER (ORDER BY bin) AS cp FROM b),
+       |avgs AS (SELECT a.bin AS ba, c.bin AS bc,
+       |CAST(c.cp - (a.cp - a.pos) AS DOUBLE) / (c.cn - (a.cn - a.n)) AS av
+       |FROM pre a JOIN pre c ON a.bin <= c.bin),
+       |m1 AS (SELECT avgs.ba, bb.bin AS bb, min(av) AS mn
+       |FROM avgs JOIN b bb ON avgs.bc >= bb.bin AND avgs.ba <= bb.bin
+       |GROUP BY 1, 2),
+       |iso AS (SELECT bb AS bin, max(mn) AS f FROM m1 GROUP BY 1)
+       |SELECT b.bin, b.n, b.pos,
+       |round(CAST(b.pos AS DOUBLE) / b.n, 6) AS rate,
+       |round(iso.f, 6) AS isotonic
+       |FROM b JOIN iso ON iso.bin = b.bin
+       |ORDER BY b.bin""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[Dedup.dbscanLsh]] (8×8 sign-LSH, ε = cosine 0.3,
+    * minPts 3): same pair CTEs as x12, degree-thresholded core set,
+    * recursive closure over the CORE-CORE subgraph only (seeded from ALL
+    * cores, so an isolated core is its own singleton cluster), border =
+    * non-core with a core neighbor assigned the MIN adjacent core label,
+    * the rest noise. */
+  private def dbscanLshOracleSql: String =
+    s"""WITH RECURSIVE $embedPairsCtes,
+       |p AS (SELECT id_a, id_b FROM s WHERE sim >= 0.3),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |core AS (SELECT a AS vid FROM ed GROUP BY 1 HAVING count(*) >= 2),
+       |ce AS (SELECT ed.a, ed.b FROM ed
+       |  JOIN core ca ON ca.vid = ed.a JOIN core cb ON cb.vid = ed.b),
+       |reach(n, r) AS (
+       |  SELECT vid AS n, vid AS r FROM core
+       |  UNION
+       |  SELECT ce.b, reach.r FROM reach JOIN ce ON ce.a = reach.n),
+       |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1),
+       |brd AS (SELECT ed.a AS vid, min(comp.root) AS root FROM ed
+       |  JOIN core c ON c.vid = ed.b JOIN comp ON comp.n = ed.b
+       |  WHERE ed.a NOT IN (SELECT vid FROM core) GROUP BY 1)
+       |SELECT em.vec_id,
+       |  CASE WHEN comp.n IS NOT NULL THEN 'core'
+       |       WHEN brd.vid IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  coalesce(comp.root, brd.root) AS cluster_id
+       |FROM embeddings em
+       |LEFT JOIN comp ON comp.n = em.vec_id
+       |LEFT JOIN brd ON brd.vid = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[Similarity.quantizeInt8]] — same scale/round
     * arithmetic, same sequential double fold for the reconstruction error,
     * and the two exact integer checksums. */
@@ -9348,7 +9475,127 @@ object Registry {
         |SELECT event_type, n_prev, n_curr, rank_prev, rank_curr,
         |rank_prev - rank_curr AS rank_delta
         |FROM r ORDER BY rank_curr, event_type""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("x162_dbscan_lsh",
+      // DBSCAN-style density clustering over the sign-LSH bucket graph
+      // (Dedup.dbscanLsh, 8×8 bands, ε = cosine 0.3, minPts 3): the
+      // clustering read x29's plain CC and x69's k-means can't give —
+      // core/border/noise roles, with border points attached to their
+      // min adjacent core cluster WITHOUT bridging clusters (the chaining
+      // failure of CC dedup at loose thresholds). Pairs from banded LSH,
+      // never all-pairs; CC on the core-core subgraph only.
+      (s: SparkSession, dir: String) =>
+        Dedup.dbscanLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          8, 8, 0.3, 3)
+          .orderBy(col("vec_id")),
+      Some(dbscanLshOracleSql)),
+
+    ("x163_knn_shapley",
+      // Exact KNN-Shapley data valuation (Similarity.knnShapley, k=10,
+      // test = vec_id % 25 == 0 → 20 held-out points): the closed-form
+      // per-training-point Shapley value for the k-NN task — the
+      // does-this-example-help-or-hurt read quality scores can't give,
+      // with Σφ = k-NN test accuracy by the efficiency axiom
+      // (spec-pinned). Similarities round 6 dp before ranking; the
+      // suffix recurrence rides per-test-point windows.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnShapley(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", 10, 25L)
+          .orderBy(col("vec_id")),
+      Some("""WITH tst AS (SELECT vec_id AS tid, embedding AS tv,
+        |label AS ty FROM embeddings WHERE vec_id % 25 = 0),
+        |trn AS (SELECT vec_id, embedding, label FROM embeddings
+        |WHERE vec_id % 25 <> 0),
+        |n AS (SELECT count(*) AS n FROM trn),
+        |prs AS (SELECT t.tid, t.ty, a.vec_id, a.label,
+        |round(list_reduce(list_transform(generate_series(1,
+        |len(a.embedding)),
+        |i -> CAST(a.embedding[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)),
+        |(x,y) -> x+y)
+        |/ (sqrt(list_reduce(list_transform(generate_series(1,
+        |len(a.embedding)),
+        |i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i]
+        |AS DOUBLE)), (x,y) -> x+y))
+        |* sqrt(list_reduce(list_transform(generate_series(1, len(t.tv)),
+        |i -> CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)),
+        |(x,y) -> x+y))), 6) AS sim,
+        |CASE WHEN a.label = t.ty THEN 1.0 ELSE 0.0 END AS m
+        |FROM trn a CROSS JOIN tst t),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY tid
+        |ORDER BY sim DESC, vec_id) AS r FROM prs),
+        |inc AS (SELECT tid, vec_id, m, r,
+        |lag(m) OVER (PARTITION BY tid ORDER BY r DESC) AS mnext FROM rk),
+        |sv AS (SELECT tid, vec_id, r,
+        |first_value(m) OVER (PARTITION BY tid ORDER BY r DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n.n
+        |+ sum(CASE WHEN mnext IS NULL THEN 0.0
+        |ELSE (m - mnext) / 10.0 * least(10, r) / r END)
+        |OVER (PARTITION BY tid ORDER BY r DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |FROM inc, n)
+        |SELECT t.vec_id, any_value(t.label) AS label,
+        |CAST(count(*) AS BIGINT) AS n_test,
+        |round(avg(sv.s), 6) AS shapley
+        |FROM sv JOIN trn t ON t.vec_id = sv.vec_id
+        |GROUP BY 1 ORDER BY t.vec_id""".stripMargin.replace("\n", " "))),
+
+    ("x164_isotonic",
+      // Isotonic calibration (Eval.isotonicCalibration — PAVA on the
+      // bounded bin table, driver-side bounded metadata): the monotone
+      // non-decreasing fit of P(lang = 'en') against the n_chars//50
+      // score bin, pooling adjacent violators into weighted averages —
+      // the probability-calibration map x105's raw bin rates can't give
+      // (they zig-zag from sampling noise). Oracle computes the same fit
+      // via the closed-form minimax; every value is one division of
+      // exact longs, bit-identical both engines.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Eval.isotonicCalibration(
+          Tables.documents(s, dir).select(
+            floor(col("n_chars") / 50L).cast("long").as("bin"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_en")),
+          "bin", "is_en")
+          .orderBy(col("bin")),
+      Some(isotonicOracleSql)),
+
+    ("j65_sprt",
+      // Wald's sequential probability ratio test (TimeSeries.sprt) per
+      // A/B arm (user_id % 2) on the daily purchase rate — H0: p = 0.19
+      // vs H1: p = 0.21 at alpha = beta = 0.05: the SEQUENTIAL-testing
+      // read fixed-horizon tests can't give — the first DAY each arm's
+      // evidence crossed a Wald boundary (arm 0 accepts H0, arm 1
+      // accepts H1 at sf0.01 — a genuine split; at sf0.001 both emit
+      // 'continue' with a null decision day). Exact long cumulative
+      // counts x inlined ln coefficients; bounded day-grain windows.
+      (s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.sprt(
+          Tables.events(s, dir).select(
+            (col("user_id") % 2).as("arm"),
+            floor(unix_millis(col("ts")) / 86400000L).as("day"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("hit")),
+          Seq("arm"), "day", "hit", 0.19, 0.21, 0.05, 0.05)
+          .orderBy(col("arm")),
+      Some(sprtOracle(0.19, 0.21, 0.05, 0.05))),
+
+    ("s41_stream_labelprop",
+      // Streaming COMMUNITY maintenance (Streaming.runStreamLabelProp,
+      // top-3 graph, 4 LPA rounds — the r11 verdict's named open seat):
+      // click (user, item) observations replayed as three micro-batches,
+      // each folding the DISTINCT bipartite store (split-order-invariant)
+      // and recomputing the top-K co-occurrence graph + fixed-round LPA
+      // into a versioned labels snapshot behind a pointer flip. LPA has
+      // no incremental contraction law (unlike s40's CC), so the honest
+      // shape is recompute over the CONTRACTED observation store — item-
+      // count-sized regardless of stream volume. Final snapshot ≡ the
+      // one-shot build; the oracle unrolls that trajectory.
+      (s: SparkSession, dir: String) => {
+        val base = scratch("s41")
+        graft.streaming.Streaming.runStreamLabelProp(s, dir,
+            base + "/lp", 3, 4)
+          .orderBy(col("size").desc, col("label"))
+      },
+      Some(streamLabelPropOracle(3, 4)))
   )
 
   def queries: Map[String, Q] =

@@ -1647,6 +1647,86 @@ object Streaming {
       landing
     })
 
+  private def stagedClickItemSlices(spark: SparkSession, dir: String,
+                                    slices: Int): String =
+    stagedSliceDirs.computeIfAbsent(s"$dir#clickitem#$slices", _ => {
+      val landing = graft.Scratch.dir("graft-clickslices").toString
+      val ev = graft.Tables.events(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+      val f = FileSystem.get(new java.net.URI(landing),
+        spark.sparkContext.hadoopConfiguration)
+      (0 until slices).foreach { i =>
+        val stage = s"$landing/stage$i"
+        ev.where(col("event_id") % slices === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = f.globStatus(new Path(s"$stage/part-*.parquet")).head.getPath
+        f.rename(part, new Path(s"$landing/b$i.parquet"))
+        f.delete(new Path(stage), true)
+      }
+      landing
+    })
+
+  /** Streaming COMMUNITY maintenance — [[graft.operators.Graph
+    * .topCooccurrenceCommunities]] under real micro-batches (the r11
+    * verdict's named open seat): click (user, item) observations replay
+    * as three event_id-sharded single-file micro-batches; each batch
+    * folds into the standing DISTINCT bipartite store (distinct-of-union
+    * ≡ union-of-distincts, so the store is split-order-invariant — the
+    * exact split-equivalence law), then the top-K item graph + fixed-
+    * round LPA recompute over the CONTRACTED store lands as a versioned
+    * labels snapshot behind a `_current` pointer flip (the s13/s40
+    * versionedStep discipline; replayed batches drain on both stores,
+    * and a crash between the two steps replays into the labels step
+    * reading the already-flipped store pointer — same end state).
+    *
+    * LPA is NOT incrementally mergeable (one new edge can flip labels
+    * globally — unlike s40's CC, there is no contraction law), so the
+    * honest streaming shape is recompute-over-contracted-state: the
+    * store is observation-grain bounded (distinct user×item, never raw
+    * events) and the graph is top-K bounded, so the per-batch recompute
+    * is item-count-sized regardless of stream volume. Final snapshot ≡
+    * the one-shot build over all events — the oracle unrolls that LPA
+    * trajectory in SQL. */
+  def runStreamLabelProp(spark: SparkSession, dir: String, base: String,
+                         topK: Int, rounds: Int): DataFrame = {
+    val landing = stagedClickItemSlices(spark, dir, 3)
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG, item INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        versionedStep(s"$base/ui", b, id) { prior =>
+          val bi = b.select(col("user_id"), col("item")).distinct()
+          prior.fold(bi)(p => p.unionByName(bi).distinct())
+        }
+        versionedStep(s"$base/labels", b, id) { _ =>
+          val ss = b.sparkSession
+          val f = FileSystem.get(new java.net.URI(s"$base/ui"),
+            ss.sparkContext.hadoopConfiguration)
+          val cur = scd2CurrentVersion(f, new Path(s"$base/ui", "_current"))
+          graft.operators.Graph.topCooccurrenceCommunities(
+            ss.read.parquet(s"$base/ui/v$cur"), "user_id", "item",
+            topK, rounds)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val f = FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val cur = scd2CurrentVersion(f, new Path(s"$base/labels", "_current"))
+    require(cur >= 0, s"no labels snapshot under $base/labels")
+    spark.read.parquet(s"$base/labels/v$cur")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("size"),
+        min(col("vertex")).cast("long").as("min_vertex"),
+        max(col("vertex")).cast("long").as("max_vertex"))
+  }
+
   private def stagedEventSlices(spark: SparkSession, dir: String,
                                 slices: Int): String =
     stagedSliceDirs.computeIfAbsent(s"$dir#$slices", _ => {

@@ -456,4 +456,54 @@ class DedupSpec extends SparkSpec {
     assert(out(0) === ((1L, 2L, 2L, 0.5, 0.416348)))
     assert(out(1) === ((3L, 4L, 0L, 0.0, 0.0)))
   }
+  test("dbscanLsh: two dense cliques stay separate across a shared border point; isolated tail is noise") {
+    import spark.implicits._
+    // 4-d vectors, 2 bands x 2 rows. Clique A (ids 1-4) hugs e1 with a
+    // dim-2 jitter ladder {0,.05,.1,.15}; clique B (ids 11-14) mirrors it
+    // on e3/e4. Bridge 21 = (1,.6,1,.6): cosine .651 to the j=.15 member
+    // of each clique, .637 to j=.10 — eps .64 cuts between them, so the
+    // bridge sees EXACTLY one core per clique: degree 2 < minPts-1 = 3,
+    // a BORDER point, and the two clusters do NOT merge through it (the
+    // failure mode of plain CC dedup). 31 = (0,1,0,-1) collides in band 0
+    // with everything (exercising the verify cut) but no cosine reaches
+    // eps: noise.
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0.05, 0, 0)),
+      (3L, v(1, 0.10, 0, 0)), (4L, v(1, 0.15, 0, 0)),
+      (11L, v(0, 0, 1, 0)), (12L, v(0, 0, 1, 0.05)),
+      (13L, v(0, 0, 1, 0.10)), (14L, v(0, 0, 1, 0.15)),
+      (21L, v(1, 0.6, 1, 0.6)), (31L, v(0, 1, 0, -1)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dbscanLsh(emb, "vec_id", "embedding", 2, 2, 0.64, 4)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "core", 1L),
+      (11L, "core", 11L), (12L, "core", 11L), (13L, "core", 11L),
+      (14L, "core", 11L),
+      (21L, "border", 1L), (31L, "noise", -1L)))
+  }
+
+  test("dbscanLsh: an isolated core (all neighbors border) still seeds its own singleton cluster") {
+    import spark.implicits._
+    // Hub 1 is adjacent to spokes 2 and 3 (degree 2 >= minPts-1 = 2 ->
+    // core); the spokes see only the hub (degree 1 -> border). No
+    // core-core edge exists, so the cluster must come from the
+    // singleton-core seeding path.
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0.5, 0, 0)), (2L, v(1, 0, 0, 0)), (3L, v(0.5, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // cos(1,2) = .894, cos(1,3) = .8, cos(2,3) = .447: eps .7.
+    val out = Dedup.dbscanLsh(emb, "vec_id", "embedding", 2, 2, 0.7, 3)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "core", 1L), (2L, "border", 1L), (3L, "border", 1L)))
+  }
 }

@@ -336,4 +336,29 @@ class EvalSpec extends SparkSpec {
     // (3,4): a = {xx:2}, b = {xx:3}: overlap clips at 2, not 3.
     assert(out(1) === ((3L, 4L, 2L, 0.666667, 1.0, 0.8)))
   }
+  test("isotonicCalibration: adjacent violators pool to the weighted average; monotone output; already-monotone input unchanged") {
+    import spark.implicits._
+    // Bins 0/1/2 with rates .5, 0, 1 (n=2 each): bins 0-1 violate ->
+    // pool to (1+0)/4 = .25; bin 2 stays 1. Already-monotone input
+    // passes through untouched.
+    val df = Seq((0L, 1L), (0L, 0L), (1L, 0L), (1L, 0L), (2L, 1L),
+      (2L, 1L)).toDF("bin", "y")
+    val out = graft.operators.Eval.isotonicCalibration(df, "bin", "y")
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 2L, 1L, 0.5, 0.25),
+      (1L, 2L, 0L, 0.0, 0.25), (2L, 2L, 2L, 1.0, 1.0)))
+    val mono = Seq((0L, 0L), (1L, 1L), (1L, 0L), (2L, 1L))
+      .toDF("bin", "y")
+    val m = graft.operators.Eval.isotonicCalibration(mono, "bin", "y")
+      .orderBy($"bin").collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(m.forall(p => p._1 === p._2))
+    // Cascading merge: rates 1, .5, 0 pool into ONE level = global mean.
+    val casc = Seq((0L, 1L), (1L, 1L), (1L, 0L), (2L, 0L))
+      .toDF("bin", "y")
+    val c = graft.operators.Eval.isotonicCalibration(casc, "bin", "y")
+      .orderBy($"bin").collect().map(_.getDouble(4))
+    assert(c.toSeq === Seq(0.5, 0.5, 0.5))
+  }
 }

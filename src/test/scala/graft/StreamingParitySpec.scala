@@ -1137,4 +1137,26 @@ class StreamingParitySpec extends SparkSpec {
     val second = Streaming.runStreamKappa(spark, dir, base + "/kp")
     assertSameRows(second, batch)
   }
+  test("runStreamLabelProp: the micro-batched fold equals the one-shot top-K LPA build; a finished stream re-run changes nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("s41spec").toString
+    val streamed = Streaming.runStreamLabelProp(spark, dir, base + "/lp",
+      3, 4)
+    val ui = graft.Tables.events(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+    val oneShot = graft.operators.Graph
+      .topCooccurrenceCommunities(ui, "user_id", "item", 3, 4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("size"),
+        min(col("vertex")).cast("long").as("min_vertex"),
+        max(col("vertex")).cast("long").as("max_vertex"))
+    assertSameRows(streamed, oneShot)
+    // Every batch is committed: a re-run replays nothing (versionedStep
+    // drains) and reads back the identical snapshot.
+    val again = Streaming.runStreamLabelProp(spark, dir, base + "/lp",
+      3, 4)
+    assertSameRows(again, oneShot)
+  }
 }

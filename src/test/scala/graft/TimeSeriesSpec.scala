@@ -400,4 +400,36 @@ class TimeSeriesSpec extends SparkSpec {
       k.getLong(2) === 4L && k.getLong(3) === 4L &&
       k.getDouble(4) === 1.0 && k.getDouble(5) === 0.6889)
   }
+  test("sprt: clean evidence crosses the H1 boundary at the first sufficient bucket; balanced evidence continues with a null decision day") {
+    import spark.implicits._
+    // p0=.2, p1=.8, alpha=beta=.05: c1=ln4, c2=-ln4, bounds +-ln19
+    // (2.944). Arm 0: all hits -> llr = 2*ln4 = 2.773 after day 1 (no
+    // decision), 3*ln4 = 4.159 after day 2 -> accept_h1 on day 2.
+    // Arm 1: alternating hit/miss -> llr pinned at 0 or ln4 forever ->
+    // continue, decision_day null.
+    val df = Seq(
+      (0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 1L, 1L), (1L, 1L, 0L), (1L, 2L, 1L), (1L, 2L, 0L))
+      .toDF("arm", "day", "hit")
+    val out = graft.operators.TimeSeries.sprt(df, Seq("arm"), "day",
+        "hit", 0.2, 0.8, 0.05, 0.05)
+      .orderBy($"arm").collect()
+    val a0 = out(0)
+    assert((a0.getLong(1), a0.getLong(2), a0.getLong(3)) === ((2L, 3L, 3L)))
+    assert(a0.getString(6) === "accept_h1" && a0.getLong(5) === 2L)
+    assert(math.abs(a0.getDouble(4) - 3 * math.log(4)) < 1e-6)
+    val a1 = out(1)
+    assert(a1.getString(6) === "continue" && a1.isNullAt(5))
+  }
+
+  test("sprt: the H0 boundary fires on sustained misses") {
+    import spark.implicits._
+    // All misses: llr = m * ln(.2/.8) = -m*ln4; crosses -2.944 at m=3
+    // (day 3 with one obs per day).
+    val df = Seq((0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 0L), (0L, 4L, 0L))
+      .toDF("arm", "day", "hit")
+    val out = graft.operators.TimeSeries.sprt(df, Seq("arm"), "day",
+        "hit", 0.2, 0.8, 0.05, 0.05).collect().head
+    assert(out.getString(6) === "accept_h0" && out.getLong(5) === 3L)
+  }
 }
