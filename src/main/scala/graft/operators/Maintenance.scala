@@ -509,6 +509,60 @@ object Maintenance {
     * standard two-phase distinct-aggregate (grain = distinct (quasi-ids,
     * sensitive) pairs, bounded by the dictionary product, then group
     * grain). No joins, no windows. */
+  /** ISOLATION-depth anomaly score (the isolation-forest idea of Liu et
+    * al. 2008, made deterministic and engine-portable): an anomaly is a
+    * point that becomes ALONE in its partition cell after FEW recursive
+    * splits. Each of `trees` trees assigns every vector a `depth`-bit
+    * path — bit l is the sign of a hashed-choice coordinate
+    * d(t,l) = (7t + 13l + 3) mod dim (axis-aligned zero splits: the
+    * deterministic stand-in for the classic random threshold, portable
+    * because both engines evaluate the same arithmetic — the extended-
+    * isolation-forest "uniform splits" flavor); a point's isolation
+    * depth in tree t is the first prefix length at which its cell count
+    * is 1 (`depth` if never isolated). Low average depth = anomalous —
+    * the DENSITY-FREE outlier read: x64's kNN-distance outliers need a
+    * metric ball (O(n·k) distances), j57's MAD needs a single column;
+    * this isolates in O(trees·depth) integer ops per point.
+    *
+    * Determinism: paths are sign compares; depths are integer mins;
+    * avg over `trees` integers lands on the 1/trees grid (exact at
+    * 4 dp for trees ≤ 16); the top-N cut orders (avg_depth, id).
+    *
+    * Scale shape: a trees·depth× fan-out of NARROW (id, prefix) rows
+    * (the x159 grid-explode discipline), one exchange to (tree, prefix)
+    * cell grain for the counts (prefixes of different lengths are
+    * distinct strings, so one partition key covers every level), then
+    * two id-grain folds. No joins against the corpus, no driver data. */
+  def isolationDepth(embeddings: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, trees: Int, depth: Int,
+                     topN: Int): DataFrame = {
+    val dim = 64
+    val paths = embeddings
+      .select(col(idCol), col(labelCol),
+        explode(typedlit((0 until trees).toList)).as("_t"), col(vecCol))
+      .withColumn("_path", concat((0 until depth).map { l =>
+        when(element_at(col(vecCol),
+          ((lit(7) * col("_t") + lit(13 * l + 3)) % dim + 1).cast("int"))
+          >= 0, lit("1")).otherwise(lit("0"))
+      }: _*))
+    val lv = paths
+      .select(col(idCol), col(labelCol), col("_t"), col("_path"),
+        explode(typedlit((1 to depth).toList)).as("_l"))
+      .withColumn("_pre", expr("substring(_path, 1, _l)"))
+    val w = Window.partitionBy(col("_t"), col("_pre"))
+    lv.withColumn("_cnt", count(lit(1)).over(w))
+      .groupBy(col(idCol), col("_t"))
+      .agg(first(col(labelCol)).as(labelCol),
+        coalesce(min(when(col("_cnt") === 1, col("_l"))), lit(depth))
+          .as("_depth"))
+      .groupBy(col(idCol))
+      .agg(first(col(labelCol)).as(labelCol),
+        min(col("_depth")).cast("long").as("min_depth"),
+        round(avg(col("_depth")), 4).as("avg_depth"))
+      .orderBy(col("avg_depth"), col(idCol))
+      .limit(topN)
+  }
+
   def lDiversityAudit(df: DataFrame, quasiIds: Seq[String],
                       sensitiveCol: String, l: Int): DataFrame =
     df.groupBy(quasiIds.map(col): _*)

@@ -65,7 +65,13 @@ object Multimodal {
     * stripe image is all-zero under blocks but half-ones under windows).
     * Same integer discipline as [[graft.functions.AHashBits]]: the
     * compare is the cross-product `blockSum·N > total·blockPixels` — no
-    * division, no floats. Only the top-left 8·(w/8) × 8·(h/8) region
+    * division, no floats. Size bound: the cross-products stay inside a
+    * signed 64-bit long only while 255·(h·w)·(h·w)/64 < 2^63, i.e.
+    * pixels ≲ 4.8e10 (~219k × 219k) — far above the 2 GB payload bound's
+    * worst case only for near-square images; a pathological 1×N strip at
+    * the payload limit could wrap, so callers feeding decoded frames
+    * beyond ~10^10 pixels must downsample first (real aHash resizes to
+    * 8×8 anyway). Only the top-left 8·(w/8) × 8·(h/8) region
     * participates (the floor-crop analog of aHash's resize step);
     * images under 8×8 have no grid and return null. */
   def aHashBitsOnBlocks(img: GrayImage): Option[Seq[Int]] = {

@@ -6961,6 +6961,10 @@ object Registry {
       // partitioning AND to the oracle's sequential window (the
       // cumulated() exactness contract). Shares divide out in grid
       // units (cum/Σrevu ≡ cumrev/Σrev), so no precision is lost.
+      // Scale bound (r11 advice): grid-unit exactness holds while every
+      // prefix sum of rev·1e4 stays below 2^53 — total lineitem revenue
+      // crosses that around sf≈5; past it, move the grid to cents (1e2)
+      // or widen to DECIMAL before trusting bit-identity.
       (s: SparkSession, dir: String) => {
         val pr = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
           .agg(round(sum(col("l_extendedprice") *
@@ -9595,7 +9599,42 @@ object Registry {
             base + "/lp", 3, 4)
           .orderBy(col("size").desc, col("label"))
       },
-      Some(streamLabelPropOracle(3, 4)))
+      Some(streamLabelPropOracle(3, 4))),
+
+    ("x165_isolation_depth",
+      // Isolation-depth anomaly score (Maintenance.isolationDepth, 8
+      // trees × depth 10, top-50): the density-free outlier read — a
+      // point alone in its hashed-axis-sign cell after few splits is
+      // anomalous (Liu et al. 2008, deterministic axis-aligned-zero
+      // variant). Narrow trees×depth grid explode, one (tree, prefix)
+      // cell-count exchange, two id-grain folds; avg depth on the 1/8
+      // grid, (avg_depth, vec_id) ordering.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Maintenance.isolationDepth(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          8, 10, 50),
+      Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |tr AS (SELECT unnest(generate_series(0, 7)) AS t),
+        |paths AS (SELECT e.vec_id, e.label, tr.t,
+        |list_reduce(list_transform(generate_series(0, 9),
+        |l -> CASE WHEN embedding[((7*tr.t + 13*l + 3) % 64) + 1] >= 0
+        |THEN '1' ELSE '0' END), (a,b) -> a || b) AS path
+        |FROM e, tr),
+        |lv AS (SELECT vec_id, label, t, path,
+        |unnest(generate_series(1, 10)) AS l FROM paths),
+        |pc AS (SELECT t, l, substr(path, 1, l) AS pre, count(*) AS cnt
+        |FROM lv GROUP BY 1, 2, 3),
+        |iso AS (SELECT lv.vec_id, lv.label, lv.t,
+        |coalesce(min(CASE WHEN pc.cnt = 1 THEN lv.l END), 10) AS depth
+        |FROM lv JOIN pc ON pc.t = lv.t AND pc.l = lv.l
+        |AND pc.pre = substr(lv.path, 1, lv.l)
+        |GROUP BY 1, 2, 3)
+        |SELECT vec_id, any_value(label) AS label,
+        |CAST(min(depth) AS BIGINT) AS min_depth,
+        |round(avg(depth), 4) AS avg_depth
+        |FROM iso GROUP BY 1
+        |ORDER BY avg_depth ASC, vec_id LIMIT 50""".stripMargin
+        .replace("\n", " ")))
   )
 
   def queries: Map[String, Q] =

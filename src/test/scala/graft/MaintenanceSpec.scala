@@ -459,4 +459,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.getDouble(6) === 1.220607)
     assert(r.getLong(7) === 2L)
   }
+  test("isolationDepth: a lone sign-cell point isolates at level 1; duplicates never isolate") {
+    import spark.implicits._
+    // dim-0 signs: ids 1-3 positive, id 9 negative -> with tree 0 level 0
+    // splitting on some hashed dim, use a direct construction: vectors
+    // differing ONLY in early split dims. Tree t level l splits on
+    // (7t + 13l + 3) % 64; tree 0 level 0 -> dim 3, level 1 -> dim 16.
+    // id 9 is alone on the negative side of dim 3 in EVERY tree whose
+    // first split hits dim 3 -> its min_depth is small; ids 1 and 2 are
+    // byte-identical vectors -> they can NEVER isolate (depth = 10 in
+    // every tree).
+    val base = Array.fill(64)(1f)
+    val neg = base.clone(); neg(3) = -1f; neg(16) = -1f; neg(29) = -1f
+    val emb = Seq(
+      (1L, base, 0), (2L, base.clone(), 0), (3L, {
+        val v = base.clone(); v(16) = -1f; v }, 0),
+      (9L, neg, 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Maintenance.isolationDepth(emb, "vec_id",
+        "embedding", "label", 8, 10, 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // duplicates: never isolated in any tree.
+    assert(out(1L) === ((10L, 10.0)))
+    assert(out(2L) === ((10L, 10.0)))
+    // the deviant points isolate strictly earlier on average.
+    assert(out(9L)._2 < 10.0 && out(3L)._2 < 10.0)
+    assert(out(9L)._1 >= 1L)
+  }
 }
