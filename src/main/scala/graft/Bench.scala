@@ -34,7 +34,16 @@ import org.apache.spark.sql.SparkSession
   *    BenchOne discipline in-process) and lands in `flags_sweep` with its
   *    sweep min, re-time min, frozen min, and a verdict; `regressions`
   *    keeps ONLY flags whose re-time stays outside the gate, so an
-  *    in-sweep contention blip no longer needs a hand re-time.
+  *    in-sweep contention blip no longer needs a hand re-time;
+  *  - SURVIVABILITY + SELF-HONESTY (r12 verdict #1, after the driver's
+  *    323-entry run killed its own SparkContext at entry 228 via
+  *    driver-state accrual): per-entry cache/persistent-RDD release plus a
+  *    short ContextCleaner GC cadence keep localCheckpoint blocks and
+  *    accumulator registrations from accruing; the context is checked
+  *    alive between entries and a dead context ABORTS the run immediately
+  *    with an artifact marked `"valid":false` and `"regressions":null` —
+  *    a `regressions` LIST is only ever emitted from a run whose sweep
+  *    AND re-time tail completed on a live context (`"valid":true`).
   */
 object Bench {
 
@@ -179,6 +188,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Drain ContextCleaner weak references on a short cadence (default
+      // 30 min): the CC/dbscan/merge operators eagerly localCheckpoint and
+      // their block/accumulator registrations only release after a GC
+      // notices the weak refs — under heap pressure over a 323-entry run
+      // they accrue faster than the default cadence collects them (the
+      // r12 driver-bench death: GC'd-accumulator errors at entry 228).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -190,28 +206,81 @@ object Bench {
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
-    val loadBefore = foreignJavaPids()
-    queries.foreach { case (_, fn) => timed(fn) } // warmup
-    def median(sorted: Seq[Double]): Double =
-      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-    val results = queries.map { case (name, fn) =>
-      val runs = Seq.fill(5)(timed(fn))
-      val ok = runs.collect { case Right(t) => t }.sorted
-      if (ok.nonEmpty) (name, median(ok), ok.head, None)
-      else (name, -1.0, -1.0, runs.collectFirst { case Left(e) => e })
-    }
-    val foreign = (loadBefore ++ foreignJavaPids()).distinct.sorted
-    val loadOk = foreign.isEmpty
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-                  case c if c < ' ' => " "; case c => c.toString }
     // 3-dp times keep the one-line JSON compact: the driver records only the
     // LAST 2000 characters of output, so the line is ordered big-maps-first,
     // scalar headline (value/load_ok/sf) LAST — whatever gets truncated is
     // per-query detail, never the summary the judge reads.
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-entry state release (VERDICT r12 #1a): nothing survives an entry
+    // on purpose — every query rebuilds from the parquet scans — so any
+    // persisted RDD (localCheckpoint blocks) or cached plan left behind is
+    // pure driver/block-manager accrual. Unpersist eagerly instead of
+    // waiting on the ContextCleaner's weak-ref GC, which provably lags
+    // under heap pressure (the r12 crash). Non-blocking: the drop happens
+    // on the block manager's thread while the next entry plans.
+    def releaseState(): Unit = if (!spark.sparkContext.isStopped) {
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Exception => () }
+    }
+    val root = repoRoot
+    def writeLine(line: String): Unit = {
+      println(line)
+      // Full line also lands in a scratch file so a truncated console tail
+      // is never the only record of a bench run. Absolute repo-root path,
+      // not CWD (sbt may launch the JVM elsewhere); a failed write warns
+      // instead of silently breaking the "full line on disk" guarantee.
+      val out = root.resolve("bench_local.json")
+      try java.nio.file.Files.writeString(out, line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"WARN: could not write $out: ${e.getMessage}") }
+    }
+    // Fail-fast on a dead context (VERDICT r12 #1b): the r12 driver bench
+    // ground through 95 "stopped SparkContext" rows and then emitted 16
+    // regression flags its re-time tail could never adjudicate. A dead
+    // context mid-run means NOTHING after it is a measurement: write an
+    // artifact explicitly marked invalid ("valid":false, "regressions"
+    // null — never a list that reads as adjudicated) and exit non-zero.
+    def abortIfDead(at: String,
+                    partial: Seq[(String, Double, Double, Option[String])]): Unit =
+      if (spark.sparkContext.isStopped) {
+        val qsMin = partial.map { case (k, _, mn, _) => "\"" + k + "\":" + f3(mn) }
+          .mkString("{", ",", "}")
+        writeLine(s"""{"queries_min":$qsMin,"flags_sweep":{},"regressions":null,"valid":false,"abort_at":"$at","n_completed":${partial.size},"sf":"$sfDir","metric":"total","unit":"sec","value":-1.0}""")
+        System.err.println(s"ABORT: SparkContext stopped at $at — bench run INVALID")
+        sys.exit(3)
+      }
+    val loadBefore = foreignJavaPids()
+    queries.zipWithIndex.foreach { case ((name, fn), i) => // warmup
+      timed(fn); releaseState()
+      if (i % 25 == 24) System.gc() // push weak refs into the ref queue
+      abortIfDead(s"warmup:$name", Nil)
+    }
+    def median(sorted: Seq[Double]): Double =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    val acc = Seq.newBuilder[(String, Double, Double, Option[String])]
+    var done = 0
+    queries.foreach { case (name, fn) =>
+      abortIfDead(s"sweep:$name", acc.result())
+      val runs = Seq.fill(5)(timed(fn))
+      releaseState()
+      val ok = runs.collect { case Right(t) => t }.sorted
+      acc += (if (ok.nonEmpty) (name, median(ok), ok.head, None)
+              else (name, -1.0, -1.0, runs.collectFirst { case Left(e) => e }))
+      done += 1
+      if (done % 25 == 0) System.gc()
+      abortIfDead(s"sweep:$name", acc.result())
+    }
+    val results = acc.result()
+    val foreign = (loadBefore ++ foreignJavaPids()).distinct.sorted
+    val loadOk = foreign.isEmpty
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, mn, _) => "\"" + k + "\":" + f3(mn) }
@@ -221,7 +290,6 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val foreignJson = foreign.mkString("[", ",", "]")
-    val root = repoRoot
     val baseline = loadBaseline(root.resolve("BASELINE_local.json"))
     val curMin = results.map { case (k, _, mn, _) => k -> mn }.toMap
     val sweepFlags = regressions(baseline, curMin)
@@ -235,16 +303,23 @@ object Bench {
     // the BenchOne discipline — serial warm runs, min-of-3. A flag whose
     // re-time lands back inside the gate is verdict "contention";
     // only a re-time still outside it is a confirmed "regression".
+    // The re-time tail is part of the artifact's VALIDITY (VERDICT r12
+    // #1c): a `regressions` list is only meaningful if every flag was
+    // actually re-timed on a live context. A context death here aborts
+    // with valid:false exactly like a mid-sweep death.
     val retimes: Map[String, Double] =
       if (sweepFlags.isEmpty) Map.empty
       else {
         System.gc(); Thread.sleep(500)
         sweepFlags.map { name =>
+          abortIfDead(s"retime:$name", results)
           val fn = SparkEntry.queries(name)
           val runs = Seq.fill(3)(timed(fn)).collect { case Right(t) => t }
+          releaseState()
           name -> (if (runs.nonEmpty) runs.min else -1.0)
         }.toMap
       }
+    abortIfDead("retime-tail-done", results)
     def confirmed(name: String): Boolean = confirmedAfterRetime(
       baseline.getOrElse(name, 0.0), retimes.getOrElse(name, -1.0), drift)
     val regs = sweepFlags.filter(confirmed)
@@ -256,16 +331,11 @@ object Bench {
         ",\"frozen_min\":" + f3(baseline.getOrElse(n, -1.0)) +
         ",\"verdict\":\"" + verdict + "\"}"
     }.mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"flags_sweep":$flagsJson,"n_failed":$nFailed,"regressions":$regsJson,"drift":${f3(drift)},"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
-    println(line)
-    // Full line also lands in a scratch file so a truncated console tail is
-    // never the only record of a bench run. Absolute repo-root path, not CWD
-    // (sbt may launch the JVM elsewhere); a failed write warns instead of
-    // silently breaking the "full line always on disk" guarantee.
-    val out = root.resolve("bench_local.json")
-    try java.nio.file.Files.writeString(out, line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"WARN: could not write $out: ${e.getMessage}") }
+    // Reaching here means: full sweep completed AND every flag was re-timed
+    // on a live context — the only state in which `regressions` is a
+    // measurement. valid:true records that explicitly.
+    val line = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errs,"foreign_java_pids":$foreignJson,"flags_sweep":$flagsJson,"n_failed":$nFailed,"regressions":$regsJson,"drift":${f3(drift)},"valid":true,"load_ok":$loadOk,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    writeLine(line)
     spark.stop()
   }
 }

@@ -651,13 +651,28 @@ object Eval {
     * grain; PAVA runs driver-side on the BOUNDED bin table (the j22/x80
     * bounded-metadata discipline — B doubles, one O(B) stack pass) and
     * broadcasts back as a literal map lookup. No windows, no joins. */
+  /** Bin-table cardinality cap for [[isotonicCalibration]]'s driver-side
+    * PAVA pass: the collect is legitimate ONLY because bins are bounded
+    * METADATA (the j22/x80 discipline) — a caller feeding raw continuous
+    * scores instead of pre-binned values must fail loudly, not OOM the
+    * driver (ADVICE r12). */
+  val IsotonicMaxBins = 100000
+
   def isotonicCalibration(df: DataFrame, binCol: String,
                           labelCol: String): DataFrame = {
     val bins = df.groupBy(col(binCol).cast("long").as("bin"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(labelCol).cast("long")).cast("long").as("pos"))
-    val rows = bins.orderBy(col("bin")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Nulls sort first and limit(max+1) bounds the fetch, so both
+    // contract violations surface from ONE bounded collect: a null bin
+    // (uncastable/missing score) and an unbounded bin domain.
+    val fetched = bins.orderBy(col("bin")).limit(IsotonicMaxBins + 1).collect()
+    require(fetched.isEmpty || !fetched.head.isNullAt(0),
+      s"isotonicCalibration: null $binCol bin — feed pre-binned non-null scores")
+    require(fetched.length <= IsotonicMaxBins,
+      s"isotonicCalibration: > $IsotonicMaxBins distinct bins — " +
+        "bin the score first; PAVA's driver pass needs bounded metadata")
+    val rows = fetched.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // PAVA: each stack frame is a pool (nBins, sumN, sumPos); a new bin
     // merges backwards while the previous pool's rate EXCEEDS the
     // current's (ties keep separate pools — the fit value is identical).

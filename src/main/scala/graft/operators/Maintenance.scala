@@ -514,7 +514,7 @@ object Maintenance {
     * point that becomes ALONE in its partition cell after FEW recursive
     * splits. Each of `trees` trees assigns every vector a `depth`-bit
     * path — bit l is the sign of a hashed-choice coordinate
-    * d(t,l) = (7t + 13l + 3) mod dim (axis-aligned zero splits: the
+    * d(t,l) = (7t + 13l + 3) mod size(v) (axis-aligned zero splits: the
     * deterministic stand-in for the classic random threshold, portable
     * because both engines evaluate the same arithmetic — the extended-
     * isolation-forest "uniform splits" flavor); a point's isolation
@@ -536,13 +536,18 @@ object Maintenance {
   def isolationDepth(embeddings: DataFrame, idCol: String, vecCol: String,
                      labelCol: String, trees: Int, depth: Int,
                      topN: Int): DataFrame = {
-    val dim = 64
+    // Split coordinate derived from the ROW's own dimensionality (ADVICE
+    // r12: a hard-coded dim would throw INVALID_ARRAY_INDEX under ANSI
+    // mode on any shorter vector) — d(t,l) = (7t + 13l + 3) mod size(v),
+    // so mixed-width corpora isolate per their own width and the usual
+    // fixed-width corpus gets the documented hash schedule.
     val paths = embeddings
       .select(col(idCol), col(labelCol),
         explode(typedlit((0 until trees).toList)).as("_t"), col(vecCol))
       .withColumn("_path", concat((0 until depth).map { l =>
         when(element_at(col(vecCol),
-          ((lit(7) * col("_t") + lit(13 * l + 3)) % dim + 1).cast("int"))
+          (pmod(lit(7) * col("_t") + lit(13 * l + 3), size(col(vecCol)))
+            + 1).cast("int"))
           >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
     val lv = paths

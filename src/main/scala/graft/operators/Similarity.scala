@@ -570,21 +570,39 @@ object Similarity {
     * window cumulative sum in rank order — a fixed evaluation order on
     * both engines.
     *
-    * Scale shape: the test set is BOUNDED (held-out eval sets are tiny
-    * next to training corpora) and broadcast; the score table is one
-    * narrow n_train × n_test frame; the recurrence rides windows
-    * PARTITIONED PER TEST POINT (parallel across test points, the
-    * ksDistance discipline). One test partition = the whole train set —
-    * if that outgrows an executor, range-partition the rank scan per
-    * test point ([[graft.queries.Serving.ranked]]'s shape) or prune the
-    * tail: increments decay as k/i, so a truncated-at-M scan bounds the
-    * error by k·ln(n/M)/n. */
+    * Scale shape: the test set is BOUNDED BY CONSTRUCTION (r12 verdict
+    * #3, the x48 bounded-anchor discipline): a deterministic
+    * hash-ordered `limit(testN)` via [[knnShapleyTestSet]] — never a
+    * corpus FRACTION — so the broadcast and the per-test rank windows
+    * are testN-sized at ANY corpus scale. The score table is one narrow
+    * n_train × testN frame; the recurrence rides windows PARTITIONED PER
+    * TEST POINT (parallel across test points, the ksDistance
+    * discipline). One test partition = the whole train set — if that
+    * outgrows an executor, range-partition the rank scan per test point
+    * ([[graft.queries.Serving.ranked]]'s shape) or prune the tail:
+    * increments decay as k/i, so a truncated-at-M scan bounds the error
+    * by k·ln(n/M)/n. */
+  /** The held-out set for [[knnShapley]]: the `testN` ids with the
+    * smallest residue-permuted hash, ties on id (a total order, so both
+    * engines pick the identical set). The scatter key is overflow-safe
+    * for any long id under ANSI mode — id mod a prime P, then a
+    * Knuth-multiplicative permutation of the residue (max product
+    * (P−1)·2654435761 ≈ 2.6e13 ≪ 2^63) — so the sample isn't an
+    * id-prefix. Spark plans the orderBy+limit as TakeOrderedAndProject
+    * (per-partition top-N, no global sort). */
+  def knnShapleyTestSet(embeddings: DataFrame, idCol: String,
+                        testN: Int): DataFrame = {
+    val h = pmod(pmod(col(idCol), lit(9973L)) * lit(2654435761L), lit(9973L))
+    embeddings.orderBy(h, col(idCol)).limit(testN)
+  }
+
   def knnShapley(embeddings: DataFrame, idCol: String, vecCol: String,
-                 labelCol: String, k: Int, testMod: Long): DataFrame = {
-    val test = embeddings.where(col(idCol) % testMod === 0)
+                 labelCol: String, k: Int, testN: Int): DataFrame = {
+    val test = knnShapleyTestSet(embeddings, idCol, testN)
       .select(col(idCol).as("_tid"), col(vecCol).as("_tv"),
         col(labelCol).as("_ty"))
-    val train = embeddings.where(col(idCol) % testMod =!= 0)
+    val train = embeddings.join(broadcast(test.select(col("_tid"))),
+        col(idCol) === col("_tid"), "left_anti")
       .select(col(idCol), col(vecCol), col(labelCol))
     val n = train.agg(count(lit(1)).cast("long").as("_n"))
     val scored = train.crossJoin(broadcast(test))

@@ -1716,6 +1716,107 @@ object Registry {
       s"FROM l$rounds GROUP BY 1 ORDER BY size DESC, label ASC LIMIT $limit"
   }
 
+  /** DuckDB twin of [[graft.operators.Graph.landmarkBetweenness]]: the
+    * same co-purchase graph head as [[labelPropagationOracle]], then the
+    * Brandes forward BFS (σ as exact BIGINTs, first-visit levels via
+    * anti-join against the running visited set) and the backward
+    * dependency fold, both UNROLLED level by level with the per-level
+    * 6 dp rounding the Spark side applies — the fixed-point-trajectory
+    * discipline. */
+  private def betweennessOracle(lms: Int, depth: Int, topN: Int): String = {
+    val head = Seq(
+      "li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderpriority = '1-URGENT')",
+      "e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey)",
+      "bth AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 " +
+        "UNION ALL SELECT v, u FROM e0)",
+      "vt AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM bth)",
+      s"lm AS (SELECT vertex FROM vt " +
+        s"ORDER BY (vertex % 9973) * 2654435761 % 9973, vertex LIMIT $lms)",
+      "f0 AS MATERIALIZED (SELECT vertex AS s, vertex, " +
+        "CAST(1 AS BIGINT) AS sigma FROM lm)",
+      "vis0 AS (SELECT s, vertex FROM f0)")
+    val fwd = (1 to depth).flatMap { d =>
+      val p = d - 1
+      Seq(
+        s"f$d AS MATERIALIZED (SELECT c.s, c.vertex, " +
+          "CAST(sum(c.sigma) AS BIGINT) AS sigma " +
+          "FROM (SELECT f.s AS s, b.dst AS vertex, f.sigma AS sigma " +
+          s"FROM f$p f JOIN bth b ON b.src = f.vertex) c " +
+          s"LEFT JOIN vis$p x ON x.s = c.s AND x.vertex = c.vertex " +
+          "WHERE x.vertex IS NULL GROUP BY 1, 2)",
+        s"vis$d AS MATERIALIZED (SELECT s, vertex FROM vis$p " +
+          s"UNION ALL SELECT s, vertex FROM f$d)")
+    }
+    // δ in integer micro-units (1e-6): per-term round → BIGINT, then an
+    // ASSOCIATIVE integer sum — mirrors the Spark side exactly (a double
+    // trajectory flips 6-dp cells from summation-order drift alone).
+    val dDeep =
+      s"d$depth AS (SELECT s, vertex, CAST(0 AS BIGINT) AS delta_u " +
+        s"FROM f$depth)"
+    val bwd = (depth - 1 to 0 by -1).map { d =>
+      val n = d + 1
+      s"d$d AS MATERIALIZED (SELECT v.s, v.vertex, " +
+        "coalesce(CAST(sum(CAST(round(CAST(v.sigma AS DOUBLE) / w.sigma " +
+        "* (1 + w.delta_u / 1000000.0) * 1000000.0) AS BIGINT)) " +
+        "AS BIGINT), 0) AS delta_u " +
+        s"FROM f$d v LEFT JOIN bth b ON b.src = v.vertex " +
+        s"LEFT JOIN (SELECT f.s, f.vertex, f.sigma, dd.delta_u FROM f$n f " +
+        s"JOIN d$n dd ON dd.s = f.s AND dd.vertex = f.vertex) w " +
+        "ON w.s = v.s AND w.vertex = b.dst GROUP BY 1, 2)"
+    }
+    val unionAll = (0 to depth)
+      .map(d => s"SELECT s, vertex, delta_u FROM d$d")
+      .mkString(" UNION ALL ")
+    s"WITH ${(head ++ fwd ++ Seq(dDeep) ++ bwd).mkString(", ")}, " +
+      s"alld AS ($unionAll) " +
+      "SELECT CAST(vertex AS BIGINT) AS vertex, " +
+      "round(CAST(sum(delta_u) AS DOUBLE) / 1000000.0 * " +
+      s"((SELECT count(*) FROM vt) / (2.0 * $lms)), 4) AS bc_est " +
+      s"FROM alld WHERE vertex <> s " +
+      s"GROUP BY 1 ORDER BY bc_est DESC, vertex LIMIT $topN"
+  }
+
+  /** DuckDB twin of [[graft.operators.Curation.curationPipeline]]: the
+    * x25/x42 recursive-closure + keep-best chain, then the composition
+    * stages — token gate, CLUSTER-grain residue-permuted split, and
+    * offset packing via a (split, bucket)-partitioned running token
+    * sum. */
+  private def curationOracleSql: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(n, r) AS (
+       |  SELECT a AS n, a AS r FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+       |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS INT) AS ws_tokens
+       |  FROM documents),
+       |lab AS (SELECT d.doc_id, coalesce(c.root, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+       |r AS (SELECT lab.doc_id, cluster_id, ws_tokens,
+       |  row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY ws_tokens DESC, lab.doc_id) AS rn
+       |  FROM lab JOIN sc ON lab.doc_id = sc.doc_id),
+       |kept AS (SELECT doc_id, cluster_id, ws_tokens,
+       |  CASE WHEN (cluster_id % 9973) * 2654435761 % 9973 % 1000 < 200
+       |    THEN 'val' ELSE 'train' END AS split,
+       |  (doc_id % 9973) * 2654435761 % 9973 AS h
+       |  FROM r WHERE rn = 1 AND ws_tokens >= 20),
+       |b AS (SELECT doc_id, cluster_id, ws_tokens, split,
+       |  CAST(h % 4 AS INT) AS bucket, h FROM kept)
+       |SELECT doc_id, cluster_id, ws_tokens, split, bucket,
+       |  CAST(floor((sum(ws_tokens) OVER (PARTITION BY split, bucket
+       |    ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens)
+       |    / 1000.0) AS BIGINT) AS shard
+       |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Quantile-normalization oracle: the same grid snap and pooled
     * interpolated quantile list, with the grid literal rendered from the
     * identical Scala doubles the engine embeds (shortest-repr doubles
@@ -9497,20 +9598,24 @@ object Registry {
 
     ("x163_knn_shapley",
       // Exact KNN-Shapley data valuation (Similarity.knnShapley, k=10,
-      // test = vec_id % 25 == 0 → 20 held-out points): the closed-form
-      // per-training-point Shapley value for the k-NN task — the
-      // does-this-example-help-or-hurt read quality scores can't give,
-      // with Σφ = k-NN test accuracy by the efficiency axiom
+      // test = the 20 ids with smallest residue-permuted hash — a
+      // deterministic hash-ordered limit, BOUNDED BY CONSTRUCTION at any
+      // corpus scale per the r12 verdict, never a corpus fraction): the
+      // closed-form per-training-point Shapley value for the k-NN task —
+      // the does-this-example-help-or-hurt read quality scores can't
+      // give, with Σφ = k-NN test accuracy by the efficiency axiom
       // (spec-pinned). Similarities round 6 dp before ranking; the
       // suffix recurrence rides per-test-point windows.
       (s: SparkSession, dir: String) =>
         Similarity.knnShapley(Tables.embeddings(s, dir), "vec_id",
-          "embedding", "label", 10, 25L)
+          "embedding", "label", 10, 20)
           .orderBy(col("vec_id")),
-      Some("""WITH tst AS (SELECT vec_id AS tid, embedding AS tv,
-        |label AS ty FROM embeddings WHERE vec_id % 25 = 0),
-        |trn AS (SELECT vec_id, embedding, label FROM embeddings
-        |WHERE vec_id % 25 <> 0),
+      Some("""WITH tst AS MATERIALIZED (SELECT vec_id AS tid,
+        |embedding AS tv, label AS ty FROM embeddings
+        |ORDER BY (vec_id % 9973) * 2654435761 % 9973, vec_id LIMIT 20),
+        |trn AS MATERIALIZED (SELECT vec_id, embedding, label
+        |FROM embeddings
+        |WHERE vec_id NOT IN (SELECT tid FROM tst)),
         |n AS (SELECT count(*) AS n FROM trn),
         |prs AS (SELECT t.tid, t.ty, a.vec_id, a.label,
         |round(list_reduce(list_transform(generate_series(1,
@@ -9617,7 +9722,7 @@ object Registry {
         |tr AS (SELECT unnest(generate_series(0, 7)) AS t),
         |paths AS (SELECT e.vec_id, e.label, tr.t,
         |list_reduce(list_transform(generate_series(0, 9),
-        |l -> CASE WHEN embedding[((7*tr.t + 13*l + 3) % 64) + 1] >= 0
+        |l -> CASE WHEN embedding[((7*tr.t + 13*l + 3) % len(embedding)) + 1] >= 0
         |THEN '1' ELSE '0' END), (a,b) -> a || b) AS path
         |FROM e, tr),
         |lv AS (SELECT vec_id, label, t, path,
@@ -9634,7 +9739,48 @@ object Registry {
         |round(avg(depth), 4) AS avg_depth
         |FROM iso GROUP BY 1
         |ORDER BY avg_depth ASC, vec_id LIMIT 50""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    ("j66_betweenness",
+      // Landmark-sampled betweenness (Graph.landmarkBetweenness, 8
+      // landmarks × depth 4, top-40) on the urgent-order co-purchase
+      // graph: Brandes' σ/δ accumulation from a hash-ordered BOUNDED
+      // landmark set — the brokerage/centrality read the cohesion
+      // entries (j39 k-core, j61 LPA) can't give: which parts BRIDGE
+      // the co-purchase communities. σ exact longs; δ rounded 6 dp per
+      // level (trajectory discipline); estimate scaled n/(2L).
+      (s: SparkSession, dir: String) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        graft.operators.Graph.landmarkBetweenness(pairs, "pa", "pb", 8, 4, 40)
+          .select(col("vertex").cast("long").as("vertex"), col("bc_est"))
+          .orderBy(col("bc_est").desc, col("vertex"))
+      },
+      Some(betweennessOracle(8, 4, 40))),
+
+    ("x166_curation_pipeline",
+      // End-to-end curation composition (operators/Curation
+      // .curationPipeline — the r12 verdict's named integration seat):
+      // near-dup clusters → longest-member survivor → ≥20-token quality
+      // gate → train/val split hashed at CLUSTER grain (near-dups can
+      // never straddle the split — the contamination leak a doc-grain
+      // split commits) → token-budget shard packing (4 hash buckets ×
+      // 1000-token offset packing). One chained-CTE oracle replays every
+      // stage.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Curation.curationPipeline(
+          Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 20, 200, 4,
+          1000L)
+          .orderBy(col("doc_id")),
+      Some(curationOracleSql))
   )
 
   def queries: Map[String, Q] =

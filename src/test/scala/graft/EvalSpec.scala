@@ -361,4 +361,25 @@ class EvalSpec extends SparkSpec {
       .orderBy($"bin").collect().map(_.getDouble(4))
     assert(c.toSeq === Seq(0.5, 0.5, 0.5))
   }
+  test("isotonicCalibration: contract violations fail loudly (null bin; unbounded bin domain), not driver-OOM (ADVICE r12)") {
+    import spark.implicits._
+    // A null bin (e.g. an uncastable raw score) is a loud contract error
+    // at the head of the bounded fetch, not an NPE mid-collect.
+    val withNull = Seq((Some(0L), 1L), (None, 0L), (Some(1L), 1L))
+      .toDF("bin", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Eval.isotonicCalibration(withNull, "bin", "y")
+    }
+    assert(e1.getMessage.contains("null"))
+    // The cardinality guard trips via a bounded limit(max+1) fetch — the
+    // driver never materializes more than IsotonicMaxBins+1 rows even
+    // when a caller feeds raw continuous scores. range() makes the
+    // 100k+1 distinct bins cheaply.
+    val raw = spark.range(graft.operators.Eval.IsotonicMaxBins + 1)
+      .select($"id".as("bin"), ($"id" % 2).as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Eval.isotonicCalibration(raw, "bin", "y")
+    }
+    assert(e2.getMessage.contains("distinct bins"))
+  }
 }

@@ -265,4 +265,29 @@ class GraphSpec extends SparkSpec {
     val r = Graph.assortativity(triangle, "u", "v").collect().head
     assert(r.isNullAt(1))
   }
+
+  test("landmarkBetweenness: with ALL vertices as landmarks the estimate is EXACT — path graph (interior (i-1)(n-i)) and diamond (split σ credit)") {
+    import spark.implicits._
+    // Path 1-2-3-4-5, all 5 vertices sampled → estimate = Σδ·n/(2L)
+    // = Σδ/2 = the exact betweenness: interior vertex i carries
+    // (i-1)(n-i) pairs → v3: 4, v2/v4: 3, endpoints 0.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.landmarkBetweenness(path, "a", "b", 5, 4, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out === Map(1L -> 0.0, 2L -> 3.0, 3L -> 4.0, 4L -> 3.0,
+      5L -> 0.0))
+    // Diamond (4-cycle) 1-2-4, 1-3-4: every pair of opposite corners has
+    // TWO shortest paths, so each broker vertex earns the σ-ratio HALF
+    // credit a plain path counter misses — 2 and 3 split the (1,4)
+    // pair, and symmetrically 1 and 4 split the (2,3) pair: all 0.5.
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val d = Graph.landmarkBetweenness(diamond, "a", "b", 4, 4, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(d === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+    // Depth cap honored: depth 1 sees no 2-hop pairs → all zero.
+    val shallow = Graph.landmarkBetweenness(path, "a", "b", 5, 1, 10)
+      .collect().map(_.getDouble(1))
+    assert(shallow.forall(_ === 0.0))
+  }
 }
