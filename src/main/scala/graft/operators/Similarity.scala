@@ -435,6 +435,106 @@ object Similarity {
         col("sim"), col("knn_rank"))
   }
 
+  /** GRAPH-based ANN frontier — the navigable-small-world comparison
+    * point the IVF/PQ frontier family lacked (x147/x156 measure probe and
+    * refine budgets; nothing measured a graph baseline): greedy BEAM
+    * search over a bounded-degree kNN graph (the NSW/HNSW-layer search
+    * shape, Malkov & Yashunin 2018's single-layer core made
+    * deterministic), swept over `beams` budgets so the output is a
+    * recall-vs-touched-nodes frontier directly comparable to
+    * [[ivfRecallCurve]]'s recall-vs-scan-fraction rows.
+    *
+    * Build: the graph is each vector's top-`graphM` IVF-probed neighbors
+    * ([[knnJoin]] self-kNN — the already-shipped approximate build,
+    * never all-pairs). Search, per query and beam budget B: start at the
+    * corpus-min-id entry vertex, then `hops` rounds of expand-the-beam
+    * (score all unvisited graph neighbors of the current beam against
+    * the query, 6 dp cosine, keep the top-B of everything visited);
+    * answer = top-k of the visited set. Recall grades against the exact
+    * brute-force top-k over the BOUNDED query set.
+    *
+    * The 100 TB read: a hop touches ≤ B·graphM vectors as POINT LOOKUPS
+    * (broadcast candidate ids joined against the vector store), so
+    * search cost is O(hops·B·graphM) — independent of corpus size, like
+    * x7's partition-pruned probe and unlike any scan; the frontier rows
+    * say what recall each touched-node budget buys.
+    *
+    * Determinism: queries are a hash-ordered `limit` (the
+    * [[knnShapleyTestSet]] bounded-anchor discipline); sims round 6 dp
+    * before every rank; all ranks tie-break on id; the entry vertex is
+    * min(id). Output: one row per beam budget — (beam, n_queries,
+    * mean_recall 4 dp, mean_visited 2 dp). */
+  def graphAnnFrontier(embeddings: DataFrame, idCol: String, vecCol: String,
+                       graphM: Int, beams: Seq[Int], hops: Int, k: Int,
+                       nQueries: Int, nCentroids: Int,
+                       nProbe: Int): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    val graph = knnJoin(embeddings, idCol, vecCol, lit(true), graphM,
+        nCentroids, nProbe)
+      .select(col("qid").as("_gsrc"), col(idCol).as("_gdst"))
+      .localCheckpoint(eager = true) // read once per hop per budget
+    val queries = knnShapleyTestSet(embeddings, idCol, nQueries)
+      .select(col(idCol).as("_tid"), col(vecCol).as("_tv"))
+      .localCheckpoint(eager = true)
+    val entry = embeddings.agg(min(col(idCol)).as("_eid"))
+    // Exact top-k per query — the brute-force grader over the bounded
+    // query set (broadcast queries; the corpus never shuffles).
+    val wq = Window.partitionBy(col("_tid"))
+      .orderBy(col("_sim").desc, col("_vid"))
+    val exact = vecs.crossJoin(broadcast(queries))
+      .where(col("_vid") =!= col("_tid"))
+      .select(col("_tid"), col("_vid"),
+        round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
+      .withColumn("_r", row_number().over(wq))
+      .where(col("_r") <= k)
+      .select(col("_tid"), col("_vid"))
+      .localCheckpoint(eager = true)
+    val rows = beams.map { b =>
+      var visited = queries.crossJoin(broadcast(entry))
+        .join(broadcast(vecs), col("_vid") === col("_eid"))
+        .select(col("_tid"), col("_vid"),
+          round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
+        .localCheckpoint(eager = true)
+      var beam = visited
+      (1 to hops).foreach { _ =>
+        val candIds = beam
+          .join(graph, col("_vid") === col("_gsrc"))
+          .select(col("_tid"), col("_gdst").as("_vid"))
+          .distinct()
+          .join(visited.select(col("_tid"), col("_vid")),
+            Seq("_tid", "_vid"), "left_anti")
+        val cand = vecs.join(broadcast(candIds), Seq("_vid"))
+          .join(broadcast(queries), Seq("_tid"))
+          .select(col("_tid"), col("_vid"),
+            round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
+        visited = visited.unionByName(cand).localCheckpoint(eager = true)
+        beam = visited
+          .withColumn("_r", row_number().over(wq))
+          .where(col("_r") <= b)
+          .select(col("_tid"), col("_vid"), col("_sim"))
+      }
+      val approx = visited.where(col("_vid") =!= col("_tid"))
+        .withColumn("_r", row_number().over(wq))
+        .where(col("_r") <= k)
+        .select(col("_tid"), col("_vid"))
+      val hits = approx.join(exact, Seq("_tid", "_vid"))
+        .groupBy(col("_tid")).agg(count(lit(1)).as("_nh"))
+      val nvis = visited.groupBy(col("_tid"))
+        .agg(count(lit(1)).as("_nv"))
+      queries.select(col("_tid"))
+        .join(hits, Seq("_tid"), "left_outer")
+        .join(nvis, Seq("_tid"), "left_outer")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          round(avg(coalesce(col("_nh"), lit(0L)).cast("double") / k), 4)
+            .as("mean_recall"),
+          round(avg(coalesce(col("_nv"), lit(0L)).cast("double")), 2)
+            .as("mean_visited"))
+        .select(lit(b).cast("long").as("beam"), col("n_queries"),
+          col("mean_recall"), col("mean_visited"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("beam"))
+  }
+
   /** k-center greedy (farthest-point) coreset: pick the smallest-id seed,
     * then k−1 times the vector FARTHEST (cosine distance, 6 dp) from the
     * already-selected set — the classic 2-approximation to the k-center

@@ -1069,6 +1069,90 @@ object Registry {
        |SELECT qid, vec_id, cid AS centroid_id, sim, knn_rank FROM r
        |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin.replace("\n", " ")
 
+  /** DuckDB twin of [[Similarity.graphAnnFrontier]]: the knnJoin-oracle
+    * IVF build (shared asg window serves corpus assignment AND per-query
+    * probe ranks, since the self-kNN's query side is the corpus), top-M
+    * cut to the graph, then the beam search UNROLLED hop by hop per beam
+    * budget — candidate expand, anti-join against the running visited
+    * set, 6 dp re-score, top-B beam cut — and the exact brute-force
+    * grader over the hash-ordered bounded query set. */
+  private def graphAnnOracleSql(graphM: Int, beams: Seq[Int], hops: Int,
+                                k: Int, nQueries: Int, nCentroids: Int,
+                                nProbe: Int): String = {
+    val head = Seq(
+      s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings " +
+        s"ORDER BY vec_id LIMIT $nCentroids)",
+      "asg AS MATERIALIZED (SELECT vec_id, embedding, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn " +
+        "FROM (SELECT e.vec_id, e.embedding, c.cid, " +
+        s"${cosSql("e.embedding", "c.cv")} AS d FROM embeddings e, cents c))",
+      "a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1)",
+      "gcand AS (SELECT p.gq, a.vec_id, " +
+        s"round(${cosSql("a.embedding", "p.gqv")}, 6) AS sim " +
+        "FROM a1 a JOIN (SELECT vec_id AS gq, embedding AS gqv, cid " +
+        s"FROM asg WHERE rn <= $nProbe) p USING (cid) " +
+        "WHERE a.vec_id <> p.gq)",
+      "g AS MATERIALIZED (SELECT gq AS src, vec_id AS dst FROM " +
+        "(SELECT gq, vec_id, row_number() OVER (PARTITION BY gq " +
+        s"ORDER BY sim DESC, vec_id) AS r FROM gcand) WHERE r <= $graphM)",
+      "qs AS MATERIALIZED (SELECT vec_id AS tid, embedding AS tv " +
+        "FROM embeddings " +
+        s"ORDER BY (vec_id % 9973) * 2654435761 % 9973, vec_id " +
+        s"LIMIT $nQueries)",
+      "en AS (SELECT min(vec_id) AS eid FROM embeddings)",
+      "ex AS MATERIALIZED (SELECT tid, vid FROM (SELECT tid, vid, " +
+        "row_number() OVER (PARTITION BY tid ORDER BY sim DESC, vid) AS r " +
+        "FROM (SELECT q.tid, e.vec_id AS vid, " +
+        s"round(${cosSql("e.embedding", "q.tv")}, 6) AS sim " +
+        "FROM embeddings e, qs q WHERE e.vec_id <> q.tid)) " +
+        s"WHERE r <= $k)")
+    val perBudget = beams.zipWithIndex.flatMap { case (b, i) =>
+      val init = Seq(
+        s"v0_$i AS MATERIALIZED (SELECT q.tid, e.vec_id AS vid, " +
+          s"round(${cosSql("e.embedding", "q.tv")}, 6) AS sim " +
+          "FROM qs q, en, embeddings e WHERE e.vec_id = en.eid)",
+        s"b0_$i AS (SELECT tid, vid, sim FROM v0_$i)")
+      val hopCtes = (1 to hops).flatMap { h =>
+        val p = h - 1
+        Seq(
+          s"c${h}_$i AS (SELECT DISTINCT bm.tid, g.dst AS vid " +
+            s"FROM b${p}_$i bm JOIN g ON g.src = bm.vid)",
+          s"n${h}_$i AS (SELECT c.tid, c.vid, " +
+            s"round(${cosSql("e.embedding", "q.tv")}, 6) AS sim " +
+            s"FROM c${h}_$i c JOIN embeddings e ON e.vec_id = c.vid " +
+            "JOIN qs q ON q.tid = c.tid " +
+            s"LEFT JOIN v${p}_$i v ON v.tid = c.tid AND v.vid = c.vid " +
+            "WHERE v.vid IS NULL)",
+          s"v${h}_$i AS MATERIALIZED (SELECT tid, vid, sim FROM v${p}_$i " +
+            s"UNION ALL SELECT tid, vid, sim FROM n${h}_$i)",
+          s"b${h}_$i AS (SELECT tid, vid, sim FROM (SELECT tid, vid, sim, " +
+            "row_number() OVER (PARTITION BY tid ORDER BY sim DESC, vid) " +
+            s"AS r FROM v${h}_$i) WHERE r <= $b)")
+      }
+      val tail = Seq(
+        s"ap_$i AS (SELECT tid, vid FROM (SELECT tid, vid, " +
+          "row_number() OVER (PARTITION BY tid ORDER BY sim DESC, vid) " +
+          s"AS r FROM v${hops}_$i WHERE vid <> tid) WHERE r <= $k)",
+        s"hv_$i AS (SELECT q.tid, coalesce(h.nh, 0) AS nh, " +
+          "coalesce(nv.nv, 0) AS nv FROM qs q " +
+          s"LEFT JOIN (SELECT tid, count(*) AS nh FROM ap_$i " +
+          "JOIN ex USING (tid, vid) GROUP BY 1) h ON h.tid = q.tid " +
+          s"LEFT JOIN (SELECT tid, count(*) AS nv FROM v${hops}_$i " +
+          "GROUP BY 1) nv ON nv.tid = q.tid)",
+        s"row_$i AS (SELECT CAST($b AS BIGINT) AS beam, " +
+          "CAST(count(*) AS BIGINT) AS n_queries, " +
+          s"round(avg(CAST(nh AS DOUBLE) / $k), 4) AS mean_recall, " +
+          "round(avg(CAST(nv AS DOUBLE)), 2) AS mean_visited " +
+          s"FROM hv_$i)")
+      init ++ hopCtes ++ tail
+    }
+    val unionAll = beams.indices.map(i => s"SELECT * FROM row_$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${(head ++ perBudget).mkString(", ")} " +
+      s"SELECT beam, n_queries, mean_recall, mean_visited " +
+      s"FROM ($unionAll) ORDER BY beam"
+  }
+
   /** DuckDB twin of [[Similarity.ivfRecallCurve]] (queries vec_id%50=0,
     * k=10, 16 centroids, probes 1/2/4/8): the knnJoin oracle's cand frame
     * carries each vector's cell PROBE RANK per query (crn), so every
@@ -9780,7 +9864,22 @@ object Registry {
           Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 20, 200, 4,
           1000L)
           .orderBy(col("doc_id")),
-      Some(curationOracleSql))
+      Some(curationOracleSql)),
+
+    ("x167_graph_ann",
+      // Graph-ANN recall frontier (Similarity.graphAnnFrontier — the r12
+      // verdict's named graph-baseline seat): greedy beam search over the
+      // top-6 IVF-built kNN graph from the corpus-min entry vertex,
+      // 6 hops, beams 2/4/8, graded against exact top-10 over 12
+      // hash-ordered queries. One row per beam budget —
+      // recall-vs-touched-nodes, directly comparable to x147's
+      // recall-vs-scan-fraction IVF frontier; search cost O(hops·B·M)
+      // point lookups, corpus-size-independent like x7's pruned probe.
+      (s: SparkSession, dir: String) =>
+        Similarity.graphAnnFrontier(Tables.embeddings(s, dir), "vec_id",
+          "embedding", 6, Seq(2, 4, 8), 6, 10, 12, 16, 4)
+          .orderBy(col("beam")),
+      Some(graphAnnOracleSql(6, Seq(2, 4, 8), 6, 10, 12, 16, 4)))
   )
 
   def queries: Map[String, Q] =

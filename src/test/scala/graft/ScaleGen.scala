@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *  - embeddings: replica r applies a deterministic per-(r, dim)
   *    coordinate reflection (an isometry — within-replica distances
   *    exact, cross-replica sign patterns decorrelated).
+  *  - events (r12 verdict ask #5, the streaming-ladder input): replica r
+  *    offsets event_id AND user_id, keeping ts/event_type/value/props —
+  *    N× parallel user populations with identical per-user behavior, so
+  *    distinct (user, item) observation stores scale exactly N× while
+  *    the (type, day) and item dictionaries stay FIXED: exactly the
+  *    contrast the contracted-state streaming claims are about
+  *    (store-sized vs stream-volume-sized per-batch cost).
   *
   * Ids offset by r·10^9. Test scope — not part of the driver contract;
   * writes ONLY under the destination dir given on the command line. */
@@ -59,6 +66,16 @@ object ScaleGen {
         col("label"))
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.select(col("*"), reps)
+      .select(
+        (col("event_id") + col("_r") * lit(1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("_r") * lit(1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
     println(s"[scalegen] wrote ${factor}x of $src to $dest")
     spark.stop()

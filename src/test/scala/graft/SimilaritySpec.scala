@@ -841,6 +841,38 @@ class SimilaritySpec extends SparkSpec {
     // ADC never decreases down the ranking.
     assert(out.sliding(2).forall(p => p(0)._2 <= p(1)._2))
   }
+  test("graphAnnFrontier: a connected graph reaches exact recall; disconnected components cap recall at the reachable side; visited counts are the touched-node budget") {
+    import spark.implicits._
+    // Two tight clusters with near-orthogonal separation: A = {0,1,2},
+    // B = {10,11,12}. graphM=2 keeps only within-cluster edges (cluster
+    // mates always outrank cross-cluster cosine), so the kNN graph has
+    // two components and the min-id entry vertex (0 ∈ A) can never
+    // reach B: B-queries score recall 0, A-queries 1 — mean 0.5 — and
+    // every search visits exactly the 3 reachable A vectors.
+    val emb = Seq(
+      (0L, Array(1f, 0.00f)), (1L, Array(1f, 0.01f)),
+      (2L, Array(1f, 0.02f)), (10L, Array(0.00f, 1f)),
+      (11L, Array(0.01f, 1f)), (12L, Array(0.02f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.graphAnnFrontier(emb, "vec_id", "embedding",
+        2, Seq(3), 2, 2, 6, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((3L, 6L, 0.5, 3.0)))
+    // Fully-probed complete graph: every vector reachable in one hop
+    // from the entry → the beam answer IS the exact answer (recall 1)
+    // and the whole corpus is visited.
+    val one = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.3f)), (3L, Array(0.6f, 0.5f)),
+      (4L, Array(0.4f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.graphAnnFrontier(one, "vec_id", "embedding",
+        4, Seq(5), 2, 2, 5, 16, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(full.toSeq === Seq((5L, 5L, 1.0, 5.0)))
+  }
   test("knnShapley: the nearest correct neighbor carries the whole value at k=1; test set bounded by construction; efficiency axiom on the registry slice") {
     import spark.implicits._
     // Test point = id 0 (lowest residue-permuted hash: h(id) = id·2135
