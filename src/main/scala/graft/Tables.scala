@@ -42,16 +42,60 @@ object Tables {
     * multi-row-group table at scale (where the scan already yields >=
     * parallelism splits). Filters and column pruning still push through the
     * Repartition to the scan (PushPredicateThroughNonJoin). */
+  /** Per-(dir, table) file METADATA memo — schema and byte length only,
+    * never rows (every query still computes from the parquet scan). The
+    * original `read` paid a parquet-footer schema read plus a full
+    * physical-plan build (`df.rdd.getNumPartitions`) on EVERY call; with
+    * ~2 table reads per query × 6 executions per bench entry that fixed
+    * cost dominated the sub-second tail of the registry (guide §1.2 —
+    * per-task work after the algorithm). The driver corpus is immutable
+    * for a process lifetime; a changed file invalidates the entry by
+    * (len, modTime) so a rewritten path re-probes. */
+  private val fileMetaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (types.StructType, Long, Long)]
+
   def read(spark: SparkSession, dir: String, table: String): DataFrame = {
     val path = s"$dir/$table.parquet"
-    val df = spark.read.parquet(path)
-    val target = spark.sparkContext.defaultParallelism
-    // Size probe through the Hadoop FS API so the check is honest on any
-    // scheme (file://, hdfs://, s3a://), not just the local driver corpus.
+    // Size/mtime probe through the Hadoop FS API so the check is honest on
+    // any scheme (file://, hdfs://, s3a://), not just the local corpus.
     val p = new org.apache.hadoop.fs.Path(path)
-    val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getLen
-    if (len > (256 << 10) && df.rdd.getNumPartitions < target)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    val (schema, len, _) = fileMetaCache.get(path) match {
+      case Some(hit @ (_, l, m))
+        if l == st.getLen && m == st.getModificationTime => hit
+      case _ =>
+        val fresh = (spark.read.parquet(path).schema, st.getLen,
+          st.getModificationTime)
+        fileMetaCache.put(path, fresh)
+        fresh
+    }
+    val df = spark.read.schema(schema).parquet(path)
+    val target = spark.sparkContext.defaultParallelism
+    // Scan split count, computed the way FilePartition packs a single
+    // file (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    // totalBytes/defaultParallelism))) — same answer as planning the scan
+    // RDD, without building it.
+    val conf = spark.sessionState.conf
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, len / math.max(1, target)))
+    val splits = (len + maxSplit - 1) / math.max(1L, maxSplit)
+    // r13 OPT upper bound (guide §2.4 — "a repartition someone added for
+    // parallelism" is still a full shuffle of the table): the rebalance
+    // only pays when a CPU-dense NARROW chain follows the scan (text
+    // shingling, hashing, per-vector math) — any wide op re-establishes
+    // parallelism at its own first Exchange. Measured at sf0.1, the
+    // round-robin exchange (plus its SPARK-23207 retry-determinism sort)
+    // costs ~0.4-0.7 s on the 10.8 MB lineitem — tripling exchange-first
+    // aggregates like j49 — while sub-few-MB frames shuffle in ~50 ms.
+    // So the rebalance stays cheap insurance for the small CPU-dense
+    // tables (documents/embeddings/events) and is skipped once the
+    // exchange itself is the dominant term. Parameterized, local-scale
+    // only: at production scale `splits >= target` and neither branch
+    // fires.
+    val maxRebalanceBytes = sys.env.get("SPARK_GRAFT_REBALANCE_MAX_BYTES")
+      .map(_.toLong).getOrElse(4L << 20)
+    if (len > (256 << 10) && len <= maxRebalanceBytes && splits < target)
       df.repartition(target)
     else df
   }

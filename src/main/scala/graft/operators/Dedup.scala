@@ -448,26 +448,56 @@ object Dedup {
     val members = collapseExact(df, idCol, textCol).localCheckpoint(eager = false)
     val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
       .localCheckpoint(eager = false)
-    val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
-    val wN = Window.partitionBy(col(idCol))
-    // ceil with a small negative epsilon: t*n for integer-valued t*n must
-    // not round UP through float error (0.8*5 = 4.0000000000000002 would
-    // otherwise shorten the prefix below the lossless bound).
-    val prefLen = col("_n") - ceil(lit(threshold) * col("_n") - lit(1e-9)) + 1
-    val pref = shingled.join(dfreq, Seq("shingle"))
-      .withColumn("_n", count(lit(1)).over(wN))
-      .withColumn("_rn", row_number().over(wDoc))
-      .filter(col("_rn") <= prefLen && col("_df") > 1)
-      .select(col("shingle"), col(idCol), col("_n"))
-    val cand = pref.select(col("shingle"), col(idCol).as("id_a"), col("_n").as("_na"))
-      .join(pref.select(col("shingle"), col(idCol).as("id_b"), col("_n").as("_nb")),
-        Seq("shingle"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("_na"), col("_nb")) >=
-          lit(threshold) * greatest(col("_na"), col("_nb")) - lit(1e-9))
-      .select(col("id_a"), col("id_b")).distinct()
-    val repPairs = verifyJaccard(cand, shingled, idCol, threshold)
+    // r13 OPT: below t = 0.5 the prefix filter is spent machinery — the
+    // prefix keeps `n - ceil(t*n) + 1` of n shingles (> 50% of every doc
+    // at t < 0.5), so the candidate join approaches the full
+    // shingle-grain self-join ANYWAY, and the pipeline then pays two
+    // rarity windows plus a second full-set `array_intersect`
+    // verification join on top of it. The direct AllPairs path computes
+    // the same exact intersections from ONE shingle-grain equi-join +
+    // count (lossless for any t > 0: jaccard >= t implies a shared
+    // shingle) — one heavy join instead of two, no windows (guide §1.2:
+    // fix the algorithm before the constants; x103's t=0.05 histogram is
+    // the motivating caller). At t >= 0.5 the prefix filter's candidate
+    // pruning wins and the original path is kept unchanged.
+    val repPairs = if (threshold > 0 && threshold < 0.5) {
+      val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("_sn"))
+      shingled.select(col("shingle"), col(idCol).as("id_a"))
+        .join(shingled.select(col("shingle"), col(idCol).as("id_b")),
+          Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_i"))
+        .join(sizes.select(col(idCol).as("id_a"), col("_sn").as("_na")),
+          Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("_sn").as("_nb")),
+          Seq("id_b"))
+        .withColumn("jaccard",
+          col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    } else {
+      val dfreq = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      val wDoc = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+      val wN = Window.partitionBy(col(idCol))
+      // ceil with a small negative epsilon: t*n for integer-valued t*n must
+      // not round UP through float error (0.8*5 = 4.0000000000000002 would
+      // otherwise shorten the prefix below the lossless bound).
+      val prefLen = col("_n") - ceil(lit(threshold) * col("_n") - lit(1e-9)) + 1
+      val pref = shingled.join(dfreq, Seq("shingle"))
+        .withColumn("_n", count(lit(1)).over(wN))
+        .withColumn("_rn", row_number().over(wDoc))
+        .filter(col("_rn") <= prefLen && col("_df") > 1)
+        .select(col("shingle"), col(idCol), col("_n"))
+      val cand = pref.select(col("shingle"), col(idCol).as("id_a"), col("_n").as("_na"))
+        .join(pref.select(col("shingle"), col(idCol).as("id_b"), col("_n").as("_nb")),
+          Seq("shingle"))
+        .filter(col("id_a") < col("id_b") &&
+          least(col("_na"), col("_nb")) >=
+            lit(threshold) * greatest(col("_na"), col("_nb")) - lit(1e-9))
+        .select(col("id_a"), col("id_b")).distinct()
+      verifyJaccard(cand, shingled, idCol, threshold)
+    }
     expandPairs(repPairs, shingled.select(col(idCol)).distinct(), members, idCol)
   }
 

@@ -489,50 +489,62 @@ object Similarity {
       .where(col("_r") <= k)
       .select(col("_tid"), col("_vid"))
       .localCheckpoint(eager = true)
-    val rows = beams.map { b =>
-      var visited = queries.crossJoin(broadcast(entry))
-        .join(broadcast(vecs), col("_vid") === col("_eid"))
-        .select(col("_tid"), col("_vid"),
+    // r13 OPT: all beam budgets run in ONE tagged pass — every window,
+    // join and aggregate below keys on (_beam, _tid), so per-budget
+    // trajectories are exactly the per-beam loops' (the budget rides
+    // along as the `_beam` value and the beam cut is `_r <= _beam`),
+    // while each hop pays ONE vector-store lookup join, one anti-join
+    // and one checkpoint instead of one per budget (guide §1.2: fewer
+    // passes; measured 18 checkpointed rounds → 6).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val beamDf = broadcast(beams.toDF("_beam"))
+    val wqb = Window.partitionBy(col("_beam"), col("_tid"))
+      .orderBy(col("_sim").desc, col("_vid"))
+    var visited = queries.crossJoin(broadcast(entry))
+      .join(broadcast(vecs), col("_vid") === col("_eid"))
+      .select(col("_tid"), col("_vid"),
+        round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
+      .crossJoin(beamDf)
+      .localCheckpoint(eager = true)
+    var beam = visited
+    (1 to hops).foreach { _ =>
+      val candIds = beam
+        .join(graph, col("_vid") === col("_gsrc"))
+        .select(col("_beam"), col("_tid"), col("_gdst").as("_vid"))
+        .distinct()
+        .join(visited.select(col("_beam"), col("_tid"), col("_vid")),
+          Seq("_beam", "_tid", "_vid"), "left_anti")
+      val cand = vecs.join(broadcast(candIds), Seq("_vid"))
+        .join(broadcast(queries), Seq("_tid"))
+        .select(col("_beam"), col("_tid"), col("_vid"),
           round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
-        .localCheckpoint(eager = true)
-      var beam = visited
-      (1 to hops).foreach { _ =>
-        val candIds = beam
-          .join(graph, col("_vid") === col("_gsrc"))
-          .select(col("_tid"), col("_gdst").as("_vid"))
-          .distinct()
-          .join(visited.select(col("_tid"), col("_vid")),
-            Seq("_tid", "_vid"), "left_anti")
-        val cand = vecs.join(broadcast(candIds), Seq("_vid"))
-          .join(broadcast(queries), Seq("_tid"))
-          .select(col("_tid"), col("_vid"),
-            round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
-        visited = visited.unionByName(cand).localCheckpoint(eager = true)
-        beam = visited
-          .withColumn("_r", row_number().over(wq))
-          .where(col("_r") <= b)
-          .select(col("_tid"), col("_vid"), col("_sim"))
-      }
-      val approx = visited.where(col("_vid") =!= col("_tid"))
-        .withColumn("_r", row_number().over(wq))
-        .where(col("_r") <= k)
-        .select(col("_tid"), col("_vid"))
-      val hits = approx.join(exact, Seq("_tid", "_vid"))
-        .groupBy(col("_tid")).agg(count(lit(1)).as("_nh"))
-      val nvis = visited.groupBy(col("_tid"))
-        .agg(count(lit(1)).as("_nv"))
-      queries.select(col("_tid"))
-        .join(hits, Seq("_tid"), "left_outer")
-        .join(nvis, Seq("_tid"), "left_outer")
-        .agg(count(lit(1)).cast("long").as("n_queries"),
-          round(avg(coalesce(col("_nh"), lit(0L)).cast("double") / k), 4)
-            .as("mean_recall"),
-          round(avg(coalesce(col("_nv"), lit(0L)).cast("double")), 2)
-            .as("mean_visited"))
-        .select(lit(b).cast("long").as("beam"), col("n_queries"),
-          col("mean_recall"), col("mean_visited"))
+      visited = visited.unionByName(cand).localCheckpoint(eager = true)
+      beam = visited
+        .withColumn("_r", row_number().over(wqb))
+        .where(col("_r") <= col("_beam"))
+        .select(col("_beam"), col("_tid"), col("_vid"), col("_sim"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("beam"))
+    val approx = visited.where(col("_vid") =!= col("_tid"))
+      .withColumn("_r", row_number().over(wqb))
+      .where(col("_r") <= k)
+      .select(col("_beam"), col("_tid"), col("_vid"))
+    val hits = approx.join(exact, Seq("_tid", "_vid"))
+      .groupBy(col("_beam"), col("_tid")).agg(count(lit(1)).as("_nh"))
+    val nvis = visited.groupBy(col("_beam"), col("_tid"))
+      .agg(count(lit(1)).as("_nv"))
+    queries.select(col("_tid")).crossJoin(beamDf)
+      .join(hits, Seq("_beam", "_tid"), "left_outer")
+      .join(nvis, Seq("_beam", "_tid"), "left_outer")
+      .groupBy(col("_beam"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        round(avg(coalesce(col("_nh"), lit(0L)).cast("double") / k), 4)
+          .as("mean_recall"),
+        round(avg(coalesce(col("_nv"), lit(0L)).cast("double")), 2)
+          .as("mean_visited"))
+      .select(col("_beam").cast("long").as("beam"), col("n_queries"),
+        col("mean_recall"), col("mean_visited"))
+      .orderBy(col("beam"))
   }
 
   /** k-center greedy (farthest-point) coreset: pick the smallest-id seed,

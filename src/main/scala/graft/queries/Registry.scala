@@ -8725,15 +8725,22 @@ object Registry {
       // global rank, and the held-out half's measured coverage checks
       // the ≥ 0.9 distribution-free guarantee. The row key is
       // l_orderkey·10 + l_linenumber (linenumber ≤ 7 in TPC-H).
+      // r13 OPT: the hashed/split base materializes ONCE (lazy local
+      // checkpoint) — the original re-scanned lineitem and re-md5'd
+      // every row for each of its four consumers (slope, n_cal, cal
+      // residuals, test residuals), 4 full hash passes for 1 (guide
+      // §1.2: don't recompute what you already have). Same rows, same
+      // split, same 4 dp residual grid.
       (s: SparkSession, dir: String) => {
         val li = Tables.lineitem(s, dir)
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
             col("l_quantity").cast("double").as("qty"),
             col("l_extendedprice").cast("double").as("y"))
-        val isCal = graft.operators.Sampling.hashBucket(
-          col("k"), "x160", 100) < 50
-        val cal0 = li.filter(isCal)
-        val test0 = li.filter(!isCal)
+          .withColumn("_cal", graft.operators.Sampling.hashBucket(
+            col("k"), "x160", 100) < 50)
+          .localCheckpoint(eager = false)
+        val cal0 = li.filter(col("_cal"))
+        val test0 = li.filter(!col("_cal"))
         val slope = cal0.agg(
           round(sum(col("y")) / sum(col("qty")), 6).as("_m"))
         def resid(df: org.apache.spark.sql.DataFrame) =
@@ -9227,16 +9234,27 @@ object Registry {
       // until the aggregate): lineitem's four measures unpivot to
       // (measure, value) rows and aggregate per return flag — the
       // "one metrics table instead of four queries" reshape.
+      // r13 OPT: aggregate FIRST (one pass over lineitem, 4 sums + a
+      // count per flag), THEN unpivot the |flags|-row aggregate — the
+      // original unpivoted 4× the fact rows through the generator before
+      // aggregating (guide §2.3 "aggregate before you shuffle"). Melt
+      // keeps nulls on both shapes, so n = count(*) per flag for every
+      // measure and each total = the same column sum — identical output.
       (s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("l_quantity")), 2).as("l_quantity"),
+            round(sum(col("l_extendedprice")), 2).as("l_extendedprice"),
+            round(sum(col("l_discount")), 2).as("l_discount"),
+            round(sum(col("l_tax")), 2).as("l_tax"))
           .unpivot(
-            Array(col("l_returnflag")),
+            Array(col("l_returnflag"), col("n")),
             Array(col("l_quantity"), col("l_extendedprice"),
               col("l_discount"), col("l_tax")),
-            "measure", "value")
-          .groupBy(col("l_returnflag"), col("measure"))
-          .agg(count(lit(1)).cast("long").as("n"),
-            round(sum(col("value")), 2).as("total"))
+            "measure", "total")
+          .select(col("l_returnflag"), col("measure"), col("n"),
+            col("total"))
           .orderBy(col("l_returnflag"), col("measure")),
       Some("""WITH m AS (
         |SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
