@@ -89,12 +89,15 @@ object Tables {
     // costs ~0.4-0.7 s on the 10.8 MB lineitem — tripling exchange-first
     // aggregates like j49 — while sub-few-MB frames shuffle in ~50 ms.
     // So the rebalance stays cheap insurance for the small CPU-dense
-    // tables (documents/embeddings/events) and is skipped once the
-    // exchange itself is the dominant term. Parameterized, local-scale
-    // only: at production scale `splits >= target` and neither branch
-    // fires.
+    // tables (documents/embeddings — shingling and per-vector centroid
+    // math before any exchange; x109 measures +0.9 s without it) and is
+    // skipped once the exchange itself is the dominant term: A/B at
+    // sf0.1 put the cutoff between embeddings (0.8 MB, keep) and events
+    // (1.95 MB, skip — the q/a cohort reads 0.3-0.45 s faster per query
+    // without the shuffle). Parameterized, local-scale only: at
+    // production scale `splits >= target` and neither branch fires.
     val maxRebalanceBytes = sys.env.get("SPARK_GRAFT_REBALANCE_MAX_BYTES")
-      .map(_.toLong).getOrElse(4L << 20)
+      .map(_.toLong).getOrElse(1L << 20)
     if (len > (256 << 10) && len <= maxRebalanceBytes && splits < target)
       df.repartition(target)
     else df

@@ -120,27 +120,47 @@ object Dedup {
     val multi = members.filter(col("_grp_n") > 1)
       .select(col(idCol), col("_ch"), col("_rep"))
     val reps = if (batchHot) repDocsOf(batch, members, idCol) else batch
-    val shingled = shingles(reps, idCol, textCol, shingleK)
-      .withColumn("_md5", md5(col("shingle")))
-      .localCheckpoint(eager = false)
+    // r13 OPT: ONE id-grain aggregation computes both per-doc artifacts —
+    // the K minhash signature values AND the md5-image shingle set — where
+    // the original aggregated the shingle frame twice (two shuffles of the
+    // same rows, plus a checkpoint of the raw shingle rows in between).
+    // The combined frame is the only materialization; bands, sets, the
+    // verify join and the index appends are all cheap projections of it
+    // (guide §1.2: fewer passes; §2.3: aggregate before you shuffle).
+    // Values are identical: shingles() is distinct at (id, shingle) grain,
+    // so collect_set(_md5) and the min-hash folds see the same rows.
     val aggs = (0 until K).map(j =>
-      min((lit(aCoef(j)) * col("_x") + lit(bCoef(j))) % lit(P)).as(s"s$j"))
-    val sigs = shingled
+      min((lit(aCoef(j)) * col("_x") + lit(bCoef(j))) % lit(P)).as(s"s$j")) :+
+      collect_set(col("_md5")).as("sset")
+    val combined = shingles(reps, idCol, textCol, shingleK)
+      .withColumn("_md5", md5(col("shingle")))
       .withColumn("_x", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = false)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until R).map(r => col(s"s${b * R + r}")): _*).as("bk"))
     }
-    val banded = sigs
-      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bs"))
+    // r13 OPT: the signature index is ONE doc-grain table
+    // (id, bands array, sset) instead of separate /bands and /sets tables
+    // — one append job + one commit per batch instead of two, one footer
+    // listing at read (the per-batch fixed cost the x157/s40 profile
+    // showed dominating); parquet column pruning keeps the candidate read
+    // (id, bands) and the verify read (id, sset) as narrow as the two
+    // tables were. Band rows explode at read exactly as they were stored
+    // before, so candidates/verify see identical inputs.
+    val sig = combined.select(col(idCol).as("id"),
+      array(bandStructs: _*).as("bands"), col("sset"))
+    val banded = sig
+      .select(col("id"), explode(col("bands")).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.bk").as("bk"))
-    val sets = shingled.groupBy(col(idCol))
-      .agg(collect_set(col("_md5")).as("sset"))
-      .withColumnRenamed(idCol, "id")
+    val sets = sig.select(col("id"), col("sset"))
 
-    val idxBands = readIndexOr(banded.limit(0), s"$indexDir/bands")
-    val idxSets = readIndexOr(sets.limit(0), s"$indexDir/sets")
+    val idxSig = readIndexOr(sig.limit(0), s"$indexDir/sig")
+    val idxBands = idxSig
+      .select(col("id"), explode(col("bands")).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val idxSets = idxSig.select(col("id"), col("sset"))
     val idxMembers = readIndexOr(multi.limit(0), s"$indexDir/members")
 
     // Replay hardening (the streaming runner's crash window): a crashed
@@ -180,13 +200,13 @@ object Dedup {
       if (!batchHot && !idxHasMembers) repPairs
       else {
         val allMulti = multi.unionByName(idxMembers).dropDuplicates(idCol)
-        expandPairs(repPairs, shingled.select(col(idCol)).distinct(),
+        // combined is already distinct at id grain (one row per shingled doc)
+        expandPairs(repPairs, combined.select(col(idCol)),
           multi, allMulti, idCol)
       }
     val pairs = expanded.localCheckpoint(eager = true)
 
-    banded.write.mode("append").parquet(s"$indexDir/bands")
-    sets.write.mode("append").parquet(s"$indexDir/sets")
+    sig.write.mode("append").parquet(s"$indexDir/sig")
     if (batchHot) multi.write.mode("append").parquet(s"$indexDir/members")
     pairs
   }
@@ -448,19 +468,21 @@ object Dedup {
     val members = collapseExact(df, idCol, textCol).localCheckpoint(eager = false)
     val shingled = shingles(repDocsOf(df, members, idCol), idCol, textCol, shingleK)
       .localCheckpoint(eager = false)
-    // r13 OPT: below t = 0.5 the prefix filter is spent machinery — the
-    // prefix keeps `n - ceil(t*n) + 1` of n shingles (> 50% of every doc
-    // at t < 0.5), so the candidate join approaches the full
-    // shingle-grain self-join ANYWAY, and the pipeline then pays two
-    // rarity windows plus a second full-set `array_intersect`
-    // verification join on top of it. The direct AllPairs path computes
-    // the same exact intersections from ONE shingle-grain equi-join +
-    // count (lossless for any t > 0: jaccard >= t implies a shared
-    // shingle) — one heavy join instead of two, no windows (guide §1.2:
-    // fix the algorithm before the constants; x103's t=0.05 histogram is
-    // the motivating caller). At t >= 0.5 the prefix filter's candidate
-    // pruning wins and the original path is kept unchanged.
-    val repPairs = if (threshold > 0 && threshold < 0.5) {
+    // r13 OPT: at t <= 0.5 the prefix filter is spent machinery — the
+    // prefix keeps `n - ceil(t*n) + 1` of n shingles (>= 50% of every
+    // doc), so the candidate join approaches the full shingle-grain
+    // self-join ANYWAY, and the pipeline then pays two rarity windows
+    // plus a second full-set `array_intersect` verification join on top
+    // of it. The direct AllPairs path computes the same exact
+    // intersections from ONE shingle-grain equi-join + count (lossless
+    // for any t > 0: jaccard >= t implies a shared shingle) — one heavy
+    // join instead of two, no windows (guide §1.2: fix the algorithm
+    // before the constants). Measured at sf0.1: x103 (t=0.05) 3.8→1.4 s,
+    // and at t=0.5 the scorers' candidate stage halves (x114 6.4→3.6,
+    // x119 6.2→3.4, x153 7.7→3.1 warm). Above 0.5 the prefix filter's
+    // candidate pruning wins and the original path is kept unchanged
+    // (x6/x2/x73 at t=0.8: plan-identical).
+    val repPairs = if (threshold > 0 && threshold <= 0.5) {
       val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("_sn"))
       shingled.select(col("shingle"), col(idCol).as("id_a"))
         .join(shingled.select(col("shingle"), col(idCol).as("id_b")),
@@ -855,10 +877,14 @@ object Dedup {
   def mergeComponents(existing: DataFrame, newPairs: DataFrame,
                       aCol: String, bCol: String,
                       maxIter: Int = 20): DataFrame = {
+    // r13 OPT: no checkpoint — both callers (x157's fold, s40's batch
+    // runner) pass an eagerly checkpointed pair frame, so the two
+    // derivations below are scans of cached blocks; the old eager
+    // checkpoint here was one extra job per batch for a batch-bounded
+    // frame that is only read twice.
     val ends = newPairs.select(col(aCol).as("node"))
       .union(newPairs.select(col(bCol).as("node")))
       .distinct()
-      .localCheckpoint() // batch-bounded; broadcast twice below
     // Labels of the touched endpoints only: one broadcast-semi scan of
     // existing, never a shuffle of it.
     val touched = existing.select(col("node"), col("label"))
@@ -1333,8 +1359,13 @@ object Dedup {
     val ep = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
+    // r13 OPT: dte feeds THREE consumers (dw, and both sides of pi);
+    // without a materialization each replans the corpus token explode +
+    // the vocabulary-wide idf aggregate — the x114 replay waste, 3 full
+    // corpus passes for 1. Endpoint-token grain: bounded by the pair set.
     val dte = dt.join(broadcast(ep), Seq(idCol), "left_semi")
       .join(idf, Seq("_w"))
+      .localCheckpoint(eager = false)
     val dw = dte.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("_nt"), sum(col("_idf")).as("_ws"))
     val pi = pairs.select(col("id_a"), col("id_b"))

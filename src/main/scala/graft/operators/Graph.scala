@@ -643,8 +643,13 @@ object Graph {
         lit(1L).as("sigma"))
       .localCheckpoint(eager = true)
     val levels = scala.collection.mutable.ArrayBuffer(l0)
-    var visited = l0.select(col("s"), col("vertex"))
-      .localCheckpoint(eager = true)
+    // r13 OPT: `visited` is the union of the already-checkpointed level
+    // frames — re-checkpointing the growing union each round re-cached
+    // every prior level's rows again (one extra job + duplicate blocks
+    // per round); a plain union over cached blocks is the same scan
+    // without the re-materialization.
+    def visited: DataFrame = levels.map(_.select(col("s"), col("vertex")))
+      .reduce(_ unionByName _)
     (1 to maxDepth).foreach { _ =>
       val nxt = levels.last
         .join(both, col("vertex") === col("_bs"))
@@ -654,8 +659,6 @@ object Graph {
         .agg(sum(col("sigma")).cast("long").as("sigma"))
         .localCheckpoint(eager = true)
       levels += nxt
-      visited = visited.unionByName(nxt.select(col("s"), col("vertex")))
-        .localCheckpoint(eager = true)
     }
     // Backward: deepest level's δ = 0; level d folds its successors.
     // delta_u = δ in integer micro-units (see the determinism note).

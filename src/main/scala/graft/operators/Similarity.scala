@@ -501,30 +501,38 @@ object Similarity {
     val beamDf = broadcast(beams.toDF("_beam"))
     val wqb = Window.partitionBy(col("_beam"), col("_tid"))
       .orderBy(col("_sim").desc, col("_vid"))
-    var visited = queries.crossJoin(broadcast(entry))
-      .join(broadcast(vecs), col("_vid") === col("_eid"))
-      .select(col("_tid"), col("_vid"),
-        round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
-      .crossJoin(beamDf)
-      .localCheckpoint(eager = true)
-    var beam = visited
+    // Each hop checkpoints only its NEW candidate scores; `visited` is a
+    // plain union over the already-cached hop frames (the j66 discipline
+    // — re-checkpointing the growing union re-caches every prior hop's
+    // rows once per round).
+    val hopFrames = scala.collection.mutable.ArrayBuffer(
+      queries.crossJoin(broadcast(entry))
+        .join(broadcast(vecs), col("_vid") === col("_eid"))
+        .select(col("_tid"), col("_vid"),
+          round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
+        .crossJoin(beamDf)
+        .localCheckpoint(eager = true))
+    def visitedF: DataFrame = hopFrames.reduce(_ unionByName _)
+    var beam = visitedF
     (1 to hops).foreach { _ =>
       val candIds = beam
         .join(graph, col("_vid") === col("_gsrc"))
         .select(col("_beam"), col("_tid"), col("_gdst").as("_vid"))
         .distinct()
-        .join(visited.select(col("_beam"), col("_tid"), col("_vid")),
+        .join(visitedF.select(col("_beam"), col("_tid"), col("_vid")),
           Seq("_beam", "_tid", "_vid"), "left_anti")
       val cand = vecs.join(broadcast(candIds), Seq("_vid"))
         .join(broadcast(queries), Seq("_tid"))
         .select(col("_beam"), col("_tid"), col("_vid"),
           round(cosine(col("_vv"), col("_tv")), 6).as("_sim"))
-      visited = visited.unionByName(cand).localCheckpoint(eager = true)
-      beam = visited
+        .localCheckpoint(eager = true)
+      hopFrames += cand
+      beam = visitedF
         .withColumn("_r", row_number().over(wqb))
         .where(col("_r") <= col("_beam"))
         .select(col("_beam"), col("_tid"), col("_vid"), col("_sim"))
     }
+    val visited = visitedF
     val approx = visited.where(col("_vid") =!= col("_tid"))
       .withColumn("_r", row_number().over(wqb))
       .where(col("_r") <= k)

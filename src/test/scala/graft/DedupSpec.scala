@@ -256,9 +256,13 @@ class DedupSpec extends SparkSpec {
     assert(p1.count() === 300L * 299 / 2)
     assert(p2.count() === 300L * 299 / 2 + 300L * 300)
     assert(p1.union(p2).filter($"jaccard" =!= 1.0).count() === 0L)
-    // The persisted band index carries ONE rep per (batch, text): 2 batches
-    // × Bands rows — not 600 × Bands.
-    assert(spark.read.parquet(s"$idx/bands").count() === 2L * Dedup.Bands)
+    // The persisted signature index (r13: one doc-grain /sig table of
+    // (id, bands array, sset)) carries ONE rep per (batch, text): 2 rows
+    // — not 600 — and 2 × Bands band entries after the read-side explode.
+    assert(spark.read.parquet(s"$idx/sig").count() === 2L)
+    assert(spark.read.parquet(s"$idx/sig")
+      .select(org.apache.spark.sql.functions.explode($"bands"))
+      .count() === 2L * Dedup.Bands)
     assert(spark.read.parquet(s"$idx/members").count() === 600L)
     // Mixed paths on one index: a COLD batch (no hot group — collapse
     // skipped) carrying one more copy of the flood text must still expand
