@@ -484,9 +484,53 @@ object Dedup {
     // (x6/x2/x73 at t=0.8: plan-identical).
     val repPairs = if (threshold > 0 && threshold <= 0.5) {
       val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("_sn"))
-      shingled.select(col("shingle"), col(idCol).as("id_a"))
-        .join(shingled.select(col("shingle"), col(idCol).as("id_b")),
-          Seq("shingle"))
+      // r14 OPT (guide §2.5 skew): the shingle-grain self-equi-join has no
+      // frequency bound — a stopword-like shingle appearing in k documents
+      // contributes k² candidate rows into ONE join key, and AQE's skew
+      // split cannot divide a single enormous key. Guard: a probe aggregate
+      // finds shingles with df >= hotCap (bounded: <= N/hotCap entries for
+      // N shingle rows); when any exist, their rows run through a SALTED
+      // self-join — left side salted by pmod(xxhash64(id), nSalts), right
+      // side replicated nSalts× — so a hot shingle's k² work spreads over
+      // nSalts tasks, while cold shingles keep the plain join. Both legs
+      // feed the same (id_a, id_b) count, so _i (and every jaccard) is
+      // bit-identical to the unsalted join (spec-pinned in DedupSpec).
+      // The corpus SFs have no hot shingles (max df 25 at sf0.1), so the
+      // bench path is the r13 plan plus one small probe aggregate.
+      // Cap calibration (ProbeHotShingle): the guard's fixed cost is two
+      // extra passes over the cached shingle frame + the salt fan, and at
+      // df ≤ ~4k the quadratic output itself dominates BOTH paths (k=4000
+      // measured plain 6.05 s vs salted 7.59 s — parity-to-overhead), so
+      // the default engages only where one task's df² row generation is
+      // catastrophic (df 16384 → 2.7e8 rows in one task unsalted).
+      val sconf = df.sparkSession.conf
+      val hotCap = sconf.getOption("spark.graft.allpairs.hotDf")
+        .orElse(sys.env.get("SPARK_GRAFT_ALLPAIRS_HOT_DF"))
+        .map(_.toLong).getOrElse(16384L)
+      val nSalts = sconf.getOption("spark.graft.allpairs.salts")
+        .orElse(sys.env.get("SPARK_GRAFT_ALLPAIRS_SALTS"))
+        .map(_.toInt).getOrElse(16)
+      val hot = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= hotCap).select(col("shingle"))
+        .localCheckpoint(eager = true)
+      val a = shingled.select(col("shingle"), col(idCol).as("id_a"))
+      val b = shingled.select(col("shingle"), col(idCol).as("id_b"))
+      val hits =
+        if (hot.isEmpty) a.join(b, Seq("shingle"))
+        else {
+          val coldHits = a.join(broadcast(hot), Seq("shingle"), "left_anti")
+            .join(b.join(broadcast(hot), Seq("shingle"), "left_anti"),
+              Seq("shingle"))
+          val hotHits = a.join(broadcast(hot), Seq("shingle"), "left_semi")
+            .withColumn("_sa", pmod(xxhash64(col("id_a")), lit(nSalts.toLong))
+              .cast("int"))
+            .join(b.join(broadcast(hot), Seq("shingle"), "left_semi")
+              .withColumn("_sa", explode(sequence(lit(0), lit(nSalts - 1)))),
+              Seq("shingle", "_sa"))
+            .drop("_sa")
+          coldHits.unionByName(hotHits)
+        }
+      hits
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("_i"))
@@ -748,8 +792,18 @@ object Dedup {
     * from it — the component's canonical id. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // r14 OPT (guide §5 reuse): the bidirectional edge list is built by
+    // EXPLODING each pair into its two directions in one pass — the old
+    // union of two projections referenced the un-materialized `pairs`
+    // subtree twice, so the caller's whole pair pipeline (LSH candidates +
+    // exact verify for x25/x29/x42/m5, the fuzzy-linkage block join for
+    // x97-style callers) executed TWICE inside this checkpoint job.
+    // Same row multiset, so distinct/CC output is unchanged.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // reused every round: scan a materialized edge list
     var labels = edges.select(col("src").as("node")).distinct()
@@ -1011,8 +1065,13 @@ object Dedup {
                 minPts: Int): DataFrame = {
     val pairs = embeddingNearDup(embeddings, idCol, vecCol, bands,
       rowsPerBand, eps)
-    val e = pairs.select(col("id_a").as("_a"), col("id_b").as("_b"))
-      .unionByName(pairs.select(col("id_b").as("_a"), col("id_a").as("_b")))
+    // r14 OPT: one-pass explode instead of a union that re-executed the
+    // whole embeddingNearDup pipeline twice (see connectedComponents).
+    val e = pairs
+      .select(explode(array(
+        struct(col("id_a").as("_a"), col("id_b").as("_b")),
+        struct(col("id_b").as("_a"), col("id_a").as("_b")))).as("_e"))
+      .select(col("_e._a").as("_a"), col("_e._b").as("_b"))
       .localCheckpoint(eager = true) // degrees + core-core + border reads
     val core = e.groupBy(col("_a"))
       .agg(count(lit(1)).as("_nb"))

