@@ -877,15 +877,23 @@ object Similarity {
         nProbe)
       .select(col("qid"), col(idCol))
       .localCheckpoint(eager = true) // reference for every level
+    // r14 OPT (guide §3.1): a checkpointed reference carries no stats, so
+    // every per-level recall join planned as SortMergeJoin — 2 Exchanges +
+    // 2 Sorts per level over frames already in cache. Broadcast the
+    // reference side on a measured count (the pageRank bcastV discipline);
+    // at corpus scale the n·k reference outgrows the switch and the
+    // co-partitioned shuffle join stands.
+    val refSide: DataFrame => DataFrame =
+      if (full.count() <= 5000000L) broadcast _ else identity
     val fcnt = full.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("_nf"))
     dims.map { d =>
       val t = embeddings.withColumn(vecCol, slice(col(vecCol), 1, d))
       val tn = knnJoin(t, idCol, vecCol, lit(true), k, nCentroids, nProbe)
         .select(col("qid"), col(idCol))
-      val inter = tn.join(full, Seq("qid", idCol))
+      val inter = tn.join(refSide(full), Seq("qid", idCol))
         .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("_ni"))
-      fcnt.join(inter, Seq("qid"), "left").na.fill(0L, Seq("_ni"))
+      fcnt.join(refSide(inter), Seq("qid"), "left").na.fill(0L, Seq("_ni"))
         .agg(count(lit(1)).cast("long").as("n_queries"),
           round(avg(col("_ni").cast("double") / col("_nf")), 4)
             .as("mean_recall"))
@@ -915,15 +923,19 @@ object Similarity {
         nCentroids, nCentroids)
       .select(col("qid"), col(idCol))
       .localCheckpoint(eager = true) // reference for every probe level
+    // r14 OPT: measured-count broadcast switch for the stats-less
+    // checkpointed reference (see truncationRecall).
+    val refSide: DataFrame => DataFrame =
+      if (exact.count() <= 5000000L) broadcast _ else identity
     val ecnt = exact.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("_ne"))
     probes.map { p =>
       val approx = knnJoin(embeddings, idCol, vecCol, queryPred, k,
           nCentroids, p)
         .select(col("qid"), col(idCol))
-      val inter = approx.join(exact, Seq("qid", idCol))
+      val inter = approx.join(refSide(exact), Seq("qid", idCol))
         .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("_ni"))
-      ecnt.join(inter, Seq("qid"), "left").na.fill(0L, Seq("_ni"))
+      ecnt.join(refSide(inter), Seq("qid"), "left").na.fill(0L, Seq("_ni"))
         .agg(count(lit(1)).cast("long").as("n_queries"),
           round(avg(col("_ni").cast("double") / col("_ne")), 4)
             .as("mean_recall"))
@@ -1908,12 +1920,17 @@ object Similarity {
       .localCheckpoint(eager = true)
     val wRef = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("exact_d2").asc, col(idCol).asc)
+    // r14 OPT: measured-count broadcast switch for the stats-less
+    // checkpointed reference (see truncationRecall) — the per-level hits
+    // semi-join planned as SortMergeJoin over two cached bounded frames.
+    val refSide: DataFrame => DataFrame =
+      if (exact.count() <= 5000000L) broadcast _ else identity
     val perLevel = candKs.map { ck =>
       refined.filter(col("adc_rank") <= ck)
         .withColumn("refine_rank", row_number().over(wRef))
         .filter(col("refine_rank") <= topK)
         .select(col("qid"), col(idCol))
-        .join(exact, Seq("qid", idCol), "left_semi")
+        .join(refSide(exact), Seq("qid", idCol), "left_semi")
         .agg(count(lit(1)).cast("long").as("hits"))
         .select(lit(ck).as("cand_k"), col("hits"))
     }.reduce(_ unionAll _)
